@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The replicator-domain operators, re-expressed as declarative Spark
+  * plans over the `events` table framed as a Kafka-like message stream.
+  *
+  * Framing: the synthetic `events` table stands in for a Kafka topic.
+  * `partId = user_id % 8` is the topic partition; the per-partition
+  * offset is the 0-based rank of `event_id` within the partition —
+  * contiguous from 0, exactly like Kafka log offsets. All downstream
+  * operators (rolling, checkpoints, gaps, replay, compaction) consume
+  * this frame, mirroring the reference's per-partition worker inputs
+  * (reference: pkg/egress/worker.go:44).
+  *
+  * Scale note: every operator here is keyed by partition — on a real
+  * cluster the shuffle key is (topic, partition), the same unit of
+  * parallelism the reference uses (one goroutine per partition), so the
+  * plan scales linearly with partition count, not data volume.
+  */
+object MessageFraming {
+  val NumPartitions = 8
+
+  /** events → message frame: (part_id, msg_offset, key, value, ts, msg_size). */
+  def messages(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("part_id").orderBy("event_id")
+    events
+      .withColumn("part_id", (col("user_id") % NumPartitions).cast("int"))
+      .withColumn("msg_offset", row_number().over(w).cast("long") - 1)
+      .withColumn("key", col("user_id").cast("string"))
+      .withColumn("msg_value", col("props"))
+      .withColumn("msg_size",
+        (octet_length(col("key")) + octet_length(col("msg_value"))).cast("long"))
+      .select("part_id", "msg_offset", "event_id", "ts", "event_type",
+        "key", "msg_value", "msg_size")
+  }
+
+  /** DuckDB CTE computing the identical frame (shared by all oracles). */
+  def sqlCte(dir: String = ""): String =
+    """messages AS (
+      |  SELECT (user_id % 8)::INT AS part_id,
+      |         (row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1)::BIGINT AS msg_offset,
+      |         event_id, ts, event_type,
+      |         user_id::VARCHAR AS key, props AS msg_value,
+      |         (strlen(user_id::VARCHAR) + strlen(props))::BIGINT AS msg_size
+      |  FROM events
+      |)""".stripMargin
+}
+
+/** Segment rolling — assigns each message to a storage segment.
+  * (reference: pkg/egress/worker.go:54 `isFull`, worker.go:119 timer.)
+  */
+object SegmentRoller {
+
+  /** Count-based rolling: segment = msg_offset / maxMessages. Offsets are
+    * contiguous from 0 per partition, so this is pure arithmetic — no
+    * window, no state, stays in whole-stage codegen.
+    */
+  def byCount(messages: DataFrame, maxMessages: Int): DataFrame =
+    messages
+      .withColumn("seg_seq", (col("msg_offset") / maxMessages).cast("long"))
+      .groupBy("part_id", "seg_seq")
+      .agg(
+        min("msg_offset").as("start_offset"),
+        max("msg_offset").as("end_offset"),
+        count(lit(1)).as("message_count"),
+        sum("msg_size").as("seg_bytes"))
+      .withColumn("level", lit(0))
+
+  /** Age-based rolling: event-time buckets per partition
+    * (the MaxSegmentAge path — a segment never spans more than one
+    * bucket of `age`). Declarative: date_trunc keeps codegen.
+    */
+  def byAge(messages: DataFrame, age: String = "hour"): DataFrame =
+    messages
+      .withColumn("seg_window", date_trunc(age, col("ts")))
+      .groupBy("part_id", "seg_window")
+      .agg(
+        min("msg_offset").as("start_offset"),
+        max("msg_offset").as("end_offset"),
+        count(lit(1)).as("message_count"),
+        sum("msg_size").as("seg_bytes"))
+      .withColumn("seg_day", date_format(col("seg_window"), "yyyy-MM-dd HH:00:00"))
+      .drop("seg_window")
+
+  /** Size+count greedy rolling — the reference's exact `isFull` rule:
+    * a segment closes once cumulative bytes >= maxBytes OR message
+    * count == maxMessages, INCLUDING the message that crossed the
+    * threshold (reference: pkg/egress/worker.go:54,170-178).
+    *
+    * Inherently sequential per partition (the decision for message i
+    * depends on all messages before it), so this is the one operator
+    * implemented with `flatMapGroups` — parallel across partitions,
+    * sequential within, mirroring the reference's worker-per-partition
+    * model. Rows arrive sorted via secondary sort within each group.
+    */
+  def bySizeGreedy(messages: DataFrame, maxBytes: Long, maxMessages: Int): DataFrame = {
+    val spark = messages.sparkSession
+    import spark.implicits._
+    val slim = messages.select(
+      col("part_id"), col("msg_offset"), col("msg_size"))
+      .as[(Int, Long, Long)]
+    slim
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"msg_offset") { (part, rows) =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Long, Long, Long, Long, Long)]
+        var segSeq = 0L
+        var start = -1L; var end = -1L; var cnt = 0L; var bytes = 0L
+        def close(): Unit = {
+          out += ((part, segSeq, start, end, cnt, bytes))
+          segSeq += 1; start = -1L; cnt = 0L; bytes = 0L
+        }
+        for ((_, off, sz) <- rows) {
+          if (start < 0) start = off
+          end = off; cnt += 1; bytes += sz
+          if (bytes >= maxBytes || cnt == maxMessages) close()
+        }
+        if (cnt > 0) close() // partial tail segment (flush at shutdown)
+        out
+      }
+      .toDF("part_id", "seg_seq", "start_offset", "end_offset",
+        "message_count", "seg_bytes")
+      .withColumn("level", lit(0))
+  }
+}
+
+/** Offset-continuity audit — the egress worker's sanityChecks
+  * (duplicate / out-of-order / gap detection) as a window scan
+  * (reference: pkg/egress/worker.go sanityChecks, ingress gap logic).
+  */
+object StreamAudit {
+  /** Input: any (part_id, msg_offset) stream (possibly with dups/gaps).
+    * Output per partition: message count, duplicate count, gap count,
+    * total missing messages.
+    */
+  def audit(stream: DataFrame): DataFrame = {
+    val w = Window.partitionBy("part_id").orderBy("msg_offset")
+    stream
+      .withColumn("prev_offset", lag("msg_offset", 1).over(w))
+      .withColumn("is_dup",
+        when(col("msg_offset") === col("prev_offset"), 1L).otherwise(0L))
+      .withColumn("gap_size",
+        when(col("prev_offset").isNotNull && col("msg_offset") > col("prev_offset") + 1,
+          col("msg_offset") - col("prev_offset") - 1).otherwise(0L))
+      .groupBy("part_id")
+      .agg(
+        count(lit(1)).as("n_messages"),
+        sum("is_dup").as("n_dups"),
+        sum(when(col("gap_size") > 0, 1L).otherwise(0L)).as("n_gaps"),
+        sum("gap_size").as("n_missing"))
+  }
+}
+
+/** Checkpoint semantics: latest committed offset per partition.
+  * The egress worker commits only after a segment closes, so the
+  * checkpoint is the max endOffset over FULL segments — the trailing
+  * partial segment is not yet committed (reference:
+  * pkg/egress/worker.go:92-116 completeSegment → commitOffset).
+  */
+object Checkpoints {
+  def fromSegments(segments: DataFrame, maxMessages: Int): DataFrame =
+    segments
+      .filter(col("message_count") === maxMessages)
+      .groupBy("part_id")
+      .agg(max("end_offset").as("ckpt_offset"))
+}
+
+/** Gap detection over the segment inventory: a partition whose next
+  * expected offset is not covered by any present segment has a lost
+  * range (reference: pkg/ingress/worker.go:105-130 late→lost).
+  */
+object GapDetector {
+  /** Input: segment table (possibly with segments missing).
+    * Output: one row per lost range (part_id, lost_start, lost_end, lost_count).
+    */
+  def lostRanges(segments: DataFrame): DataFrame = {
+    val w = Window.partitionBy("part_id").orderBy("start_offset")
+    segments
+      .withColumn("prev_end", lag("end_offset", 1).over(w))
+      .filter(col("prev_end").isNotNull && col("start_offset") > col("prev_end") + 1)
+      .select(
+        col("part_id"),
+        (col("prev_end") + 1).as("lost_start"),
+        (col("start_offset") - 1).as("lost_end"),
+        (col("start_offset") - col("prev_end") - 1).as("lost_count"))
+  }
+}
+
+/** Ordered, checkpoint-aware, deduplicated replay — the ingress worker
+  * (reference: pkg/ingress/worker.go:79-140): skip everything at or
+  * below the checkpoint, drop duplicate offsets from overlapping
+  * segments, and emit messages in strict (partition, offset) order.
+  */
+object Ingress {
+  /** messages: full frame; presentSegments: surviving segment inventory;
+    * checkpoints: (part_id, ckpt_offset). Returns the replayed stream with
+    * a per-partition contiguous replay_seq.
+    */
+  def replay(messages: DataFrame, presentSegments: DataFrame,
+      checkpoints: DataFrame): DataFrame = {
+    val segs = presentSegments.select("part_id", "start_offset", "end_offset")
+    // Messages covered by a present segment. The range join is
+    // per-partition and each message falls in at most a handful of
+    // (possibly overlapping) segments; dedup keeps one copy.
+    val covered = messages
+      .join(segs, Seq("part_id"))
+      .filter(col("msg_offset").between(col("start_offset"), col("end_offset")))
+      .select("part_id", "msg_offset", "key", "msg_value", "msg_size")
+      .dropDuplicates("part_id", "msg_offset")
+    val afterCkpt = covered
+      .join(broadcast(checkpoints), Seq("part_id"), "left")
+      .filter(col("ckpt_offset").isNull || col("msg_offset") > col("ckpt_offset"))
+    val w = Window.partitionBy("part_id").orderBy("msg_offset")
+    afterCkpt
+      .withColumn("replay_seq", row_number().over(w).cast("long") - 1)
+      .select("part_id", "msg_offset", "replay_seq", "key", "msg_size")
+  }
+}
+
+/** Compaction planning + execution (reference: pkg/compaction/compactor.go).
+  * Plan: group eligible level-L segments per partition into bins of at
+  * most maxSegments, requiring at least minSegments per bin — the
+  * greedy count-capped selection, window arithmetic only.
+  */
+object Compactor {
+  def plan(segments: DataFrame, level: Int, minSegments: Int,
+      maxSegments: Int): DataFrame = {
+    val w = Window.partitionBy("part_id").orderBy("start_offset")
+    segments
+      .filter(col("level") === level)
+      .withColumn("bin", ((row_number().over(w) - 1) / maxSegments).cast("long"))
+      .groupBy("part_id", "bin")
+      .agg(
+        count(lit(1)).as("input_segments"),
+        min("start_offset").as("start_offset"),
+        max("end_offset").as("end_offset"),
+        sum("message_count").as("message_count"),
+        sum("seg_bytes").as("seg_bytes"))
+      .filter(col("input_segments") >= minSegments)
+      .withColumn("level", lit(level + 1))
+  }
+
+  /** Merge step: pull the messages of each planned bin, dedup by offset
+    * (overlap between inputs), and emit merged-segment stats. The real
+    * file-store variant lives in graft.sources.FsSegmentStore.
+    */
+  def mergedStats(messages: DataFrame, plan: DataFrame): DataFrame =
+    messages
+      .join(plan.select("part_id", "bin", "start_offset", "end_offset", "level"),
+        Seq("part_id"))
+      .filter(col("msg_offset").between(col("start_offset"), col("end_offset")))
+      .dropDuplicates("part_id", "msg_offset")
+      .groupBy("part_id", "bin", "level")
+      .agg(
+        count(lit(1)).as("message_count"),
+        min("msg_offset").as("merged_start"),
+        max("msg_offset").as("merged_end"),
+        sum("msg_size").as("merged_bytes"))
+}
+
+/** Per-partition replication metrics (reference: pkg/egress/metrics.go,
+  * pkg/ingress/metrics.go): volume, counts, and lag — here event-time
+  * lag of each partition behind the global high-watermark.
+  */
+object ReplicationMetrics {
+  def perPartition(messages: DataFrame): DataFrame = {
+    val agg = messages.groupBy("part_id").agg(
+      count(lit(1)).as("n_messages"),
+      sum("msg_size").as("total_bytes"),
+      max("msg_offset").as("high_offset"),
+      max(col("ts").cast("long")).as("part_max_epoch"))
+    val global = agg.agg(max("part_max_epoch").as("global_max_epoch"))
+    agg.crossJoin(broadcast(global))
+      .withColumn("lag_seconds", col("global_max_epoch") - col("part_max_epoch"))
+      .select("part_id", "n_messages", "total_bytes", "high_offset", "lag_seconds")
+  }
+}
