@@ -75,6 +75,18 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // ---- analytics surface (see graft.operators.Analytics) ----
+    "q3_shipping_priority" -> Analytics.shippingPriority _,
+    "q5_local_supplier" -> Analytics.localSupplierVolume _,
+    "q6_revenue_change" -> Analytics.revenueChange _,
+    "q10_returned_items" -> Analytics.returnedItems _,
+    "q_top_parts_per_brand" -> Analytics.topPartsPerBrand _,
+    "q_rollup_revenue" -> Analytics.rollupRevenue _,
+    "q_orders_no_lineitems" -> Analytics.ordersNoLineitems _,
+    "q_customers_with_orders" -> Analytics.customersWithOrders _,
+    "q_distinct_users" -> Analytics.distinctUsers _,
+    "q_user_running_value" -> Analytics.userRunningValue _,
+
     // ---- replicator domain ----
     "r_message_framing" -> ((s, dir) =>
       msgs(s, dir)
@@ -187,6 +199,105 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)) * 100, 0)::BIGINT AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)) * 100, 0)::BIGINT AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
+    "q6_revenue_change" ->
+      """SELECT round(sum(l_extendedprice * l_discount) * 100, 0)::BIGINT AS revenue_cents,
+        |       count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  round(sum(l_extendedprice * (1 - l_discount)) * 100, 0)::BIGINT AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_top_parts_per_brand" ->
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)) * 100, 0)::BIGINT AS revenue_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey
+        |), ranked AS (
+        |  SELECT *, rank() OVER (PARTITION BY p_brand
+        |    ORDER BY revenue_cents DESC, p_partkey) AS brand_rank
+        |  FROM rev
+        |)
+        |SELECT p_brand, brand_rank::INT AS brand_rank, p_partkey, revenue_cents
+        |FROM ranked WHERE brand_rank <= 3
+        |ORDER BY p_brand, brand_rank""".stripMargin,
+
+    "q_rollup_revenue" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       round(sum(o_totalprice) * 100, 0)::BIGINT AS total_cents,
+        |       count(*)::BIGINT AS n_orders
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_orders_no_lineitems" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        |       round(sum(o_totalprice) * 100, 0)::BIGINT AS total_cents
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_customers_with_orders" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_distinct_users" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+        |       count(DISTINCT user_id)::BIGINT AS n_users,
+        |       round(sum(value) * 100, 0)::BIGINT AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_user_running_value" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, round(value * 100, 0)::BIGINT AS value_cents
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, value_cents,
+        |  sum(value_cents) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_cents,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_events
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
 
     "r_message_framing" ->
       s"""WITH $MsgCte

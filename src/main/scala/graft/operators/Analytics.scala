@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** The relational query surface over replicated data — the queries a
+  * user of the reference would run on its Parquet segment output, all
+  * declarative DataFrame plans so Catalyst does pushdown/pruning/join
+  * selection. Money amounts are integer cents (`round(x*100)::long`)
+  * so results are exact and engine-portable.
+  *
+  * Scale notes per query are in SURVEY.md §4: dimension sides
+  * (region/nation/supplier/part at TPC-H scale ratios) are explicitly
+  * `broadcast()`; fact-fact joins shuffle on their join key and AQE
+  * handles skew/coalescing.
+  */
+object Analytics {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  /** TPC-H Q3 shape: 3-way join, group, deterministic top-N. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-07-01 00:00:00").cast("timestamp")
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cut)
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-table star join; all dims broadcast. */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6 shape: selective scan-aggregate; filters push to parquet. */
+  def revenueChange(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("l_discount").between(0.02, 0.06)
+        && col("l_quantity") < 24)
+      .agg(
+        cents(sum(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q10 shape: returned-item revenue per customer, top 20. */
+  def returnedItems(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val c = Tables.customer(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_mktsegment")
+      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Top-3 parts by revenue within each brand (windowed top-N per group). */
+  def topPartsPerBrand(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    val rev = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("revenue_cents").desc, col("p_partkey"))
+    rev.withColumn("brand_rank", rank().over(w))
+      .filter(col("brand_rank") <= 3)
+      .select("p_brand", "brand_rank", "p_partkey", "revenue_cents")
+      .orderBy("p_brand", "brand_rank")
+  }
+
+  /** Rollup aggregation over order status × priority. */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(cents(sum("o_totalprice")).as("total_cents"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total_cents"), col("n_orders"))
+      .orderBy("status", "priority")
+
+  /** Anti join: orders that never shipped a lineitem (NOT EXISTS). */
+  def ordersNoLineitems(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir).select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), cents(sum("o_totalprice")).as("total_cents"))
+      .orderBy("o_orderstatus")
+
+  /** Semi join: customers that placed at least one order (EXISTS). */
+  def customersWithOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  /** Distinct aggregation over the event stream. */
+  def distinctUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        cents(sum("value")).as("value_cents"))
+      .orderBy("event_type")
+
+  /** Running per-user cumulative aggregates (exact, integer cents). */
+  def userRunningValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("value_cents", cents(col("value")))
+      .withColumn("run_cents", sum("value_cents").over(w))
+      .withColumn("run_events", count(lit(1)).over(w))
+      .select("user_id", "event_id", "value_cents", "run_cents", "run_events")
+      .orderBy("user_id", "event_id")
+  }
+}
