@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.operators._
+import graft.functions.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §2 + the builder prompt.
   *
@@ -140,7 +141,58 @@ object SparkEntry {
 
     "r_partition_metrics" -> ((s, dir) =>
       ReplicationMetrics.perPartition(msgs(s, dir)).orderBy("part_id")),
+
+    // ---- LLM-training-data operators ----
+    "d_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir)).orderBy("content_hash")),
+
+    "d_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), NgramJaccardBp)
+        .orderBy("doc_a", "doc_b")),
+
+    "d_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), NgramJaccardBp)
+        .orderBy("doc_a", "doc_b")),
+
+    "d_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), SimhashMaxHamming)
+        .orderBy("doc_a", "doc_b")),
+
+    "d_embedding_dedup" -> ((s, dir) =>
+      Ann.embeddingDedup(Tables.embeddings(s, dir), EmbedDedupCosBp)
+        .orderBy("vec_a", "vec_b")),
+
+    "a_knn_bruteforce" -> ((s, dir) =>
+      Ann.knnBruteForce(Tables.embeddings(s, dir), KnnQueries, 5)
+        .orderBy("q_id", "rnk")),
+
+    "a_knn_lsh" -> ((s, dir) =>
+      Ann.knnLsh(Tables.embeddings(s, dir), KnnQueries, 3)
+        .orderBy("q_id", "rnk")),
+
+    "t_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "t_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "t_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCount(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "t_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "x_multimodal_features" -> ((s, dir) =>
+      Multimodal.features(s, Tables.documents(s, dir)).toDF()
+        .select("doc_id", "media_type", "payload_bytes", "width", "height", "frames")
+        .orderBy("doc_id")),
   )
+
+  /** Thresholds shared with the oracles (basis points / bits). */
+  val NgramJaccardBp = 5000L
+  val SimhashMaxHamming = 1
+  val EmbedDedupCosBp = 4000L
+  val KnnQueries = 10
 
   // ------------------------------------------------------------------
   // DuckDB oracles. Shared CTE fragments keep the two sides in lockstep.
@@ -181,10 +233,252 @@ object SparkEntry {
        |  HAVING count(*) >= $CompactMinSegs
        |)""".stripMargin
 
+  /** Normalized text + distinct 8-shingles + tokens (mirrors
+    * Portable.normText / Dedup.shingleTable / TextAnalysis.tokens).
+    */
+  private val NormCte =
+    """norm AS (
+      |  SELECT doc_id, lang, n_chars, text,
+      |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |              ' +', ' ', 'g')) AS t
+      |  FROM documents
+      |)""".stripMargin
+
+  private val ShCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, s
+      |  FROM (SELECT doc_id, t FROM norm WHERE length(t) >= 8) n,
+      |       unnest(list_transform(range(1, length(n.t) - 6),
+      |              i -> substr(n.t, i::INT, 8))) u(s)
+      |)""".stripMargin
+
+  private val TokCte =
+    """tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm)""".stripMargin
+
+  private val H20 = "(('0x' || substr(md5(%s),1,15))::BIGINT %% 1048576)"
+
+  /** Quantized embeddings + hyperplane buckets (mirrors Ann.bucketed). */
+  private val EmbCte =
+    """q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> round(x*1000)::BIGINT) AS v
+      |  FROM embeddings
+      |),
+      |qn AS (
+      |  SELECT vec_id, v,
+      |         (list_sum(list_transform(v, x -> x*x)))::BIGINT AS norm2
+      |  FROM q
+      |),
+      |bk AS (
+      |  SELECT vec_id,
+      |         sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+      |  FROM (
+      |    SELECT vec_id, p,
+      |           (list_sum(list_transform(range(1, 65),
+      |             i -> v[i::INT] * (((1103515245 * (p*64 + (i-1)) + 12345) % 2001) - 1000))))::BIGINT AS dot
+      |    FROM q, range(0, 8) r(p)
+      |  ) GROUP BY vec_id
+      |)""".stripMargin
+
+  /** Exact portable cosine in basis points between q-vectors a and b. */
+  private def sqlCosBp(av: String, bv: String, an2: String, bn2: String) =
+    s"""round((list_sum(list_transform(range(1,65), i -> $av[i::INT]*$bv[i::INT])))::DOUBLE
+       |  / (sqrt($an2::DOUBLE) * sqrt($bn2::DOUBLE)) * 10000, 0)::BIGINT""".stripMargin
+
+  private val JaccTail =
+    s"""SELECT doc_a, doc_b, inter, union_sh, jacc_bp FROM (
+       |  SELECT p.doc_a, p.doc_b, p.inter,
+       |         (x.n_sh + y.n_sh - p.inter)::BIGINT AS union_sh,
+       |         round(p.inter * 10000.0 / (x.n_sh + y.n_sh - p.inter), 0)::BIGINT AS jacc_bp
+       |  FROM pairs p JOIN sz x ON x.doc_id = p.doc_a JOIN sz y ON y.doc_id = p.doc_b
+       |) WHERE jacc_bp >= $NgramJaccardBp ORDER BY doc_a, doc_b""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    // ---- LLM-training-data operators ----
+    "d_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*)::BIGINT AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "d_ngram_jaccard" ->
+      s"""WITH $NormCte, $ShCte,
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |$JaccTail""".stripMargin,
+
+    "d_minhash_lsh" ->
+      s"""WITH $NormCte, $ShCte,
+         |params(hash_id, ha, hb) AS (VALUES
+         |  (0, 952211, 37199), (1, 370259, 915583), (2, 768389, 68477),
+         |  (3, 113111, 331777), (4, 597269, 749341), (5, 286871, 55411),
+         |  (6, 851423, 426389), (7, 104729, 711871)),
+         |sig AS (
+         |  SELECT doc_id, hash_id,
+         |         min((ha * ${H20.format("s")} + hb) % 1048573) AS minhash
+         |  FROM sh, params GROUP BY doc_id, hash_id
+         |),
+         |banded AS (
+         |  SELECT doc_id, (hash_id // 2)::INT AS band,
+         |         min(CASE WHEN hash_id % 2 = 0 THEN minhash END) * 1048583
+         |           + min(CASE WHEN hash_id % 2 = 1 THEN minhash END) AS band_key
+         |  FROM sig GROUP BY doc_id, (hash_id // 2)::INT
+         |),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+         |),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+         |  FROM cands c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+         |  GROUP BY 1, 2
+         |)
+         |$JaccTail""".stripMargin,
+
+    "d_simhash" ->
+      s"""WITH $NormCte, $TokCte,
+         |th AS (SELECT doc_id, ${H20.format("tok")} AS h FROM tok),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS vote
+         |  FROM th, range(0, 24) r(b) GROUP BY doc_id, b
+         |),
+         |shash AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN vote > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
+         |  FROM votes GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+         |FROM shash a JOIN shash b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d_embedding_dedup" ->
+      s"""WITH $EmbCte,
+         |qq AS (SELECT qn.vec_id, qn.v, qn.norm2, bk.bucket
+         |       FROM qn JOIN bk ON qn.vec_id = bk.vec_id)
+         |SELECT vec_a, vec_b, cos_bp FROM (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |         ${sqlCosBp("x.v", "y.v", "x.norm2", "y.norm2")} AS cos_bp
+         |  FROM qq x JOIN qq y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |) WHERE cos_bp >= $EmbedDedupCosBp ORDER BY vec_a, vec_b""".stripMargin,
+
+    "a_knn_bruteforce" ->
+      s"""WITH $EmbCte,
+         |scored AS (
+         |  SELECT q2.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |         ${sqlCosBp("q2.v", "c.v", "q2.norm2", "c.norm2")} AS cos_bp,
+         |         (list_sum(list_transform(range(1,65), i -> q2.v[i::INT]*c.v[i::INT])))::DOUBLE
+         |           / (sqrt(q2.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+         |  FROM qn q2 JOIN qn c ON c.vec_id <> q2.vec_id
+         |  WHERE q2.vec_id < $KnnQueries
+         |)
+         |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
+         |  SELECT q_id, neighbor_id, cos_bp,
+         |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
+         |  FROM scored
+         |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "a_knn_lsh" ->
+      s"""WITH $EmbCte,
+         |qq AS (SELECT qn.vec_id, qn.v, qn.norm2, bk.bucket
+         |       FROM qn JOIN bk ON qn.vec_id = bk.vec_id),
+         |scored AS (
+         |  SELECT q2.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |         ${sqlCosBp("q2.v", "c.v", "q2.norm2", "c.norm2")} AS cos_bp,
+         |         (list_sum(list_transform(range(1,65), i -> q2.v[i::INT]*c.v[i::INT])))::DOUBLE
+         |           / (sqrt(q2.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+         |  FROM qq q2 JOIN qq c ON c.bucket = q2.bucket AND c.vec_id <> q2.vec_id
+         |  WHERE q2.vec_id < $KnnQueries
+         |)
+         |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
+         |  SELECT q_id, neighbor_id, cos_bp,
+         |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
+         |  FROM scored
+         |) WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "t_lang_id" ->
+      s"""WITH $NormCte, $TokCte,
+         |markers(cand_lang, marker) AS (VALUES
+         |  ('en','the'),('en','a'),('en','and'),('en','of'),
+         |  ('de','der'),('de','und'),('de','das'),('de','die'),
+         |  ('fr','le'),('fr','et'),('fr','la'),('fr','les'),
+         |  ('es','el'),('es','y'),('es','los'),('es','de')),
+         |hits AS (
+         |  SELECT doc_id, cand_lang, count(*)::BIGINT AS n_hits
+         |  FROM tok JOIN markers ON tok = marker GROUP BY 1, 2
+         |),
+         |best AS (
+         |  SELECT doc_id, cand_lang, n_hits FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY n_hits DESC, cand_lang) AS rn
+         |    FROM hits
+         |  ) WHERE rn = 1
+         |)
+         |SELECT d.doc_id, coalesce(b.cand_lang, 'und') AS pred_lang,
+         |       d.lang AS actual_lang, coalesce(b.n_hits, 0)::BIGINT AS marker_hits
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "t_quality_score" ->
+      s"""WITH $NormCte,
+         |m AS (
+         |  SELECT doc_id,
+         |    len(string_split(t, ' '))::BIGINT AS wc,
+         |    length(replace(t, ' ', ''))::BIGINT AS letters,
+         |    len(list_filter(string_split(t, ' '),
+         |      x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::BIGINT AS sw_hits,
+         |    length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::BIGINT AS alpha_len,
+         |    length(text)::BIGINT AS text_len
+         |  FROM norm
+         |)
+         |SELECT doc_id, wc, sw_hits, (letters * 10 // wc)::BIGINT AS avg_wlen_x10,
+         |  (CASE WHEN wc BETWEEN 20 AND 1000 THEN 25 ELSE 0 END
+         |   + CASE WHEN (letters * 10 // wc) BETWEEN 30 AND 100 THEN 25 ELSE 0 END
+         |   + CASE WHEN sw_hits * 100 >= wc * 5 THEN 25 ELSE 0 END
+         |   + CASE WHEN alpha_len * 100 >= text_len * 60 THEN 25 ELSE 0 END)::INT AS score
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t_token_count" ->
+      s"""WITH $NormCte
+         |SELECT doc_id, len(string_split(t, ' '))::BIGINT AS ws_tokens,
+         |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))::BIGINT AS subword_tokens
+         |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "t_fingerprint" ->
+      s"""WITH $NormCte
+         |SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(0::BIGINT,
+         |      list_transform(string_split(t, ' '), x -> ${H20.format("x")})),
+         |    (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+         |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "x_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id, replace(source, 'src', '')::INT AS src_num,
+        |         ('0x' || substr(md5(text),1,15))::BIGINT AS h,
+        |         length(text)::BIGINT AS payload_bytes, n_chars
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       (['image','audio','video'])[(src_num % 3) + 1] AS media_type,
+        |       payload_bytes,
+        |       (h % 640 + 1)::BIGINT AS width,
+        |       ((h // 640) % 480 + 1)::BIGINT AS height,
+        |       (n_chars // 64 + 1)::BIGINT AS frames
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 0)::BIGINT AS sum_qty,

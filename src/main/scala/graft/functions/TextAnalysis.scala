@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Portable._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. All arithmetic is
+  * integer/ratio-of-integers so the DuckDB oracle matches exactly.
+  */
+object TextAnalysis {
+
+  /** (lang, marker word) table for the stopword-marker language ID. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "and", "en" -> "of",
+    "de" -> "der", "de" -> "und", "de" -> "das", "de" -> "die",
+    "fr" -> "le", "fr" -> "et", "fr" -> "la", "fr" -> "les",
+    "es" -> "el", "es" -> "y", "es" -> "los", "es" -> "de")
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  /** doc_id + exploded normalized whitespace tokens (with multiplicity). */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+
+  /** Language ID: count marker-word hits per language, pick the argmax
+    * (ties → lexicographically first language); no hits → "und".
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = LangMarkers.toDF("cand_lang", "marker")
+    val hits = tokens(docs)
+      .join(broadcast(markers), col("tok") === col("marker"))
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n_hits").desc, col("cand_lang"))
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("doc_id", "cand_lang", "n_hits")
+    docs.select("doc_id", "lang")
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+        col("lang").as("actual_lang"),
+        coalesce(col("n_hits"), lit(0L)).as("marker_hits"))
+  }
+
+  /** Quality score: four 25-point gates on word count, mean word
+    * length, stopword ratio, and alpha ratio. Ratios are int/int
+    * divisions — bit-identical across engines.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val sw = Stopwords
+    val norm = normText(col("text"))
+    val toks = split(norm, " ")
+    val wc = size(toks).cast("long")
+    val alphaLen = length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
+    docs.select(
+        col("doc_id"), col("n_chars"),
+        wc.as("wc"),
+        (length(regexp_replace(norm, " ", "")).cast("long")).as("letters"),
+        size(filter(toks, t => t.isInCollection(sw))).cast("long").as("sw_hits"),
+        alphaLen.as("alpha_len"),
+        length(col("text")).cast("long").as("text_len"))
+      .withColumn("avg_wlen_x10", expr("(letters * 10) div wc"))
+      .withColumn("score",
+        (when(col("wc").between(20, 1000), 25).otherwise(0)
+          + when(col("avg_wlen_x10").between(30, 100), 25).otherwise(0)
+          + when(col("sw_hits") * 100 >= col("wc") * 5, 25).otherwise(0)
+          + when(col("alpha_len") * 100 >= col("text_len") * 60, 25).otherwise(0)
+        ).cast("int"))
+      .select("doc_id", "wc", "sw_hits", "avg_wlen_x10", "score")
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex subword tokens. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(normText(col("text")), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+"), lit(0)))
+        .cast("long").as("subword_tokens"))
+
+  /** Polynomial rolling fingerprint over token hashes:
+    * fp = foldl(0, (acc, t) => (acc*31 + h20(t)) mod (2^31-1)).
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val toks = split(normText(col("text")), " ")
+    val hashed = transform(toks, t =>
+      conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long") % 1048576L)
+    docs.select(
+      col("doc_id"),
+      aggregate(hashed, lit(0L),
+        (acc, h) => (acc * 31L + h) % 2147483647L).as("fingerprint"))
+  }
+}

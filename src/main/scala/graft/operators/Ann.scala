@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Portability: components are quantized to integer milli-units
+  * (`round(x*1000)::long`) before any arithmetic, so dot products and
+  * norms are EXACT integers and the final cosine double is
+  * bit-identical between Spark and the DuckDB oracle.
+  *
+  * Scale design: brute force broadcasts the (small) query set and
+  * scans the corpus once — linear, no shuffle of the corpus. The LSH
+  * variant buckets vectors by random-hyperplane signs so the
+  * candidate join is an equi-join on bucket id; at 100 TB the bucket
+  * key is the shuffle key and per-bucket work is bounded.
+  */
+object Ann {
+  val Dims = 64
+  val NumPlanes = 8
+
+  /** Quantized embedding + integer self-dot (norm²). */
+  def quantized(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"), x => round(x * 1000, 0).cast("long")).as("v"))
+      .withColumn("norm2",
+        aggregate(transform(col("v"), x => x * x), lit(0L), (s, x) => s + x))
+
+  /** Exact cosine between two quantized vectors (bit-identical across
+    * engines: integer dot / product of identical sqrt doubles).
+    */
+  def cosine(va: Column, vb: Column, n2a: Column, n2b: Column): Column =
+    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0L), (s, x) => s + x)
+      .cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Deterministic pseudo-random hyperplane coefficient, identical in
+    * SQL: coef(p,d) = ((1103515245*(p*64+d) + 12345) % 2001) - 1000.
+    */
+  def planeCoef(p: Column, d: Column): Column =
+    (lit(1103515245L) * (p * Dims + d) + 12345L) % 2001L - 1000L
+
+  /** Random-hyperplane-bucketed vectors: (vec_id, v, norm2, bucket). */
+  def bucketed(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val planes = (0 until NumPlanes).toDF("p")
+    val q = quantized(embeddings)
+    val dots = q
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "comp")))
+      .crossJoin(broadcast(planes))
+      .withColumn("term", col("comp") * planeCoef(col("p"), col("d")))
+      .groupBy("vec_id", "p")
+      .agg(sum("term").as("dot")) // integer dot with the plane — exact
+    val bucket = dots
+      .groupBy("vec_id")
+      .agg(sum(when(col("dot") > 0, expr("shiftleft(1L, p)")).otherwise(0L))
+        .as("bucket"))
+    q.join(bucket, Seq("vec_id"))
+  }
+
+  /** Brute-force exact top-k cosine neighbors for query vecs. */
+  def knnBruteForce(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val q = quantized(embeddings)
+    val queries = q.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    val scored = q.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("norm2")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the query's
+    * hyperplane bucket; exact cosine rerank within the bucket.
+    */
+  def knnLsh(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val b = bucketed(embeddings)
+    val queries = b.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm2").as("qn2"), col("bucket").as("qbucket"))
+    val scored = b.join(broadcast(queries),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("norm2")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
+  }
+
+  /** Embedding near-dup pairs: LSH-bucket blocking + exact cosine
+    * verify — the scale path for pairwise similarity (no O(n²) join).
+    */
+  def embeddingDedup(embeddings: DataFrame, minCosBp: Long): DataFrame = {
+    val b = bucketed(embeddings)
+    val x = b.as("x"); val y = b.as("y")
+    x.join(y, col("x.bucket") === col("y.bucket")
+        && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos",
+        cosine(col("x.v"), col("y.v"), col("x.norm2"), col("y.norm2")))
+      .withColumn("cos_bp", round(col("cos") * 10000, 0).cast("long"))
+      .filter(col("cos_bp") >= minCosBp)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cos_bp"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+
+/** Deduplication operators for training-data curation.
+  *
+  * Scale design: none of these materialize the O(n²) pair space.
+  * Candidate pairs come from equi-joins on content keys (exact), LSH
+  * band buckets (minhash), or simhash values — all shuffle-joins on a
+  * key whose cardinality grows with corpus size, so they parallelize
+  * across a cluster. Verification (exact Jaccard) touches only the
+  * candidate set.
+  */
+object Dedup {
+  /** Character-shingle width shared by the ngram/minhash operators. */
+  val ShingleK = 8
+  /** MinHash signature size / band layout: 8 hashes = 4 bands × 2 rows. */
+  val MinHashK = 8
+  val MinHashPrime = 1048573L // largest prime < 2^20
+  /** Deterministic (a, b) hash params; odd multipliers below 2^20. */
+  val HashA: Seq[Long] = Seq(952211L, 370259L, 768389L, 113111L, 597269L, 286871L, 851423L, 104729L)
+  val HashB: Seq[Long] = Seq(37199L, 915583L, 68477L, 331777L, 749341L, 55411L, 426389L, 711871L)
+
+  /** Exact dedup: group identical content by md5; keep the lowest id. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact Jaccard over k-shingles for every pair sharing a shingle.
+    * Output: pairs with similarity >= minJaccardBp/10000 (basis points).
+    */
+  def ngramJaccard(docs: DataFrame, minJaccardBp: Long): DataFrame = {
+    val sh = shingleTable(docs).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardFilter(inter, sizes, minJaccardBp)
+  }
+
+  /** MinHash signatures: (doc_id, hash_id, minhash). */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val params = HashA.zip(HashB).zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("hash_id", "ha", "hb")
+    sh.withColumn("h", hexHash20(col("s")))
+      .crossJoin(broadcast(params))
+      .groupBy("doc_id", "hash_id")
+      .agg(min((col("ha") * col("h") + col("hb")) % MinHashPrime).as("minhash"))
+  }
+
+  /** LSH candidate pairs from banded minhash signatures (4 bands × 2). */
+  def lshCandidates(signatures: DataFrame): DataFrame = {
+    val banded = signatures
+      .withColumn("band", (col("hash_id") / 2).cast("int"))
+      .withColumn("role", col("hash_id") % 2)
+      .groupBy("doc_id", "band")
+      .agg(
+        min(when(col("role") === 0, col("minhash"))).as("mh0"),
+        min(when(col("role") === 1, col("minhash"))).as("mh1"))
+      .withColumn("band_key", col("mh0") * 1048583L + col("mh1"))
+    val x = banded.as("x"); val y = banded.as("y")
+    x.join(y, col("x.band") === col("y.band")
+        && col("x.band_key") === col("y.band_key")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
+    * candidate join → exact-Jaccard verify.
+    */
+  def minhashLsh(docs: DataFrame, minJaccardBp: Long): DataFrame = {
+    val sh = shingleTable(docs).cache()
+    val cands = lshCandidates(minhashSignatures(sh))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id")
+        && col("sa.s") === col("sb.s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    jaccardFilter(inter, sizes, minJaccardBp)
+  }
+
+  /** 24-bit SimHash per doc over token hashes (majority vote per bit). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+      explode(split(normText(col("text")), " ")).as("tok"))
+      .withColumn("h", hexHash20(col("tok")))
+    val bits = (0 until 24).toDF("bit")
+    toks.crossJoin(broadcast(bits))
+      .withColumn("contrib",
+        when(expr("shiftright(h, bit)") % 2 === 1, 1L).otherwise(-1L))
+      .groupBy("doc_id", "bit")
+      .agg(sum("contrib").as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within the given Hamming distance. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val s = simhash(docs)
+    val a = s.as("a"); val b = s.as("b")
+    a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- helpers ----
+
+  /** doc_id + distinct k-shingles of the normalized text. Docs shorter
+    * than one shingle are dropped (nothing to compare).
+    */
+  def shingleTable(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), normText(col("text")).as("t"))
+      .filter(length(col("t")) >= ShingleK)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), length(col("t")) - (ShingleK - 1)),
+          i => col("t").substr(i, lit(ShingleK))))).as("s"))
+
+  private def jaccardFilter(inter: DataFrame, sizes: DataFrame,
+      minJaccardBp: Long): DataFrame =
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn("union_sh", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("jacc_bp",
+        round(col("inter") * 10000.0 / col("union_sh"), 0).cast("long"))
+      .filter(col("jacc_bp") >= minJaccardBp)
+      .select("doc_a", "doc_b", "inter", "union_sh", "jacc_bp")
+}
