@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.SegmentMeta
+import graft.operators.SegmentRoller
+import graft.sources.FsSegmentStore
+
+/** Continuous paths via Structured Streaming. The Kafka source is the
+  * same API surface (`readStream.format("kafka")`) swapped by config;
+  * tests drive these with MemoryStream. Spark's checkpointLocation WAL
+  * replaces the reference's manual offset-commit dance
+  * (at-least-once on replay, exactly-once into file sinks).
+  */
+
+/** One streamed message keyed like the reference's consumer records. */
+case class StreamMessage(partId: Int, msgOffset: Long, key: String,
+    value: String, ts: Timestamp, sizeBytes: Long)
+
+/** Rolling state per partition (the egress worker's mutable locals:
+  * startOffset/endOffset/sizeBytes/messageCount —
+  * reference: pkg/egress/worker.go:44-52).
+  */
+case class RollState(startOffset: Long, endOffset: Long,
+    messageCount: Long, sizeBytes: Long)
+
+object StreamingEgress {
+
+  /** Stateful segment roller — the direct streaming analogue of the
+    * reference's per-partition worker loop: accumulate until
+    * count/size is full, then emit a closed segment.
+    *
+    * `ageMs > 0` arms a processing-time timeout that flushes an aged
+    * partial segment (MaxSegmentAge). NOTE: an armed timeout makes the
+    * microbatch engine schedule continuous no-data batches to check
+    * timers — correct for production, but `processAllAvailable()`
+    * never settles; deterministic tests pass `ageMs = 0` (NoTimeout).
+    */
+  def statefulRoller(messages: Dataset[StreamMessage], region: String,
+      topic: String, maxMessages: Long, maxBytes: Long,
+      ageMs: Long = 60000L): Dataset[SegmentMeta] = {
+    val spark = messages.sparkSession
+    import spark.implicits._
+
+    def update(partId: Int, rows: Iterator[StreamMessage],
+        state: GroupState[RollState]): Iterator[SegmentMeta] = {
+      var st = state.getOption.getOrElse(RollState(-1L, -1L, 0L, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SegmentMeta]
+      def close(): Unit = {
+        out += SegmentMeta(region, topic, partId, level = 0,
+          st.startOffset, st.endOffset, st.messageCount, st.sizeBytes)
+        st = RollState(-1L, -1L, 0L, 0L)
+      }
+      if (state.hasTimedOut) {
+        if (st.messageCount > 0) close()
+      } else {
+        for (m <- rows.toSeq.sortBy(_.msgOffset)) {
+          val start = if (st.startOffset < 0) m.msgOffset else st.startOffset
+          st = RollState(start, m.msgOffset, st.messageCount + 1,
+            st.sizeBytes + m.sizeBytes)
+          if (st.sizeBytes >= maxBytes || st.messageCount >= maxMessages) close()
+        }
+      }
+      if (st.messageCount > 0) {
+        state.update(st)
+        if (ageMs > 0) state.setTimeoutDuration(ageMs)
+      } else state.remove()
+      out.iterator
+    }
+
+    val timeout = if (ageMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    messages.groupByKey(_.partId)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(update)
+  }
+
+  /** Micro-batch egress: every batch's messages are rolled into
+    * count-bounded segments and written to the segment store
+    * (foreachBatch = the reference's consume→write→commit cycle, with
+    * Spark's WAL providing the commit).
+    */
+  def foreachBatchEgress(messages: DataFrame, store: FsSegmentStore,
+      region: String, topic: String, maxMessages: Int,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    messages.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val segs = SegmentRoller.byCount(batch, maxMessages)
+            .collect() // plan table only: a handful of segment bounds per batch
+          segs.foreach { row =>
+            val partId = row.getAs[Int]("part_id")
+            val meta = SegmentMeta(region, topic, partId, 0,
+              row.getAs[Long]("start_offset"), row.getAs[Long]("end_offset"),
+              row.getAs[Long]("message_count"), row.getAs[Long]("seg_bytes"))
+            store.write(
+              batch.filter(col("part_id") === partId &&
+                col("msg_offset").between(meta.startOffset, meta.endOffset)),
+              meta)
+          }
+        }
+      }
+      .start()
+}
+
+object StreamMetrics {
+  /** Watermarked per-partition hourly metrics over the live stream
+    * (reference: pkg/egress/metrics.go — volume/count meters, here as
+    * event-time windows that tolerate late data up to the watermark).
+    */
+  def windowed(messages: DataFrame, watermark: String = "1 hour"): DataFrame =
+    messages
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("partId"))
+      .agg(
+        count(lit(1)).as("n_messages"),
+        sum("sizeBytes").as("total_bytes"),
+        max("msgOffset").as("high_offset"))
+}

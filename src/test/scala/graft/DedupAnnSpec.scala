@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup}
+import graft.functions.TextAnalysis
+import graft.sources.Tables
+
+class DedupAnnSpec extends SparkSuite {
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("exact dedup finds constructed duplicates") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(d).collect()
+    assert(out.length === 2)
+    val dup = out.find(_.getAs[Long]("n_copies") === 2L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash LSH recall: finds every exhaustive-Jaccard pair here") {
+    val exhaustive = Dedup.ngramJaccard(docs, 5000L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, 5000L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exhaustive.nonEmpty)
+    assert(lsh === exhaustive) // high-similarity pairs: 4 bands x 2 rows ≈ recall 1
+  }
+
+  test("simhash: high-Jaccard near-dups land far below the random-pair mean") {
+    val nearDups = Dedup.ngramJaccard(docs, 9000L).select("doc_a", "doc_b").collect()
+    assert(nearDups.nonEmpty)
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    nearDups.foreach { r =>
+      val d = java.lang.Long.bitCount(sh(r.getLong(0)) ^ sh(r.getLong(1)))
+      // random 24-bit pairs average hamming 12; >=0.90-Jaccard pairs stay tiny
+      assert(d <= 4, s"pair ${r.getLong(0)},${r.getLong(1)} hamming $d")
+    }
+  }
+
+  test("knn brute force: ranks descend in cosine, k per query") {
+    val out = Ann.knnBruteForce(emb, 5, 5).collect()
+    assert(out.length === 25)
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      val cos = sorted.map(_.getAs[Long]("cos_bp"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("knn LSH: every result also appears in brute-force full ranking") {
+    val brute = Ann.knnBruteForce(emb, 5, Int.MaxValue)
+      .select("q_id", "neighbor_id", "cos_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lsh = Ann.knnLsh(emb, 5, 3).collect()
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      assert(brute.contains(key))
+      assert(brute(key) === r.getAs[Long]("cos_bp")) // same exact cosine
+    }
+  }
+
+  test("language id is deterministic and covers all docs") {
+    val out = TextAnalysis.langId(docs)
+    assert(out.count() === docs.count())
+    assert(out.filter(col("pred_lang").isNull).count() === 0)
+  }
+
+  test("quality score stays within gate bounds") {
+    val out = TextAnalysis.qualityScore(docs)
+    assert(out.filter(col("score") % 25 =!= 0).count() === 0)
+    assert(out.filter(col("score") > 100 || col("score") < 0).count() === 0)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.SegmentMeta
+import graft.operators.{MessageFraming, SegmentRoller}
+import graft.sources.{FsSegmentStore, Tables}
+
+class FsSegmentStoreSpec extends SparkSuite {
+
+  private def writeRolled(store: FsSegmentStore, maxMessages: Int): Int = {
+    val messages = MessageFraming.messages(Tables.events(spark, sf))
+      .filter(col("part_id") === 0)
+    val segs = SegmentRoller.byCount(messages, maxMessages).collect()
+    segs.foreach { r =>
+      val meta = SegmentMeta("src", "events", 0, 0,
+        r.getAs[Long]("start_offset"), r.getAs[Long]("end_offset"),
+        r.getAs[Long]("message_count"), r.getAs[Long]("seg_bytes"))
+      store.write(
+        messages.filter(col("msg_offset")
+          .between(meta.startOffset, meta.endOffset)), meta)
+    }
+    segs.length
+  }
+
+  test("write → list round-trips segment identity") {
+    val store = FsSegmentStore(spark, tmpDir("store"))
+    val n = writeRolled(store, 25)
+    val listed = store.list("src", "events")
+    assert(listed.size === n)
+    assert(listed.forall(_.level === 0))
+    assert(listed.map(_.startOffset).sorted.head === 0L)
+  }
+
+  test("open returns all rows across segments") {
+    val store = FsSegmentStore(spark, tmpDir("store"))
+    writeRolled(store, 25)
+    val listed = store.list("src", "events")
+    val total = store.open("src", "events", listed).count()
+    val expect = MessageFraming.messages(Tables.events(spark, sf))
+      .filter(col("part_id") === 0).count()
+    assert(total === expect)
+  }
+
+  test("compact merges contiguous runs, bumps level, deletes inputs") {
+    val store = FsSegmentStore(spark, tmpDir("store"))
+    writeRolled(store, 10)
+    val before = store.list("src", "events")
+    val out = store.compact("src", "events", level = 0,
+      minSegments = 2, maxSegments = 5)
+    assert(out.nonEmpty)
+    assert(out.forall(_.level === 1))
+    val after = store.list("src", "events")
+    // every level-0 input that joined a full bin is gone
+    assert(after.count(_.level === 1) === out.size)
+    assert(after.count(_.level === 0) < before.size)
+    // no message lost: level-1 counts sum to what the bins covered
+    val mergedRows = store.open("src", "events", out.toSeq).count()
+    assert(mergedRows === out.map(_.messageCount).sum)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Analytics
+
+/** Physical-plan audits: the scale properties SURVEY.md §4 claims —
+  * pushdown reaching parquet, dimensions broadcast, codegen in the
+  * hot path — asserted against the actual Catalyst output.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6: filters are pushed to the parquet scan") {
+    val p = plan(Analytics.revenueChange(spark, sf))
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("q6: scan reads only referenced columns") {
+    val p = plan(Analytics.revenueChange(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q5: dimension joins are broadcast, not shuffled") {
+    val p = plan(Analytics.localSupplierVolume(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q1 shape stays in whole-stage codegen") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), p.take(2000))
+  }
+}

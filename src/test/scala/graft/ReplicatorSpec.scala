@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+class ReplicatorSpec extends SparkSuite {
+
+  private lazy val messages = MessageFraming.messages(Tables.events(spark, sf)).cache()
+
+  test("framing: offsets contiguous from 0 per partition") {
+    val bad = messages.groupBy("part_id")
+      .agg(min("msg_offset").as("lo"), max("msg_offset").as("hi"),
+        count(lit(1)).as("n"))
+      .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("byCount: every segment holds <= max and covers its offsets") {
+    val segs = SegmentRoller.byCount(messages, 100)
+    assert(segs.filter(col("message_count") > 100).count() === 0)
+    val mismatch = segs
+      .filter(col("end_offset") - col("start_offset") + 1 =!= col("message_count"))
+      .count()
+    assert(mismatch === 0)
+  }
+
+  test("bySizeGreedy: reference isFull rule — close at size OR count, inclusive") {
+    import spark.implicits._
+    // partition 0: sizes 5,5,5,5 with maxBytes=10 → segments of 2+2
+    val m = Seq((0, 0L, 5L), (0, 1L, 5L), (0, 2L, 5L), (0, 3L, 5L))
+      .toDF("part_id", "msg_offset", "msg_size")
+    val segs = SegmentRoller.bySizeGreedy(m, 10L, 100)
+      .orderBy("seg_seq").collect()
+    assert(segs.map(r => (r.getAs[Long]("start_offset"),
+      r.getAs[Long]("end_offset"))).toSeq === Seq((0L, 1L), (2L, 3L)))
+  }
+
+  test("bySizeGreedy: count cap closes segment and tail flushes") {
+    import spark.implicits._
+    val m = (0L until 5L).map(i => (1, i, 1L)).toDF("part_id", "msg_offset", "msg_size")
+    val segs = SegmentRoller.bySizeGreedy(m, 1000L, 2)
+      .orderBy("seg_seq").collect()
+    assert(segs.map(_.getAs[Long]("message_count")).toSeq === Seq(2L, 2L, 1L))
+  }
+
+  test("audit: seeded duplicates and gaps are counted") {
+    import spark.implicits._
+    val stream = Seq((0, 0L), (0, 1L), (0, 1L), (0, 4L))
+      .toDF("part_id", "msg_offset")
+    val row = StreamAudit.audit(stream).collect().head
+    assert(row.getAs[Long]("n_dups") === 1L)
+    assert(row.getAs[Long]("n_gaps") === 1L)
+    assert(row.getAs[Long]("n_missing") === 2L) // offsets 2,3
+  }
+
+  test("gap detector: missing segment becomes a lost range") {
+    import spark.implicits._
+    val segs = Seq((0, 0L, 9L), (0, 20L, 29L)) // 10-19 missing
+      .toDF("part_id", "start_offset", "end_offset")
+    val lost = GapDetector.lostRanges(segs).collect().head
+    assert(lost.getAs[Long]("lost_start") === 10L)
+    assert(lost.getAs[Long]("lost_end") === 19L)
+    assert(lost.getAs[Long]("lost_count") === 10L)
+  }
+
+  test("ingress replay: checkpoint skip + overlap dedup + dense replay_seq") {
+    import spark.implicits._
+    val msgs = (0L until 10L).map(i => (0, i, s"k$i", s"v$i", 2L))
+      .toDF("part_id", "msg_offset", "key", "msg_value", "msg_size")
+    // overlapping segments [0,5] and [4,9]; checkpoint at 2
+    val segs = Seq((0, 0L, 5L), (0, 4L, 9L))
+      .toDF("part_id", "start_offset", "end_offset")
+    val ckpt = Seq((0, 2L)).toDF("part_id", "ckpt_offset")
+    val out = Ingress.replay(msgs, segs, ckpt).orderBy("msg_offset").collect()
+    assert(out.map(_.getAs[Long]("msg_offset")).toSeq === (3L to 9L))
+    assert(out.map(_.getAs[Long]("replay_seq")).toSeq === (0L to 6L))
+  }
+
+  test("compaction plan: bins respect min/max and output level bumps") {
+    val segs = SegmentRoller.byCount(messages, 50)
+    val plan = Compactor.plan(segs, level = 0, minSegments = 2, maxSegments = 4)
+    val rows = plan.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("input_segments") <= 4))
+    assert(rows.forall(_.getAs[Long]("input_segments") >= 2))
+    assert(rows.forall(_.getAs[Int]("level") === 1))
+  }
+
+  test("merged stats preserve message counts (no loss, no dups)") {
+    val segs = SegmentRoller.byCount(messages, 50)
+    val plan = Compactor.plan(segs, 0, 2, 4)
+    val merged = Compactor.mergedStats(messages, plan)
+    val planned = plan.agg(sum("message_count")).head.getLong(0)
+    val got = merged.agg(sum("message_count")).head.getLong(0)
+    assert(got === planned)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming._
+
+class StreamingSpec extends SparkSuite {
+
+  private def msg(p: Int, off: Long, size: Long = 10L) =
+    StreamMessage(p, off, s"k$off", s"v$off", new Timestamp(1700000000000L + off), size)
+
+  test("stateful roller emits closed segments and keeps the partial tail") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamMessage]
+    val rolled = StreamingEgress.statefulRoller(
+      input.toDS(), "src", "t", maxMessages = 3, maxBytes = 1000L, ageMs = 0L)
+    val q = rolled.writeStream.format("memory")
+      .queryName("rolled").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt-roller")).start()
+    try {
+      input.addData((0L until 7L).map(msg(0, _)): _*)
+      q.processAllAvailable()
+      val segs = spark.table("rolled").collect()
+      // 7 messages, max 3 → two closed segments [0,2],[3,5]; tail [6] still open
+      assert(segs.map(r => (r.getAs[Long]("startOffset"), r.getAs[Long]("endOffset")))
+        .toSet === Set((0L, 2L), (3L, 5L)))
+      input.addData(msg(0, 7L), msg(0, 8L))
+      q.processAllAvailable()
+      val more = spark.table("rolled").collect()
+      assert(more.length === 3) // tail closed at count 3: [6,8]
+    } finally q.stop()
+  }
+
+  test("foreachBatch egress writes rolled segments to the store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = graft.sources.FsSegmentStore(spark, tmpDir("stream-store"))
+    val input = MemoryStream[StreamMessage]
+    val df = input.toDS().toDF()
+      .withColumnRenamed("partId", "part_id")
+      .withColumnRenamed("msgOffset", "msg_offset")
+      .withColumnRenamed("sizeBytes", "msg_size")
+    val q = StreamingEgress.foreachBatchEgress(df, store, "src", "t",
+      maxMessages = 5, checkpointDir = tmpDir("ckpt-egress"))
+    try {
+      input.addData((0L until 10L).map(msg(1, _)): _*)
+      q.processAllAvailable()
+      val listed = store.list("src", "t")
+      assert(listed.size === 2)
+      assert(listed.map(m => (m.startOffset, m.endOffset)).sorted ===
+        Seq((0L, 4L), (5L, 9L)))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed metrics aggregate per partition-hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamMessage]
+    val out = StreamMetrics.windowed(input.toDS().toDF(), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("metrics")
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("ckpt-metrics")).start()
+    try {
+      input.addData(msg(0, 0L), msg(0, 1L), msg(1, 2L))
+      q.processAllAvailable()
+      val rows = spark.table("metrics").collect()
+      assert(rows.map(_.getAs[Long]("n_messages")).sum === 3L)
+    } finally q.stop()
+  }
+}
