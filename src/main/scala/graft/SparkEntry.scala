@@ -244,13 +244,21 @@ object SparkEntry {
       |  FROM documents
       |)""".stripMargin
 
+  /** Raw shingles + the df cap (mirrors Dedup.cappedShingles: shingles
+    * in more than 1/20 of the corpus leave the similarity universe).
+    */
   private val ShCte =
-    """sh AS (
+    """sh0 AS (
       |  SELECT DISTINCT doc_id, s
       |  FROM (SELECT doc_id, t FROM norm WHERE length(t) >= 8) n,
       |       unnest(list_transform(range(1, length(n.t) - 6),
       |              i -> substr(n.t, i::INT, 8))) u(s)
-      |)""".stripMargin
+      |),
+      |rare AS (
+      |  SELECT s FROM sh0 GROUP BY s
+      |  HAVING count(*) * 20 <= (SELECT count(*) FROM documents)
+      |),
+      |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s))""".stripMargin
 
   private val TokCte =
     """tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm)""".stripMargin
@@ -325,8 +333,8 @@ object SparkEntry {
          |),
          |banded AS (
          |  SELECT doc_id, (hash_id // 2)::INT AS band,
-         |         min(CASE WHEN hash_id % 2 = 0 THEN minhash END) * 1048583
-         |           + min(CASE WHEN hash_id % 2 = 1 THEN minhash END) AS band_key
+         |         (min(CASE WHEN hash_id % 2 = 0 THEN minhash END) * 1048583
+         |           + min(CASE WHEN hash_id % 2 = 1 THEN minhash END))::BIGINT AS band_key
          |  FROM sig GROUP BY doc_id, (hash_id // 2)::INT
          |),
          |cands AS (

@@ -29,11 +29,29 @@ object Dedup {
     docs.groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact Jaccard over k-shingles for every pair sharing a shingle.
-    * Output: pairs with similarity >= minJaccardBp/10000 (basis points).
+  /** Shingles with a document-frequency cap: shingles present in more
+    * than 1/20 of the corpus are dropped from the similarity universe
+    * (numerator AND denominator, so Jaccard stays consistent).
+    *
+    * This is the standard stop-shingle filter from web-scale dedup:
+    * ultra-common shingles carry no similarity signal but create
+    * quadratic join fanout — the df cap bounds per-shingle fanout, so
+    * the pair join scales with true similarity, not vocabulary skew.
+    */
+  def cappedShingles(docs: DataFrame): DataFrame = {
+    val nDocs = docs.count()
+    // cached: both the df pass and the semi-join pass read it
+    val sh = shingleTable(docs).cache()
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") * 20 <= nDocs).select("s")
+    sh.join(rare, Seq("s"), "left_semi")
+  }
+
+  /** Exact Jaccard over df-capped k-shingles for every pair sharing a
+    * shingle. Output: pairs with similarity >= minJaccardBp/10000.
     */
   def ngramJaccard(docs: DataFrame, minJaccardBp: Long): DataFrame = {
-    val sh = shingleTable(docs).cache()
+    val sh = cappedShingles(docs).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,
@@ -43,28 +61,29 @@ object Dedup {
     jaccardFilter(inter, sizes, minJaccardBp)
   }
 
-  /** MinHash signatures: (doc_id, hash_id, minhash). */
+  /** MinHash signatures in ONE aggregation pass: all K minima computed
+    * as separate agg expressions over a single shuffle — no K-way row
+    * explosion (the naive param cross join multiplies the shingle
+    * table by K before aggregating).
+    * Output: (doc_id, mh0..mh7).
+    */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val spark = sh.sparkSession
-    import spark.implicits._
-    val params = HashA.zip(HashB).zipWithIndex
-      .map { case ((a, b), i) => (i, a, b) }.toDF("hash_id", "ha", "hb")
-    sh.withColumn("h", hexHash20(col("s")))
-      .crossJoin(broadcast(params))
-      .groupBy("doc_id", "hash_id")
-      .agg(min((col("ha") * col("h") + col("hb")) % MinHashPrime).as("minhash"))
+    val withH = sh.withColumn("h", hexHash20(col("s")))
+    val mins = (0 until MinHashK).map { i =>
+      min((lit(HashA(i)) * col("h") + lit(HashB(i))) % MinHashPrime).as(s"mh$i")
+    }
+    withH.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH candidate pairs from banded minhash signatures (4 bands × 2). */
+  /** LSH candidate pairs from banded minhash signatures (4 bands × 2):
+    * wide signature → stack to (band, band_key) → self equi-join.
+    */
   def lshCandidates(signatures: DataFrame): DataFrame = {
-    val banded = signatures
-      .withColumn("band", (col("hash_id") / 2).cast("int"))
-      .withColumn("role", col("hash_id") % 2)
-      .groupBy("doc_id", "band")
-      .agg(
-        min(when(col("role") === 0, col("minhash"))).as("mh0"),
-        min(when(col("role") === 1, col("minhash"))).as("mh1"))
-      .withColumn("band_key", col("mh0") * 1048583L + col("mh1"))
+    val stackExpr = (0 until MinHashK / 2)
+      .map(b => s"$b, mh${2 * b} * 1048583 + mh${2 * b + 1}")
+      .mkString(", ")
+    val banded = signatures.selectExpr("doc_id",
+      s"stack(${MinHashK / 2}, $stackExpr) AS (band, band_key)")
     val x = banded.as("x"); val y = banded.as("y")
     x.join(y, col("x.band") === col("y.band")
         && col("x.band_key") === col("y.band_key")
@@ -77,7 +96,7 @@ object Dedup {
     * candidate join → exact-Jaccard verify.
     */
   def minhashLsh(docs: DataFrame, minJaccardBp: Long): DataFrame = {
-    val sh = shingleTable(docs).cache()
+    val sh = cappedShingles(docs).cache()
     val cands = lshCandidates(minhashSignatures(sh))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cands
@@ -89,22 +108,21 @@ object Dedup {
     jaccardFilter(inter, sizes, minJaccardBp)
   }
 
-  /** 24-bit SimHash per doc over token hashes (majority vote per bit). */
+  /** 24-bit SimHash per doc over token hashes (majority vote per bit),
+    * computed as 24 agg expressions over ONE shuffle — no 24-way bit
+    * explosion of the token table.
+    */
   def simhash(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val toks = docs.select(col("doc_id"),
       explode(split(normText(col("text")), " ")).as("tok"))
       .withColumn("h", hexHash20(col("tok")))
-    val bits = (0 until 24).toDF("bit")
-    toks.crossJoin(broadcast(bits))
-      .withColumn("contrib",
-        when(expr("shiftright(h, bit)") % 2 === 1, 1L).otherwise(-1L))
-      .groupBy("doc_id", "bit")
-      .agg(sum("contrib").as("vote"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
-        .as("simhash"))
+    val votes = (0 until 24).map { b =>
+      sum(when(expr(s"shiftright(h, $b)") % 2 === 1, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 24).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs within the given Hamming distance. */
