@@ -88,6 +88,17 @@ object SparkEntry {
     "q_distinct_users" -> Analytics.distinctUsers _,
     "q_user_running_value" -> Analytics.userRunningValue _,
 
+    "q_asof_purchase" -> ((s, dir) =>
+      TimeSeries.eventsWithLastPurchase(Tables.events(s, dir))
+        .orderBy("user_id", "event_id")),
+
+    "q_sessionization" -> ((s, dir) =>
+      TimeSeries.sessionize(Tables.events(s, dir))
+        .orderBy("user_id", "session_seq")),
+
+    "q_activity_pivot" -> ((s, dir) =>
+      TimeSeries.activityPivot(Tables.events(s, dir)).orderBy("part_id")),
+
     // ---- replicator domain ----
     "r_message_framing" -> ((s, dir) =>
       msgs(s, dir)
@@ -600,6 +611,47 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_events
         |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    "q_asof_purchase" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id AS purchase_id FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT e.user_id, e.event_id,
+        |       coalesce(p.purchase_id, -1)::BIGINT AS last_purchase_id,
+        |       coalesce((epoch_us(e.ts) - epoch_us(p.ts)) // 1000000, -1)::BIGINT AS secs_since_purchase
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
+
+    "q_sessionization" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS epoch,
+        |         lag(epoch_us(ts) // 1000000) OVER
+        |           (PARTITION BY user_id ORDER BY event_id) AS prev_epoch
+        |  FROM events
+        |), s AS (
+        |  SELECT *, sum(CASE WHEN prev_epoch IS NULL OR epoch - prev_epoch > 1800
+        |                     THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
+        |  FROM f
+        |)
+        |SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+        |       min(epoch) AS start_epoch, max(epoch) AS end_epoch,
+        |       round(sum(value) * 100, 0)::BIGINT AS value_cents
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_activity_pivot" ->
+      """SELECT (user_id % 8)::INT AS part_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+        |  round(sum(value) * 100, 0)::BIGINT AS value_cents
+        |FROM events GROUP BY 1 ORDER BY part_id""".stripMargin,
 
     "r_message_framing" ->
       s"""WITH $MsgCte

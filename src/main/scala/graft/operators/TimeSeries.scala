@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Time-series operators over the event stream: as-of join,
+  * sessionization, pivoted activity — capabilities a replicated-stream
+  * consumer queries constantly.
+  */
+object TimeSeries {
+
+  /** As-of join: for each left row, the most recent right row (same
+    * keys, right.time <= left.time, inclusive).
+    *
+    * Implementation is the union + forward-fill trick, NOT a range
+    * join: tag both sides, union, one window sorted by (time, side)
+    * per key, `last(_, ignoreNulls)` forward-fills the right payload,
+    * then keep left rows. One shuffle on the join keys, linear in
+    * |left|+|right| — at 100 TB a range join would explode while this
+    * stays a single sort per key partition. (Right rows sort before
+    * left rows at equal time, making the match inclusive.)
+    *
+    * `rightCols` are forward-filled into `asof_<name>` columns.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = rightCols.foldLeft(
+      left.withColumn("__side", lit(1))) { (df, c) =>
+      df.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val r0 = keys.foldLeft(right) { (df, _) => df }
+      .select((keys.map(col) :+ col(timeCol)) ++
+        rightCols.map(c => col(c).as(s"asof_$c")): _*)
+      .withColumn("__side", lit(0))
+    val r = leftCols.filterNot(c => keys.contains(c) || c == timeCol)
+      .foldLeft(r0) { (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)) }
+    val unioned = l.unionByName(r)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Events with the user's most recent purchase attached (as-of). */
+  def eventsWithLastPurchase(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    asOfJoin(
+      events.select("user_id", "ts", "event_id"),
+      purchases, Seq("user_id"), "ts", Seq("purchase_id", "purchase_ts"))
+      .select(
+        col("user_id"), col("event_id"),
+        coalesce(col("asof_purchase_id"), lit(-1L)).as("last_purchase_id"),
+        coalesce(
+          expr("(unix_micros(ts) - unix_micros(asof_purchase_ts)) div 1000000"),
+          lit(-1L)).as("secs_since_purchase"))
+  }
+
+  /** Gap-based sessionization: a >30-minute silence starts a new
+    * session. Two windows over one shuffle on user_id.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("event_id")
+    val epoch = col("ts").cast("long")
+    val flagged = events
+      .withColumn("prev_epoch", lag(epoch, 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_epoch").isNull ||
+          epoch - col("prev_epoch") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(epoch).as("start_epoch"),
+        max(epoch).as("end_epoch"),
+        round(sum(col("value")) * 100, 0).cast("long").as("value_cents"))
+  }
+
+  /** Per-partition activity pivoted by event type (explicit conditional
+    * aggregation — stays in one codegen'd pass).
+    */
+  def activityPivot(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggs = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")) :+
+      round(sum("value") * 100, 0).cast("long").as("value_cents")
+    events
+      .withColumn("part_id", (col("user_id") % MessageFraming.NumPartitions).cast("int"))
+      .groupBy("part_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+import graft.sources.Tables
+
+class TimeSeriesSpec extends SparkSuite {
+
+  test("asOfJoin: inclusive match, latest prior row wins, null before first") {
+    import spark.implicits._
+    val left = Seq((1, 10L, "e1"), (1, 20L, "e2"), (1, 30L, "e3"), (2, 5L, "e4"))
+      .toDF("k", "t", "name")
+    val right = Seq((1, 10L, "r10"), (1, 25L, "r25"))
+      .toDF("k", "t", "rv")
+    val out = TimeSeries.asOfJoin(left, right, Seq("k"), "t", Seq("rv"))
+      .orderBy("k", "t").collect()
+    assert(out.map(_.getAs[String]("asof_rv")).toSeq ===
+      Seq("r10", "r10", "r25", null)) // t=10 inclusive; t=30 → r25; k=2 none
+  }
+
+  test("sessionization: gap splits sessions, totals preserved") {
+    val events = Tables.events(spark, sf)
+    val sessions = TimeSeries.sessionize(events)
+    assert(sessions.agg(sum("n_events")).head.getLong(0) === events.count())
+    // session time ranges never overlap per user
+    val bad = sessions
+      .withColumn("prev_end", lag("end_epoch", 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("session_seq")))
+      .filter(col("prev_end").isNotNull && col("start_epoch") <= col("prev_end"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("activity pivot partitions cover all events") {
+    val events = Tables.events(spark, sf)
+    val p = TimeSeries.activityPivot(events)
+    val total = p.select((Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
+      .map(col).reduce(_ + _)).as("n")).agg(sum("n")).head.getLong(0)
+    assert(total === events.count())
+  }
+}
