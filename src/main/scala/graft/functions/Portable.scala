@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   *   DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT
   */
 object Portable {
-  /** 60-bit md5-derived hash of a string column. */
-  def hexHash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+  /** 60-bit md5-derived hash of a string column — native codegen
+    * expression (see [[HexHash60]]); equals
+    * `conv(substr(md5(x),1,15),16,10)::bigint`.
+    */
+  def hexHash60(c: Column): Column = HexHash60.hash60(c)
 
   /** 20-bit variant — small enough that (a*h+b) never overflows i64
     * for multipliers below 2^40 (DuckDB errors on i64 overflow rather

@@ -89,8 +89,7 @@ object TextAnalysis {
     */
   def fingerprint(docs: DataFrame): DataFrame = {
     val toks = split(normText(col("text")), " ")
-    val hashed = transform(toks, t =>
-      conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long") % 1048576L)
+    val hashed = transform(toks, t => hexHash20(t))
     docs.select(
       col("doc_id"),
       aggregate(hashed, lit(0L),

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HexHash60
+import graft.sources.Tables
+
+class HexHash60Spec extends SparkSuite {
+
+  test("native expression equals the conv(substr(md5)) chain on real text") {
+    val docs = Tables.documents(spark, sf)
+    val mismatch = docs.select(
+        HexHash60.hash60(col("text")).as("fast"),
+        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mismatch === 0)
+  }
+
+  test("known value matches the jvm helper and hex parse") {
+    import spark.implicits._
+    val v = Seq("abc").toDF("s")
+      .select(HexHash60.hash60(col("s"))).head.getLong(0)
+    val expected = java.lang.Long.parseLong(
+      // md5("abc") = 900150983cd24fb0d6963f7d28e17f72
+      "900150983cd24fb".substring(0, 15), 16)
+    assert(v === expected)
+    assert(graft.functions.Portable.jvmHexHash60("abc".getBytes("UTF-8")) === expected)
+  }
+
+  test("expression participates in whole-stage codegen") {
+    val df = Tables.documents(spark, sf).select(HexHash60.hash60(col("text")))
+    val code = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(code.contains("WholeStageCodegen"), code.take(800))
+    assert(code.contains("graft.functions.HexHash60.hash"), "static call not inlined")
+  }
+}
