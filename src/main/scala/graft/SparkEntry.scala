@@ -88,6 +88,9 @@ object SparkEntry {
     "q_distinct_users" -> Analytics.distinctUsers _,
     "q_user_running_value" -> Analytics.userRunningValue _,
 
+    "q_value_quantiles" -> Analytics.valueQuantiles _,
+    "q_grouping_sets" -> Analytics.groupingSetsActivity _,
+
     "q_asof_purchase" -> ((s, dir) =>
       TimeSeries.eventsWithLastPurchase(Tables.events(s, dir))
         .orderBy("user_id", "event_id")),
@@ -611,6 +614,23 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_events
         |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    "q_value_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(min(value), 2) AS vmin,
+        |  round(max(value), 2) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(event_type, 'ALL') AS et,
+        |       coalesce((user_id % 8)::INT, -1) AS p,
+        |       count(*)::BIGINT AS n_events,
+        |       round(sum(value) * 100, 0)::BIGINT AS value_cents
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), ((user_id % 8)::INT), ())
+        |ORDER BY et, p""".stripMargin,
 
     "q_asof_purchase" ->
       """WITH p AS (

@@ -142,6 +142,34 @@ object Analytics {
         cents(sum("value")).as("value_cents"))
       .orderBy("event_type")
 
+  /** Exact interpolated quantiles of event value per type. */
+  def valueQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(min("value"), 2).as("vmin"),
+        round(max("value"), 2).as("vmax"))
+      .orderBy("event_type")
+
+  /** Grouping sets: totals by event type, by partition, and overall —
+    * one shuffle via the native GROUPING SETS plan (not a union of
+    * three aggregations).
+    */
+  def groupingSetsActivity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("part_id", (col("user_id") % 8).cast("int"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("part_id")), Seq()),
+        col("event_type"), col("part_id"))
+      .agg(count(lit(1)).as("n_events"), cents(sum("value")).as("value_cents"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("et"),
+        coalesce(col("part_id"), lit(-1)).as("p"),
+        col("n_events"), col("value_cents"))
+      .orderBy("et", "p")
+
   /** Running per-user cumulative aggregates (exact, integer cents). */
   def userRunningValue(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("event_id")

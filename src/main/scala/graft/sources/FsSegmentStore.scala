@@ -17,7 +17,7 @@ import graft.core.SegmentMeta
   * LIST); reads/writes are distributed parquet IO. Against S3 the same
   * code runs with `root = s3a://bucket/prefix`.
   */
-class FsSegmentStore(spark: SparkSession, root: String) {
+class FsSegmentStore(spark: SparkSession, val root: String) {
   import FsSegmentStore._
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)

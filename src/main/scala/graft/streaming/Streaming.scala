@@ -108,6 +108,40 @@ object StreamingEgress {
       .start()
 }
 
+object StreamingIngress {
+  /** Continuous replay: watch the segment store for new segment files
+    * (the file-source analogue of the reference's SQS segment events —
+    * reference: pkg/stores/sqs_segment_event_source.go), then per
+    * micro-batch order by (partition, offset), drop rows at or below
+    * the checkpoint, and append to the destination (a directory sink
+    * standing in for the Kafka producer; `format("kafka")` is the
+    * config swap on a real cluster).
+    */
+  def fileReplay(spark: SparkSession, storeRoot: String, region: String,
+      topic: String, schema: org.apache.spark.sql.types.StructType,
+      checkpoints: DataFrame, destDir: String,
+      streamCheckpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val segments = spark.readStream
+      .schema(schema)
+      .parquet(s"$storeRoot/region=$region/topic=$topic/part=*/level=*/*")
+    segments.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", streamCheckpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ckpt = broadcast(checkpoints)
+        batch
+          .join(ckpt, Seq("part_id"), "left")
+          .filter(col("ckpt_offset").isNull || col("msg_offset") > col("ckpt_offset"))
+          .drop("ckpt_offset")
+          .dropDuplicates("part_id", "msg_offset")
+          .sortWithinPartitions("part_id", "msg_offset")
+          .write.mode("append").parquet(destDir)
+        ()
+      }
+      .start()
+  }
+}
+
 object StreamMetrics {
   /** Watermarked per-partition hourly metrics over the live stream
     * (reference: pkg/egress/metrics.go — volume/count meters, here as

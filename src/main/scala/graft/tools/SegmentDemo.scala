@@ -48,6 +48,20 @@ object SegmentDemo {
     // replay check: every framed message survives exactly once
     val total = store.open("src", "events", after).dropDuplicates("part_id", "msg_offset").count()
     println(s"[demo] distinct replayable messages = $total (source = ${messages.count()})")
+
+    // continuous ingress: stream the store into a destination dir,
+    // skipping everything at or below a checkpoint at offset 99
+    import spark.implicits._
+    val ckpt = Seq.range(0, graft.operators.MessageFraming.NumPartitions)
+      .map(p => (p, 99L)).toDF("part_id", "ckpt_offset")
+    val destDir = s"$storeDir-replayed"
+    val schema = store.open("src", "events", after).drop("start_offset", "end_offset", "seg_level").schema
+    val q = graft.streaming.StreamingIngress.fileReplay(
+      spark, store.root, "src", "events", schema, ckpt, destDir, s"$storeDir-ckpt")
+    q.processAllAvailable(); q.stop()
+    val replayed = spark.read.parquet(destDir)
+    println(s"[demo] streamed replay past checkpoint 99: ${replayed.count()} messages, " +
+      s"min offset ${replayed.agg(min("msg_offset")).head.getLong(0)}")
     spark.stop()
   }
 }

@@ -56,6 +56,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ingress replays store segments past the checkpoint") {
+    import spark.implicits._
+    // seed a store with two segments on partition 0: offsets 0-4, 5-9
+    val store = graft.sources.FsSegmentStore(spark, tmpDir("ingress-store"))
+    val msgs = (0L until 10L).map(i => (0, i, s"k$i", 3L))
+      .toDF("part_id", "msg_offset", "key", "msg_size")
+    Seq((0L, 4L), (5L, 9L)).foreach { case (s0, e0) =>
+      store.write(msgs.filter(col("msg_offset").between(s0, e0)),
+        graft.core.SegmentMeta("src", "t", 0, 0, s0, e0, e0 - s0 + 1, -1L))
+    }
+    val ckpt = Seq((0, 2L)).toDF("part_id", "ckpt_offset")
+    val dest = tmpDir("ingress-dest")
+    val q = StreamingIngress.fileReplay(spark, store.root, "src", "t",
+      msgs.schema.add("level", "int"), ckpt, dest, tmpDir("ingress-ckpt"))
+    try {
+      q.processAllAvailable()
+      val out = spark.read.parquet(dest)
+      assert(out.count() === 7) // offsets 3..9
+      assert(out.agg(min("msg_offset")).head.getLong(0) === 3L)
+    } finally q.stop()
+  }
+
   test("watermarked windowed metrics aggregate per partition-hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
