@@ -156,6 +156,17 @@ object SparkEntry {
     "r_partition_metrics" -> ((s, dir) =>
       ReplicationMetrics.perPartition(msgs(s, dir)).orderBy("part_id")),
 
+    "r_header_stats" -> ((s, dir) =>
+      Headers.headerStats(msgs(s, dir)).orderBy("part_id")),
+
+    "r_store_reconcile" -> ((s, dir) => {
+      val segs = countSegments(s, dir)
+      StoreReconciler.reconcile(
+        segs.filter(col("seg_seq") % 13 =!= 7),
+        segs.filter(col("seg_seq") % 11 =!= 5))
+        .orderBy("part_id", "seg_seq")
+    }),
+
     // ---- LLM-training-data operators ----
     "d_exact_dedup" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy("content_hash")),
@@ -791,6 +802,28 @@ object SparkEntry {
          |       sum(msg_size)::BIGINT AS merged_bytes
          |FROM merged GROUP BY part_id, bin, level
          |ORDER BY part_id, bin""".stripMargin,
+
+    "r_header_stats" ->
+      s"""WITH $MsgCte
+         |SELECT part_id, count(*)::BIGINT AS n_messages,
+         |       sum(cast(json_extract(msg_value, '$$.k') AS INTEGER))::BIGINT AS k_sum,
+         |       min(cast(json_extract(msg_value, '$$.k') AS INTEGER)) AS k_min,
+         |       max(cast(json_extract(msg_value, '$$.k') AS INTEGER)) AS k_max
+         |FROM messages GROUP BY part_id ORDER BY part_id""".stripMargin,
+
+    "r_store_reconcile" ->
+      s"""WITH $MsgCte, $SegCte,
+         |l AS (SELECT part_id, seg_seq, 1 AS in_list FROM segs WHERE seg_seq % 13 <> 7),
+         |e AS (SELECT part_id, seg_seq, 1 AS in_events FROM segs WHERE seg_seq % 11 <> 5)
+         |SELECT coalesce(l.part_id, e.part_id) AS part_id,
+         |       coalesce(l.seg_seq, e.seg_seq) AS seg_seq,
+         |       coalesce(in_list, 0)::INT AS in_list,
+         |       coalesce(in_events, 0)::INT AS in_events,
+         |       CASE WHEN in_events IS NULL THEN 'missing_event'
+         |            ELSE 'missing_object' END AS status
+         |FROM l FULL OUTER JOIN e USING (part_id, seg_seq)
+         |WHERE in_list IS NULL OR in_events IS NULL
+         |ORDER BY part_id, seg_seq""".stripMargin,
 
     "r_partition_metrics" ->
       s"""WITH $MsgCte,

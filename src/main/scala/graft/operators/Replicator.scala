@@ -220,6 +220,50 @@ object Ingress {
   }
 }
 
+/** Message-header handling (reference: pkg/core/messages.pb.go:215
+  * Message_Header, pkg/formats/s3_parquet.go:115 headers LIST field):
+  * the synthetic stream carries its headers as the JSON `props`
+  * payload; typed header extraction is a JSON path projection that
+  * stays in codegen.
+  */
+object Headers {
+  /** Per-partition stats over the extracted integer header `k`. */
+  def headerStats(messages: DataFrame): DataFrame =
+    messages
+      .withColumn("header_k",
+        get_json_object(col("msg_value"), "$.k").cast("int"))
+      .groupBy("part_id")
+      .agg(
+        count(lit(1)).as("n_messages"),
+        sum(col("header_k").cast("long")).as("k_sum"),
+        min("header_k").as("k_min"),
+        max("header_k").as("k_max"))
+}
+
+/** Consistent segment store semantics (reference:
+  * pkg/stores/consistent_segment_store.go): the segment inventory is
+  * the reconciliation of the object-store LIST with the segment-event
+  * stream — discrepancies mean a missed event (object without event)
+  * or an in-flight/lost object (event without object).
+  */
+object StoreReconciler {
+  /** Full-outer reconcile on segment identity. Returns only the
+    * discrepancies with a status column.
+    */
+  def reconcile(listed: DataFrame, evented: DataFrame): DataFrame = {
+    val l = listed.select(col("part_id"), col("seg_seq"), lit(1).as("in_list"))
+    val e = evented.select(col("part_id"), col("seg_seq"), lit(1).as("in_events"))
+    l.join(e, Seq("part_id", "seg_seq"), "full_outer")
+      .filter(col("in_list").isNull || col("in_events").isNull)
+      .select(
+        col("part_id"), col("seg_seq"),
+        coalesce(col("in_list"), lit(0)).as("in_list"),
+        coalesce(col("in_events"), lit(0)).as("in_events"),
+        when(col("in_events").isNull, "missing_event")
+          .otherwise("missing_object").as("status"))
+  }
+}
+
 /** Compaction planning + execution (reference: pkg/compaction/compactor.go).
   * Plan: group eligible level-L segments per partition into bins of at
   * most maxSegments, requiring at least minSegments per bin — the

@@ -142,6 +142,41 @@ object StreamingIngress {
   }
 }
 
+/** The Kafka-facing seam. This container has no broker or connector
+  * jar, so [[source]] is the config wiring only (the standard
+  * spark-sql-kafka source; swap brokers/topics per deployment), while
+  * [[toMessages]] — the wire→graft frame conversion every downstream
+  * operator consumes — is pure and fully tested on static data.
+  */
+object KafkaBridge {
+  /** `readStream.format("kafka")` wiring (requires the
+    * spark-sql-kafka connector on the cluster classpath).
+    */
+  def source(spark: SparkSession, brokers: String, topics: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topics)
+      .option("startingOffsets", "earliest")
+      .load()
+
+  /** Kafka wire schema (key/value binary, topic, partition, offset,
+    * timestamp) → the graft message frame. Message size mirrors
+    * core.Message.Size() = len(key)+len(value)
+    * (reference: pkg/core/core.go:136).
+    */
+  def toMessages(wire: DataFrame): DataFrame =
+    wire.select(
+      col("topic"),
+      col("partition").cast("int").as("part_id"),
+      col("offset").cast("long").as("msg_offset"),
+      col("key").cast("string").as("key"),
+      col("value").cast("string").as("msg_value"),
+      col("timestamp").as("ts"),
+      (octet_length(col("key")) + octet_length(col("value")))
+        .cast("long").as("msg_size"))
+}
+
 object StreamMetrics {
   /** Watermarked per-partition hourly metrics over the live stream
     * (reference: pkg/egress/metrics.go — volume/count meters, here as

@@ -89,6 +89,29 @@ class ReplicatorSpec extends SparkSuite {
     assert(rows.forall(_.getAs[Int]("level") === 1))
   }
 
+  test("kafka wire frame converts to the graft message frame") {
+    import spark.implicits._
+    val wire = Seq(
+      ("t", 3, 17L, "k1".getBytes, """{"k": 5}""".getBytes,
+        new java.sql.Timestamp(1700000000000L)))
+      .toDF("topic", "partition", "offset", "key", "value", "timestamp")
+    val m = graft.streaming.KafkaBridge.toMessages(wire).collect().head
+    assert(m.getAs[Int]("part_id") === 3)
+    assert(m.getAs[Long]("msg_offset") === 17L)
+    assert(m.getAs[String]("msg_value") === """{"k": 5}""")
+    assert(m.getAs[Long]("msg_size") === 2L + 8L)
+  }
+
+  test("store reconciler flags both discrepancy kinds") {
+    import spark.implicits._
+    val listed = Seq((0, 1L), (0, 2L)).toDF("part_id", "seg_seq")
+    val evented = Seq((0, 2L), (0, 3L)).toDF("part_id", "seg_seq")
+    val out = StoreReconciler.reconcile(listed, evented)
+      .orderBy("seg_seq").collect()
+    assert(out.map(r => (r.getAs[Long]("seg_seq"), r.getAs[String]("status")))
+      .toSeq === Seq((1L, "missing_event"), (3L, "missing_object")))
+  }
+
   test("merged stats preserve message counts (no loss, no dups)") {
     val segs = SegmentRoller.byCount(messages, 50)
     val plan = Compactor.plan(segs, 0, 2, 4)
