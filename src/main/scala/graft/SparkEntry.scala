@@ -91,6 +91,18 @@ object SparkEntry {
     "q_value_quantiles" -> Analytics.valueQuantiles _,
     "q_grouping_sets" -> Analytics.groupingSetsActivity _,
 
+    // salted join == plain join (skew spreading is result-identity)
+    "q_salted_user_join" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val dim = events.groupBy("user_id")
+        .agg(count(lit(1)).as("user_events"))
+      Skew.saltedJoin(events, dim, "user_id", 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("user_events").as("sum_user_events"))
+        .orderBy("event_type")
+    }),
+
     "q_asof_purchase" -> ((s, dir) =>
       TimeSeries.eventsWithLastPurchase(Tables.events(s, dir))
         .orderBy("user_id", "event_id")),
@@ -642,6 +654,16 @@ object SparkEntry {
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), ((user_id % 8)::INT), ())
         |ORDER BY et, p""".stripMargin,
+
+    "q_salted_user_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, count(*)::BIGINT AS user_events
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT e.event_type, count(*)::BIGINT AS n_events,
+        |       sum(d.user_events)::BIGINT AS sum_user_events
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q_asof_purchase" ->
       """WITH p AS (

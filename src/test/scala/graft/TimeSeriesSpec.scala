@@ -33,6 +33,17 @@ class TimeSeriesSpec extends SparkSuite {
     assert(bad === 0)
   }
 
+  test("salted join returns exactly the plain join result") {
+    val events = Tables.events(spark, sf)
+    val dim = events.groupBy("user_id")
+      .agg(count(lit(1)).as("user_events"))
+    val plain = events.join(dim, Seq("user_id"))
+      .agg(sum("user_events"), count(lit(1))).head
+    val salted = graft.operators.Skew.saltedJoin(events, dim, "user_id", 8)
+      .agg(sum("user_events"), count(lit(1))).head
+    assert(salted === plain)
+  }
+
   test("activity pivot partitions cover all events") {
     val events = Tables.events(spark, sf)
     val p = TimeSeries.activityPivot(events)
