@@ -125,7 +125,18 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs within the given Hamming distance. */
+  /** SimHash near-dup pairs within the given Hamming distance, via a
+    * direct pair join on the (tiny: one row per doc) hash table.
+    *
+    * NOTE on scale: pigeonhole banding (split k bits into maxHamming+1
+    * bands, equi-join per band) was measured WORSE here — a 24-bit
+    * simhash over a low-entropy corpus clusters heavily, so band
+    * buckets go hot and the candidate join exceeds the plain pair
+    * join. At true 100 TB corpus sizes the right structure is a
+    * wider simhash (64+ bits) with rotated multi-index tables; with
+    * 24 bits the hash table is n rows (not n×shingles) and the pair
+    * join over it is the cheapest correct plan.
+    */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val s = simhash(docs)
     val a = s.as("a"); val b = s.as("b")
