@@ -291,11 +291,14 @@ object SparkEntry {
       |       unnest(list_transform(range(1, length(n.t) - 6),
       |              i -> substr(n.t, i::INT, 8))) u(s)
       |),
+      |shh AS (
+      |  SELECT doc_id, ('0x' || substr(md5(s),1,15))::BIGINT AS h FROM sh0
+      |),
       |rare AS (
-      |  SELECT s FROM sh0 GROUP BY s
+      |  SELECT h FROM shh GROUP BY h
       |  HAVING count(*) * 20 <= (SELECT count(*) FROM documents)
       |),
-      |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s))""".stripMargin
+      |sh AS (SELECT shh.doc_id, shh.h FROM shh JOIN rare USING (h))""".stripMargin
 
   private val TokCte =
     """tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm)""".stripMargin
@@ -352,7 +355,7 @@ object SparkEntry {
          |sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |)
          |$JaccTail""".stripMargin,
@@ -365,7 +368,7 @@ object SparkEntry {
          |  (6, 851423, 426389), (7, 104729, 711871)),
          |sig AS (
          |  SELECT doc_id, hash_id,
-         |         min((ha * ${H20.format("s")} + hb) % 1048573) AS minhash
+         |         min((ha * (h % 1048576) + hb) % 1048573) AS minhash
          |  FROM sh, params GROUP BY doc_id, hash_id
          |),
          |banded AS (
@@ -384,7 +387,7 @@ object SparkEntry {
          |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
          |  FROM cands c
          |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
          |  GROUP BY 1, 2
          |)
          |$JaccTail""".stripMargin,

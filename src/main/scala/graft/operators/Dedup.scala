@@ -47,15 +47,29 @@ object Dedup {
     sh.join(rare, Seq("s"), "left_semi")
   }
 
+  /** Capped shingles keyed by their 60-bit hash: all downstream
+    * shuffles/joins move fixed-width longs instead of k-char strings
+    * (hash-early is also the 100 TB design — the pair join's shuffle
+    * key is 8 bytes regardless of shingle width).
+    */
+  def cappedShingleHashes(docs: DataFrame): DataFrame = {
+    val nDocs = docs.count()
+    val sh = shingleTable(docs)
+      .select(col("doc_id"), hexHash60(col("s")).as("h")).cache()
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") * 20 <= nDocs).select("h")
+    sh.join(rare, Seq("h"), "left_semi")
+  }
+
   /** Exact Jaccard over df-capped k-shingles for every pair sharing a
     * shingle. Output: pairs with similarity >= minJaccardBp/10000.
     */
   def ngramJaccard(docs: DataFrame, minJaccardBp: Long): DataFrame = {
-    val sh = cappedShingles(docs).cache()
+    val sh = cappedShingleHashes(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     jaccardFilter(inter, sizes, minJaccardBp)
@@ -68,9 +82,9 @@ object Dedup {
     * Output: (doc_id, mh0..mh7).
     */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val withH = sh.withColumn("h", hexHash20(col("s")))
+    val withH = sh.withColumn("h20", col("h") % 1048576L)
     val mins = (0 until MinHashK).map { i =>
-      min((lit(HashA(i)) * col("h") + lit(HashB(i))) % MinHashPrime).as(s"mh$i")
+      min((lit(HashA(i)) * col("h20") + lit(HashB(i))) % MinHashPrime).as(s"mh$i")
     }
     withH.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
@@ -96,13 +110,13 @@ object Dedup {
     * candidate join → exact-Jaccard verify.
     */
   def minhashLsh(docs: DataFrame, minJaccardBp: Long): DataFrame = {
-    val sh = cappedShingles(docs).cache()
+    val sh = cappedShingleHashes(docs)
     val cands = lshCandidates(minhashSignatures(sh))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id")
-        && col("sa.s") === col("sb.s"))
+        && col("sa.h") === col("sb.h"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     jaccardFilter(inter, sizes, minJaccardBp)
