@@ -29,6 +29,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("ingress replay broadcasts the checkpoint table") {
+    val p = plan(SparkEntry.queries("r_ingress_replay")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("as-of join plans exactly one shuffle (no range join)") {
+    val p = plan(SparkEntry.queries("q_asof_purchase")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // union + window: the only exchanges are the key shuffle (+ final
+    // output ordering); a range-join formulation would nested-loop
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 3, s"$exchanges exchanges:\n${p.take(2000)}")
+  }
+
   test("q1 shape stays in whole-stage codegen") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
     val p = df.queryExecution.explainString(
