@@ -207,6 +207,10 @@ object SparkEntry {
       Ann.knnLsh(Tables.embeddings(s, dir), KnnQueries, 3)
         .orderBy("q_id", "rnk")),
 
+    "a_knn_ivf" -> ((s, dir) =>
+      Ann.knnIvf(Tables.embeddings(s, dir), KnnQueries, 3)
+        .orderBy("q_id", "rnk")),
+
     "t_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -447,6 +451,34 @@ object SparkEntry {
          |         (list_sum(list_transform(range(1,65), i -> q2.v[i::INT]*c.v[i::INT])))::DOUBLE
          |           / (sqrt(q2.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
          |  FROM qq q2 JOIN qq c ON c.bucket = q2.bucket AND c.vec_id <> q2.vec_id
+         |  WHERE q2.vec_id < $KnnQueries
+         |)
+         |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
+         |  SELECT q_id, neighbor_id, cos_bp,
+         |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
+         |  FROM scored
+         |) WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "a_knn_ivf" ->
+      s"""WITH $EmbCte,
+         |cent AS (SELECT vec_id AS c_id, v AS cv, norm2 AS cn2 FROM qn
+         |         WHERE vec_id % 50 = 0),
+         |assigned AS (
+         |  SELECT vec_id, v, norm2, c_id AS cell FROM (
+         |    SELECT qn.vec_id, qn.v, qn.norm2, cent.c_id,
+         |      row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+         |        (list_sum(list_transform(range(1,65), i -> cent.cv[i::INT]*qn.v[i::INT])))::DOUBLE
+         |          / (sqrt(cent.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) DESC, cent.c_id) AS c_rn
+         |    FROM qn, cent
+         |  ) WHERE c_rn = 1
+         |),
+         |scored AS (
+         |  SELECT q2.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |         ${sqlCosBp("q2.v", "c.v", "q2.norm2", "c.norm2")} AS cos_bp,
+         |         (list_sum(list_transform(range(1,65), i -> q2.v[i::INT]*c.v[i::INT])))::DOUBLE
+         |           / (sqrt(q2.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+         |  FROM assigned q2 JOIN assigned c
+         |    ON c.cell = q2.cell AND c.vec_id <> q2.vec_id
          |  WHERE q2.vec_id < $KnnQueries
          |)
          |SELECT q_id, rnk, neighbor_id, cos_bp FROM (

@@ -93,6 +93,38 @@ object Ann {
         round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
   }
 
+  /** IVF-style ANN: partition the corpus into cells around a fixed
+    * centroid set (every `centroidStride`-th vector — deterministic, no
+    * training loop so the oracle can mirror it), assign each vector to
+    * its max-cosine centroid, then search only the query's own cell
+    * (probe=1). At 100 TB the cell id is the shuffle/partition key and
+    * per-cell scans replace the full-corpus scan; centroids are a
+    * broadcast table.
+    */
+  def knnIvf(embeddings: DataFrame, numQueries: Int, k: Int,
+      centroidStride: Int = 50): DataFrame = {
+    val q = quantized(embeddings)
+    val centroids = q.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm2").as("cn2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = q.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("cv"), col("v"), col("cn2"), col("norm2")))
+      .withColumn("c_rn", row_number().over(w))
+      .filter(col("c_rn") === 1)
+      .select(col("vec_id"), col("v"), col("norm2"), col("c_id").as("cell"))
+    val queries = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm2").as("qn2"), col("cell").as("qcell"))
+    val scored = assigned.join(broadcast(queries),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("norm2")))
+    val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
+  }
+
   /** Embedding near-dup pairs: LSH-bucket blocking + exact cosine
     * verify — the scale path for pairwise similarity (no O(n²) join).
     */

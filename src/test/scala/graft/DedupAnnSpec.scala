@@ -64,6 +64,18 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("knn IVF: results come from brute-force ranking with exact cosines") {
+    val brute = Ann.knnBruteForce(emb, 5, Int.MaxValue)
+      .select("q_id", "neighbor_id", "cos_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ivf = Ann.knnIvf(emb, 5, 3).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      assert(brute(key) === r.getAs[Long]("cos_bp"))
+    }
+  }
+
   test("language id is deterministic and covers all docs") {
     val out = TextAnalysis.langId(docs)
     assert(out.count() === docs.count())
