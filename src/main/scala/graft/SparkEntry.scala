@@ -88,6 +88,11 @@ object SparkEntry {
     "q_distinct_users" -> Analytics.distinctUsers _,
     "q_user_running_value" -> Analytics.userRunningValue _,
 
+    "q4_late_priority" -> Analytics.latePriorityCount _,
+    "q12_qty_priority" -> Analytics.shipmodePriority _,
+    "q14_promo_revenue" -> Analytics.promoRevenue _,
+    "q18_large_orders" -> Analytics.largeOrders _,
+    "q22_idle_rich" -> Analytics.idleRichCustomers _,
     "q_value_quantiles" -> Analytics.valueQuantiles _,
     "q_grouping_sets" -> Analytics.groupingSetsActivity _,
 
@@ -672,6 +677,69 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_events
         |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    "q4_late_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND (epoch_us(l_shipdate) // 1000000) - (epoch_us(o_orderdate) // 1000000) > 90 * 86400)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q12_qty_priority" ->
+      """SELECT CASE WHEN l_quantity >= 25 THEN 'HIGH' ELSE 'LOW' END AS qty_class,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_priority,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_priority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY qty_class""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """WITH j AS (
+        |  SELECT p_type, l_extendedprice, l_discount
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+        |)
+        |SELECT
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100, 0)::BIGINT AS promo_cents,
+        |  round(sum(l_extendedprice * (1 - l_discount)) * 100, 0)::BIGINT AS total_cents,
+        |  (round(sum(CASE WHEN p_type = 'PROMO'
+        |     THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100, 0)::BIGINT * 10000)
+        |    // round(sum(l_extendedprice * (1 - l_discount)) * 100, 0)::BIGINT AS promo_bp
+        |FROM j""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 0)::BIGINT AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 0)::BIGINT > 300
+        |)
+        |SELECT c_custkey, c_name, o_orderkey, total_qty,
+        |       round(o_totalprice * 100, 0)::BIGINT AS total_cents
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_cents DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "q22_idle_rich" ->
+      """WITH c AS (
+        |  SELECT *, round(c_acctbal * 100, 0)::BIGINT AS bal_cents FROM customer
+        |),
+        |t AS (
+        |  SELECT sum(bal_cents)::BIGINT::DOUBLE / count(*) AS avg_cents
+        |  FROM c WHERE bal_cents > 0
+        |)
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+        |       sum(bal_cents)::BIGINT AS total_cents
+        |FROM c, t
+        |WHERE bal_cents > avg_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_value_quantiles" ->
       """SELECT event_type,

@@ -142,6 +142,100 @@ object Analytics {
         cents(sum("value")).as("value_cents"))
       .orderBy("event_type")
 
+  /** TPC-H Q4 shape: priority counts for orders with a late-shipped
+    * lineitem (EXISTS + date arithmetic in exact epoch seconds).
+    */
+  def latePriorityCount(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+    val late = Tables.lineitem(s, dir).as("l")
+    o.join(late,
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate").cast("timestamp").cast("long")
+            - col("o_orderdate").cast("timestamp").cast("long") > lit(90L * 86400L),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q12 shape: conditional aggregation after a fact-fact join —
+    * high/low-priority lineitem counts per quantity class.
+    */
+  def shipmodePriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("qty_class",
+        when(col("l_quantity") >= 25, "HIGH").otherwise("LOW"))
+      .groupBy("qty_class")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_priority"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_priority"))
+      .orderBy("qty_class")
+  }
+
+  /** TPC-H Q14 shape: promo revenue share in exact basis points. */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1996-02-01 00:00:00").cast("timestamp"))
+    val p = Tables.part(s, dir)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        cents(sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0)))
+          .as("promo_cents"),
+        cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total_cents"))
+      .withColumn("promo_bp",
+        expr("(promo_cents * 10000) div total_cents"))
+  }
+
+  /** TPC-H Q18 shape: large-volume orders (join + group + having + join
+    * back to the customer dimension).
+    */
+  def largeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 0).cast("long").as("total_qty"))
+      .filter(col("total_qty") > 300)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("total_qty"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("total_cents"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  /** TPC-H Q22 shape: above-average-balance customers with no orders
+    * (scalar subquery threshold in exact integer-cents arithmetic).
+    */
+  def idleRichCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .withColumn("bal_cents", cents(col("c_acctbal")))
+    val thresh = c.filter(col("bal_cents") > 0)
+      .agg((sum("bal_cents").cast("double") / count(lit(1))).as("avg_cents"))
+    // "idle" = no order in 1996H1 (every customer orders eventually at
+    // this scale, so the unbounded anti join is empty)
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+    val idle = c.join(recent.select("o_custkey"),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    idle.crossJoin(broadcast(thresh))
+      .filter(col("bal_cents") > col("avg_cents"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), sum("bal_cents").as("total_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Exact interpolated quantiles of event value per type. */
   def valueQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
