@@ -12,6 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
     // Untimed warmup: absorb JVM/codegen/scan warmup so per-query
     // numbers reflect steady state, then time in deterministic name
     // order (Map iteration order would otherwise shuffle which query

@@ -29,6 +29,18 @@ class HexHash60Spec extends SparkSuite {
     assert(graft.functions.Portable.jvmHexHash60("abc".getBytes("UTF-8")) === expected)
   }
 
+  test("hex_hash60 is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_v")
+    val rows = spark.sql(
+      "SELECT doc_id, hex_hash60(cast(text AS binary)) AS h FROM docs_v").collect()
+    assert(rows.length === 5)
+    val viaDsl = Tables.documents(spark, sf).limit(5)
+      .select(graft.functions.HexHash60.hash60(col("text"))).collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("h")).toSet === viaDsl)
+  }
+
   test("expression participates in whole-stage codegen") {
     val df = Tables.documents(spark, sf).select(HexHash60.hash60(col("text")))
     val code = df.queryExecution.explainString(
