@@ -108,6 +108,22 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // bucketized range join: shipments within 1 day of other orders
+    "q_range_ship_density" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate").cast("timestamp").cast("long").as("o_epoch"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          col("l_shipdate").cast("timestamp").cast("long").as("l_epoch"))
+      TimeSeries.rangeJoinBucketed(o, "o_epoch", l, "l_epoch", 86400L)
+        .filter(col("l_orderkey") =!= col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("nearby_shipments"),
+          countDistinct("o_orderkey").as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_asof_purchase" -> ((s, dir) =>
       TimeSeries.eventsWithLastPurchase(Tables.events(s, dir))
         .orderBy("user_id", "event_id")),
@@ -767,6 +783,14 @@ object SparkEntry {
         |       sum(d.user_events)::BIGINT AS sum_user_events
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_range_ship_density" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS nearby_shipments,
+        |       count(DISTINCT o_orderkey)::BIGINT AS n_orders
+        |FROM orders o JOIN lineitem l
+        |  ON abs((epoch_us(o.o_orderdate) // 1000000) - (epoch_us(l.l_shipdate) // 1000000)) <= 86400
+        | AND l.l_orderkey <> o.o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_asof_purchase" ->
       """WITH p AS (

@@ -64,6 +64,28 @@ object TimeSeries {
           lit(-1L)).as("secs_since_purchase"))
   }
 
+  /** Bucketized range join: pairs (l, r) with |l.time - r.time| <=
+    * radius, WITHOUT a nested-loop/theta join. Each left row explodes
+    * to the 3 buckets (of width = radius) that could contain matches;
+    * the right side maps to its own bucket; candidates come from the
+    * bucket equi-join and only candidates pay the exact |diff| check.
+    * At 100 TB the bucket id is the shuffle key — cost is
+    * 3·|L| + |R| + |true matches|, not |L|·|R|.
+    *
+    * Times are exact epoch seconds (longs) on both engines.
+    */
+  def rangeJoinBucketed(left: DataFrame, leftEpoch: String,
+      right: DataFrame, rightEpoch: String, radiusSec: Long): DataFrame = {
+    val l = left
+      .withColumn("__off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__bucket", expr(s"$leftEpoch div $radiusSec") + col("__off"))
+      .drop("__off")
+    val r = right.withColumn("__bucket", expr(s"$rightEpoch div $radiusSec"))
+    l.join(r, Seq("__bucket"))
+      .filter(abs(col(leftEpoch) - col(rightEpoch)) <= radiusSec)
+      .drop("__bucket")
+  }
+
   /** Gap-based sessionization: a >30-minute silence starts a new
     * session. Two windows over one shuffle on user_id.
     */

@@ -33,6 +33,20 @@ class TimeSeriesSpec extends SparkSuite {
     assert(bad === 0)
   }
 
+  test("bucketized range join equals the naive theta join") {
+    import spark.implicits._
+    val l = Seq((1L, 100L), (2L, 250L), (3L, 1000L)).toDF("lid", "lt")
+    val r = Seq((10L, 120L), (11L, 390L), (12L, 2000L)).toDF("rid", "rt")
+    val got = graft.operators.TimeSeries
+      .rangeJoinBucketed(l, "lt", r, "rt", 150L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val naive = l.crossJoin(r)
+      .filter(abs(col("lt") - col("rt")) <= 150L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === naive)
+    assert(got === Set((1L, 10L), (2L, 10L), (2L, 11L)))
+  }
+
   test("salted join returns exactly the plain join result") {
     val events = Tables.events(spark, sf)
     val dim = events.groupBy("user_id")
