@@ -108,7 +108,14 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // bucketized range join: shipments within 1 day of other orders
+    // Range join (shipments within 1 day of other orders) with the
+    // count payload PRE-AGGREGATED per day before the join — the
+    // aggregate-through-range-join pushdown: candidates collapse from
+    // |O|·(shipments/day) pair rows to |O|·3 day rows. Own-order
+    // shipments are subtracted via a cheap equi-join. Result identical
+    // to the pair-level join (the generic operator,
+    // TimeSeries.rangeJoinBucketed, remains for non-aggregable
+    // payloads and is spec-verified against the naive theta join).
     "q_range_ship_density" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderpriority"),
@@ -116,11 +123,23 @@ object SparkEntry {
       val l = Tables.lineitem(s, dir)
         .select(col("l_orderkey"),
           col("l_shipdate").cast("timestamp").cast("long").as("l_epoch"))
-      TimeSeries.rangeJoinBucketed(o, "o_epoch", l, "l_epoch", 86400L)
-        .filter(col("l_orderkey") =!= col("o_orderkey"))
+      val dayCounts = l.groupBy("l_epoch").agg(count(lit(1)).as("n_ship"))
+      val nearby = o
+        .withColumn("__off", explode(array(lit(-86400L), lit(0L), lit(86400L))))
+        .withColumn("l_epoch", col("o_epoch") + col("__off"))
+        .join(dayCounts, Seq("l_epoch"), "left")
+        .groupBy("o_orderkey", "o_orderpriority", "o_epoch")
+        .agg(sum(coalesce(col("n_ship"), lit(0L))).as("total_nearby"))
+      val own = o.join(l, col("l_orderkey") === col("o_orderkey"))
+        .filter(abs(col("l_epoch") - col("o_epoch")) <= 86400L)
+        .groupBy(col("o_orderkey").as("own_key"))
+        .agg(count(lit(1)).as("own_nearby"))
+      nearby
+        .join(own, col("o_orderkey") === col("own_key"), "left")
+        .withColumn("nearby", col("total_nearby") - coalesce(col("own_nearby"), lit(0L)))
         .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("nearby_shipments"),
-          countDistinct("o_orderkey").as("n_orders"))
+        .agg(sum("nearby").as("nearby_shipments"),
+          sum(when(col("nearby") > 0, 1L).otherwise(0L)).as("n_orders"))
         .orderBy("o_orderpriority")
     }),
 
@@ -231,6 +250,13 @@ object SparkEntry {
     "a_knn_ivf" -> ((s, dir) =>
       Ann.knnIvf(Tables.embeddings(s, dir), KnnQueries, 3)
         .orderBy("q_id", "rnk")),
+
+    "t_top_tokens" -> ((s, dir) =>
+      TextAnalysis.topTokens(Tables.documents(s, dir), 20)
+        .orderBy(col("n_occurrences").desc, col("tok"))),
+
+    "e_label_centroids" -> ((s, dir) =>
+      Ann.labelCentroidStats(Tables.embeddings(s, dir)).orderBy("label")),
 
     "t_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -507,6 +533,33 @@ object SparkEntry {
          |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
          |  FROM scored
          |) WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "t_top_tokens" ->
+      s"""WITH $NormCte, $TokCte
+         |SELECT tok, count(*)::BIGINT AS n_occurrences,
+         |       count(DISTINCT doc_id)::BIGINT AS n_docs
+         |FROM tok GROUP BY tok
+         |ORDER BY n_occurrences DESC, tok LIMIT 20""".stripMargin,
+
+    "e_label_centroids" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> round(x*1000)::BIGINT) AS v
+        |  FROM embeddings
+        |),
+        |per_dim AS (
+        |  SELECT label, d,
+        |         sum(v[d::INT])::BIGINT AS dim_sum,
+        |         sum(abs(v[d::INT]))::BIGINT AS dim_abs
+        |  FROM q, range(1, 65) r(d) GROUP BY label, d
+        |)
+        |SELECT p.label, c.n_vecs,
+        |       sum(dim_abs)::BIGINT AS l1_mass,
+        |       sum(dim_sum * dim_sum)::BIGINT AS centroid_norm_sq
+        |FROM per_dim p
+        |JOIN (SELECT label, count(*)::BIGINT AS n_vecs FROM q GROUP BY label) c
+        |  ON p.label = c.label
+        |GROUP BY p.label, c.n_vecs ORDER BY p.label""".stripMargin,
 
     "t_lang_id" ->
       s"""WITH $NormCte, $TokCte,

@@ -84,6 +84,18 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+"), lit(0)))
         .cast("long").as("subword_tokens"))
 
+  /** Heavy hitters: top-N corpus tokens by frequency (deterministic
+    * tiebreak). One shuffle on token; at 100 TB the partial (map-side)
+    * aggregation collapses per-executor counts before the shuffle.
+    */
+  def topTokens(docs: DataFrame, n: Int): DataFrame =
+    tokens(docs)
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("tok"))
+      .limit(n)
+
   /** Polynomial rolling fingerprint over token hashes:
     * fp = foldl(0, (acc, t) => (acc*31 + h20(t)) mod (2^31-1)).
     */

@@ -93,6 +93,26 @@ object Ann {
         round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
   }
 
+  /** Exact per-label vector aggregates over quantized components:
+    * count, Σ|component| (L1 mass), and ‖Σv‖² (squared norm of the
+    * unnormalized centroid) — all integer arithmetic, so the oracle
+    * matches bit-for-bit. The per-dimension sums aggregate in one
+    * shuffle on (label, dim).
+    */
+  def labelCentroidStats(embeddings: DataFrame): DataFrame = {
+    val q = quantized(embeddings)
+    val perDim = q
+      .select(col("label"), posexplode(col("v")).as(Seq("d", "comp")))
+      .groupBy("label", "d")
+      .agg(sum("comp").as("dim_sum"), sum(abs(col("comp"))).as("dim_abs"))
+    val counts = q.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    perDim.groupBy("label")
+      .agg(sum(col("dim_sum") * col("dim_sum")).as("centroid_norm_sq"),
+        sum("dim_abs").as("l1_mass"))
+      .join(broadcast(counts), Seq("label"))
+      .select("label", "n_vecs", "l1_mass", "centroid_norm_sq")
+  }
+
   /** IVF-style ANN: partition the corpus into cells around a fixed
     * centroid set (every `centroidStride`-th vector — deterministic, no
     * training loop so the oracle can mirror it), assign each vector to

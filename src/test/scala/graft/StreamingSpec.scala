@@ -78,6 +78,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: redelivered offsets emit exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // at-least-once upstream (the reference's delivery guarantee) →
+    // exactly-once downstream via watermarked stream deduplication
+    val input = MemoryStream[StreamMessage]
+    val deduped = input.toDS().toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("partId", "msgOffset")
+    val q = deduped.writeStream.format("memory").queryName("deduped")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt-dedup")).start()
+    try {
+      input.addData(msg(0, 0L), msg(0, 1L), msg(0, 1L)) // dup in batch
+      q.processAllAvailable()
+      input.addData(msg(0, 1L), msg(0, 2L)) // redelivery across batches
+      q.processAllAvailable()
+      val offs = spark.table("deduped").collect().map(_.getAs[Long]("msgOffset"))
+      assert(offs.sorted.toSeq === Seq(0L, 1L, 2L))
+    } finally q.stop()
+  }
+
   test("watermarked windowed metrics aggregate per partition-hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
