@@ -35,6 +35,24 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful roller closes on byte size before count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamMessage]
+    val rolled = StreamingEgress.statefulRoller(
+      input.toDS(), "src", "t", maxMessages = 100, maxBytes = 25L, ageMs = 0L)
+    val q = rolled.writeStream.format("memory")
+      .queryName("rolled_size").outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt-roller-size")).start()
+    try {
+      input.addData((0L until 6L).map(msg(0, _, size = 10L)): _*) // 3 msgs = 30B >= 25B
+      q.processAllAvailable()
+      val segs = spark.table("rolled_size").collect()
+      assert(segs.map(r => (r.getAs[Long]("startOffset"), r.getAs[Long]("endOffset"),
+        r.getAs[Long]("sizeBytes"))).toSet === Set((0L, 2L, 30L), (3L, 5L, 30L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch egress writes rolled segments to the store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
