@@ -43,6 +43,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges <= 3, s"$exchanges exchanges:\n${p.take(2000)}")
   }
 
+  test("dedup pipelines never plan a shuffled cartesian product") {
+    // BroadcastNestedLoopJoin is allowed: the hyperplane/param tables
+    // are deliberate tiny broadcast cross joins. A CartesianProduct
+    // (shuffled n×m) would mean a candidate-generation equi-key got lost.
+    Seq("d_minhash_lsh", "d_ngram_jaccard", "d_embedding_dedup").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1500)}")
+    }
+  }
+
   test("q1 shape stays in whole-stage codegen") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
     val p = df.queryExecution.explainString(
