@@ -154,6 +154,27 @@ object SparkEntry {
     "q_activity_pivot" -> ((s, dir) =>
       TimeSeries.activityPivot(Tables.events(s, dir)).orderBy("part_id")),
 
+    "q_resample_hourly" -> ((s, dir) =>
+      TimeSeries.resampleHourly(Tables.events(s, dir))
+        .orderBy("user_id", "hour")),
+
+    // edit distance over the LSH candidate pairs (native levenshtein
+    // on both engines; capped prefix bounds the O(n*m) DP cost)
+    "d_edit_distance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLsh(docs, NgramJaccardBp).select("doc_a", "doc_b")
+      val norm = docs.select(col("doc_id"),
+        substring(graft.functions.Portable.normText(col("text")), 1, 100).as("prefix"))
+      pairs
+        .join(norm.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("prefix", "prefix_a"), Seq("doc_a"))
+        .join(norm.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("prefix", "prefix_b"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("prefix_a"), col("prefix_b")).as("edit_dist"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- replicator domain ----
     "r_message_framing" -> ((s, dir) =>
       msgs(s, dir)
@@ -836,6 +857,70 @@ object SparkEntry {
         |       sum(d.user_events)::BIGINT AS sum_user_events
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_resample_hourly" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+        |         event_id, round(value * 100, 0)::BIGINT AS value_cents
+        |  FROM events
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, hour ORDER BY event_id) AS rn_first,
+        |    row_number() OVER (PARTITION BY user_id, hour ORDER BY event_id DESC) AS rn_last
+        |  FROM b
+        |)
+        |SELECT user_id, hour, count(*)::BIGINT AS n_events,
+        |       max(CASE WHEN rn_first = 1 THEN value_cents END) AS open_cents,
+        |       max(CASE WHEN rn_last = 1 THEN value_cents END) AS close_cents,
+        |       min(value_cents) AS low_cents,
+        |       max(value_cents) AS high_cents
+        |FROM r GROUP BY user_id, hour ORDER BY user_id, hour""".stripMargin,
+
+    "d_edit_distance" ->
+      s"""WITH $NormCte, $ShCte,
+         |params(hash_id, ha, hb) AS (VALUES
+         |  (0, 952211, 37199), (1, 370259, 915583), (2, 768389, 68477),
+         |  (3, 113111, 331777), (4, 597269, 749341), (5, 286871, 55411),
+         |  (6, 851423, 426389), (7, 104729, 711871)),
+         |sig AS (
+         |  SELECT doc_id, hash_id,
+         |         min((ha * (h % 1048576) + hb) % 1048573) AS minhash
+         |  FROM sh, params GROUP BY doc_id, hash_id
+         |),
+         |banded AS (
+         |  SELECT doc_id, (hash_id // 2)::INT AS band,
+         |         (min(CASE WHEN hash_id % 2 = 0 THEN minhash END) * 1048583
+         |           + min(CASE WHEN hash_id % 2 = 1 THEN minhash END))::BIGINT AS band_key
+         |  FROM sig GROUP BY doc_id, (hash_id // 2)::INT
+         |),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+         |),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+         |  FROM cands c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+         |  GROUP BY 1, 2
+         |),
+         |verified AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT p.doc_a, p.doc_b,
+         |           round(p.inter * 10000.0 / (x.n_sh + y.n_sh - p.inter), 0)::BIGINT AS jacc_bp
+         |    FROM pairs p JOIN sz x ON x.doc_id = p.doc_a JOIN sz y ON y.doc_id = p.doc_b
+         |  ) WHERE jacc_bp >= $NgramJaccardBp
+         |),
+         |pfx AS (SELECT doc_id, substr(t, 1, 100) AS prefix FROM norm)
+         |SELECT v.doc_a, v.doc_b,
+         |       levenshtein(a.prefix, b.prefix)::INT AS edit_dist
+         |FROM verified v
+         |JOIN pfx a ON a.doc_id = v.doc_a
+         |JOIN pfx b ON b.doc_id = v.doc_b
+         |ORDER BY v.doc_a, v.doc_b""".stripMargin,
 
     "q_range_ship_density" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS nearby_shipments,
