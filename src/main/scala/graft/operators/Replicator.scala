@@ -198,6 +198,14 @@ object Ingress {
   /** messages: full frame; presentSegments: surviving segment inventory;
     * checkpoints: (part_id, ckpt_offset). Returns the replayed stream with
     * a per-partition contiguous replay_seq.
+    *
+    * Scale note: the per-partition join fans out to messages ×
+    * segments-per-partition before the range filter. Compaction bounds
+    * segments-per-partition, and the FILE-level replay path
+    * (FsSegmentStore.open / StreamingIngress.fileReplay) — which reads
+    * only each segment's own rows — is the 100 TB path; this
+    * relational form exists for checkpoint/overlap semantics over an
+    * already-loaded frame.
     */
   def replay(messages: DataFrame, presentSegments: DataFrame,
       checkpoints: DataFrame): DataFrame = {
