@@ -39,9 +39,8 @@ object SparkEntry {
     countSegments(s, dir).filter(col("seg_seq") % DropSegMod =!= DropSegRem)
 
   private def checkpoints(s: SparkSession, dir: String): DataFrame =
-    countSegments(s, dir)
-      .filter(col("seg_seq") < CkptSegs && col("message_count") === SegMaxMessages)
-      .groupBy("part_id").agg(max("end_offset").as("ckpt_offset"))
+    Checkpoints.fromSegments(
+      countSegments(s, dir).filter(col("seg_seq") < CkptSegs), SegMaxMessages)
 
   /** Anomalous stream for the audit: drop some offsets, duplicate others. */
   private def anomalousStream(s: SparkSession, dir: String): DataFrame = {
@@ -329,7 +328,19 @@ object SparkEntry {
        |)""".stripMargin
 
   private val PlanCte =
-    s"""plan AS (
+    s"""plan_src AS (
+       |  SELECT part_id, start_offset, end_offset, message_count, seg_bytes FROM (
+       |    SELECT *, sum(CASE WHEN prev_end IS NOT NULL AND start_offset > prev_end + 1
+       |                       THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY part_id ORDER BY start_offset
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gaps_so_far
+       |    FROM (
+       |      SELECT *, lag(end_offset) OVER (PARTITION BY part_id ORDER BY start_offset) AS prev_end
+       |      FROM segs WHERE level = 0
+       |    )
+       |  ) WHERE gaps_so_far = 0
+       |),
+       |plan AS (
        |  SELECT part_id, bin, count(*)::BIGINT AS input_segments,
        |         min(start_offset) AS start_offset, max(end_offset) AS end_offset,
        |         sum(message_count)::BIGINT AS message_count,
@@ -337,7 +348,7 @@ object SparkEntry {
        |  FROM (
        |    SELECT *, ((row_number() OVER (PARTITION BY part_id ORDER BY start_offset) - 1)
        |               // $CompactMaxSegs)::BIGINT AS bin
-       |    FROM segs WHERE level = 0
+       |    FROM plan_src
        |  ) GROUP BY 1, 2
        |  HAVING count(*) >= $CompactMinSegs
        |)""".stripMargin
@@ -643,7 +654,7 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT doc_id, replace(source, 'src', '')::INT AS src_num,
         |         ('0x' || substr(md5(text),1,15))::BIGINT AS h,
-        |         length(text)::BIGINT AS payload_bytes, n_chars
+        |         strlen(text)::BIGINT AS payload_bytes, n_chars
         |  FROM documents
         |)
         |SELECT doc_id,

@@ -1,28 +1,18 @@
 package graft.core
 
-import java.sql.Timestamp
-
-/** Data model re-expressing the reference's protobuf/Parquet records
-  * (reference: pkg/core/messages.pb.go:52-235, pkg/formats/s3_parquet.go:106)
-  * as Spark-encodable case classes.
-  *
-  * A replicated Kafka message. `partition`/`offset` are the source
-  * coordinates; `sizeBytes` mirrors core.Message.Size()
-  * (reference: pkg/core/core.go:136 — key + value + header lengths).
-  */
-case class KMessage(
-    region: String,
-    topic: String,
-    partId: Int,
-    msgOffset: Long,
-    key: String,
-    value: String,
-    ts: Timestamp,
-    sizeBytes: Long)
-
 /** Segment identity + metadata, the unit of storage and compaction
   * (reference: pkg/core/messages.pb.go:52, pkg/formats/s3_parquet.go:37-44).
   * `level` 0 = streaming; compaction outputs level = max(input)+1.
+  *
+  * The message frame itself (reference: pkg/core/messages.pb.go:183 —
+  * key, value, partition, offset, timestamp; `msg_size` mirrors
+  * core.Message.Size() at pkg/core/core.go:136) lives as DataFrame
+  * columns `(part_id, msg_offset, key, msg_value, ts, msg_size)`
+  * produced by `MessageFraming` / `KafkaBridge.toMessages`; streaming
+  * code uses the typed `graft.streaming.StreamMessage`. Checkpoints
+  * are `(part_id, ckpt_offset)` rows (latest-per-key = compacted-topic
+  * semantics), lost ranges `(part_id, lost_start, lost_end,
+  * lost_count)` rows — see Checkpoints / GapDetector.
   */
 case class SegmentMeta(
     region: String,
@@ -33,13 +23,3 @@ case class SegmentMeta(
     endOffset: Long,
     messageCount: Long,
     sizeBytes: Long)
-
-/** Latest consumed offset per source partition
-  * (reference: pkg/stores/checkpoint_store.go — compacted-topic semantics).
-  */
-case class Checkpoint(region: String, topic: String, partId: Int, offset: Long)
-
-/** A contiguous range of offsets declared lost after late-segment retries
-  * are exhausted (reference: pkg/ingress/worker.go:105-130).
-  */
-case class LostRange(partId: Int, lostStart: Long, lostEnd: Long, lostCount: Long)

@@ -29,35 +29,28 @@ object Dedup {
     docs.groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Shingles with a document-frequency cap: shingles present in more
-    * than 1/20 of the corpus are dropped from the similarity universe
-    * (numerator AND denominator, so Jaccard stays consistent).
+  /** Shingles with a document-frequency cap, keyed by their 60-bit
+    * hash: shingles present in more than 1/20 of the corpus are
+    * dropped from the similarity universe (numerator AND denominator,
+    * so Jaccard stays consistent).
     *
-    * This is the standard stop-shingle filter from web-scale dedup:
-    * ultra-common shingles carry no similarity signal but create
-    * quadratic join fanout — the df cap bounds per-shingle fanout, so
-    * the pair join scales with true similarity, not vocabulary skew.
-    */
-  def cappedShingles(docs: DataFrame): DataFrame = {
-    val nDocs = docs.count()
-    // cached: both the df pass and the semi-join pass read it
-    val sh = shingleTable(docs).cache()
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") * 20 <= nDocs).select("s")
-    sh.join(rare, Seq("s"), "left_semi")
-  }
-
-  /** Capped shingles keyed by their 60-bit hash: all downstream
-    * shuffles/joins move fixed-width longs instead of k-char strings
-    * (hash-early is also the 100 TB design — the pair join's shuffle
-    * key is 8 bytes regardless of shingle width).
+    * The df cap is the standard stop-shingle filter from web-scale
+    * dedup — ultra-common shingles carry no similarity signal but
+    * create quadratic join fanout. Hash-early means every downstream
+    * shuffle/join moves fixed-width longs instead of k-char strings.
+    *
+    * The shingle table is cached (the df pass and the semi-join pass
+    * both read it, and the three dedup queries share the identical
+    * plan so Spark's cache manager serves them all); the corpus count
+    * is a broadcast scalar, not a driver-side action.
     */
   def cappedShingleHashes(docs: DataFrame): DataFrame = {
-    val nDocs = docs.count()
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val sh = shingleTable(docs)
       .select(col("doc_id"), hexHash60(col("s")).as("h")).cache()
     val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") * 20 <= nDocs).select("h")
+      .crossJoin(nDocs)
+      .filter(col("df") * 20 <= col("n_docs")).select("h")
     sh.join(rare, Seq("h"), "left_semi")
   }
 

@@ -281,8 +281,23 @@ object Compactor {
   def plan(segments: DataFrame, level: Int, minSegments: Int,
       maxSegments: Int): DataFrame = {
     val w = Window.partitionBy("part_id").orderBy("start_offset")
-    segments
+    // Contiguity: the reference refuses to compact across a missing
+    // offset range (compactor.go HasOffset error). Relationally: only
+    // the contiguous prefix of each partition — everything before the
+    // first gap — is eligible this run; segments at or past a gap wait
+    // (so GapDetector keeps reporting the gap instead of compaction
+    // absorbing it).
+    val flagged = segments
       .filter(col("level") === level)
+      .withColumn("prev_end", lag("end_offset", 1).over(w))
+      .withColumn("gap_before",
+        when(col("prev_end").isNotNull && col("start_offset") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("gaps_so_far",
+        sum("gap_before").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("gaps_so_far") === 0)
+      .drop("prev_end", "gap_before", "gaps_so_far")
+    flagged
       .withColumn("bin", ((row_number().over(w) - 1) / maxSegments).cast("long"))
       .groupBy("part_id", "bin")
       .agg(
@@ -304,7 +319,9 @@ object Compactor {
       .join(plan.select("part_id", "bin", "start_offset", "end_offset", "level"),
         Seq("part_id"))
       .filter(col("msg_offset").between(col("start_offset"), col("end_offset")))
-      .dropDuplicates("part_id", "msg_offset")
+      // per-BIN dedup: a message covered by two overlapping bins counts
+      // in both (each merged segment physically contains it)
+      .dropDuplicates("part_id", "bin", "msg_offset")
       .groupBy("part_id", "bin", "level")
       .agg(
         count(lit(1)).as("message_count"),

@@ -32,7 +32,7 @@ object TimeSeries {
       left.withColumn("__side", lit(1))) { (df, c) =>
       df.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType))
     }
-    val r0 = keys.foldLeft(right) { (df, _) => df }
+    val r0 = right
       .select((keys.map(col) :+ col(timeCol)) ++
         rightCols.map(c => col(c).as(s"asof_$c")): _*)
       .withColumn("__side", lit(0))

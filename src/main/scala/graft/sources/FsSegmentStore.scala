@@ -97,10 +97,14 @@ class FsSegmentStore(spark: SparkSession, val root: String) {
       val merged = open(region, topic, bin)
         .dropDuplicates("msg_offset")
         .sortWithinPartitions("msg_offset")
+        .cache() // two actions below: count + write
+      // endOffset = max over inputs, NOT bin.last's: overlapping
+      // segments (at-least-once rewinds) can end before an earlier one
       val meta = SegmentMeta(region, topic, partId, level + 1,
-        bin.head.startOffset, bin.last.endOffset,
+        bin.head.startOffset, bin.map(_.endOffset).max,
         messageCount = merged.count(), sizeBytes = -1L)
       write(merged.drop("start_offset", "end_offset", "seg_level", "level"), meta)
+      merged.unpersist()
       bin.foreach(delete)
       meta
     }

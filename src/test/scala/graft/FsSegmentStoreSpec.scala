@@ -42,6 +42,24 @@ class FsSegmentStoreSpec extends SparkSuite {
     assert(total === expect)
   }
 
+  test("compact endOffset covers overlapping inputs (rewind redelivery)") {
+    import spark.implicits._
+    val store = FsSegmentStore(spark, tmpDir("store"))
+    val mk = (s0: Long, e0: Long) => {
+      val rows = (s0 to e0).map(i => (0, i, s"k$i", 2L))
+        .toDF("part_id", "msg_offset", "key", "msg_size")
+      store.write(rows, graft.core.SegmentMeta("src", "t", 0, 0, s0, e0,
+        e0 - s0 + 1, -1L))
+    }
+    // overlapping segments from an at-least-once rewind: the LAST one
+    // by start offset ends EARLIER than its predecessor
+    mk(0L, 9L); mk(5L, 20L); mk(10L, 15L)
+    val out = store.compact("src", "t", 0, minSegments = 2, maxSegments = 5)
+    assert(out.size === 1)
+    assert(out.head.endOffset === 20L) // not 15 (bin.last's end)
+    assert(out.head.messageCount === 21L) // offsets 0..20 deduped
+  }
+
   test("compact merges contiguous runs, bumps level, deletes inputs") {
     val store = FsSegmentStore(spark, tmpDir("store"))
     writeRolled(store, 10)

@@ -79,6 +79,32 @@ class ReplicatorSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("replay_seq")).toSeq === (0L to 6L))
   }
 
+  test("compaction plan refuses to merge across a gap (contiguity)") {
+    import spark.implicits._
+    // partition 0: [0,9],[10,19], GAP, [30,39],[40,49]
+    val segs = Seq((0, 0L, 9L), (0, 10L, 19L), (0, 30L, 39L), (0, 40L, 49L))
+      .map { case (p, s0, e0) => (p, s0, e0, e0 - s0 + 1, 100L, 0) }
+      .toDF("part_id", "start_offset", "end_offset", "message_count",
+        "seg_bytes", "level")
+    val plan = Compactor.plan(segs, 0, minSegments = 2, maxSegments = 10).collect()
+    // only the contiguous prefix [0,19] compacts; post-gap segments wait
+    assert(plan.length === 1)
+    assert(plan.head.getAs[Long]("start_offset") === 0L)
+    assert(plan.head.getAs[Long]("end_offset") === 19L)
+  }
+
+  test("mergedStats counts a message once per covering bin") {
+    import spark.implicits._
+    val msgsDf = (0L until 20L).map(i => (0, i, 2L))
+      .toDF("part_id", "msg_offset", "msg_size")
+    // two overlapping bins [0,12] and [8,19]: offsets 8-12 in both
+    val plan = Seq((0, 0L, 0L, 12L, 1), (0, 1L, 8L, 19L, 1))
+      .toDF("part_id", "bin", "start_offset", "end_offset", "level")
+    val out = Compactor.mergedStats(msgsDf, plan)
+      .orderBy("bin").collect()
+    assert(out.map(_.getAs[Long]("message_count")).toSeq === Seq(13L, 12L))
+  }
+
   test("compaction plan: bins respect min/max and output level bumps") {
     val segs = SegmentRoller.byCount(messages, 50)
     val plan = Compactor.plan(segs, level = 0, minSegments = 2, maxSegments = 4)

@@ -22,6 +22,10 @@ for p in ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io", "java
     ADD_OPENS += ["--add-opens", f"java.base/{p}=ALL-UNNAMED"]
 
 def run_verify():
+    # wipe stale outputs: a query that now fails must not "pass" by
+    # diffing a previous run's parquet against the oracle
+    import shutil
+    shutil.rmtree(OUT, ignore_errors=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     cmd = ["java"] + ADD_OPENS + [
         "-Xmx8g", "-Dspark.ui.enabled=false",
