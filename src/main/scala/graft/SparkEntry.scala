@@ -477,11 +477,11 @@ object SparkEntry {
 
     "d_simhash" ->
       s"""WITH $NormCte, $TokCte,
-         |th AS (SELECT doc_id, ${H20.format("tok")} AS h FROM tok),
+         |th AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT AS h FROM tok),
          |votes AS (
          |  SELECT doc_id, b,
          |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS vote
-         |  FROM th, range(0, 24) r(b) GROUP BY doc_id, b
+         |  FROM th, range(0, 60) r(b) GROUP BY doc_id, b
          |),
          |shash AS (
          |  SELECT doc_id,

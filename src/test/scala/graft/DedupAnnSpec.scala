@@ -37,9 +37,35 @@ class DedupAnnSpec extends SparkSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
     nearDups.foreach { r =>
       val d = java.lang.Long.bitCount(sh(r.getLong(0)) ^ sh(r.getLong(1)))
-      // random 24-bit pairs average hamming 12; >=0.90-Jaccard pairs stay tiny
-      assert(d <= 4, s"pair ${r.getLong(0)},${r.getLong(1)} hamming $d")
+      // random 60-bit pairs average hamming 30; >=0.90-Jaccard pairs stay tiny
+      assert(d <= 10, s"pair ${r.getLong(0)},${r.getLong(1)} hamming $d")
     }
+  }
+
+  test("simhash banding is exact: banded pairs == all-pairs ground truth") {
+    // pigeonhole guarantee: maxHamming+1 disjoint bands -> any pair
+    // within maxHamming shares at least one band, so the banded
+    // equi-join finds exactly the pairs the O(n²) join would.
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash")))
+    val maxHamming = SparkEntry.SimhashMaxHamming
+    val expected = (for {
+      (ida, ha) <- sh; (idb, hb) <- sh if ida < idb
+      if java.lang.Long.bitCount(ha ^ hb) <= maxHamming
+    } yield (ida, idb)).toSet
+    val banded = Dedup.simhashPairs(docs, maxHamming)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    assert(banded === expected)
+  }
+
+  test("simhash hot-bucket cap prunes, never invents, pairs") {
+    val all = Dedup.simhashPairs(docs, SparkEntry.SimhashMaxHamming)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simhashPairs(docs, SparkEntry.SimhashMaxHamming, hotBucketCap = 2L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(all))
   }
 
   test("knn brute force: ranks descend in cosine, k per query") {

@@ -47,7 +47,7 @@ class PlanAuditSpec extends SparkSuite {
     // BroadcastNestedLoopJoin is allowed: the hyperplane/param tables
     // are deliberate tiny broadcast cross joins. A CartesianProduct
     // (shuffled n×m) would mean a candidate-generation equi-key got lost.
-    Seq("d_minhash_lsh", "d_ngram_jaccard", "d_embedding_dedup").foreach { q =>
+    Seq("d_minhash_lsh", "d_ngram_jaccard", "d_embedding_dedup", "d_simhash").foreach { q =>
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1500)}")
     }
