@@ -332,10 +332,11 @@ object SparkEntry {
        |  SELECT part_id, start_offset, end_offset, message_count, seg_bytes FROM (
        |    SELECT *, sum(CASE WHEN prev_end IS NOT NULL AND start_offset > prev_end + 1
        |                       THEN 1 ELSE 0 END)
-       |      OVER (PARTITION BY part_id ORDER BY start_offset
+       |      OVER (PARTITION BY part_id ORDER BY start_offset, end_offset
        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gaps_so_far
        |    FROM (
-       |      SELECT *, lag(end_offset) OVER (PARTITION BY part_id ORDER BY start_offset) AS prev_end
+       |      SELECT *, max(end_offset) OVER (PARTITION BY part_id ORDER BY start_offset, end_offset
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
        |      FROM segs WHERE level = 0
        |    )
        |  ) WHERE gaps_so_far = 0
@@ -1056,7 +1057,8 @@ object SparkEntry {
       s"""WITH $MsgCte, $SegCte, $PresentSegCte,
          |g AS (
          |  SELECT part_id, start_offset,
-         |         lag(end_offset) OVER (PARTITION BY part_id ORDER BY start_offset) AS prev_end
+         |         max(end_offset) OVER (PARTITION BY part_id ORDER BY start_offset, end_offset
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
          |  FROM present
          |)
          |SELECT part_id, prev_end + 1 AS lost_start, start_offset - 1 AS lost_end,

@@ -175,11 +175,19 @@ object Checkpoints {
 object GapDetector {
   /** Input: segment table (possibly with segments missing).
     * Output: one row per lost range (part_id, lost_start, lost_end, lost_count).
+    *
+    * `prev_end` is the RUNNING MAX of end_offset over all earlier
+    * segments, not lag(): with overlapping segments (at-least-once
+    * rewinds produce them) a segment fully contained in its
+    * predecessor would shrink a lag()-based prev_end and flag ranges
+    * that are in fact covered. The reference tracks
+    * nextOffset = max(end)+1 the same way (ingress/worker.go).
     */
   def lostRanges(segments: DataFrame): DataFrame = {
-    val w = Window.partitionBy("part_id").orderBy("start_offset")
+    val w = Window.partitionBy("part_id").orderBy("start_offset", "end_offset")
     segments
-      .withColumn("prev_end", lag("end_offset", 1).over(w))
+      .withColumn("prev_end",
+        max("end_offset").over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .filter(col("prev_end").isNotNull && col("start_offset") > col("prev_end") + 1)
       .select(
         col("part_id"),
@@ -280,16 +288,19 @@ object StoreReconciler {
 object Compactor {
   def plan(segments: DataFrame, level: Int, minSegments: Int,
       maxSegments: Int): DataFrame = {
-    val w = Window.partitionBy("part_id").orderBy("start_offset")
+    val w = Window.partitionBy("part_id").orderBy("start_offset", "end_offset")
     // Contiguity: the reference refuses to compact across a missing
     // offset range (compactor.go HasOffset error). Relationally: only
     // the contiguous prefix of each partition — everything before the
     // first gap — is eligible this run; segments at or past a gap wait
     // (so GapDetector keeps reporting the gap instead of compaction
-    // absorbing it).
+    // absorbing it). prev_end is the running max, not lag(): a
+    // contained segment must not flag a false gap (see
+    // GapDetector.lostRanges).
     val flagged = segments
       .filter(col("level") === level)
-      .withColumn("prev_end", lag("end_offset", 1).over(w))
+      .withColumn("prev_end",
+        max("end_offset").over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("gap_before",
         when(col("prev_end").isNotNull && col("start_offset") > col("prev_end") + 1, 1L)
           .otherwise(0L))

@@ -66,6 +66,33 @@ class ReplicatorSpec extends SparkSuite {
     assert(lost.getAs[Long]("lost_count") === 10L)
   }
 
+  test("gap detector: contained segments never flag a false gap") {
+    import spark.implicits._
+    // (0-9),(5-20),(10-15),(30-39): (10-15) is contained in (5-20);
+    // a lag()-based prev_end would shrink to 15 and report no gap at
+    // 21-29 starting from the wrong base. Running max keeps 20.
+    val segs = Seq((0, 0L, 9L), (0, 5L, 20L), (0, 10L, 15L), (0, 30L, 39L))
+      .toDF("part_id", "start_offset", "end_offset")
+    val lost = GapDetector.lostRanges(segs).collect()
+    assert(lost.length === 1)
+    assert(lost.head.getAs[Long]("lost_start") === 21L)
+    assert(lost.head.getAs[Long]("lost_end") === 29L)
+  }
+
+  test("compaction plan: contained segment does not halt the contiguous prefix") {
+    import spark.implicits._
+    // (0-9),(5-20),(10-15) all overlap/contain; then gap; then (30-39).
+    // All three pre-gap segments are eligible; the post-gap one waits.
+    val segs = Seq((0, 0L, 9L), (0, 5L, 20L), (0, 10L, 15L), (0, 30L, 39L))
+      .map { case (p, s0, e0) => (p, s0, e0, e0 - s0 + 1, 100L, 0) }
+      .toDF("part_id", "start_offset", "end_offset", "message_count",
+        "seg_bytes", "level")
+    val plan = Compactor.plan(segs, 0, minSegments = 2, maxSegments = 10).collect()
+    assert(plan.length === 1)
+    assert(plan.head.getAs[Long]("input_segments") === 3L)
+    assert(plan.head.getAs[Long]("end_offset") === 20L)
+  }
+
   test("ingress replay: checkpoint skip + overlap dedup + dense replay_seq") {
     import spark.implicits._
     val msgs = (0L until 10L).map(i => (0, i, s"k$i", s"v$i", 2L))
