@@ -7,7 +7,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.core.SegmentMeta
-import graft.operators.SegmentRoller
 import graft.sources.FsSegmentStore
 
 /** Continuous paths via Structured Streaming. The Kafka source is the
@@ -82,6 +81,12 @@ object StreamingEgress {
     * count-bounded segments and written to the segment store
     * (foreachBatch = the reference's consume→write→commit cycle, with
     * Spark's WAL providing the commit).
+    *
+    * ONE distributed write per batch: each row is labeled with its
+    * segment key (count-roll arithmetic + a min/max window) and the
+    * whole batch lands via the store's partitioned writer — no
+    * re-scan of the batch per segment, and dynamic partition
+    * overwrite makes redelivered batches idempotent.
     */
   def foreachBatchEgress(messages: DataFrame, store: FsSegmentStore,
       region: String, topic: String, maxMessages: Int,
@@ -91,18 +96,16 @@ object StreamingEgress {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val segs = SegmentRoller.byCount(batch, maxMessages)
-            .collect() // plan table only: a handful of segment bounds per batch
-          segs.foreach { row =>
-            val partId = row.getAs[Int]("part_id")
-            val meta = SegmentMeta(region, topic, partId, 0,
-              row.getAs[Long]("start_offset"), row.getAs[Long]("end_offset"),
-              row.getAs[Long]("message_count"), row.getAs[Long]("seg_bytes"))
-            store.write(
-              batch.filter(col("part_id") === partId &&
-                col("msg_offset").between(meta.startOffset, meta.endOffset)),
-              meta)
-          }
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("part_id", "seg_seq")
+          val labeled = batch
+            .withColumn("seg_seq", (col("msg_offset") / maxMessages).cast("long"))
+            .withColumn("start", min("msg_offset").over(w))
+            .withColumn("end", max("msg_offset").over(w))
+            .drop("seg_seq")
+            .withColumn("part", col("part_id"))
+            .withColumn("level", lit(0))
+          store.writePartitioned(labeled, region, topic)
         }
       }
       .start()
@@ -123,7 +126,7 @@ object StreamingIngress {
       streamCheckpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val segments = spark.readStream
       .schema(schema)
-      .parquet(s"$storeRoot/region=$region/topic=$topic/part=*/level=*/*")
+      .parquet(s"$storeRoot/region=$region/topic=$topic/part=*/level=*/start=*/end=*")
     segments.writeStream
       .outputMode("append")
       .option("checkpointLocation", streamCheckpointDir)

@@ -79,7 +79,7 @@ object PipelineDemo {
     val ckpt = Seq.range(0, MessageFraming.NumPartitions)
       .map(p => (p, 9L)).toDF("part_id", "ckpt_offset")
     val schema = store.open("src", "events", store.list("src", "events"))
-      .drop("start_offset", "end_offset", "seg_level").schema
+      .drop("start_offset", "end_offset", "seg_level", "seg_part").schema
     val ingress = StreamingIngress.fileReplay(spark, store.root, "src", "events",
       schema, ckpt, s"$workDir/dest", s"$workDir/ingress-ckpt")
     ingress.processAllAvailable()

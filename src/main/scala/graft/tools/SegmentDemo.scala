@@ -55,7 +55,8 @@ object SegmentDemo {
     val ckpt = Seq.range(0, graft.operators.MessageFraming.NumPartitions)
       .map(p => (p, 99L)).toDF("part_id", "ckpt_offset")
     val destDir = s"$storeDir-replayed"
-    val schema = store.open("src", "events", after).drop("start_offset", "end_offset", "seg_level").schema
+    val schema = store.open("src", "events", after)
+      .drop("start_offset", "end_offset", "seg_level", "seg_part").schema
     val q = graft.streaming.StreamingIngress.fileReplay(
       spark, store.root, "src", "events", schema, ckpt, destDir, s"$storeDir-ckpt")
     q.processAllAvailable(); q.stop()

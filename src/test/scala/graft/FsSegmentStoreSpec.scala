@@ -60,6 +60,54 @@ class FsSegmentStoreSpec extends SparkSuite {
     assert(out.head.messageCount === 21L) // offsets 0..20 deduped
   }
 
+  test("open plans exactly ONE parquet scan regardless of segment count") {
+    val store = FsSegmentStore(spark, tmpDir("store"))
+    writeRolled(store, 10)
+    val listed = store.list("src", "events")
+    assert(listed.size > 5)
+    val plan = store.open("src", "events", listed)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"$scans scan nodes:\n${plan.take(1500)}")
+  }
+
+  test("open identity columns match the listed metadata") {
+    val store = FsSegmentStore(spark, tmpDir("store"))
+    writeRolled(store, 25)
+    val listed = store.list("src", "events")
+    val opened = store.open("src", "events", listed)
+      .select("seg_part", "seg_level", "start_offset", "end_offset")
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val expect = listed.map(m => (m.partId, m.level, m.startOffset, m.endOffset)).toSet
+    assert(opened === expect)
+  }
+
+  test("compact refuses to merge across a gap; the gap stays observable") {
+    import spark.implicits._
+    val store = FsSegmentStore(spark, tmpDir("store"))
+    val mk = (s0: Long, e0: Long) => {
+      val rows = (s0 to e0).map(i => (0, i, s"k$i", 2L))
+        .toDF("part_id", "msg_offset", "key", "msg_size")
+      store.write(rows, graft.core.SegmentMeta("src", "t", 0, 0, s0, e0,
+        e0 - s0 + 1, -1L))
+    }
+    // [0,9],[10,19], GAP 20-29, [30,39],[40,49]
+    mk(0L, 9L); mk(10L, 19L); mk(30L, 39L); mk(40L, 49L)
+    val out = store.compact("src", "t", 0, minSegments = 2, maxSegments = 10)
+    // only the contiguous prefix merged; post-gap segments left in place
+    assert(out.size === 1)
+    assert(out.head.endOffset === 19L)
+    val after = store.list("src", "t")
+    assert(after.count(_.level === 0) === 2)
+    // the gap is still visible to the detector over the new inventory
+    val inv = after.map(m => (m.partId, m.startOffset, m.endOffset))
+      .toDF("part_id", "start_offset", "end_offset")
+    val lost = graft.operators.GapDetector.lostRanges(inv).collect()
+    assert(lost.length === 1)
+    assert((lost.head.getAs[Long]("lost_start"), lost.head.getAs[Long]("lost_end")) === (20L, 29L))
+  }
+
   test("compact merges contiguous runs, bumps level, deletes inputs") {
     val store = FsSegmentStore(spark, tmpDir("store"))
     writeRolled(store, 10)
