@@ -42,6 +42,30 @@ object SparkEntry {
     Checkpoints.fromSegments(
       countSegments(s, dir).filter(col("seg_seq") < CkptSegs), SegMaxMessages)
 
+  /** Leveled-compaction scenario: count segments re-labeled with
+    * levels and ages + one contained rewind segment per partition.
+    * seg 0-1 are level 3 (previously compacted → resume point),
+    * even seg_seq level 1 / odd level 2, created_epoch grows with
+    * seg_seq so the age gate cuts the young tail deterministically.
+    */
+  private def leveledSegments(s: SparkSession, dir: String): DataFrame = {
+    val segs = countSegments(s, dir)
+    val labeled = segs
+      .withColumn("level",
+        when(col("seg_seq") < 2, 3)
+          .when(col("seg_seq") % 2 === 0, 1).otherwise(2))
+      .withColumn("created_epoch", lit(1000L) + col("seg_seq") * 10L)
+      .select("part_id", "seg_seq", "start_offset", "end_offset",
+        "message_count", "seg_bytes", "level", "created_epoch")
+    val contained = segs.filter(col("seg_seq") === 2).select(
+      col("part_id"), lit(99L).as("seg_seq"),
+      (col("start_offset") + 10).as("start_offset"),
+      (col("start_offset") + 40).as("end_offset"),
+      lit(31L).as("message_count"), lit(100L).as("seg_bytes"),
+      lit(1).as("level"), lit(1000L).as("created_epoch"))
+    labeled.unionByName(contained)
+  }
+
   /** Anomalous stream for the audit: drop some offsets, duplicate others. */
   private def anomalousStream(s: SparkSession, dir: String): DataFrame = {
     val m = msgs(s, dir)
@@ -216,6 +240,13 @@ object SparkEntry {
         .select("part_id", "bin", "input_segments", "start_offset", "end_offset",
           "message_count", "seg_bytes", "level")
         .orderBy("part_id", "bin")),
+
+    "r_compaction_plan_leveled" -> ((s, dir) =>
+      Compactor.planLeveled(leveledSegments(s, dir),
+        minLevel = 1, maxLevel = 2, minAgeSec = 950L, nowEpoch = 2000L,
+        minSegments = 2, maxSegments = 3,
+        minBytes = 1L, maxBytes = 1000000000000000L)
+        .orderBy("part_id")),
 
     "r_compacted_merge" -> ((s, dir) => {
       val plan = Compactor.plan(countSegments(s, dir), 0, CompactMinSegs, CompactMaxSegs)
@@ -1088,6 +1119,78 @@ object SparkEntry {
          |SELECT part_id, bin, input_segments, start_offset, end_offset,
          |       message_count, seg_bytes, level
          |FROM plan ORDER BY part_id, bin""".stripMargin,
+
+    "r_compaction_plan_leveled" ->
+      s"""WITH $MsgCte, $SegCte,
+         |lvl AS (
+         |  SELECT part_id, start_offset, end_offset, seg_bytes,
+         |         CASE WHEN seg_seq < 2 THEN 3
+         |              WHEN seg_seq % 2 = 0 THEN 1 ELSE 2 END AS level,
+         |         (1000 + seg_seq * 10)::BIGINT AS created_epoch
+         |  FROM segs
+         |  UNION ALL
+         |  SELECT part_id, start_offset + 10, start_offset + 40, 100::BIGINT,
+         |         1, 1000::BIGINT
+         |  FROM segs WHERE seg_seq = 2
+         |),
+         |resume AS (
+         |  SELECT part_id, max(end_offset) AS resume_end FROM lvl
+         |  WHERE level > 2 GROUP BY part_id
+         |),
+         |flagged AS (
+         |  SELECT *,
+         |    CASE WHEN contained = false AND cnt_before < 3
+         |              AND bytes_before < 1000000000000000 THEN true
+         |         ELSE false END AS included
+         |  FROM (
+         |    SELECT *,
+         |      coalesce(sum(CASE WHEN NOT contained THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY part_id ORDER BY start_offset, end_offset
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_before,
+         |      coalesce(sum(CASE WHEN NOT contained THEN seg_bytes END)
+         |        OVER (PARTITION BY part_id ORDER BY start_offset, end_offset
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bytes_before
+         |    FROM (
+         |      SELECT *,
+         |        (end_offset <= base) AS contained,
+         |        sum(CASE WHEN base >= 0 AND start_offset > base + 1
+         |                      AND end_offset > base THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY part_id ORDER BY start_offset, end_offset
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gaps_so_far
+         |      FROM (
+         |        SELECT e.*, r.resume_end,
+         |          greatest(
+         |            coalesce(max(end_offset) OVER (PARTITION BY e.part_id
+         |              ORDER BY start_offset, end_offset
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1),
+         |            coalesce(r.resume_end, -1)) AS base
+         |        FROM (SELECT * FROM lvl
+         |              WHERE level BETWEEN 1 AND 2 AND created_epoch <= 2000 - 950) e
+         |        LEFT JOIN resume r ON e.part_id = r.part_id
+         |      )
+         |    ) WHERE gaps_so_far = 0
+         |  )
+         |),
+         |consumed AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY part_id ORDER BY start_offset, end_offset) AS idx,
+         |    max(CASE WHEN included THEN idx0 END) OVER (PARTITION BY part_id) AS last_inc
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY part_id
+         |          ORDER BY start_offset, end_offset) AS idx0 FROM flagged)
+         |)
+         |SELECT part_id, start_offset, end_offset, input_segments, in_bytes,
+         |       out_level, (end_offset - start_offset + 1)::BIGINT AS message_count
+         |FROM (
+         |  SELECT part_id,
+         |    coalesce(max(resume_end) + 1, min(CASE WHEN included THEN start_offset END)) AS start_offset,
+         |    max(CASE WHEN included THEN end_offset END) AS end_offset,
+         |    sum(CASE WHEN included THEN 1 ELSE 0 END)::BIGINT AS input_segments,
+         |    sum(CASE WHEN included THEN seg_bytes END)::BIGINT AS in_bytes,
+         |    (max(CASE WHEN idx0 <= last_inc THEN level END) + 1)::INT AS out_level
+         |  FROM consumed GROUP BY part_id
+         |)
+         |WHERE input_segments >= 2 AND in_bytes >= 1
+         |ORDER BY part_id""".stripMargin,
 
     "r_compacted_merge" ->
       s"""WITH $MsgCte, $SegCte, $PlanCte,

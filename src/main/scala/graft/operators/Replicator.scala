@@ -321,6 +321,83 @@ object Compactor {
       .withColumn("level", lit(level + 1))
   }
 
+  /** Full leveled-compaction planning — the reference's complete
+    * candidate-selection semantics (compactor.go getSegments,
+    * 163-230), one output segment per partition per run, expressed as
+    * window arithmetic (no driver loop, shuffles once on part_id):
+    *
+    *   - segments with level < minLevel are invisible;
+    *   - segments with level > maxLevel are not merged again but set
+    *     the RESUME point: merging restarts after their max endOffset;
+    *   - eligible segments (minLevel..maxLevel) must be at least
+    *     minAgeSec old at nowEpoch (MinSegmentAge gate);
+    *   - a segment wholly below the running coverage (endOffset <=
+    *     running max) is CONSUMED but not counted — the
+    *     previously-compacted-overlap skip;
+    *   - greedy accumulation stops once the run has maxSegments
+    *     segments or maxBytes bytes (inclusive of the crossing
+    *     segment, like egress isFull);
+    *   - a partition below minSegments / minBytes is skipped whole.
+    *
+    * Deviation (documented): on a coverage hole the reference errors
+    * the whole run ('missing message range'); graft stops at the gap
+    * and compacts the contiguous prefix, leaving the gap observable
+    * to GapDetector — same no-absorption guarantee, no failed run.
+    *
+    * `nowEpoch` is a parameter, not a clock read, so plans are
+    * deterministic and oracle-checkable.
+    */
+  def planLeveled(segments: DataFrame, minLevel: Int, maxLevel: Int,
+      minAgeSec: Long, nowEpoch: Long, minSegments: Int, maxSegments: Int,
+      minBytes: Long, maxBytes: Long): DataFrame = {
+    val resume = segments
+      .filter(col("level") > maxLevel)
+      .groupBy("part_id").agg(max("end_offset").as("resume_end"))
+    val w = Window.partitionBy("part_id").orderBy("start_offset", "end_offset")
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = segments
+      .filter(col("level").between(minLevel, maxLevel))
+      .filter(col("created_epoch") <= nowEpoch - minAgeSec)
+      .join(resume, Seq("part_id"), "left")
+      .withColumn("base", greatest(
+        coalesce(max("end_offset").over(before), lit(-1L)),
+        coalesce(col("resume_end"), lit(-1L))))
+      .withColumn("contained", col("end_offset") <= col("base"))
+      .withColumn("gap", col("base") >= 0 &&
+        col("start_offset") > col("base") + 1 && !col("contained"))
+      .withColumn("gaps_so_far",
+        sum(when(col("gap"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("gaps_so_far") === 0)
+      .withColumn("cnt_before", coalesce(
+        sum(when(!col("contained"), 1L).otherwise(0L)).over(before), lit(0L)))
+      .withColumn("bytes_before", coalesce(
+        sum(when(!col("contained"), col("seg_bytes"))).over(before), lit(0L)))
+      .withColumn("included", !col("contained") &&
+        col("cnt_before") < maxSegments && col("bytes_before") < maxBytes)
+      .withColumn("idx", row_number().over(w))
+      .withColumn("last_inc",
+        max(when(col("included"), col("idx"))).over(Window.partitionBy("part_id")))
+      .withColumn("consumed", col("idx") <= col("last_inc"))
+    flagged
+      .groupBy("part_id")
+      .agg(
+        sum(when(col("included"), 1L).otherwise(0L)).as("input_segments"),
+        sum(when(col("included"), col("seg_bytes"))).as("in_bytes"),
+        min(when(col("included"), col("start_offset"))).as("first_start"),
+        max(when(col("included"), col("end_offset"))).as("end_offset"),
+        max(when(col("consumed"), col("level"))).as("max_lvl"),
+        first("resume_end").as("resume_end"))
+      .filter(col("input_segments") >= minSegments && col("in_bytes") >= minBytes)
+      .withColumn("start_offset",
+        coalesce(col("resume_end") + 1, col("first_start")))
+      .select(
+        col("part_id"), col("start_offset"), col("end_offset"),
+        col("input_segments"), col("in_bytes"),
+        (col("max_lvl") + 1).cast("int").as("out_level"),
+        (col("end_offset") - col("start_offset") + 1).as("message_count"))
+  }
+
   /** Merge step: pull the messages of each planned bin, dedup by offset
     * (overlap between inputs), and emit merged-segment stats. The real
     * file-store variant lives in graft.sources.FsSegmentStore.

@@ -142,6 +142,71 @@ class ReplicatorSpec extends SparkSuite {
     assert(rows.forall(_.getAs[Int]("level") === 1))
   }
 
+  // -- leveled compaction: mirrors reference compaction_test.go cases --
+
+  private def leveledFixture = {
+    import spark.implicits._
+    // (start, end, bytes, level, created): resume seg at level 3,
+    // eligible chain with one contained rewind, a young tail, and a
+    // below-minLevel segment that must stay invisible
+    Seq(
+      (0, 0L, 99L, 100L, 3, 100L),   // level > maxLevel -> resume point
+      (0, 100L, 199L, 100L, 1, 100L),
+      (0, 110L, 150L, 50L, 1, 100L), // contained: consumed, not counted
+      (0, 200L, 299L, 100L, 2, 100L),
+      (0, 300L, 399L, 100L, 1, 100L),
+      (0, 400L, 499L, 100L, 1, 999L), // young: fails MinSegmentAge
+      (0, 500L, 599L, 100L, 0, 100L)  // below minLevel: invisible
+    ).toDF("part_id", "start_offset", "end_offset", "seg_bytes", "level",
+      "created_epoch")
+  }
+
+  private def planLvl(maxSegments: Int = 10, maxBytes: Long = 1000000L,
+      minSegments: Int = 2, minBytes: Long = 1L) =
+    Compactor.planLeveled(leveledFixture, minLevel = 1, maxLevel = 2,
+      minAgeSec = 500L, nowEpoch = 1000L, minSegments = minSegments,
+      maxSegments = maxSegments, minBytes = minBytes, maxBytes = maxBytes)
+      .collect()
+
+  test("planLeveled: resume + age gate + contained consumption") {
+    val out = planLvl()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("start_offset") === 100L) // resume_end + 1
+    assert(r.getAs[Long]("end_offset") === 399L)   // young tail excluded
+    assert(r.getAs[Long]("input_segments") === 3L) // contained not counted
+    assert(r.getAs[Int]("out_level") === 3)        // max consumed level 2 + 1
+    assert(r.getAs[Long]("message_count") === 300L)
+  }
+
+  test("planLeveled: MaxSegmentCount stops the run") {
+    val r = planLvl(maxSegments = 2).head
+    assert(r.getAs[Long]("input_segments") === 2L)
+    assert(r.getAs[Long]("end_offset") === 299L)
+  }
+
+  test("planLeveled: MaxSegmentSize stops inclusively at the crossing segment") {
+    val r = planLvl(maxBytes = 150L).head
+    assert(r.getAs[Long]("input_segments") === 2L)
+    assert(r.getAs[Long]("end_offset") === 299L)
+    assert(r.getAs[Long]("in_bytes") === 200L)
+  }
+
+  test("planLeveled: below MinSegmentCount / MinSegmentSize skips the partition") {
+    assert(planLvl(minSegments = 5).isEmpty)
+    assert(planLvl(minBytes = 10000L).isEmpty)
+  }
+
+  test("planLeveled: a coverage hole stops the run at the gap") {
+    import spark.implicits._
+    val withHole = leveledFixture.filter(col("start_offset") =!= 200L)
+    val out = Compactor.planLeveled(withHole, 1, 2, 500L, 1000L,
+      minSegments = 1, maxSegments = 10, minBytes = 1L, maxBytes = 1000000L)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("end_offset") === 199L) // stops before 300
+  }
+
   test("kafka wire frame converts to the graft message frame") {
     import spark.implicits._
     val wire = Seq(
