@@ -111,7 +111,109 @@ object StreamingEgress {
       .start()
 }
 
+/** One discovered-segment event (the SQS/event-stream analogue —
+  * reference: pkg/stores/sqs_segment_event_source.go). A negative
+  * startOffset is a heartbeat: it advances the group's tick clock
+  * without adding a segment (stands in for the reference's timers).
+  */
+case class SegmentEvent(partId: Int, startOffset: Long, endOffset: Long)
+
+/** One planned replay step: `action` is "replay" (deliver
+  * [startOffset, endOffset]) or "lost" (the range was declared lost
+  * after the backoff ladder — reference: ingress/worker.go:129-145).
+  */
+case class ReplayAction(partId: Int, action: String, startOffset: Long,
+    endOffset: Long)
+
+/** Ingress planner state per partition (the reference controlLoop's
+  * locals: checkpoint, heap, lateSegmentRetry, first-segment timer —
+  * reference: pkg/ingress/worker.go:92-156).
+  */
+case class IngressPlanState(nextOffset: Long, started: Boolean,
+    firstTicks: Int, retries: Int, pending: List[(Long, Long)])
+
 object StreamingIngress {
+
+  /** Ordered, resilient replay PLANNING over a live segment-event
+    * stream — the reference ingress controlLoop as a stateful stream
+    * operator (reference: pkg/ingress/worker.go:96-170):
+    *
+    *   - segments replay in startOffset order, never before the
+    *     running nextOffset (overlap skip: a segment wholly below it
+    *     is dropped; a partial overlap replays from nextOffset);
+    *   - with no checkpoint, replay starts only after
+    *     `firstSegmentDelayTicks` ticks (FirstSegmentDelay): an
+    *     out-of-order EARLIER segment arriving within the delay is
+    *     replayed first instead of being declared lost;
+    *   - a late segment (head starts past nextOffset) is retried for
+    *     `maxLateRetries` ticks — if the missing segment arrives it
+    *     slots in; only after the ladder is exhausted is
+    *     [nextOffset, head.start-1] declared LOST and replay resumes;
+    *   - one tick = one micro-batch invocation for the group
+    *     (heartbeat events drive ticks deterministically — the
+    *     batch-time analogue of the reference's backoff timers).
+    *
+    * This is the metadata/control plane: it emits the replay plan;
+    * the data plane ([[fileReplay]]) moves the bytes. checkpoints maps
+    * part_id -> last delivered offset (replay resumes after it).
+    */
+  def orderedReplay(events: Dataset[SegmentEvent],
+      checkpoints: Map[Int, Long], firstSegmentDelayTicks: Int,
+      maxLateRetries: Int): Dataset[ReplayAction] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def drain(partId: Int, st0: IngressPlanState,
+        out: scala.collection.mutable.ArrayBuffer[ReplayAction]): IngressPlanState = {
+      var st = st0
+      var blocked = false
+      while (st.pending.nonEmpty && !blocked) {
+        val (s0, e0) = st.pending.head
+        if (e0 < st.nextOffset) {
+          st = st.copy(pending = st.pending.tail) // fully replayed already
+        } else if (s0 <= st.nextOffset) {
+          out += ReplayAction(partId, "replay", math.max(s0, st.nextOffset), e0)
+          st = st.copy(nextOffset = e0 + 1, retries = 0, pending = st.pending.tail)
+        } else if (st.retries < maxLateRetries) {
+          st = st.copy(retries = st.retries + 1) // one backoff step per tick
+          blocked = true
+        } else {
+          out += ReplayAction(partId, "lost", st.nextOffset, s0 - 1)
+          out += ReplayAction(partId, "replay", s0, e0)
+          st = st.copy(nextOffset = e0 + 1, retries = 0, pending = st.pending.tail)
+        }
+      }
+      st
+    }
+
+    def update(partId: Int, rows: Iterator[SegmentEvent],
+        state: GroupState[IngressPlanState]): Iterator[ReplayAction] = {
+      val ckpt = checkpoints.get(partId)
+      var st = state.getOption.getOrElse(IngressPlanState(
+        nextOffset = ckpt.map(_ + 1).getOrElse(-1L),
+        started = ckpt.isDefined, firstTicks = 0, retries = 0, pending = Nil))
+      val arrived = rows.filter(_.startOffset >= 0)
+        .map(e => (e.startOffset, e.endOffset)).toList
+      st = st.copy(pending = (st.pending ++ arrived).sortBy(identity))
+      val out = scala.collection.mutable.ArrayBuffer.empty[ReplayAction]
+      if (!st.started) {
+        // FirstSegmentDelay: wait ticks before trusting the earliest
+        // pending segment as the true start of the stream
+        if (st.pending.nonEmpty) {
+          st = st.copy(firstTicks = st.firstTicks + 1)
+          if (st.firstTicks >= firstSegmentDelayTicks)
+            st = st.copy(started = true, nextOffset = st.pending.head._1)
+        }
+      }
+      if (st.started) st = drain(partId, st, out)
+      state.update(st)
+      out.iterator
+    }
+
+    events.groupByKey(_.partId)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
   /** Continuous replay: watch the segment store for new segment files
     * (the file-source analogue of the reference's SQS segment events —
     * reference: pkg/stores/sqs_segment_event_source.go), then per

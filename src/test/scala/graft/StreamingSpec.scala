@@ -87,12 +87,87 @@ class StreamingSpec extends SparkSuite {
     val ckpt = Seq((0, 2L)).toDF("part_id", "ckpt_offset")
     val dest = tmpDir("ingress-dest")
     val q = StreamingIngress.fileReplay(spark, store.root, "src", "t",
-      msgs.schema.add("level", "int"), ckpt, dest, tmpDir("ingress-ckpt"))
+      msgs.schema, ckpt, dest, tmpDir("ingress-ckpt"))
     try {
       q.processAllAvailable()
       val out = spark.read.parquet(dest)
       assert(out.count() === 7) // offsets 3..9
       assert(out.agg(min("msg_offset")).head.getLong(0) === 3L)
+    } finally q.stop()
+  }
+
+  // ---- orderedReplay: the reference controlLoop's resilience ----
+
+  private def replayHarness(checkpoints: Map[Int, Long], delayTicks: Int,
+      maxRetries: Int, name: String) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SegmentEvent]
+    val q = StreamingIngress.orderedReplay(input.toDS(), checkpoints,
+      delayTicks, maxRetries)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", tmpDir(s"ckpt-$name")).start()
+    (input, q)
+  }
+
+  private def actions(name: String): Seq[(String, Long, Long)] =
+    spark.table(name).collect()
+      .map(r => (r.getAs[String]("action"), r.getAs[Long]("startOffset"),
+        r.getAs[Long]("endOffset"))).toSeq
+
+  test("orderedReplay: an out-of-order segment is replayed, not lost") {
+    val (input, q) = replayHarness(Map(0 -> -1L), 0, maxRetries = 3, "replay_ooo")
+    try {
+      input.addData(SegmentEvent(0, 10L, 19L)) // arrives BEFORE [0,9]
+      q.processAllAvailable()
+      assert(actions("replay_ooo").isEmpty) // late: waiting, not lost
+      input.addData(SegmentEvent(0, 0L, 9L)) // the missing one shows up
+      q.processAllAvailable()
+      assert(actions("replay_ooo") ===
+        Seq(("replay", 0L, 9L), ("replay", 10L, 19L)))
+    } finally q.stop()
+  }
+
+  test("orderedReplay: a never-arriving segment is lost only after the ladder") {
+    val (input, q) = replayHarness(Map(0 -> -1L), 0, maxRetries = 2, "replay_lost")
+    try {
+      input.addData(SegmentEvent(0, 10L, 19L))
+      q.processAllAvailable() // tick 1: retry 1
+      input.addData(SegmentEvent(0, -1L, -1L)) // heartbeat tick 2: retry 2
+      q.processAllAvailable()
+      assert(actions("replay_lost").isEmpty) // still inside the ladder
+      input.addData(SegmentEvent(0, -1L, -1L)) // tick 3: ladder exhausted
+      q.processAllAvailable()
+      assert(actions("replay_lost") ===
+        Seq(("lost", 0L, 9L), ("replay", 10L, 19L)))
+    } finally q.stop()
+  }
+
+  test("orderedReplay: FirstSegmentDelay lets an earlier segment slot in") {
+    // no checkpoint: replay must NOT trust the first-seen segment
+    // immediately — the true start may still be in flight
+    val (input, q) = replayHarness(Map.empty, delayTicks = 2,
+      maxRetries = 0, "replay_first")
+    try {
+      input.addData(SegmentEvent(0, 10L, 19L))
+      q.processAllAvailable() // tick 1 of the delay: nothing replayed
+      assert(actions("replay_first").isEmpty)
+      input.addData(SegmentEvent(0, 0L, 9L)) // earlier segment arrives
+      q.processAllAvailable() // tick 2: delay satisfied, start at 0
+      assert(actions("replay_first") ===
+        Seq(("replay", 0L, 9L), ("replay", 10L, 19L)))
+    } finally q.stop()
+  }
+
+  test("orderedReplay: checkpoint skip and partial-overlap trim") {
+    val (input, q) = replayHarness(Map(0 -> 4L), 0, 0, "replay_ckpt")
+    try {
+      // [0,3] fully below ckpt -> dropped; [2,7] overlaps -> trimmed to [5,7]
+      input.addData(SegmentEvent(0, 0L, 3L), SegmentEvent(0, 2L, 7L),
+        SegmentEvent(0, 8L, 9L))
+      q.processAllAvailable()
+      assert(actions("replay_ckpt") ===
+        Seq(("replay", 5L, 7L), ("replay", 8L, 9L)))
     } finally q.stop()
   }
 
