@@ -24,16 +24,19 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink executes the FULL plan (count() would let Catalyst
       // elide sorts and prune aggregates)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val ok = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query records the -1 sentinel, never a bogus duration
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    graft.operators.Dedup.releaseShingleCaches(spark)
     spark.stop()
   }
 }

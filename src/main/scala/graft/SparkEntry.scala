@@ -231,6 +231,23 @@ object SparkEntry {
       GapDetector.lostRanges(presentSegments(s, dir))
         .orderBy("part_id", "lost_start")),
 
+    // lost ranges with at-least-once rewind segments in the inventory:
+    // contained duplicates must NOT shrink coverage or flag false gaps
+    // (running-max contiguity — reference ingress nextOffset = max(end)+1)
+    "r_lost_ranges" -> ((s, dir) => {
+      val present = presentSegments(s, dir)
+        .select("part_id", "seg_seq", "start_offset", "end_offset", "message_count")
+      val contained = present
+        .filter(col("seg_seq") % 5 === 1 && col("message_count") === SegMaxMessages)
+        .select(col("part_id"),
+          (col("start_offset") + 10).as("start_offset"),
+          (col("start_offset") + 40).as("end_offset"))
+      GapDetector.lostRanges(
+        present.select("part_id", "start_offset", "end_offset")
+          .unionByName(contained))
+        .orderBy("part_id", "lost_start")
+    }),
+
     "r_ingress_replay" -> ((s, dir) =>
       Ingress.replay(msgs(s, dir), presentSegments(s, dir), checkpoints(s, dir))
         .orderBy("part_id", "msg_offset")),
@@ -1091,6 +1108,25 @@ object SparkEntry {
          |         max(end_offset) OVER (PARTITION BY part_id ORDER BY start_offset, end_offset
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
          |  FROM present
+         |)
+         |SELECT part_id, prev_end + 1 AS lost_start, start_offset - 1 AS lost_end,
+         |       start_offset - prev_end - 1 AS lost_count
+         |FROM g WHERE prev_end IS NOT NULL AND start_offset > prev_end + 1
+         |ORDER BY part_id, lost_start""".stripMargin,
+
+    "r_lost_ranges" ->
+      s"""WITH $MsgCte, $SegCte, $PresentSegCte,
+         |aug AS (
+         |  SELECT part_id, start_offset, end_offset FROM present
+         |  UNION ALL
+         |  SELECT part_id, start_offset + 10, start_offset + 40 FROM present
+         |  WHERE seg_seq % 5 = 1 AND message_count = $SegMaxMessages
+         |),
+         |g AS (
+         |  SELECT part_id, start_offset,
+         |         max(end_offset) OVER (PARTITION BY part_id ORDER BY start_offset, end_offset
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM aug
          |)
          |SELECT part_id, prev_end + 1 AS lost_start, start_offset - 1 AS lost_end,
          |       start_offset - prev_end - 1 AS lost_count

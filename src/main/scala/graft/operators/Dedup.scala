@@ -40,19 +40,36 @@ object Dedup {
     * shuffle/join moves fixed-width longs instead of k-char strings.
     *
     * The shingle table is cached (the df pass and the semi-join pass
-    * both read it, and the three dedup queries share the identical
-    * plan so Spark's cache manager serves them all); the corpus count
-    * is a broadcast scalar, not a driver-side action.
+    * both read it); all dedup queries over the same docs plan in a
+    * session share ONE cached handle via a registry keyed by the
+    * canonicalized plan, releasable with [[releaseShingleCaches]] —
+    * no per-call cache entries accumulating for the session's life.
+    * The corpus count is a broadcast scalar, not a driver-side action.
     */
   def cappedShingleHashes(docs: DataFrame): DataFrame = {
-    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
-    val sh = shingleTable(docs)
-      .select(col("doc_id"), hexHash60(col("s")).as("h")).cache()
-    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .crossJoin(nDocs)
-      .filter(col("df") * 20 <= col("n_docs")).select("h")
-    sh.join(rare, Seq("h"), "left_semi")
+    val key = (docs.sparkSession, docs.queryExecution.logical.canonicalized.toString)
+    shCache.getOrElseUpdate(key, {
+      val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      val sh = shingleTable(docs)
+        .select(col("doc_id"), hexHash60(col("s")).as("h")).cache()
+      val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+        .crossJoin(nDocs)
+        .filter(col("df") * 20 <= col("n_docs")).select("h")
+      (sh.join(rare, Seq("h"), "left_semi"), sh)
+    })._1
   }
+
+  /** (capped result, the cached inner shingle table to unpersist). */
+  private val shCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Unpersist every shingle table cached for `spark` (call when the
+    * dedup queries of a session are done).
+    */
+  def releaseShingleCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    shCache.keys.filter(_._1 eq spark).foreach { k =>
+      shCache.remove(k).foreach(_._2.unpersist())
+    }
 
   /** Exact Jaccard over df-capped k-shingles for every pair sharing a
     * shingle. Output: pairs with similarity >= minJaccardBp/10000.

@@ -161,11 +161,26 @@ object StreamAudit {
   * pkg/egress/worker.go:92-116 completeSegment → commitOffset).
   */
 object Checkpoints {
-  def fromSegments(segments: DataFrame, maxMessages: Int): DataFrame =
+  /** Checkpoint = max endOffset over CLOSED segments, where `closed`
+    * is the caller's roll rule. Count-rolled tables pass
+    * [[closedByCount]]; size/age-rolled tables pass [[closedBySize]]
+    * (the reference's isFull: bytes >= max OR count == max —
+    * pkg/egress/worker.go:54) — a byte-closed segment commits too.
+    */
+  def fromSegments(segments: DataFrame, closed: Column): DataFrame =
     segments
-      .filter(col("message_count") === maxMessages)
+      .filter(closed)
       .groupBy("part_id")
       .agg(max("end_offset").as("ckpt_offset"))
+
+  def fromSegments(segments: DataFrame, maxMessages: Int): DataFrame =
+    fromSegments(segments, closedByCount(maxMessages))
+
+  def closedByCount(maxMessages: Int): Column =
+    col("message_count") === maxMessages
+
+  def closedBySize(maxBytes: Long, maxMessages: Int): Column =
+    col("seg_bytes") >= maxBytes || col("message_count") >= maxMessages
 }
 
 /** Gap detection over the segment inventory: a partition whose next

@@ -282,6 +282,25 @@ object KafkaBridge {
         .cast("long").as("msg_size"))
 }
 
+/** ST5: at-least-once upstream delivery (the reference's guarantee —
+  * failed segment writes rewind and redeliver, pkg/egress/worker.go)
+  * → exactly-once downstream via watermarked stream deduplication.
+  */
+object StreamingDedup {
+  /** Drop redelivered rows: rows equal on `keys` emit exactly once
+    * within the event-time watermark on `eventTimeCol`. State is
+    * bounded by the watermark — expired keys age out, so the dedup
+    * map does not grow with the stream (the 100 TB contract).
+    */
+  def exactlyOnce(stream: DataFrame, eventTimeCol: String,
+      watermark: String, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one dedup key")
+    stream
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
+}
+
 object StreamMetrics {
   /** Watermarked per-partition hourly metrics over the live stream
     * (reference: pkg/egress/metrics.go — volume/count meters, here as

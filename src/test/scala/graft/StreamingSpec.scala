@@ -175,11 +175,10 @@ class StreamingSpec extends SparkSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // at-least-once upstream (the reference's delivery guarantee) →
-    // exactly-once downstream via watermarked stream deduplication
+    // exactly-once downstream via the graft.streaming operator
     val input = MemoryStream[StreamMessage]
-    val deduped = input.toDS().toDF()
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("partId", "msgOffset")
+    val deduped = StreamingDedup.exactlyOnce(input.toDS().toDF(),
+      eventTimeCol = "ts", watermark = "1 hour", keys = Seq("partId", "msgOffset"))
     val q = deduped.writeStream.format("memory").queryName("deduped")
       .outputMode("append")
       .option("checkpointLocation", tmpDir("ckpt-dedup")).start()
