@@ -155,7 +155,11 @@ object StreamingIngress {
     *
     * This is the metadata/control plane: it emits the replay plan;
     * the data plane ([[fileReplay]]) moves the bytes. checkpoints maps
-    * part_id -> last delivered offset (replay resumes after it).
+    * part_id -> last delivered offset (replay resumes after it) — a
+    * snapshot read at query (re)start; within a run the state's own
+    * nextOffset advances, and [[replayWithCommits]] persists each
+    * batch's delivered offsets so the NEXT run's snapshot is current
+    * (the reference's restart guarantee).
     */
   def orderedReplay(events: Dataset[SegmentEvent],
       checkpoints: Map[Int, Long], firstSegmentDelayTicks: Int,
@@ -214,17 +218,57 @@ object StreamingIngress {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(update)
   }
+
+  /** [[orderedReplay]] wired to a live checkpoint store: the plan
+    * resumes from the store's latest offsets (read at query start —
+    * so a FRESH query after a crash/redeploy starts where the last
+    * one delivered, not where a stale snapshot said), and every
+    * micro-batch COMMITS its replayed ranges back (reference:
+    * pkg/ingress/worker.go:218 — checkpoint advanced per replayed
+    * segment). `onBatch` is the delivery hook (produce/collect).
+    */
+  def replayWithCommits(events: Dataset[SegmentEvent],
+      ckptStore: graft.sources.FsCheckpointStore,
+      firstSegmentDelayTicks: Int, maxLateRetries: Int,
+      streamCheckpointDir: String)(onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val actions = orderedReplay(events, ckptStore.latestMap(),
+      firstSegmentDelayTicks, maxLateRetries)
+    actions.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", streamCheckpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        onBatch(b)
+        val delivered = b.filter(col("action") === "replay")
+          .groupBy(col("partId").as("part_id"))
+          .agg(max("endOffset").as("ckpt_offset"))
+        if (!delivered.isEmpty) ckptStore.commit(delivered)
+        b.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Continuous replay: watch the segment store for new segment files
     * (the file-source analogue of the reference's SQS segment events —
     * reference: pkg/stores/sqs_segment_event_source.go), then per
     * micro-batch order by (partition, offset), drop rows at or below
-    * the checkpoint, and append to the destination (a directory sink
-    * standing in for the Kafka producer; `format("kafka")` is the
-    * config swap on a real cluster).
+    * the CURRENT checkpoint, append to the destination (a directory
+    * sink standing in for the Kafka producer; `format("kafka")` is the
+    * config swap on a real cluster), and ADVANCE the checkpoint to the
+    * batch's delivered high offsets (reference:
+    * pkg/ingress/worker.go:155-170,218 — checkpoint committed after
+    * each replayed segment).
+    *
+    * The checkpoint is re-read from the store EVERY batch, so a
+    * restarted query — even one with a fresh stream WAL that re-reads
+    * every segment file — redelivers nothing at or below the offsets
+    * the previous run committed.
     */
   def fileReplay(spark: SparkSession, storeRoot: String, region: String,
       topic: String, schema: org.apache.spark.sql.types.StructType,
-      checkpoints: DataFrame, destDir: String,
+      ckptStore: graft.sources.FsCheckpointStore, destDir: String,
       streamCheckpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val segments = spark.readStream
       .schema(schema)
@@ -233,14 +277,19 @@ object StreamingIngress {
       .outputMode("append")
       .option("checkpointLocation", streamCheckpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ckpt = broadcast(checkpoints)
-        batch
+        val ckpt = broadcast(ckptStore.latest())
+        val delivered = batch
           .join(ckpt, Seq("part_id"), "left")
           .filter(col("ckpt_offset").isNull || col("msg_offset") > col("ckpt_offset"))
           .drop("ckpt_offset")
           .dropDuplicates("part_id", "msg_offset")
           .sortWithinPartitions("part_id", "msg_offset")
-          .write.mode("append").parquet(destDir)
+          .persist()
+        delivered.write.mode("append").parquet(destDir)
+        val advanced = delivered.groupBy("part_id")
+          .agg(max("msg_offset").as("ckpt_offset"))
+        if (!advanced.isEmpty) ckptStore.commit(advanced)
+        delivered.unpersist()
         ()
       }
       .start()

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.MessageFraming
-import graft.sources.{FsSegmentStore, Tables}
+import graft.sources.{FsCheckpointStore, FsSegmentStore, Tables}
 import graft.streaming.{StreamMessage, StreamingEgress, StreamingIngress}
 
 /** Live end-to-end replication topology in one process — the
@@ -75,15 +75,18 @@ object PipelineDemo {
     val compacted = store.compact("src", "events", 0, 2, 4)
     println(s"[pipeline] compaction merged into ${compacted.size} level-1 segments")
 
-    // --- ingress leg: watch the store, replay ordered past checkpoint 9 ---
-    val ckpt = Seq.range(0, MessageFraming.NumPartitions)
-      .map(p => (p, 9L)).toDF("part_id", "ckpt_offset")
+    // --- ingress leg: watch the store, replay ordered past checkpoint 9,
+    //     advancing the durable checkpoint store per batch ---
+    val ckptStore = FsCheckpointStore(spark, s"$workDir/ckpt-store")
+    ckptStore.commit(Seq.range(0, MessageFraming.NumPartitions)
+      .map(p => (p, 9L)).toDF("part_id", "ckpt_offset"))
     val schema = store.open("src", "events", store.list("src", "events"))
       .drop("start_offset", "end_offset", "seg_level", "seg_part").schema
     val ingress = StreamingIngress.fileReplay(spark, store.root, "src", "events",
-      schema, ckpt, s"$workDir/dest", s"$workDir/ingress-ckpt")
+      schema, ckptStore, s"$workDir/dest", s"$workDir/ingress-ckpt")
     ingress.processAllAvailable()
     ingress.stop()
+    println(s"[pipeline] checkpoint store advanced to ${ckptStore.latestMap().toSeq.sorted}")
 
     val dest = spark.read.parquet(s"$workDir/dest")
     val delivered = dest.count()

@@ -52,13 +52,14 @@ object SegmentDemo {
     // continuous ingress: stream the store into a destination dir,
     // skipping everything at or below a checkpoint at offset 99
     import spark.implicits._
-    val ckpt = Seq.range(0, graft.operators.MessageFraming.NumPartitions)
-      .map(p => (p, 99L)).toDF("part_id", "ckpt_offset")
+    val ckptStore = graft.sources.FsCheckpointStore(spark, s"$storeDir-ckstore")
+    ckptStore.commit(Seq.range(0, graft.operators.MessageFraming.NumPartitions)
+      .map(p => (p, 99L)).toDF("part_id", "ckpt_offset"))
     val destDir = s"$storeDir-replayed"
     val schema = store.open("src", "events", after)
       .drop("start_offset", "end_offset", "seg_level", "seg_part").schema
     val q = graft.streaming.StreamingIngress.fileReplay(
-      spark, store.root, "src", "events", schema, ckpt, destDir, s"$storeDir-ckpt")
+      spark, store.root, "src", "events", schema, ckptStore, destDir, s"$storeDir-ckpt")
     q.processAllAvailable(); q.stop()
     val replayed = spark.read.parquet(destDir)
     println(s"[demo] streamed replay past checkpoint 99: ${replayed.count()} messages, " +

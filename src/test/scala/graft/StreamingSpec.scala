@@ -84,16 +84,99 @@ class StreamingSpec extends SparkSuite {
       store.write(msgs.filter(col("msg_offset").between(s0, e0)),
         graft.core.SegmentMeta("src", "t", 0, 0, s0, e0, e0 - s0 + 1, -1L))
     }
-    val ckpt = Seq((0, 2L)).toDF("part_id", "ckpt_offset")
+    val ckptStore = graft.sources.FsCheckpointStore(spark, tmpDir("ingress-ckstore"))
+    ckptStore.commit(Seq((0, 2L)).toDF("part_id", "ckpt_offset"))
     val dest = tmpDir("ingress-dest")
     val q = StreamingIngress.fileReplay(spark, store.root, "src", "t",
-      msgs.schema, ckpt, dest, tmpDir("ingress-ckpt"))
+      msgs.schema, ckptStore, dest, tmpDir("ingress-ckpt"))
     try {
       q.processAllAvailable()
       val out = spark.read.parquet(dest)
       assert(out.count() === 7) // offsets 3..9
       assert(out.agg(min("msg_offset")).head.getLong(0) === 3L)
+      // the batch advanced the durable checkpoint to the delivered max
+      assert(ckptStore.latestMap() === Map(0 -> 9L))
     } finally q.stop()
+  }
+
+  test("fileReplay restart: fresh query redelivers nothing below the advanced checkpoint") {
+    import spark.implicits._
+    val store = graft.sources.FsSegmentStore(spark, tmpDir("restart-store"))
+    val mk = (s0: Long, e0: Long) => {
+      val rows = (s0 to e0).map(i => (0, i, s"k$i", 3L))
+        .toDF("part_id", "msg_offset", "key", "msg_size")
+      store.write(rows, graft.core.SegmentMeta("src", "t", 0, 0, s0, e0,
+        e0 - s0 + 1, -1L))
+    }
+    mk(0L, 4L); mk(5L, 9L)
+    val ckptStore = graft.sources.FsCheckpointStore(spark, tmpDir("restart-ckstore"))
+    val dest = tmpDir("restart-dest")
+    val msgsSchema = Seq((0, 0L, "k", 3L))
+      .toDF("part_id", "msg_offset", "key", "msg_size").schema
+
+    // run 1: no prior checkpoint — everything delivers, checkpoint -> 9
+    val q1 = StreamingIngress.fileReplay(spark, store.root, "src", "t",
+      msgsSchema, ckptStore, dest, tmpDir("restart-wal1"))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(dest).count() === 10)
+    assert(ckptStore.latestMap() === Map(0 -> 9L))
+
+    // run 2: FRESH stream WAL — the file source re-reads every segment
+    // file, but the durable checkpoint blocks all redelivery
+    val q2 = StreamingIngress.fileReplay(spark, store.root, "src", "t",
+      msgsSchema, ckptStore, dest, tmpDir("restart-wal2"))
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(dest).count() === 10) // zero redelivery
+      // new data past the checkpoint still flows and re-advances it
+      mk(10L, 14L)
+      q2.processAllAvailable()
+      val out = spark.read.parquet(dest)
+      assert(out.count() === 15)
+      assert(out.dropDuplicates("part_id", "msg_offset").count() === 15)
+      assert(ckptStore.latestMap() === Map(0 -> 14L))
+    } finally q2.stop()
+  }
+
+  test("replayWithCommits restart-resume: the plan resumes after delivered offsets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckptStore = graft.sources.FsCheckpointStore(spark, tmpDir("plan-ckstore"))
+
+    // run 1: two segments replay; each batch commits its high offset
+    val in1 = MemoryStream[SegmentEvent]
+    val q1 = StreamingIngress.replayWithCommits(in1.toDS(), ckptStore,
+      firstSegmentDelayTicks = 1, maxLateRetries = 0,
+      tmpDir("plan-wal1")) { b =>
+      b.collect(); ()
+    }
+    try {
+      in1.addData(SegmentEvent(0, 0L, 9L))
+      q1.processAllAvailable()
+      in1.addData(SegmentEvent(0, 10L, 19L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(ckptStore.latestMap() === Map(0 -> 19L))
+
+    // run 2: fresh query + fresh WAL; the SAME segments are re-announced
+    // (an event-source redelivery flood) plus one new segment — only the
+    // new one replays, with no FirstSegmentDelay (a checkpoint exists)
+    val in2 = MemoryStream[SegmentEvent]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val q2 = StreamingIngress.replayWithCommits(in2.toDS(), ckptStore,
+      firstSegmentDelayTicks = 5, maxLateRetries = 0,
+      tmpDir("plan-wal2")) { b =>
+      seen ++= b.collect().map(r => (r.getAs[String]("action"),
+        r.getAs[Long]("startOffset"), r.getAs[Long]("endOffset")))
+      ()
+    }
+    try {
+      in2.addData(SegmentEvent(0, 0L, 9L), SegmentEvent(0, 10L, 19L),
+        SegmentEvent(0, 20L, 29L))
+      q2.processAllAvailable()
+      assert(seen.toSeq === Seq(("replay", 20L, 29L)))
+      assert(ckptStore.latestMap() === Map(0 -> 29L))
+    } finally q2.stop()
   }
 
   // ---- orderedReplay: the reference controlLoop's resilience ----
