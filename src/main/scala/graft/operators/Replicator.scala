@@ -362,15 +362,23 @@ object Compactor {
     * `nowEpoch` is a parameter, not a clock read, so plans are
     * deterministic and oracle-checkable.
     */
-  def planLeveled(segments: DataFrame, minLevel: Int, maxLevel: Int,
-      minAgeSec: Long, nowEpoch: Long, minSegments: Int, maxSegments: Int,
-      minBytes: Long, maxBytes: Long): DataFrame = {
+  /** Per-segment selection flags for one leveled-compaction run — the
+    * row-level view behind [[planLeveled]], shared with the store
+    * executor (`FsSegmentStore.compactLeveled`) so plan and execution
+    * cannot drift. Adds to each eligible segment: `contained` (wholly
+    * below running coverage — consumed but not counted), `included`
+    * (inside the count/byte caps), `consumed` (part of the run:
+    * everything up to the last included segment), `resume_end`.
+    */
+  def planLeveledFlags(segments: DataFrame, minLevel: Int, maxLevel: Int,
+      minAgeSec: Long, nowEpoch: Long, maxSegments: Int,
+      maxBytes: Long): DataFrame = {
     val resume = segments
       .filter(col("level") > maxLevel)
       .groupBy("part_id").agg(max("end_offset").as("resume_end"))
     val w = Window.partitionBy("part_id").orderBy("start_offset", "end_offset")
     val before = w.rowsBetween(Window.unboundedPreceding, -1)
-    val flagged = segments
+    segments
       .filter(col("level").between(minLevel, maxLevel))
       .filter(col("created_epoch") <= nowEpoch - minAgeSec)
       .join(resume, Seq("part_id"), "left")
@@ -394,7 +402,13 @@ object Compactor {
       .withColumn("last_inc",
         max(when(col("included"), col("idx"))).over(Window.partitionBy("part_id")))
       .withColumn("consumed", col("idx") <= col("last_inc"))
-    flagged
+  }
+
+  def planLeveled(segments: DataFrame, minLevel: Int, maxLevel: Int,
+      minAgeSec: Long, nowEpoch: Long, minSegments: Int, maxSegments: Int,
+      minBytes: Long, maxBytes: Long): DataFrame = {
+    planLeveledFlags(segments, minLevel, maxLevel, minAgeSec, nowEpoch,
+      maxSegments, maxBytes)
       .groupBy("part_id")
       .agg(
         sum(when(col("included"), 1L).otherwise(0L)).as("input_segments"),

@@ -91,6 +91,22 @@ class FsSegmentStore(spark: SparkSession, val root: String) {
       .withColumn("end_offset", regexp_extract(file, "/end=(\\d+)/", 1).cast("long"))
   }
 
+  /** Inventory with store-side metadata — the reference's SegmentInfo
+    * (pkg/formats/s3_parquet.go: Segment + store {timestamp, size}):
+    * sizeBytes = sum of the segment dir's file lengths, createdEpoch =
+    * newest file mtime in seconds. Still a driver-side metadata LIST.
+    */
+  def listInfo(region: String, topic: String): Seq[FsSegmentStore.SegmentInfo] = {
+    val f = fs
+    list(region, topic).map { m =>
+      val files = f.listStatus(new Path(segmentPath(m))).filter(_.isFile)
+      FsSegmentStore.SegmentInfo(
+        m.copy(sizeBytes = files.map(_.getLen).sum),
+        createdEpoch = if (files.isEmpty) 0L
+          else files.map(_.getModificationTime).max / 1000L)
+    }
+  }
+
   def delete(m: SegmentMeta): Unit = {
     fs.delete(new Path(segmentPath(m)), true); ()
   }
@@ -172,6 +188,100 @@ class FsSegmentStore(spark: SparkSession, val root: String) {
     }
   }
 
+  /** Full leveled compaction against the store — the reference's
+    * executable compactor (pkg/compaction/compactor.go:114-163:
+    * create → copy in offset order skipping compacted offsets → close
+    * → delete inputs), with candidate selection delegated to
+    * [[graft.operators.Compactor.planLeveledFlags]] so the store
+    * executes EXACTLY the oracle-gated planner semantics: level range,
+    * MinSegmentAge, resume past higher-level coverage, contained-
+    * segment consumption, count/byte caps (inclusive crossing),
+    * min-count/min-bytes skip, stop-at-gap.
+    *
+    * One merged segment per partition per run at
+    * level = max(consumed level) + 1. Execution stays ONE read over
+    * all consumed inputs + ONE partitioned write (no per-bin jobs);
+    * messages at or below a higher-level resume point are skipped
+    * (already compacted), duplicates deduped per offset.
+    */
+  def compactLeveled(region: String, topic: String, minLevel: Int,
+      maxLevel: Int, minAgeSec: Long, nowEpoch: Long, minSegments: Int,
+      maxSegments: Int, minBytes: Long, maxBytes: Long): Seq[SegmentMeta] = {
+    val spark0 = spark
+    import spark0.implicits._
+    val inv = listInfo(region, topic)
+    if (inv.isEmpty) return Seq.empty
+    val segDf = inv.map { i =>
+      (i.meta.partId, i.meta.level, i.meta.startOffset, i.meta.endOffset,
+        i.meta.sizeBytes, i.createdEpoch)
+    }.toDF("part_id", "level", "start_offset", "end_offset", "seg_bytes",
+      "created_epoch")
+    val flags = graft.operators.Compactor
+      .planLeveledFlags(segDf, minLevel, maxLevel, minAgeSec, nowEpoch,
+        maxSegments, maxBytes)
+      .select("part_id", "level", "start_offset", "end_offset", "seg_bytes",
+        "resume_end", "included", "consumed")
+      .collect() // metadata-scale: one row per eligible segment
+
+    val byMeta = inv.map(i => (i.meta.partId, i.meta.level,
+      i.meta.startOffset, i.meta.endOffset) -> i.meta).toMap
+    val bins = flags.groupBy(_.getAs[Int]("part_id")).toSeq.flatMap {
+      case (partId, rows) =>
+        val included = rows.filter(_.getAs[Boolean]("included"))
+        val inBytes = included.map(_.getAs[Long]("seg_bytes")).sum
+        if (included.length < minSegments || inBytes < minBytes) None
+        else {
+          val consumed = rows.filter(_.getAs[Boolean]("consumed")).map { r =>
+            byMeta((partId, r.getAs[Int]("level"),
+              r.getAs[Long]("start_offset"), r.getAs[Long]("end_offset")))
+          }
+          val resumeEnd = rows.head.getAs[Any]("resume_end") match {
+            case null => -1L; case v: Long => v
+          }
+          val start =
+            if (resumeEnd >= 0) resumeEnd + 1
+            else included.map(_.getAs[Long]("start_offset")).min
+          val end = included.map(_.getAs[Long]("end_offset")).max
+          val outLevel = consumed.map(_.level).max + 1
+          Some(FsSegmentStore.LeveledBin(partId, start, end, outLevel,
+            consumed.toSeq))
+        }
+    }
+    if (bins.isEmpty) return Seq.empty
+
+    val inputs = bins.flatMap(_.inputs)
+    val binMap = bins.flatMap { b =>
+      b.inputs.map(m => (m.partId, m.startOffset, m.endOffset,
+        b.startOffset, b.endOffset, b.level))
+    }.toDF("seg_part", "start_offset", "end_offset", "out_start", "out_end",
+      "out_level")
+    val merged = open(region, topic, inputs)
+      .join(broadcast(binMap), Seq("seg_part", "start_offset", "end_offset"))
+      // skip offsets already covered by higher-level segments (resume)
+      .filter(col("msg_offset").between(col("out_start"), col("out_end")))
+      .dropDuplicates("seg_part", "msg_offset") // one bin per partition
+      .cache()
+    val counts = merged.groupBy("seg_part").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[Int]("seg_part") -> r.getAs[Long]("n")).toMap
+
+    writePartitioned(
+      merged
+        .drop("start_offset", "end_offset", "seg_level")
+        .withColumn("part", col("seg_part")).drop("seg_part")
+        .withColumnRenamed("out_level", "level")
+        .withColumnRenamed("out_start", "start")
+        .withColumnRenamed("out_end", "end"),
+      region, topic)
+    merged.unpersist()
+
+    inputs.foreach(delete)
+    bins.map { b =>
+      SegmentMeta(region, topic, b.partId, b.level, b.startOffset, b.endOffset,
+        messageCount = counts.getOrElse(b.partId, 0L), sizeBytes = -1L)
+    }
+  }
+
   /** Driver-side bin planning over the (metadata-scale) inventory:
     * per partition, sort by (start, end), keep only the contiguous
     * prefix (stop at the first gap past the running max end), group
@@ -200,6 +310,13 @@ object FsSegmentStore {
   /** One planned compaction bin: its output segment key + inputs. */
   case class Bin(partId: Int, startOffset: Long, endOffset: Long,
       inputs: Seq[SegmentMeta])
+
+  /** One leveled-run output: key, output level, consumed inputs. */
+  case class LeveledBin(partId: Int, startOffset: Long, endOffset: Long,
+      level: Int, inputs: Seq[SegmentMeta])
+
+  /** Segment + store-side metadata (reference SegmentInfo). */
+  case class SegmentInfo(meta: SegmentMeta, createdEpoch: Long)
 
   def apply(spark: SparkSession, root: String) = new FsSegmentStore(spark, root)
 }

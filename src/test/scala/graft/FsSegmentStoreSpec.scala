@@ -108,6 +108,72 @@ class FsSegmentStoreSpec extends SparkSuite {
     assert((lost.head.getAs[Long]("lost_start"), lost.head.getAs[Long]("lost_end")) === (20L, 29L))
   }
 
+  private def mkLeveled(store: FsSegmentStore)(level: Int, s0: Long, e0: Long): Unit = {
+    import spark.implicits._
+    val rows = (s0 to e0).map(i => (0, i, s"k$i", 2L))
+      .toDF("part_id", "msg_offset", "key", "msg_size")
+    store.write(rows, SegmentMeta("src", "t", 0, level, s0, e0, e0 - s0 + 1, -1L))
+  }
+
+  test("compactLeveled: level range + resume past higher-level coverage") {
+    val store = FsSegmentStore(spark, tmpDir("store"))
+    val mk = mkLeveled(store) _
+    mk(5, 0L, 19L)  // above maxLevel: not merged, sets the resume point
+    mk(1, 10L, 29L) // overlaps the compacted range: replay only 20..29
+    mk(2, 30L, 49L)
+    mk(1, 50L, 59L)
+    mk(0, 60L, 69L) // below minLevel: invisible to this run
+    val now = System.currentTimeMillis() / 1000L + 3600L
+    val out = store.compactLeveled("src", "t", minLevel = 1, maxLevel = 2,
+      minAgeSec = 0L, nowEpoch = now, minSegments = 2, maxSegments = 10,
+      minBytes = 0L, maxBytes = Long.MaxValue / 4)
+    assert(out.size === 1)
+    val seg = out.head
+    assert(seg.startOffset === 20L) // resume_end(19) + 1
+    assert(seg.endOffset === 59L)
+    assert(seg.level === 3) // max consumed input level (2) + 1
+    assert(seg.messageCount === 40L) // 20..59, compacted offsets skipped
+    val after = store.list("src", "t")
+    assert(after.map(_.level).sorted === Seq(0, 3, 5)) // inputs deleted
+    // the merged data is exactly offsets 20..59, once each
+    val rows = store.open("src", "t", after.filter(_.level == 3))
+    assert(rows.count() === 40L)
+    assert(rows.agg(min("msg_offset"), max("msg_offset")).head ===
+      org.apache.spark.sql.Row(20L, 59L))
+  }
+
+  test("compactLeveled: byte cap stops the run, leftover segments stay") {
+    val store = FsSegmentStore(spark, tmpDir("store"))
+    val mk = mkLeveled(store) _
+    mk(1, 0L, 9L); mk(1, 10L, 19L); mk(1, 20L, 29L); mk(1, 30L, 39L)
+    val sizes = store.listInfo("src", "t")
+      .map(i => i.meta.startOffset -> i.meta.sizeBytes).toMap
+    val now = System.currentTimeMillis() / 1000L + 3600L
+    // cap = size of the first two segments: the third crosses the cap
+    // (bytes_before = cap, not < cap) and stays, as does the fourth
+    val out = store.compactLeveled("src", "t", minLevel = 1, maxLevel = 1,
+      minAgeSec = 0L, nowEpoch = now, minSegments = 2, maxSegments = 10,
+      minBytes = 0L, maxBytes = sizes(0L) + sizes(10L))
+    assert(out.size === 1)
+    assert((out.head.startOffset, out.head.endOffset) === (0L, 19L))
+    assert(out.head.level === 2)
+    val after = store.list("src", "t")
+    assert(after.filter(_.level == 1).map(_.startOffset).sorted === Seq(20L, 30L))
+  }
+
+  test("compactLeveled: MinSegmentAge gate skips young segments") {
+    val store = FsSegmentStore(spark, tmpDir("store"))
+    val mk = mkLeveled(store) _
+    mk(1, 0L, 9L); mk(1, 10L, 19L)
+    val before = store.list("src", "t")
+    val out = store.compactLeveled("src", "t", minLevel = 1, maxLevel = 1,
+      minAgeSec = 86400L, nowEpoch = System.currentTimeMillis() / 1000L,
+      minSegments = 2, maxSegments = 10, minBytes = 0L,
+      maxBytes = Long.MaxValue / 4)
+    assert(out.isEmpty)
+    assert(store.list("src", "t").toSet === before.toSet) // untouched
+  }
+
   test("compact merges contiguous runs, bumps level, deletes inputs") {
     val store = FsSegmentStore(spark, tmpDir("store"))
     writeRolled(store, 10)
