@@ -276,6 +276,24 @@ object SparkEntry {
     "r_partition_metrics" -> ((s, dir) =>
       ReplicationMetrics.perPartition(msgs(s, dir)).orderBy("part_id")),
 
+    // rewind/late/lost meters over a deterministic arrival log:
+    // present segments arrive in seg order, except seg_seq%9==4 which
+    // arrives AFTER its successor (out-of-order → late mark) and
+    // seg_seq%5==2 which is redelivered once (at-least-once rewind);
+    // the dropped seg_seq%7==3 segments never arrive (lost ranges)
+    "r_replay_metrics" -> ((s, dir) => {
+      val present = presentSegments(s, dir)
+        .select("part_id", "seg_seq", "start_offset", "end_offset")
+      val originals = present.withColumn("arrival_seq",
+        col("seg_seq") * 2 + when(col("seg_seq") % 9 === 4, 3L).otherwise(0L))
+      val redelivered = present.filter(col("seg_seq") % 5 === 2)
+        .withColumn("arrival_seq", col("seg_seq") * 2 + 1)
+      ReplayAudit.metrics(
+        originals.unionByName(redelivered)
+          .select("part_id", "arrival_seq", "start_offset", "end_offset"))
+        .orderBy("part_id")
+    }),
+
     "r_header_stats" -> ((s, dir) =>
       Headers.headerStats(msgs(s, dir)).orderBy("part_id")),
 
@@ -1263,6 +1281,54 @@ object SparkEntry {
          |FROM l FULL OUTER JOIN e USING (part_id, seg_seq)
          |WHERE in_list IS NULL OR in_events IS NULL
          |ORDER BY part_id, seg_seq""".stripMargin,
+
+    "r_replay_metrics" ->
+      s"""WITH $MsgCte, $SegCte, $PresentSegCte,
+         |arr AS (
+         |  SELECT part_id, start_offset, end_offset,
+         |         (seg_seq*2 + CASE WHEN seg_seq % 9 = 4 THEN 3 ELSE 0 END)::BIGINT AS arrival_seq
+         |  FROM present
+         |  UNION ALL
+         |  SELECT part_id, start_offset, end_offset, (seg_seq*2 + 1)::BIGINT
+         |  FROM present WHERE seg_seq % 5 = 2
+         |),
+         |f AS (
+         |  SELECT *,
+         |    coalesce(max(end_offset) OVER (PARTITION BY part_id
+         |      ORDER BY arrival_seq, start_offset, end_offset
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prior_max,
+         |    row_number() OVER (PARTITION BY part_id, start_offset, end_offset
+         |      ORDER BY arrival_seq) AS dup_n
+         |  FROM arr
+         |),
+         |base AS (
+         |  SELECT part_id, count(*)::BIGINT AS n_arrivals,
+         |    sum(CASE WHEN dup_n > 1 THEN 1 ELSE 0 END)::BIGINT AS segments_rewinded,
+         |    sum(CASE WHEN dup_n > 1 THEN end_offset - start_offset + 1 ELSE 0 END)::BIGINT AS messages_rewinded,
+         |    sum(CASE WHEN prior_max >= 0 AND start_offset > prior_max + 1
+         |             THEN 1 ELSE 0 END)::BIGINT AS late_events,
+         |    min(start_offset) AS min_s, max(end_offset) AS max_e
+         |  FROM f GROUP BY part_id
+         |),
+         |g AS (
+         |  SELECT part_id, start_offset,
+         |         max(end_offset) OVER (PARTITION BY part_id ORDER BY start_offset, end_offset
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM arr
+         |),
+         |holes AS (
+         |  SELECT part_id, count(*)::BIGINT AS lost_ranges,
+         |         sum(start_offset - prev_end - 1)::BIGINT AS messages_lost
+         |  FROM g WHERE prev_end IS NOT NULL AND start_offset > prev_end + 1
+         |  GROUP BY part_id
+         |)
+         |SELECT b.part_id AS part_id, n_arrivals, segments_rewinded, messages_rewinded,
+         |       late_events,
+         |       (max_e - min_s + 1 - coalesce(messages_lost, 0))::BIGINT AS messages_delivered,
+         |       coalesce(lost_ranges, 0)::BIGINT AS lost_ranges,
+         |       coalesce(messages_lost, 0)::BIGINT AS messages_lost
+         |FROM base b LEFT JOIN holes h ON b.part_id = h.part_id
+         |ORDER BY b.part_id""".stripMargin,
 
     "r_partition_metrics" ->
       s"""WITH $MsgCte,

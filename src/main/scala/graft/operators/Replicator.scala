@@ -447,6 +447,62 @@ object Compactor {
         sum("msg_size").as("merged_bytes"))
 }
 
+/** Rewind/late/lost meters over an ARRIVAL-ordered segment delivery
+  * log — the reference's per-partition worker counters (reference:
+  * pkg/egress/worker.go:75-85 segmentsRewinded/messagesRewinded on
+  * redelivery after a failed write; pkg/ingress/worker.go:131-143
+  * segmentsLate/segmentsLost/messagesLost through the backoff ladder),
+  * re-expressed as one window pass over the log:
+  *
+  *   - a REWIND is an exact redelivery: the same (partition, start,
+  *     end) segment arriving again (what a failed-write rewind
+  *     produces);
+  *   - a LATE event is an arrival that finds a gap open (its start is
+  *     past the running-max end + 1) — the moments the reference marks
+  *     a segment late and arms the backoff timer; a later backfill
+  *     arrival un-marks it (and is itself neither late nor a rewind);
+  *   - LOST ranges are the holes remaining in FINAL coverage
+  *     ([[GapDetector]] semantics); messages_delivered is the covered
+  *     span minus those holes.
+  */
+object ReplayAudit {
+  /** arrivals: (part_id, arrival_seq, start_offset, end_offset). */
+  def metrics(arrivals: DataFrame): DataFrame = {
+    val wArr = Window.partitionBy("part_id")
+      .orderBy("arrival_seq", "start_offset", "end_offset")
+    val wDup = Window.partitionBy("part_id", "start_offset", "end_offset")
+      .orderBy("arrival_seq")
+    val flagged = arrivals
+      .withColumn("prior_max", coalesce(
+        max("end_offset").over(wArr.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(-1L)))
+      .withColumn("dup_n", row_number().over(wDup))
+    val base = flagged.groupBy("part_id").agg(
+      count(lit(1)).as("n_arrivals"),
+      sum(when(col("dup_n") > 1, 1L).otherwise(0L)).as("segments_rewinded"),
+      sum(when(col("dup_n") > 1, col("end_offset") - col("start_offset") + 1)
+        .otherwise(0L)).as("messages_rewinded"),
+      sum(when(col("prior_max") >= 0 &&
+        col("start_offset") > col("prior_max") + 1, 1L).otherwise(0L))
+        .as("late_events"),
+      min("start_offset").as("min_s"),
+      max("end_offset").as("max_e"))
+    val holes = GapDetector
+      .lostRanges(arrivals.select("part_id", "start_offset", "end_offset"))
+      .groupBy("part_id").agg(
+        count(lit(1)).as("lost_ranges"),
+        sum("lost_count").as("messages_lost"))
+    base.join(holes, Seq("part_id"), "left")
+      .select(
+        col("part_id"), col("n_arrivals"), col("segments_rewinded"),
+        col("messages_rewinded"), col("late_events"),
+        (col("max_e") - col("min_s") + 1 - coalesce(col("messages_lost"), lit(0L)))
+          .as("messages_delivered"),
+        coalesce(col("lost_ranges"), lit(0L)).as("lost_ranges"),
+        coalesce(col("messages_lost"), lit(0L)).as("messages_lost"))
+  }
+}
+
 /** Per-partition replication metrics (reference: pkg/egress/metrics.go,
   * pkg/ingress/metrics.go): volume, counts, and lag — here event-time
   * lag of each partition behind the global high-watermark.

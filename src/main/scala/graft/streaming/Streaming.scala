@@ -119,8 +119,11 @@ object StreamingEgress {
 case class SegmentEvent(partId: Int, startOffset: Long, endOffset: Long)
 
 /** One planned replay step: `action` is "replay" (deliver
-  * [startOffset, endOffset]) or "lost" (the range was declared lost
-  * after the backoff ladder — reference: ingress/worker.go:129-145).
+  * [startOffset, endOffset]), "late" (the range is missing and the
+  * backoff ladder just armed — the reference's segmentsLate mark,
+  * ingress/worker.go:131-143; a later "replay" covering it is the
+  * un-mark), or "lost" (the range was declared lost after the ladder
+  * exhausted — ingress/worker.go:129-145).
   */
 case class ReplayAction(partId: Int, action: String, startOffset: Long,
     endOffset: Long)
@@ -179,6 +182,9 @@ object StreamingIngress {
           out += ReplayAction(partId, "replay", math.max(s0, st.nextOffset), e0)
           st = st.copy(nextOffset = e0 + 1, retries = 0, pending = st.pending.tail)
         } else if (st.retries < maxLateRetries) {
+          // first blocked tick marks the missing range late (metered)
+          if (st.retries == 0)
+            out += ReplayAction(partId, "late", st.nextOffset, s0 - 1)
           st = st.copy(retries = st.retries + 1) // one backoff step per tick
           blocked = true
         } else {
@@ -249,6 +255,26 @@ object StreamingIngress {
       }
       .start()
   }
+
+  /** Per-partition meters over a (batch of the) replay-action stream —
+    * the ingress worker's counters (reference:
+    * pkg/ingress/worker.go:131-143: segmentsReplayed, segmentsLate,
+    * segmentsLost, messagesLost).
+    */
+  def replayCounters(actions: DataFrame): DataFrame =
+    actions.groupBy("partId").agg(
+      sum(when(col("action") === "replay", 1L).otherwise(0L))
+        .as("segments_replayed"),
+      sum(when(col("action") === "replay",
+        col("endOffset") - col("startOffset") + 1).otherwise(0L))
+        .as("messages_replayed"),
+      sum(when(col("action") === "late", 1L).otherwise(0L))
+        .as("segments_late"),
+      sum(when(col("action") === "lost", 1L).otherwise(0L))
+        .as("lost_ranges"),
+      sum(when(col("action") === "lost",
+        col("endOffset") - col("startOffset") + 1).otherwise(0L))
+        .as("messages_lost"))
 
   /** Continuous replay: watch the segment store for new segment files
     * (the file-source analogue of the reference's SQS segment events —

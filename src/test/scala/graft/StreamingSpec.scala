@@ -203,11 +203,12 @@ class StreamingSpec extends SparkSuite {
     try {
       input.addData(SegmentEvent(0, 10L, 19L)) // arrives BEFORE [0,9]
       q.processAllAvailable()
-      assert(actions("replay_ooo").isEmpty) // late: waiting, not lost
+      // waiting, not lost — the missing range is MARKED late (metered)
+      assert(actions("replay_ooo") === Seq(("late", 0L, 9L)))
       input.addData(SegmentEvent(0, 0L, 9L)) // the missing one shows up
       q.processAllAvailable()
       assert(actions("replay_ooo") ===
-        Seq(("replay", 0L, 9L), ("replay", 10L, 19L)))
+        Seq(("late", 0L, 9L), ("replay", 0L, 9L), ("replay", 10L, 19L)))
     } finally q.stop()
   }
 
@@ -215,14 +216,25 @@ class StreamingSpec extends SparkSuite {
     val (input, q) = replayHarness(Map(0 -> -1L), 0, maxRetries = 2, "replay_lost")
     try {
       input.addData(SegmentEvent(0, 10L, 19L))
-      q.processAllAvailable() // tick 1: retry 1
+      q.processAllAvailable() // tick 1: retry 1, range marked late
       input.addData(SegmentEvent(0, -1L, -1L)) // heartbeat tick 2: retry 2
       q.processAllAvailable()
-      assert(actions("replay_lost").isEmpty) // still inside the ladder
+      // still inside the ladder: late-marked, nothing replayed or lost
+      assert(actions("replay_lost") === Seq(("late", 0L, 9L)))
       input.addData(SegmentEvent(0, -1L, -1L)) // tick 3: ladder exhausted
       q.processAllAvailable()
       assert(actions("replay_lost") ===
-        Seq(("lost", 0L, 9L), ("replay", 10L, 19L)))
+        Seq(("late", 0L, 9L), ("lost", 0L, 9L), ("replay", 10L, 19L)))
+      // the meters the reference keeps, from the same action stream
+      val counters = StreamingIngress.replayCounters(
+        spark.table("replay_lost")).collect()
+      assert(counters.length === 1)
+      val c = counters.head
+      assert(c.getAs[Long]("segments_replayed") === 1L)
+      assert(c.getAs[Long]("messages_replayed") === 10L)
+      assert(c.getAs[Long]("segments_late") === 1L)
+      assert(c.getAs[Long]("lost_ranges") === 1L)
+      assert(c.getAs[Long]("messages_lost") === 10L)
     } finally q.stop()
   }
 
