@@ -358,7 +358,7 @@ object SparkEntry {
 
     "x_multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, Tables.documents(s, dir)).toDF()
-        .select("doc_id", "media_type", "payload_bytes", "width", "height", "frames")
+        .select("doc_id", "media_type", "width", "height", "pixel_rgb", "frames")
         .orderBy("doc_id")),
   )
 
@@ -717,19 +717,26 @@ object SparkEntry {
          |    (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
          |FROM norm ORDER BY doc_id""".stripMargin,
 
+    // image rows: the oracle reproduces the deterministic synthesis
+    // params; Spark's values come from REALLY decoding the PNG bytes,
+    // so equality proves the decode round-trips. audio/video: md5 stub.
     "x_multimodal_features" ->
       """WITH m AS (
-        |  SELECT doc_id, replace(source, 'src', '')::INT AS src_num,
+        |  SELECT doc_id,
+        |         (['image','audio','video'])[((replace(source, 'src', '')::INT) % 3) + 1] AS media_type,
         |         ('0x' || substr(md5(text),1,15))::BIGINT AS h,
-        |         strlen(text)::BIGINT AS payload_bytes, n_chars
+        |         n_chars
         |  FROM documents
         |)
-        |SELECT doc_id,
-        |       (['image','audio','video'])[(src_num % 3) + 1] AS media_type,
-        |       payload_bytes,
-        |       (h % 640 + 1)::BIGINT AS width,
-        |       ((h // 640) % 480 + 1)::BIGINT AS height,
-        |       (n_chars // 64 + 1)::BIGINT AS frames
+        |SELECT doc_id, media_type,
+        |       (CASE WHEN media_type = 'image' THEN doc_id % 64 + 1
+        |             ELSE h % 640 + 1 END)::BIGINT AS width,
+        |       (CASE WHEN media_type = 'image' THEN doc_id % 48 + 1
+        |             ELSE (h // 640) % 480 + 1 END)::BIGINT AS height,
+        |       (CASE WHEN media_type = 'image' THEN (doc_id * 2654435761) % 16777216
+        |             ELSE -1 END)::BIGINT AS pixel_rgb,
+        |       (CASE WHEN media_type = 'image' THEN 1
+        |             ELSE n_chars // 64 + 1 END)::BIGINT AS frames
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q1_pricing_summary" ->
