@@ -356,6 +356,15 @@ object SparkEntry {
     "t_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    "t_sample_split" -> ((s, dir) =>
+      TextAnalysis.sampleSplit(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // near-dup clusters: connected components over the minhash pair
+    // graph; one keeper (min doc_id) per cluster, singletons kept
+    "d_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(Tables.documents(s, dir), NgramJaccardBp)
+        .orderBy("doc_id")),
+
     "x_multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, Tables.documents(s, dir)).toDF()
         .select("doc_id", "media_type", "width", "height", "pixel_rgb", "frames")
@@ -707,6 +716,69 @@ object SparkEntry {
          |SELECT doc_id, len(string_split(t, ' '))::BIGINT AS ws_tokens,
          |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))::BIGINT AS subword_tokens
          |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "t_sample_split" ->
+      """SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'validation'
+        |            ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |         (('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100) AS bucket
+        |  FROM documents
+        |) ORDER BY doc_id""".stripMargin,
+
+    "d_dedup_clusters" ->
+      s"""WITH RECURSIVE $NormCte, $ShCte,
+         |params(hash_id, ha, hb) AS (VALUES
+         |  (0, 952211, 37199), (1, 370259, 915583), (2, 768389, 68477),
+         |  (3, 113111, 331777), (4, 597269, 749341), (5, 286871, 55411),
+         |  (6, 851423, 426389), (7, 104729, 711871)),
+         |sig AS (
+         |  SELECT doc_id, hash_id,
+         |         min((ha * (h % 1048576) + hb) % 1048573) AS minhash
+         |  FROM sh, params GROUP BY doc_id, hash_id
+         |),
+         |banded AS (
+         |  SELECT doc_id, (hash_id // 2)::INT AS band,
+         |         (min(CASE WHEN hash_id % 2 = 0 THEN minhash END) * 1048583
+         |           + min(CASE WHEN hash_id % 2 = 1 THEN minhash END))::BIGINT AS band_key
+         |  FROM sig GROUP BY doc_id, (hash_id // 2)::INT
+         |),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+         |),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+         |  FROM cands c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+         |  GROUP BY 1, 2
+         |),
+         |verified AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT p.doc_a, p.doc_b,
+         |           round(p.inter * 10000.0 / (x.n_sh + y.n_sh - p.inter), 0)::BIGINT AS jacc_bp
+         |    FROM pairs p JOIN sz x ON x.doc_id = p.doc_a JOIN sz y ON y.doc_id = p.doc_b
+         |  ) WHERE jacc_bp >= $NgramJaccardBp
+         |),
+         |e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM verified
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM verified
+         |),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN e ON reach.doc_id = e.a
+         |)
+         |SELECT doc_id, cluster_id,
+         |       (CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)::INT AS keep
+         |FROM (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "t_fingerprint" ->
       s"""WITH $NormCte

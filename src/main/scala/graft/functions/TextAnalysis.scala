@@ -96,6 +96,22 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("tok"))
       .limit(n)
 
+  /** Deterministic train/validation/test split: bucket = 60-bit
+    * content-independent hash of the doc id mod 100, so the assignment
+    * is stable under corpus growth, reshuffling, and re-runs — any
+    * worker on any cluster computes the same split for the same doc
+    * (the property a training pipeline needs; a random() split has
+    * none of it). Pure projection: no shuffle at all.
+    */
+  def sampleSplit(docs: DataFrame, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame =
+    docs.select(col("doc_id"),
+        (hexHash60(col("doc_id").cast("string")) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "validation")
+          .otherwise("test"))
+
   /** Polynomial rolling fingerprint over token hashes:
     * fp = foldl(0, (acc, t) => (acc*31 + h20(t)) mod (2^31-1)).
     */

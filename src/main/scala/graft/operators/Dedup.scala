@@ -200,6 +200,60 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup CLUSTERS from the pair list — the step a curation
+    * pipeline actually needs after any pairwise dedup operator: group
+    * transitively-connected documents, elect one keeper per cluster.
+    *
+    * Connected components via iterative min-label propagation: each
+    * round every doc takes the minimum cluster label among itself and
+    * its neighbors. Every round is one equi-join + one aggregation
+    * (all shuffles on doc id — cluster-parallel); rounds needed =
+    * graph diameter, and near-dup clusters are shallow (a handful of
+    * docs), so the loop converges in a few rounds. `maxIters` bounds
+    * pathological chains; the loop exits early at fixpoint (checked
+    * via one count per round — metadata-scale driver work, standard
+    * for iterative graph algorithms on Spark).
+    *
+    * Output: (doc_id, cluster_id, keep) for every document —
+    * singletons are their own cluster and always kept; cluster_id =
+    * min doc_id in the component; keep = doc_id == cluster_id.
+    */
+  def dedupClusters(docs: DataFrame, minJaccardBp: Long,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = minhashLsh(docs, minJaccardBp).select("doc_a", "doc_b")
+    // undirected edge list, both directions
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("cluster", "nb_cluster"), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min("nb_cluster").as("nb_min"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nb_min"), col("cluster")))
+            .as("cluster"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"),
+          Seq("doc_id"))
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+      .withColumn("keep", (col("doc_id") === col("cluster")).cast("int"))
+      .withColumnRenamed("cluster", "cluster_id")
+  }
+
   // ---- helpers ----
 
   /** doc_id + distinct k-shingles of the normalized text. Docs shorter

@@ -222,31 +222,46 @@ object Ingress {
     * checkpoints: (part_id, ckpt_offset). Returns the replayed stream with
     * a per-partition contiguous replay_seq.
     *
-    * Scale note: the per-partition join fans out to messages ×
-    * segments-per-partition before the range filter. Compaction bounds
-    * segments-per-partition, and the FILE-level replay path
-    * (FsSegmentStore.open / StreamingIngress.fileReplay) — which reads
-    * only each segment's own rows — is the 100 TB path; this
-    * relational form exists for checkpoint/overlap semantics over an
-    * already-loaded frame.
+    * Scale note: segments are first coalesced into DISJOINT coverage
+    * islands (maximal contiguous covered ranges, running-max window
+    * arithmetic), so the per-partition join fans out messages ×
+    * islands — usually ~1 per partition — instead of messages ×
+    * segments, and overlapping/contained segments cost nothing. The
+    * FILE-level replay path (FsSegmentStore.open /
+    * StreamingIngress.fileReplay) — which reads only each segment's
+    * own rows — remains the 100 TB data path; this relational form
+    * carries the checkpoint/overlap semantics over an already-loaded
+    * frame.
     */
   def replay(messages: DataFrame, presentSegments: DataFrame,
       checkpoints: DataFrame): DataFrame = {
-    val segs = presentSegments.select("part_id", "start_offset", "end_offset")
-    // Messages covered by a present segment. The range join is
-    // per-partition and each message falls in at most a handful of
-    // (possibly overlapping) segments; dedup keeps one copy.
+    val w = Window.partitionBy("part_id").orderBy("start_offset", "end_offset")
+    val islands = presentSegments
+      .select("part_id", "start_offset", "end_offset")
+      .withColumn("prev_max", max("end_offset")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max").isNull ||
+          col("start_offset") > col("prev_max") + 1, 1L).otherwise(0L))
+      .withColumn("island",
+        sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("part_id", "island")
+      .agg(min("start_offset").as("start_offset"),
+        max("end_offset").as("end_offset"))
+    // Messages covered by an island: islands are disjoint, so every
+    // message matches at most one — no fanout, and the dedup below
+    // only guards against duplicate input messages.
     val covered = messages
-      .join(segs, Seq("part_id"))
+      .join(islands, Seq("part_id"))
       .filter(col("msg_offset").between(col("start_offset"), col("end_offset")))
       .select("part_id", "msg_offset", "key", "msg_value", "msg_size")
       .dropDuplicates("part_id", "msg_offset")
     val afterCkpt = covered
       .join(broadcast(checkpoints), Seq("part_id"), "left")
       .filter(col("ckpt_offset").isNull || col("msg_offset") > col("ckpt_offset"))
-    val w = Window.partitionBy("part_id").orderBy("msg_offset")
+    val wSeq = Window.partitionBy("part_id").orderBy("msg_offset")
     afterCkpt
-      .withColumn("replay_seq", row_number().over(w).cast("long") - 1)
+      .withColumn("replay_seq", row_number().over(wSeq).cast("long") - 1)
       .select("part_id", "msg_offset", "replay_seq", "key", "msg_size")
   }
 }

@@ -30,6 +30,47 @@ class DedupAnnSpec extends SparkSuite {
     assert(lsh === exhaustive) // high-similarity pairs: 4 bands x 2 rows ≈ recall 1
   }
 
+  test("dedup clusters: transitive closure of the pair graph, one keeper each") {
+    // ground truth via a tiny driver-side union-find over the pairs
+    val pairs = Dedup.minhashLsh(docs, 5000L).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val out = Dedup.dedupClusters(docs, 5000L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Int]("keep"))).toMap
+    assert(out.size === docs.count())
+    // every doc in the pair graph got its component's min as cluster id
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct.foreach { d =>
+      assert(out(d)._1 === find(d), s"doc $d")
+    }
+    // keepers are exactly the cluster ids; untouched docs keep themselves
+    out.foreach { case (d, (c, k)) => assert(k === (if (d == c) 1 else 0)) }
+    assert(out.count(_._2._2 == 1) ===
+      out.values.map(_._1).toSet.size) // one keeper per cluster
+  }
+
+  test("sample split is deterministic, content-independent, and near the ratios") {
+    val a = TextAnalysis.sampleSplit(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSet
+    val b = TextAnalysis.sampleSplit(docs.orderBy(rand(7))).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSet
+    assert(a === b) // order-independent, stable across runs
+    val n = a.size.toDouble
+    val frac = a.groupBy(_._2).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08)
+    assert(math.abs(frac("validation") - 0.1) < 0.06)
+    assert(math.abs(frac("test") - 0.1) < 0.06)
+  }
+
   test("simhash: high-Jaccard near-dups land far below the random-pair mean") {
     val nearDups = Dedup.ngramJaccard(docs, 9000L).select("doc_a", "doc_b").collect()
     assert(nearDups.nonEmpty)
