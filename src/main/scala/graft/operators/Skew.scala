@@ -19,11 +19,18 @@ object Skew {
   /** Inner equi-join of `big` (skewed) with `small` on `key`,
     * spread over `salts` sub-keys. `small` is replicated `salts`×
     * (explode over the salt range), so keep it the smaller input.
+    *
+    * The salt is `hash(whole row) mod salts` — fully deterministic
+    * from row content (stable under task retry AND repartitioning,
+    * unlike a seeded rand, which is only partition-deterministic), and
+    * it spreads a hot key's rows because they differ in their other
+    * columns. Exact duplicate rows share a salt; they are the one case
+    * salting cannot split (and the join result is still identical).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     val salted = big.withColumn("__salt",
-      (rand(seed = 42) * salts).cast("int"))
+      pmod(hash(big.columns.map(col): _*), lit(salts)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -53,6 +53,18 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("sample split is a pure projection: zero exchanges") {
+    val p = plan(graft.functions.TextAnalysis.sampleSplit(
+      graft.sources.Tables.documents(spark, sf)))
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
+  test("replay metrics audit: no cartesian, single window pass shape") {
+    val p = plan(SparkEntry.queries("r_replay_metrics")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("q1 shape stays in whole-stage codegen") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
     val p = df.queryExecution.explainString(
