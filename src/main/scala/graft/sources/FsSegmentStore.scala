@@ -206,7 +206,8 @@ class FsSegmentStore(spark: SparkSession, val root: String) {
     */
   def compactLeveled(region: String, topic: String, minLevel: Int,
       maxLevel: Int, minAgeSec: Long, nowEpoch: Long, minSegments: Int,
-      maxSegments: Int, minBytes: Long, maxBytes: Long): Seq[SegmentMeta] = {
+      maxSegments: Int, minBytes: Long, maxBytes: Long,
+      deleteInputs: Boolean = true): Seq[SegmentMeta] = {
     val spark0 = spark
     import spark0.implicits._
     val inv = listInfo(region, topic)
@@ -275,7 +276,9 @@ class FsSegmentStore(spark: SparkSession, val root: String) {
       region, topic)
     merged.unpersist()
 
-    inputs.foreach(delete)
+    // reference Config.Delete: keeping inputs is an operator choice
+    // (e.g. verify-before-delete deployments)
+    if (deleteInputs) inputs.foreach(delete)
     bins.map { b =>
       SegmentMeta(region, topic, b.partId, b.level, b.startOffset, b.endOffset,
         messageCount = counts.getOrElse(b.partId, 0L), sizeBytes = -1L)

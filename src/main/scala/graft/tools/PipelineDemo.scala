@@ -34,6 +34,15 @@ object PipelineDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val ok = run(spark, sfDir, workDir)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+
+  /** The full topology; returns whether the end-to-end delivery check
+    * held (callable from specs — does not own the session).
+    */
+  def run(spark: SparkSession, sfDir: String, workDir: String): Boolean = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
@@ -94,8 +103,9 @@ object PipelineDemo {
     val minOff = dest.agg(min("msg_offset")).head.getLong(0)
     println(s"[pipeline] ingress delivered $delivered messages (dups=$dups, min offset=$minOff)")
     val expect = all.count(_.msgOffset > 9L)
+    val ok = expect == delivered && dups == 0 && minOff == 10L
     println(s"[pipeline] end-to-end: expected $expect past-checkpoint messages, delivered $delivered — " +
-      (if (expect == delivered && dups == 0 && minOff == 10L) "OK" else "MISMATCH"))
-    spark.stop()
+      (if (ok) "OK" else "MISMATCH"))
+    ok
   }
 }

@@ -161,6 +161,45 @@ class FsSegmentStoreSpec extends SparkSuite {
     assert(after.filter(_.level == 1).map(_.startOffset).sorted === Seq(20L, 30L))
   }
 
+  test("compactLeveled: repeated runs climb levels like the reference's cron") {
+    val store = FsSegmentStore(spark, tmpDir("store"))
+    val mk = mkLeveled(store) _
+    mk(0, 0L, 9L); mk(0, 10L, 19L); mk(0, 20L, 29L); mk(0, 30L, 39L)
+    val now = System.currentTimeMillis() / 1000L + 3600L
+    def run() = store.compactLeveled("src", "t", minLevel = 0, maxLevel = 9,
+      minAgeSec = 0L, nowEpoch = now, minSegments = 2, maxSegments = 2,
+      minBytes = 0L, maxBytes = Long.MaxValue / 4)
+    // run 1: merges the first TWO level-0 segments (count cap) -> level 1
+    val r1 = run()
+    assert(r1.size === 1 && r1.head.level === 1)
+    assert((r1.head.startOffset, r1.head.endOffset) === (0L, 19L))
+    // run 2: the level-1 output + next level-0 segment merge -> level 2
+    val r2 = run()
+    assert(r2.size === 1 && r2.head.level === 2)
+    assert((r2.head.startOffset, r2.head.endOffset) === (0L, 29L))
+    // run 3: level-2 + last level-0 -> level 3, everything in one segment
+    val r3 = run()
+    assert(r3.size === 1 && r3.head.level === 3)
+    assert((r3.head.startOffset, r3.head.endOffset) === (0L, 39L))
+    val finalInv = store.list("src", "t")
+    assert(finalInv.size === 1)
+    assert(store.open("src", "t", finalInv).count() === 40L)
+  }
+
+  test("compactLeveled: deleteInputs=false keeps the inputs") {
+    val store = FsSegmentStore(spark, tmpDir("store"))
+    val mk = mkLeveled(store) _
+    mk(1, 0L, 9L); mk(1, 10L, 19L)
+    val now = System.currentTimeMillis() / 1000L + 3600L
+    val out = store.compactLeveled("src", "t", minLevel = 1, maxLevel = 1,
+      minAgeSec = 0L, nowEpoch = now, minSegments = 2, maxSegments = 10,
+      minBytes = 0L, maxBytes = Long.MaxValue / 4, deleteInputs = false)
+    assert(out.size === 1 && out.head.level === 2)
+    val after = store.list("src", "t")
+    assert(after.count(_.level == 1) === 2) // inputs retained
+    assert(after.count(_.level == 2) === 1)
+  }
+
   test("compactLeveled: MinSegmentAge gate skips young segments") {
     val store = FsSegmentStore(spark, tmpDir("store"))
     val mk = mkLeveled(store) _
