@@ -359,6 +359,21 @@ object SparkEntry {
     "t_sample_split" -> ((s, dir) =>
       TextAnalysis.sampleSplit(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    "t_tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir))
+        .orderBy("doc_id", "rnk")),
+
+    "t_quota_sample" -> ((s, dir) =>
+      TextAnalysis.quotaSample(Tables.documents(s, dir))
+        .orderBy("source", "rnk")),
+
+    // decontamination: docs with doc_id % 50 == 0 stand in for the
+    // held-out benchmark set; flag training docs sharing >= 3 capped
+    // shingles with any benchmark doc
+    "d_contamination" -> ((s, dir) =>
+      Dedup.contamination(Tables.documents(s, dir), col("doc_id") % 50 === 0)
+        .orderBy("doc_id")),
+
     // near-dup clusters: connected components over the minhash pair
     // graph; one keeper (min doc_id) per cluster, singletons kept
     "d_dedup_clusters" -> ((s, dir) =>
@@ -716,6 +731,39 @@ object SparkEntry {
          |SELECT doc_id, len(string_split(t, ' '))::BIGINT AS ws_tokens,
          |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))::BIGINT AS subword_tokens
          |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "t_tfidf_top_terms" ->
+      s"""WITH $NormCte, $TokCte,
+         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+         |idf AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+         |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok, (tf.tf * ((n.n_docs * 1000) // idf.df))::BIGINT AS score
+         |  FROM tf JOIN idf ON tf.tok = idf.tok CROSS JOIN n
+         |)
+         |SELECT doc_id, rnk, tok, score FROM (
+         |  SELECT *, (row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, tok))::INT AS rnk
+         |  FROM scored
+         |) WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "t_quota_sample" ->
+      """SELECT source, rnk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         (row_number() OVER (PARTITION BY source ORDER BY
+        |           ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id))::INT AS rnk
+        |  FROM documents
+        |) WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
+    "d_contamination" ->
+      s"""WITH $NormCte, $ShCte,
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0)
+         |SELECT doc_id, count(*)::BIGINT AS shared_shingles
+         |FROM sh
+         |WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM bench)
+         |GROUP BY doc_id
+         |HAVING count(*) >= 3
+         |ORDER BY doc_id""".stripMargin,
 
     "t_sample_split" ->
       """SELECT doc_id, bucket,

@@ -112,6 +112,46 @@ object TextAnalysis {
           .when(col("bucket") < trainPct + valPct, "validation")
           .otherwise("test"))
 
+  /** TF-IDF-weighted top terms per document, in exact integer
+    * arithmetic: score = tf * ((N * 1000) div df) — the idf factor is
+    * the integer surrogate N*1000/df (monotone in the true log-idf for
+    * ranking within a document's terms at these scales) so both
+    * engines agree bit-for-bit; a float log would flake the hash gate.
+    * One token shuffle + one broadcast-joined df table + one window.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val tf = tokens(docs).groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .crossJoin(nDocs)
+      .withColumn("score", expr("tf * ((n_docs * 1000) div df)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("rnk").cast("int").as("rnk"),
+        col("tok"), col("score"))
+  }
+
+  /** Per-group quota sampling: keep at most `quota` documents per
+    * source, elected by content-independent hash order — the
+    * per-domain cap every web-scale corpus applies, deterministic
+    * under reshuffling and incremental growth (a doc's rank can only
+    * move if new docs hash ahead of it). One window, no data movement
+    * beyond the source shuffle.
+    */
+  def quotaSample(docs: DataFrame, quota: Int = 5): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("hash_rank"), col("doc_id"))
+    docs.select(col("source"), col("doc_id"),
+        hexHash60(col("doc_id").cast("string")).as("hash_rank"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= quota)
+      .select("source", "rnk", "doc_id")
+  }
+
   /** Polynomial rolling fingerprint over token hashes:
     * fp = foldl(0, (acc, t) => (acc*31 + h20(t)) mod (2^31-1)).
     */

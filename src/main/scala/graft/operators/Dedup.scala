@@ -254,6 +254,31 @@ object Dedup {
       .withColumnRenamed("cluster", "cluster_id")
   }
 
+  /** Benchmark-contamination check — the decontamination pass every
+    * LLM training pipeline runs before a corpus ships: flag training
+    * documents sharing character shingles with a held-out benchmark
+    * set. Uses the df-capped shingle universe (boilerplate shingles
+    * carry no contamination signal and would quadratically inflate the
+    * join) — one equi-join on the 60-bit shingle hash, one count.
+    *
+    * `isBenchmark` partitions the corpus (here a predicate column;
+    * in production the benchmark set is its own table on the same
+    * shingle schema). Output: training docs with >= minShared shared
+    * shingles, with the evidence count.
+    */
+  def contamination(docs: DataFrame, isBenchmark: Column,
+      minShared: Long = 3L): DataFrame = {
+    val sh = cappedShingleHashes(docs)
+    val flag = docs.select(col("doc_id"), isBenchmark.as("is_bench"))
+    val flagged = sh.join(flag, Seq("doc_id"))
+    val benchH = flagged.filter(col("is_bench")).select("h").distinct()
+    flagged.filter(!col("is_bench"))
+      .join(benchH, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
   // ---- helpers ----
 
   /** doc_id + distinct k-shingles of the normalized text. Docs shorter

@@ -71,6 +71,43 @@ class DedupAnnSpec extends SparkSuite {
     assert(math.abs(frac("test") - 0.1) < 0.06)
   }
 
+  test("contamination flags only training docs, at or above the threshold") {
+    val out = Dedup.contamination(docs, col("doc_id") % 50 === 0, minShared = 3L)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("doc_id") % 50 != 0)) // bench excluded
+    assert(out.forall(_.getAs[Long]("shared_shingles") >= 3L))
+    // a doc that IS a benchmark doc's exact duplicate must be flagged
+    // (shares its entire shingle set) — synthesize one
+    import spark.implicits._
+    val bench = docs.filter(col("doc_id") === 0).select("text").head.getString(0)
+    val spiked = docs.select("doc_id", "text")
+      .unionByName(Seq((999999L, bench)).toDF("doc_id", "text"))
+    val flagged = Dedup.contamination(spiked, col("doc_id") % 50 === 0)
+      .filter(col("doc_id") === 999999L).collect()
+    assert(flagged.length === 1)
+  }
+
+  test("tfidf top terms: dense ranks, scores non-increasing within a doc") {
+    val rows = TextAnalysis.tfidfTopTerms(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rnk"), r.getAs[Long]("score")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sortBy(-(_: Long)).toSeq)
+    }
+  }
+
+  test("quota sample caps every source and is order-independent") {
+    val a = TextAnalysis.quotaSample(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rnk"), r.getAs[Long]("doc_id")))
+    assert(a.groupBy(_._1).values.forall(_.length <= 5))
+    val b = TextAnalysis.quotaSample(docs.orderBy(rand(3))).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rnk"), r.getAs[Long]("doc_id")))
+    assert(a.toSet === b.toSet)
+  }
+
   test("simhash: high-Jaccard near-dups land far below the random-pair mean") {
     val nearDups = Dedup.ngramJaccard(docs, 9000L).select("doc_a", "doc_b").collect()
     assert(nearDups.nonEmpty)
