@@ -220,12 +220,58 @@ object Dedup {
     */
   def dedupClusters(docs: DataFrame, minJaccardBp: Long,
       maxIters: Int = 20): DataFrame = {
+    def dbg[A](name: String)(f: => A): A =
+      if (sys.env.contains("GRAFT_CC_DEBUG")) {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[cc] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      } else f
     val pairs = minhashLsh(docs, minJaccardBp).select("doc_a", "doc_b")
-    // undirected edge list, both directions
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // undirected edge list, both directions — exploded from ONE pass
+    // over the pair pipeline (a self-union would run it twice)
+    val edges0 = pairs
+      .select(explode(array(
+        struct(col("doc_a"), col("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
       .cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).cache()
+    // materialize FULLY before looping (a partial action would cache
+    // only some partitions and every round would re-run the whole pair
+    // pipeline for the rest), and size the graph's partitioning from
+    // the MEASURED edge count: the pair graph is orders of magnitude
+    // smaller than the corpus, and iterating tiny tables at the
+    // corpus's partition count pays a full task-grid of scheduling
+    // overhead per round (the local analogue of a 100 TB job keeping
+    // 100k reducers alive to shuffle a few thousand rows)
+    val nEdges = dbg("edges0 materialize") { edges0.count() }
+    val gp = math.max(1, math.min(2000, (nEdges / 50000L).toInt + 1))
+    val spark = docs.sparkSession
+    // Scope the loop's shuffle width to the graph, not the corpus:
+    // joins over cached plans bypass AQE coalescing, so every round
+    // would otherwise run its ~5 shuffle stages at the session width
+    // for a table thousands of times smaller than the corpus. Restored
+    // after the loop.
+    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", gp.toString)
+    try {
+    // localCheckpoint TRUNCATES the logical plan, not just the
+    // computation: a self-join per round otherwise DOUBLES the plan
+    // tree each iteration (each reference inlines the full upstream
+    // lineage), and Catalyst re-analyzes that exponentially-growing
+    // tree on every action — the loop becomes driver-planning-bound.
+    // (A production cluster job would use reliable checkpointing to
+    // the checkpoint dir; same truncation, fault-tolerant.)
+    val edges = dbg("edges checkpoint") {
+      edges0.repartition(gp, col("doc_b")).localCheckpoint(true)
+    }
+    edges0.unpersist()
+    // iterate ONLY over docs that appear in the pair graph — everything
+    // else is trivially its own singleton cluster (unioned at the end)
+    val edgeDocs = dbg("edgeDocs checkpoint") {
+      edges.select("doc_a").distinct()
+        .withColumnRenamed("doc_a", "doc_id").localCheckpoint(true)
+    }
+    var labels = edgeDocs.withColumn("cluster", col("doc_id"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -234,24 +280,42 @@ object Dedup {
           .withColumnRenamed("cluster", "nb_cluster"), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min("nb_cluster").as("nb_min"))
-      val next = labels
+      val propagated = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nb_min"), col("cluster")))
             .as("cluster"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"),
-          Seq("doc_id"))
-        .filter(col("cluster") =!= col("old")).limit(1).count()
-      labels.unpersist()
+      // pointer jumping (path halving): follow the label's own label,
+      // turning O(diameter) convergence into O(log diameter) — long
+      // similarity chains otherwise dominate the round count
+      val next = dbg(s"round ${i + 1} step") {
+        propagated.as("a")
+          .join(propagated.select(col("doc_id").as("cluster"),
+            col("cluster").as("jump")), Seq("cluster"), "left")
+          .select(col("doc_id"),
+            least(col("cluster"), coalesce(col("jump"), col("cluster")))
+              .as("cluster"))
+          .localCheckpoint(true)
+      }
+      val changed = dbg(s"round ${i + 1} changed-count") {
+        next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
+          .filter(col("cluster") =!= col("old")).count()
+      }
       labels = next
       converged = changed == 0
       i += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $i changed=$changed")
     }
-    edges.unpersist()
-    labels
+    // labels is already checkpointed (tiny plan); singletons join the
+    // corpus against the checkpointed edge-doc table
+    val singletons = docs.select("doc_id")
+      .join(edgeDocs, Seq("doc_id"), "left_anti")
+      .withColumn("cluster", col("doc_id"))
+    labels.unionByName(singletons)
       .withColumn("keep", (col("doc_id") === col("cluster")).cast("int"))
       .withColumnRenamed("cluster", "cluster_id")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
   }
 
   /** Benchmark-contamination check — the decontamination pass every
