@@ -843,20 +843,25 @@ object SparkEntry {
     "x_multimodal_features" ->
       """WITH m AS (
         |  SELECT doc_id,
-        |         (['image','audio','video'])[((replace(source, 'src', '')::INT) % 3) + 1] AS media_type,
-        |         ('0x' || substr(md5(text),1,15))::BIGINT AS h,
-        |         n_chars
+        |         (['image','audio','video'])[((replace(source, 'src', '')::INT) % 3) + 1] AS media_type
         |  FROM documents
         |)
         |SELECT doc_id, media_type,
-        |       (CASE WHEN media_type = 'image' THEN doc_id % 64 + 1
-        |             ELSE h % 640 + 1 END)::BIGINT AS width,
-        |       (CASE WHEN media_type = 'image' THEN doc_id % 48 + 1
-        |             ELSE (h // 640) % 480 + 1 END)::BIGINT AS height,
-        |       (CASE WHEN media_type = 'image' THEN (doc_id * 2654435761) % 16777216
-        |             ELSE -1 END)::BIGINT AS pixel_rgb,
-        |       (CASE WHEN media_type = 'image' THEN 1
-        |             ELSE n_chars // 64 + 1 END)::BIGINT AS frames
+        |       (CASE media_type
+        |          WHEN 'image' THEN doc_id % 64 + 1
+        |          WHEN 'audio' THEN ([8000,11025,16000,22050])[(doc_id % 4)::INT + 1]
+        |          ELSE doc_id % 32 + 1 END)::BIGINT AS width,
+        |       (CASE media_type
+        |          WHEN 'image' THEN doc_id % 48 + 1
+        |          WHEN 'audio' THEN doc_id % 2 + 1
+        |          ELSE doc_id % 24 + 1 END)::BIGINT AS height,
+        |       (CASE media_type
+        |          WHEN 'audio' THEN (doc_id * 2654435761) % 65536 - 32768
+        |          ELSE (doc_id * 2654435761) % 16777216 END)::BIGINT AS pixel_rgb,
+        |       (CASE media_type
+        |          WHEN 'image' THEN 1
+        |          WHEN 'audio' THEN doc_id % 400 + 50
+        |          ELSE doc_id % 8 + 2 END)::BIGINT AS frames
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q1_pricing_summary" ->

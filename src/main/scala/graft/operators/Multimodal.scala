@@ -2,27 +2,31 @@ package graft.operators
 
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.ByteBuffer
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-
-import graft.functions.Portable
 
 /** Multimodal column plumbing: media payloads ride through the engine
   * as opaque `binary` columns with typed metadata; decode/feature
   * extraction runs batched per partition so codec/library init
   * amortizes per task, not per row.
   *
-  * The IMAGE path is a real codec: payloads are actual PNG files
-  * (synthesized deterministically per document — the "object store"
-  * landing step) and features come from genuinely decoding those bytes
-  * with `javax.imageio` (pure-JDK, headless). Audio/video have no JDK
-  * codec, so those payloads keep the honestly-declared md5 STUB
-  * ([[StubCodec]]) — the schema, Dataset encoding, two-stage
-  * mapPartitions batching (synthesize → decode), and metadata
-  * projection are the same plumbing a production decoder drops into.
+  * Every modality is a REAL codec path (pure JDK, headless):
+  *  - image: actual PNG files decoded with `javax.imageio`
+  *  - audio: actual RIFF/WAVE (PCM 16-bit) files decoded with
+  *    `javax.sound.sampled` — sample rate / channels / frame count /
+  *    first sample all read from the parsed container
+  *  - video: a length-prefixed container of real PNG frames
+  *    ([[VideoPack]]); decode walks the frame index and parses frame 0
+  *    with `javax.imageio`
+  * Payloads are synthesized deterministically per document (the
+  * "object store" landing step) so the DuckDB oracle can reproduce the
+  * decoded features arithmetically — the features row proves the bytes
+  * really round-tripped through the codec.
   */
 object Multimodal {
 
@@ -30,8 +34,11 @@ object Multimodal {
   case class MediaFile(doc_id: Long, media_type: String, payload: Array[Byte],
       n_chars: Long)
 
-  /** Extracted features. `pixel_rgb` is the decoded top-left pixel for
-    * images (proof the bytes were really parsed), -1 otherwise.
+  /** Extracted features. Per modality:
+    *  - image: decoded width/height, top-left pixel, frames=1
+    *  - audio: width=sample rate, height=channels, pixel_rgb=first
+    *    PCM sample (signed), frames=frame count
+    *  - video: frame-0 width/height/top-left pixel, frames=frame count
     */
   case class MediaMeta(doc_id: Long, media_type: String, width: Long,
       height: Long, pixel_rgb: Long, frames: Long)
@@ -62,6 +69,87 @@ object Multimodal {
     }
   }
 
+  /** Real RIFF/WAVE codec over `javax.sound.sampled` (PCM_SIGNED
+    * 16-bit little-endian). The decoder reads the container header for
+    * format and length and the PCM body for the first sample.
+    */
+  object WavCodec {
+    def encode(sampleRate: Int, channels: Int, nFrames: Int,
+        firstSample: Int): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, channels,
+        true, false)
+      val samples = nFrames * channels
+      val pcm = new Array[Byte](samples * 2)
+      var i = 0
+      while (i < samples) {
+        // frame 0 / channel 0 carries the marker sample; the rest is a
+        // deterministic ramp (content irrelevant to the features)
+        val s = if (i == 0) firstSample else (firstSample + i * 31) & 0xffff
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+        nFrames.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** (sample rate, channels, frame count, first sample — signed)
+      * read from the parsed WAVE container.
+      */
+    def decode(payload: Array[Byte]): (Int, Int, Long, Int) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        // AudioInputStream only allows whole-frame reads
+        val frame = new Array[Byte](fmt.getFrameSize)
+        require(ais.read(frame) == frame.length, "empty PCM body")
+        val first = (((frame(1) & 0xff) << 8) | (frame(0) & 0xff)).toShort.toInt
+        (fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength, first)
+      } finally ais.close()
+    }
+  }
+
+  /** Video as a length-prefixed container of real PNG frames:
+    * `"GVID" | frameCount:int32 | (len:int32 | pngBytes)*` (big-endian).
+    * Decode walks every frame record (the returned count is parsed,
+    * not trusted from the header) and fully decodes frame 0.
+    */
+  object VideoPack {
+    private val Magic = Array[Byte]('G', 'V', 'I', 'D')
+
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(Magic)
+      bos.write(ByteBuffer.allocate(4).putInt(frames.length).array())
+      frames.foreach { f =>
+        bos.write(ByteBuffer.allocate(4).putInt(f.length).array())
+        bos.write(f)
+      }
+      bos.toByteArray
+    }
+
+    /** (parsed frame count, frame-0 width, height, top-left RGB). */
+    def decode(payload: Array[Byte]): (Int, Int, Int, Int) = {
+      val buf = ByteBuffer.wrap(payload)
+      val magic = new Array[Byte](4); buf.get(magic)
+      require(magic.sameElements(Magic), "not a GVID container")
+      val declared = buf.getInt()
+      var counted = 0
+      var first: (Int, Int, Int) = null
+      while (buf.remaining() > 4) {
+        val len = buf.getInt()
+        val frame = new Array[Byte](len); buf.get(frame)
+        if (counted == 0) first = PngCodec.decode(frame)
+        counted += 1
+      }
+      require(counted == declared, s"frame count $counted != header $declared")
+      (counted, first._1, first._2, first._3)
+    }
+  }
+
   /** Deterministic image parameters per document — the synthesis rule
     * the DuckDB oracle reproduces arithmetically (the decoded values
     * must round-trip to exactly these).
@@ -71,25 +159,26 @@ object Multimodal {
     (docId % 48 + 1).toInt,
     ((docId * 2654435761L) % 16777216L).toInt)
 
-  /** STUB codec for the modalities with no JDK decoder (audio/video):
-    * deterministic dimensions from the payload's md5 so the oracle can
-    * reproduce them arithmetically.
-    */
-  object StubCodec {
-    def decode(f: MediaFile): MediaMeta = {
-      val h = Portable.jvmHexHash60(f.payload)
-      MediaMeta(
-        doc_id = f.doc_id,
-        media_type = f.media_type,
-        width = h % 640 + 1,
-        height = (h / 640) % 480 + 1,
-        pixel_rgb = -1L,
-        frames = f.n_chars / 64 + 1)
-    }
-  }
+  private val SampleRates = Array(8000, 11025, 16000, 22050)
 
-  /** documents → binary media table (real PNG payloads for image
-    * rows) → batched decode → features. media_type cycles by source id
+  /** (sample rate, channels, frames, first sample) per document. */
+  def audioParams(docId: Long): (Int, Int, Int, Int) = (
+    SampleRates((docId % 4).toInt),
+    (docId % 2 + 1).toInt,
+    (docId % 400 + 50).toInt,
+    (((docId * 2654435761L) % 65536L) - 32768L).toInt)
+
+  /** (frame count, width, height, rgb) per document; every frame of a
+    * doc's video shares the dims/pixel rule.
+    */
+  def videoParams(docId: Long): (Int, Int, Int, Int) = (
+    (docId % 8 + 2).toInt,
+    (docId % 32 + 1).toInt,
+    (docId % 24 + 1).toInt,
+    ((docId * 2654435761L) % 16777216L).toInt)
+
+  /** documents → binary media table (real PNG/WAV/GVID payloads) →
+    * batched decode → features. media_type cycles by source id
     * (image/audio/video) — the documents table stands in for a
     * mixed-modality corpus.
     */
@@ -100,35 +189,51 @@ object Multimodal {
     // decoder inits its native library once per task, not per row).
     media.mapPartitions { batch =>
       batch.map { f =>
-        if (f.media_type == "image") {
-          val (w, h, rgb) = PngCodec.decode(f.payload)
-          MediaMeta(f.doc_id, f.media_type, w, h, rgb, frames = 1L)
-        } else StubCodec.decode(f)
+        f.media_type match {
+          case "image" =>
+            val (w, h, rgb) = PngCodec.decode(f.payload)
+            MediaMeta(f.doc_id, f.media_type, w, h, rgb, frames = 1L)
+          case "audio" =>
+            val (rate, ch, frames, first) = WavCodec.decode(f.payload)
+            MediaMeta(f.doc_id, f.media_type, rate, ch, first, frames)
+          case _ =>
+            val (frames, w, h, rgb) = VideoPack.decode(f.payload)
+            MediaMeta(f.doc_id, f.media_type, w, h, rgb, frames)
+        }
       }
     }
   }
 
-  /** The media table as it lands: image payloads are REAL PNG bytes
-    * (synthesized per doc in a batched pass), audio/video carry the
-    * raw text bytes the stub hashes.
+  /** The media table as it lands: every payload is a REAL container
+    * (PNG / RIFF WAVE / GVID frame pack) synthesized per doc in a
+    * batched pass.
     */
   def landed(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
     import spark.implicits._
     docs.select(
         col("doc_id"),
         element_at(split(col("source"), "src"), 2).cast("int").as("src_num"),
-        col("text").cast("binary").as("payload"),
         col("n_chars"))
       .withColumn("media_type",
         element_at(lit(Array("image", "audio", "video")), col("src_num") % 3 + 1))
-      .select(col("doc_id"), col("media_type"), col("payload"), col("n_chars"))
-      .as[(Long, String, Array[Byte], Long)]
+      .select(col("doc_id"), col("media_type"), col("n_chars"))
+      .as[(Long, String, Long)]
       .mapPartitions { batch =>
-        batch.map { case (id, mt, payload, nChars) =>
-          if (mt == "image") {
-            val (w, h, rgb) = imageParams(id)
-            MediaFile(id, mt, PngCodec.encode(w, h, rgb), nChars)
-          } else MediaFile(id, mt, payload, nChars)
+        batch.map { case (id, mt, nChars) =>
+          val payload = mt match {
+            case "image" =>
+              val (w, h, rgb) = imageParams(id)
+              PngCodec.encode(w, h, rgb)
+            case "audio" =>
+              val (rate, ch, frames, first) = audioParams(id)
+              WavCodec.encode(rate, ch, frames, first)
+            case _ =>
+              val (frames, w, h, rgb) = videoParams(id)
+              val png = PngCodec.encode(w, h, rgb)
+              // frames share dims/pixel → encode once, reference n times
+              VideoPack.encode(Seq.fill(frames)(png))
+          }
+          MediaFile(id, mt, payload, nChars)
         }
       }
   }

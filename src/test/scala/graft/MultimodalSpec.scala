@@ -33,23 +33,55 @@ class MultimodalSpec extends SparkSuite {
     assert(feats.toDF().filter(col("media_type") === "image").count() > 0)
   }
 
-  test("stub dimensions stay in their declared ranges") {
-    val df = feats.toDF()
-    assert(df.filter(col("width") < 1 || col("width") > 640).count() === 0)
-    assert(df.filter(col("height") < 1 || col("height") > 480).count() === 0)
-    assert(df.filter(col("frames") < 1).count() === 0)
-    assert(df.filter(!col("media_type").isin("image", "audio", "video")).count() === 0)
+  test("WAV payloads are real RIFF containers and decode round-trips the params") {
+    // unit: encode → decode through javax.sound.sampled recovers the params
+    val bytes = Multimodal.WavCodec.encode(16000, 2, 123, -12345)
+    assert(bytes.take(4).toSeq === "RIFF".getBytes.toSeq)
+    assert(Multimodal.WavCodec.decode(bytes) === ((16000, 2, 123L, -12345)))
+    // corpus: every audio row's DECODED rate/channels/frames/sample
+    // equal the synthesis params
+    val mismatch = feats.toDF().filter(col("media_type") === "audio")
+      .filter(
+        col("height") =!= col("doc_id") % 2 + 1 ||
+        col("frames") =!= col("doc_id") % 400 + 50 ||
+        col("pixel_rgb") =!= (col("doc_id") * 2654435761L) % 65536L - 32768L)
+      .count()
+    assert(mismatch === 0)
+    assert(feats.toDF().filter(col("media_type") === "audio").count() > 0)
+  }
+
+  test("video payloads are real frame packs and decode counts parsed frames") {
+    val f0 = Multimodal.PngCodec.encode(5, 3, 0x010203)
+    val packed = Multimodal.VideoPack.encode(Seq(f0, f0, f0))
+    assert(packed.take(4).toSeq === "GVID".getBytes.toSeq)
+    assert(Multimodal.VideoPack.decode(packed) === ((3, 5, 3, 0x010203)))
+    // a truncated container fails loudly rather than under-counting
+    assertThrows[IllegalArgumentException] {
+      Multimodal.VideoPack.decode(packed.dropRight(f0.length + 4))
+    }
+    val mismatch = feats.toDF().filter(col("media_type") === "video")
+      .filter(
+        col("width") =!= col("doc_id") % 32 + 1 ||
+        col("height") =!= col("doc_id") % 24 + 1 ||
+        col("frames") =!= col("doc_id") % 8 + 2)
+      .count()
+    assert(mismatch === 0)
+    assert(feats.toDF().filter(col("media_type") === "video").count() > 0)
   }
 
   test("landed media table carries real binary payloads for every doc") {
     val landed = Multimodal.landed(spark, Tables.documents(spark, sf))
     val rows = landed.collect()
     assert(rows.length === Tables.documents(spark, sf).count())
-    // image payloads are PNG containers, not the source text
     val img = rows.filter(_.media_type == "image")
     assert(img.nonEmpty)
     assert(img.forall(f => f.payload.take(4).toSeq ===
       Seq[Byte](0x89.toByte, 'P', 'N', 'G')))
-    assert(rows.filter(_.media_type != "image").forall(_.payload.nonEmpty))
+    val audio = rows.filter(_.media_type == "audio")
+    assert(audio.nonEmpty)
+    assert(audio.forall(_.payload.take(4).toSeq === "RIFF".getBytes.toSeq))
+    val video = rows.filter(_.media_type == "video")
+    assert(video.nonEmpty)
+    assert(video.forall(_.payload.take(4).toSeq === "GVID".getBytes.toSeq))
   }
 }
