@@ -55,11 +55,17 @@ object Dedup {
       val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
         .crossJoin(nDocs)
         .filter(col("df") * 20 <= col("n_docs")).select("h")
-      (sh.join(rare, Seq("h"), "left_semi"), sh)
+      // Cache the CAPPED result too: every consumer (minhash, ngram,
+      // edit-distance, contamination — several read it twice within
+      // one query) would otherwise replan the df aggregation and its
+      // shuffle per subtree. The raw table is cached as well so the
+      // cap's two passes (df count + semi join) don't re-shingle; both
+      // are released together.
+      (sh.join(rare, Seq("h"), "left_semi").cache(), sh)
     })._1
   }
 
-  /** (capped result, the cached inner shingle table to unpersist). */
+  /** (cached capped result, cached inner shingle table) to unpersist. */
   private val shCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
 
@@ -68,7 +74,9 @@ object Dedup {
     */
   def releaseShingleCaches(spark: org.apache.spark.sql.SparkSession): Unit =
     shCache.keys.filter(_._1 eq spark).foreach { k =>
-      shCache.remove(k).foreach(_._2.unpersist())
+      shCache.remove(k).foreach { case (capped, sh) =>
+        capped.unpersist(); sh.unpersist()
+      }
     }
 
   /** Exact Jaccard over df-capped k-shingles for every pair sharing a
@@ -333,10 +341,14 @@ object Dedup {
   def contamination(docs: DataFrame, isBenchmark: Column,
       minShared: Long = 3L): DataFrame = {
     val sh = cappedShingleHashes(docs)
-    val flag = docs.select(col("doc_id"), isBenchmark.as("is_bench"))
-    val flagged = sh.join(flag, Seq("doc_id"))
-    val benchH = flagged.filter(col("is_bench")).select("h").distinct()
-    flagged.filter(!col("is_bench"))
+    // The benchmark set is tiny relative to the corpus (that is what
+    // makes decontamination feasible at all) — broadcast its doc ids
+    // and filter the shingle table in place, instead of shuffling a
+    // corpus-wide flag table onto every shingle by doc_id.
+    val benchDocs = broadcast(docs.select(col("doc_id")).where(isBenchmark))
+    val benchH = sh.join(benchDocs, Seq("doc_id"), "left_semi")
+      .select("h").distinct()
+    sh.join(benchDocs, Seq("doc_id"), "left_anti")
       .join(benchH, Seq("h"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("shared_shingles"))

@@ -65,6 +65,29 @@ class PlanAuditSpec extends SparkSuite {
       p.take(1500))
   }
 
+  test("contamination and quota sample: no cartesian, bounded shuffle count") {
+    Seq("d_contamination", "t_quota_sample", "t_tfidf_top_terms").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1500)}")
+      // count REAL data shuffles in the executed tree: collect stops
+      // at InMemoryTableScan leaves, so shuffles that run once at
+      // cache-fill don't count, and broadcasts aren't shuffles. Each
+      // query is a handful of key shuffles (token/shingle + final
+      // group + output order) — a corpus-width replan multiplies this.
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }.size
+      assert(shuffles <= 4, s"$q: $shuffles shuffles:\n${p.take(2000)}")
+    }
+  }
+
+  test("multimodal decode is shuffle-free: codecs run where the docs live") {
+    val p = plan(graft.operators.Multimodal.features(
+      spark, graft.sources.Tables.documents(spark, sf)).toDF())
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
   test("q1 shape stays in whole-stage codegen") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
     val p = df.queryExecution.explainString(
