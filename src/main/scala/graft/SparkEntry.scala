@@ -305,6 +305,27 @@ object SparkEntry {
         .orderBy("part_id", "seg_seq")
     }),
 
+    // Consistent LIST: an eventually-consistent listing (every 13th
+    // segment not yet visible) merged with event state — created
+    // events at end+1, a newer removal for seg%7==3, a stale removal
+    // for seg%7==4, and everything before ts=900 expired from state.
+    "r_store_list_consistent" -> ((s, dir) => {
+      val segs = countSegments(s, dir)
+      val listed = segs.filter(col("seg_seq") % 13 =!= 7)
+        .select(col("part_id"), col("seg_seq"), col("end_offset").as("list_ts"))
+      val events = segs.filter(col("seg_seq") % 11 =!= 5)
+        .select(col("part_id"), col("seg_seq"),
+          lit("created").as("event_type"), (col("end_offset") + 1).as("event_ts"))
+        .unionByName(segs.filter(col("seg_seq") % 7 === 3)
+          .select(col("part_id"), col("seg_seq"),
+            lit("removed").as("event_type"), (col("end_offset") + 100).as("event_ts")))
+        .unionByName(segs.filter(col("seg_seq") % 7 === 4)
+          .select(col("part_id"), col("seg_seq"),
+            lit("removed").as("event_type"), (col("end_offset") - 50).as("event_ts")))
+      StoreReconciler.listWithState(listed, events, horizon = 900L)
+        .orderBy("part_id", "seg_seq")
+    }),
+
     // ---- LLM-training-data operators ----
     "d_exact_dedup" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy("content_hash")),
@@ -1412,6 +1433,38 @@ object SparkEntry {
          |            ELSE 'missing_object' END AS status
          |FROM l FULL OUTER JOIN e USING (part_id, seg_seq)
          |WHERE in_list IS NULL OR in_events IS NULL
+         |ORDER BY part_id, seg_seq""".stripMargin,
+
+    "r_store_list_consistent" ->
+      s"""WITH $MsgCte, $SegCte,
+         |l AS (SELECT part_id, seg_seq, end_offset AS list_ts FROM segs WHERE seg_seq % 13 <> 7),
+         |ev AS (
+         |  SELECT part_id, seg_seq, 'created' AS event_type, end_offset + 1 AS event_ts
+         |  FROM segs WHERE seg_seq % 11 <> 5
+         |  UNION ALL
+         |  SELECT part_id, seg_seq, 'removed', end_offset + 100 FROM segs WHERE seg_seq % 7 = 3
+         |  UNION ALL
+         |  SELECT part_id, seg_seq, 'removed', end_offset - 50 FROM segs WHERE seg_seq % 7 = 4
+         |),
+         |lastev AS (
+         |  SELECT part_id, seg_seq, event_type, event_ts FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY part_id, seg_seq ORDER BY event_ts DESC) AS rn
+         |    FROM ev WHERE event_ts >= 900) WHERE rn = 1
+         |),
+         |m AS (
+         |  SELECT coalesce(l.part_id, lastev.part_id) AS part_id,
+         |         coalesce(l.seg_seq, lastev.seg_seq) AS seg_seq,
+         |         l.list_ts, lastev.event_type, lastev.event_ts
+         |  FROM l FULL OUTER JOIN lastev
+         |    ON l.part_id = lastev.part_id AND l.seg_seq = lastev.seg_seq)
+         |SELECT part_id, seg_seq,
+         |       coalesce(list_ts, event_ts)::BIGINT AS seen_ts,
+         |       CASE WHEN list_ts IS NOT NULL THEN 'listed'
+         |            ELSE 'event_created' END AS origin
+         |FROM m
+         |WHERE (list_ts IS NOT NULL
+         |       AND NOT coalesce(event_type = 'removed' AND event_ts > list_ts, false))
+         |   OR (list_ts IS NULL AND event_type = 'created')
          |ORDER BY part_id, seg_seq""".stripMargin,
 
     "r_replay_metrics" ->

@@ -308,6 +308,43 @@ object StoreReconciler {
         when(col("in_events").isNull, "missing_event")
           .otherwise("missing_object").as("status"))
   }
+
+  /** The reference's consistent READ path (ListSegments,
+    * consistent_segment_store.go:176-215): merge the eventually-
+    * consistent object-store LIST with the segment-event state.
+    * A CREATED event adds a segment the listing hasn't surfaced yet;
+    * a REMOVED event newer than the listing's observation deletes the
+    * stale entry; events older than the retention horizon are expired
+    * from state first (removeExpired, :335) so stale state can never
+    * override a fresh listing forever.
+    *
+    * `listed`: (part_id, seg_seq, list_ts); `events`: (part_id,
+    * seg_seq, event_type ∈ created|removed, event_ts); timestamps are
+    * logical longs. Output: the consistent inventory with provenance.
+    */
+  def listWithState(listed: DataFrame, events: DataFrame,
+      horizon: Long): DataFrame = {
+    val w = Window.partitionBy("part_id", "seg_seq")
+      .orderBy(col("event_ts").desc)
+    val last = events
+      .filter(col("event_ts") >= horizon)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("part_id"), col("seg_seq"), col("event_type"), col("event_ts"))
+    val removedNewer =
+      coalesce(col("event_type") === "removed" &&
+        col("event_ts") > col("list_ts"), lit(false))
+    listed.select(col("part_id"), col("seg_seq"), col("list_ts"))
+      .join(last, Seq("part_id", "seg_seq"), "full_outer")
+      .filter(
+        (col("list_ts").isNotNull && !removedNewer) ||
+        (col("list_ts").isNull && col("event_type") === "created"))
+      .select(
+        col("part_id"), col("seg_seq"),
+        coalesce(col("list_ts"), col("event_ts")).as("seen_ts"),
+        when(col("list_ts").isNotNull, "listed")
+          .otherwise("event_created").as("origin"))
+  }
 }
 
 /** Compaction planning + execution (reference: pkg/compaction/compactor.go).

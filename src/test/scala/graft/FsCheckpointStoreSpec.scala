@@ -18,6 +18,19 @@ class FsCheckpointStoreSpec extends SparkSuite {
     assert(store.latestMap() === Map(0 -> 14L, 1 -> 9L))
   }
 
+  test("a lower or equal late commit never regresses the checkpoint") {
+    // reference checkpoint_store_test.go "Should not update the
+    // offset": Save with an offset <= the stored one is a no-op read.
+    import spark.implicits._
+    val store = FsCheckpointStore(spark, tmpDir("ck"))
+    store.commit(Seq((0, 42L)).toDF("part_id", "ckpt_offset"))
+    store.commit(Seq((0, 41L)).toDF("part_id", "ckpt_offset"))
+    store.commit(Seq((0, 42L)).toDF("part_id", "ckpt_offset"))
+    assert(store.latestMap() === Map(0 -> 42L))
+    store.compactLog()
+    assert(store.latestMap() === Map(0 -> 42L))
+  }
+
   test("compactLog keeps the latest per key and shrinks the log") {
     import spark.implicits._
     val store = FsCheckpointStore(spark, tmpDir("ck"))

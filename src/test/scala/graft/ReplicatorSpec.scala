@@ -253,6 +253,32 @@ class ReplicatorSpec extends SparkSuite {
       .toSeq === Seq((1L, "missing_event"), (3L, "missing_object")))
   }
 
+  test("consistent listing merges event state (reference ListSegments scenarios)") {
+    // mirrors tests/consistent_segment_store_test.go: CREATED fills a
+    // listing miss; REMOVED newer than the listing deletes it; REMOVED
+    // older than the listing is stale and ignored; expired events are
+    // dropped from state before any of that.
+    import spark.implicits._
+    val listed = Seq(
+      (0, 1L, 100L),  // plain listed segment
+      (0, 2L, 100L),  // newer REMOVED (ts 150) → deleted
+      (0, 3L, 100L),  // older REMOVED (ts 50) → stale, survives
+      (0, 4L, 100L))  // REMOVED would delete it, but event expired
+      .toDF("part_id", "seg_seq", "list_ts")
+    val events = Seq(
+      (0, 5L, "created", 120L),  // not yet listed → added from state
+      (0, 6L, "created", 10L),   // not listed AND expired → absent
+      (0, 2L, "removed", 150L),
+      (0, 3L, "removed", 50L),
+      (0, 4L, "removed", 15L))
+      .toDF("part_id", "seg_seq", "event_type", "event_ts")
+    val out = StoreReconciler.listWithState(listed, events, horizon = 20L)
+      .orderBy("seg_seq").collect()
+      .map(r => (r.getAs[Long]("seg_seq"), r.getAs[String]("origin")))
+    assert(out.toSeq === Seq(
+      (1L, "listed"), (3L, "listed"), (4L, "listed"), (5L, "event_created")))
+  }
+
   test("merged stats preserve message counts (no loss, no dups)") {
     val segs = SegmentRoller.byCount(messages, 50)
     val plan = Compactor.plan(segs, 0, 2, 4)
