@@ -750,7 +750,7 @@ object SparkEntry {
     "t_token_count" ->
       s"""WITH $NormCte
          |SELECT doc_id, len(string_split(t, ' '))::BIGINT AS ws_tokens,
-         |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))::BIGINT AS subword_tokens
+         |       len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))::BIGINT AS subword_tokens
          |FROM norm ORDER BY doc_id""".stripMargin,
 
     "t_tfidf_top_terms" ->

@@ -77,11 +77,19 @@ object TextAnalysis {
   }
 
   /** Token counting: whitespace tokens + BPE-ish regex subword tokens. */
+  /** GPT-2-shaped pre-tokenizer pattern (RE2-safe, shared verbatim
+    * with the DuckDB oracle): contractions, space-prefixed letter and
+    * digit runs, punctuation runs — the split a byte-pair encoder
+    * refines, so its count tracks BPE token counts far closer than a
+    * whitespace split does.
+    */
+  val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       size(split(normText(col("text")), " ")).cast("long").as("ws_tokens"),
-      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+"), lit(0)))
+      size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
         .cast("long").as("subword_tokens"))
 
   /** Heavy hitters: top-N corpus tokens by frequency (deterministic
