@@ -55,28 +55,31 @@ object Dedup {
       val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
         .crossJoin(nDocs)
         .filter(col("df") * 20 <= col("n_docs")).select("h")
-      // Cache the CAPPED result too: every consumer (minhash, ngram,
+      // Cache the CAPPED result: every consumer (minhash, ngram,
       // edit-distance, contamination — several read it twice within
       // one query) would otherwise replan the df aggregation and its
-      // shuffle per subtree. The raw table is cached as well so the
-      // cap's two passes (df count + semi join) don't re-shingle; both
-      // are released together.
-      (sh.join(rare, Seq("h"), "left_semi").cache(), sh)
-    })._1
+      // shuffle per subtree. The raw table is cached only while the
+      // cap's two passes (df count + semi join) materialize, then
+      // dropped — one resident table per corpus, not two (at 100 TB
+      // the raw shingle table is the biggest intermediate in the
+      // whole dedup family).
+      val capped = sh.join(rare, Seq("h"), "left_semi").cache()
+      capped.count()
+      sh.unpersist()
+      capped
+    })
   }
 
-  /** (cached capped result, cached inner shingle table) to unpersist. */
+  /** Cached capped shingle table per (session, corpus plan). */
   private val shCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
   /** Unpersist every shingle table cached for `spark` (call when the
     * dedup queries of a session are done).
     */
   def releaseShingleCaches(spark: org.apache.spark.sql.SparkSession): Unit =
     shCache.keys.filter(_._1 eq spark).foreach { k =>
-      shCache.remove(k).foreach { case (capped, sh) =>
-        capped.unpersist(); sh.unpersist()
-      }
+      shCache.remove(k).foreach(_.unpersist())
     }
 
   /** Exact Jaccard over df-capped k-shingles for every pair sharing a
