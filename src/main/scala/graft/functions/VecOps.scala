@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.SqlBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native Catalyst expressions for the ANN family's integer-vector
+  * hot paths.
+  *
+  * The composed alternatives (`aggregate(zip_with(...))` for the dot
+  * product; posexplode → crossJoin(planes) → two groupBys for the
+  * hyperplane bucket) are higher-order/relational forms: the former
+  * allocates an intermediate array per evaluation and stays outside
+  * whole-stage codegen, the latter shuffles 64×8 rows per vector.
+  * These expressions evaluate inside the generated loop — one fused
+  * multiply-add pass per row, zero shuffles — which is the difference
+  * between a scan-rate kNN and a shuffle-bound one at 100 TB.
+  *
+  * Semantics are IDENTICAL to the composed forms (exact integer
+  * arithmetic over milli-quantized components), so the DuckDB oracles
+  * are unchanged.
+  */
+object VecOps {
+
+  /** Σ a(i)·b(i) over the common prefix — exact long arithmetic. */
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** All `numPlanes` hyperplane signs of `v` in one pass:
+    * bit p set iff Σ_d v(d)·coef(p,d) > 0 with
+    * coef(p,d) = ((1103515245·(p·dims+d) + 12345) mod 2001) − 1000 —
+    * the same deterministic pseudo-random coefficients the SQL oracle
+    * derives arithmetically.
+    */
+  def hyperplaneBucket(v: ArrayData, numPlanes: Int): Long = {
+    val dims = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var s = 0L
+      var d = 0
+      while (d < dims) {
+        val coef = (1103515245L * (p * dims + d) + 12345L) % 2001L - 1000L
+        s += v.getLong(d) * coef
+        d += 1
+      }
+      if (s > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  /** Integer dot product of two `array<long>` columns. */
+  def intDot(a: Column, b: Column): Column =
+    SqlBridge.column(IntDotExpr(SqlBridge.expression(a), SqlBridge.expression(b)))
+
+  /** Hyperplane LSH bucket of an `array<long>` column. */
+  def hyperplaneBucket(v: Column, numPlanes: Int): Column =
+    SqlBridge.column(HyperplaneBucketExpr(SqlBridge.expression(v), numPlanes))
+}
+
+case class IntDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntDotExpr = copy(left = newLeft, right = newRight)
+}
+
+case class HyperplaneBucketExpr(child: Expression, numPlanes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecOps.hyperplaneBucket(v.asInstanceOf[ArrayData], numPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecOps.hyperplaneBucket($c, $numPlanes)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.VecOps
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Portability: components are quantized to integer milli-units
@@ -21,45 +23,45 @@ object Ann {
   val Dims = 64
   val NumPlanes = 8
 
-  /** Quantized embedding + integer self-dot (norm²). */
+  /** Quantized embedding + integer self-dot (norm²). The norm is the
+    * native codegen dot of the vector with itself — no intermediate
+    * squared array.
+    */
   def quantized(embeddings: DataFrame): DataFrame =
     embeddings.select(
         col("vec_id"), col("label"),
         transform(col("embedding"), x => round(x * 1000, 0).cast("long")).as("v"))
-      .withColumn("norm2",
-        aggregate(transform(col("v"), x => x * x), lit(0L), (s, x) => s + x))
+      .withColumn("norm2", VecOps.intDot(col("v"), col("v")))
 
   /** Exact cosine between two quantized vectors (bit-identical across
-    * engines: integer dot / product of identical sqrt doubles).
+    * engines: integer dot / product of identical sqrt doubles). The
+    * dot is a native codegen expression — one fused pass, inside
+    * whole-stage codegen, no per-row array allocation.
     */
   def cosine(va: Column, vb: Column, n2a: Column, n2b: Column): Column =
-    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0L), (s, x) => s + x)
+    VecOps.intDot(va, vb)
       .cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
   /** Deterministic pseudo-random hyperplane coefficient, identical in
     * SQL: coef(p,d) = ((1103515245*(p*64+d) + 12345) % 2001) - 1000.
+    * This is the column-level statement of the rule
+    * `VecOps.hyperplaneBucket` fuses natively and the DuckDB oracles
+    * derive arithmetically; the equivalence is asserted in
+    * DedupAnnSpec ("native vector expressions match ...").
     */
   def planeCoef(p: Column, d: Column): Column =
     (lit(1103515245L) * (p * Dims + d) + 12345L) % 2001L - 1000L
 
-  /** Random-hyperplane-bucketed vectors: (vec_id, v, norm2, bucket). */
-  def bucketed(embeddings: DataFrame): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val planes = (0 until NumPlanes).toDF("p")
-    val q = quantized(embeddings)
-    val dots = q
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "comp")))
-      .crossJoin(broadcast(planes))
-      .withColumn("term", col("comp") * planeCoef(col("p"), col("d")))
-      .groupBy("vec_id", "p")
-      .agg(sum("term").as("dot")) // integer dot with the plane — exact
-    val bucket = dots
-      .groupBy("vec_id")
-      .agg(sum(when(col("dot") > 0, expr("shiftleft(1L, p)")).otherwise(0L))
-        .as("bucket"))
-    q.join(bucket, Seq("vec_id"))
-  }
+  /** Random-hyperplane-bucketed vectors: (vec_id, v, norm2, bucket).
+    * The bucket is a native codegen expression evaluating all plane
+    * signs in one pass per row — a pure projection. The relational
+    * form (posexplode × planes → two groupBys) shuffled 64×8 rows per
+    * vector; at corpus scale that shuffle, not the arithmetic, was the
+    * cost.
+    */
+  def bucketed(embeddings: DataFrame): DataFrame =
+    quantized(embeddings)
+      .withColumn("bucket", VecOps.hyperplaneBucket(col("v"), NumPlanes))
 
   /** Brute-force exact top-k cosine neighbors for query vecs. */
   def knnBruteForce(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {

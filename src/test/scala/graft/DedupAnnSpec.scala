@@ -146,6 +146,36 @@ class DedupAnnSpec extends SparkSuite {
     assert(capped.subsetOf(all))
   }
 
+  test("native vector expressions match the composed higher-order forms") {
+    // IntDot ≡ aggregate(zip_with(·,·,*)): the codegen expression must
+    // be value-identical to the declarative form it replaced
+    val q = Ann.quantized(emb)
+    val dotMismatch = q
+      .withColumn("composed",
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0L), (s, x) => s + x))
+      .filter(col("norm2") =!= col("composed")).count()
+    assert(dotMismatch === 0)
+    // HyperplaneBucket ≡ the relational posexplode×planes derivation
+    // (the rule the SQL oracles also state arithmetically)
+    import spark.implicits._
+    val planes = (0 until Ann.NumPlanes).toDF("p")
+    val relational = q
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "comp")))
+      .crossJoin(broadcast(planes))
+      .withColumn("term", col("comp") * Ann.planeCoef(col("p"), col("d")))
+      .groupBy("vec_id", "p")
+      .agg(sum("term").as("dot"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("dot") > 0, expr("shiftleft(1L, p)")).otherwise(0L))
+        .as("rel_bucket"))
+    val bucketMismatch = Ann.bucketed(emb)
+      .join(relational, Seq("vec_id"))
+      .filter(col("bucket") =!= col("rel_bucket")).count()
+    assert(bucketMismatch === 0)
+    assert(q.count() > 0)
+  }
+
   test("knn brute force: ranks descend in cosine, k per query") {
     val out = Ann.knnBruteForce(emb, 5, 5).collect()
     assert(out.length === 25)

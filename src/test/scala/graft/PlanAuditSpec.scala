@@ -82,6 +82,12 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("hyperplane bucketing is a pure projection: zero exchanges") {
+    val p = plan(graft.operators.Ann.bucketed(
+      graft.sources.Tables.embeddings(spark, sf)))
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
   test("multimodal decode is shuffle-free: codecs run where the docs live") {
     val p = plan(graft.operators.Multimodal.features(
       spark, graft.sources.Tables.documents(spark, sf)).toDF())
