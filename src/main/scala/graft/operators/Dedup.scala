@@ -74,13 +74,17 @@ object Dedup {
   private val shCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
-  /** Unpersist every shingle table cached for `spark` (call when the
-    * dedup queries of a session are done).
+  /** Unpersist every shingle and pair table cached for `spark` (call
+    * when the dedup queries of a session are done).
     */
-  def releaseShingleCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+  def releaseShingleCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
     shCache.keys.filter(_._1 eq spark).foreach { k =>
       shCache.remove(k).foreach(_.unpersist())
     }
+    pairCache.keys.filter(_._1 eq spark).foreach { k =>
+      pairCache.remove(k).foreach(_.unpersist())
+    }
+  }
 
   /** Exact Jaccard over df-capped k-shingles for every pair sharing a
     * shingle. Output: pairs with similarity >= minJaccardBp/10000.
@@ -129,19 +133,34 @@ object Dedup {
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
     * candidate join → exact-Jaccard verify.
+    *
+    * The VERIFIED pair table is cached per (session, corpus,
+    * threshold) like the shingle table: clustering, edit-distance
+    * verification, and the pair listing itself all consume the same
+    * pairs, and the table is pair-graph-scale (orders of magnitude
+    * smaller than the corpus) — recomputing the whole
+    * sign→band→join→verify pipeline per consumer was the single
+    * largest repeated cost in a dedup session.
     */
   def minhashLsh(docs: DataFrame, minJaccardBp: Long): DataFrame = {
-    val sh = cappedShingleHashes(docs)
-    val cands = lshCandidates(minhashSignatures(sh))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cands
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id")
-        && col("sa.h") === col("sb.h"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    jaccardFilter(inter, sizes, minJaccardBp)
+    val key = (docs.sparkSession,
+      docs.queryExecution.logical.canonicalized.toString, minJaccardBp)
+    pairCache.getOrElseUpdate(key, {
+      val sh = cappedShingleHashes(docs)
+      val cands = lshCandidates(minhashSignatures(sh))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = cands
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id")
+          && col("sa.h") === col("sb.h"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"))
+      jaccardFilter(inter, sizes, minJaccardBp).cache()
+    })
   }
+
+  private val pairCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Long), DataFrame]
 
   /** SimHash width in bits. 60 keeps the value in the portable
     * non-negative i64 range (DuckDB errors on i64 overflow) while
