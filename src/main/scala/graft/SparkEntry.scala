@@ -405,6 +405,15 @@ object SparkEntry {
       Multimodal.features(s, Tables.documents(s, dir)).toDF()
         .select("doc_id", "media_type", "width", "height", "pixel_rgb", "frames")
         .orderBy("doc_id")),
+
+    "x_resize" -> ((s, dir) =>
+      Multimodal.resized(s, Tables.documents(s, dir)).toDF()
+        .select("doc_id", "width", "height", "pixel_rgb")
+        .orderBy("doc_id")),
+
+    "x_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSamples(s, Tables.documents(s, dir))
+        .orderBy("doc_id", "frame_idx")),
   )
 
   /** Thresholds shared with the oracles (basis points / bits). */
@@ -884,6 +893,33 @@ object SparkEntry {
         |          WHEN 'audio' THEN doc_id % 400 + 50
         |          ELSE doc_id % 8 + 2 END)::BIGINT AS frames
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "x_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         (['image','audio','video'])[((replace(source, 'src', '')::INT) % 3) + 1] AS media_type
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       greatest(1, (doc_id % 64 + 1) // 2)::BIGINT AS width,
+        |       greatest(1, (doc_id % 48 + 1) // 2)::BIGINT AS height,
+        |       ((doc_id * 2654435761) % 16777216)::BIGINT AS pixel_rgb
+        |FROM m WHERE media_type = 'image' ORDER BY doc_id""".stripMargin,
+
+    "x_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         (['image','audio','video'])[((replace(source, 'src', '')::INT) % 3) + 1] AS media_type
+        |  FROM documents
+        |),
+        |v AS (SELECT doc_id, doc_id % 8 + 2 AS n FROM m WHERE media_type = 'video')
+        |SELECT doc_id, (2 * t.i)::BIGINT AS frame_idx,
+        |       (doc_id % 32 + 1)::BIGINT AS width,
+        |       (doc_id % 24 + 1)::BIGINT AS height,
+        |       ((doc_id * 2654435761) % 16777216)::BIGINT AS pixel_rgb
+        |FROM v CROSS JOIN range(0, 5) t(i)
+        |WHERE 2 * t.i < v.n
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

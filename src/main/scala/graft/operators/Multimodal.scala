@@ -204,6 +204,65 @@ object Multimodal {
     }
   }
 
+  /** Resize the image rows: decode the PNG, scale the raster to
+    * max(1, w/factor) × max(1, h/factor) through a real Graphics2D
+    * draw, RE-ENCODE to PNG (the artifact a thumbnail pipeline ships),
+    * then decode the new payload for the emitted features — so the
+    * output row proves the resized bytes parse, exactly like
+    * [[features]] proves the originals do.
+    */
+  def resized(spark: SparkSession, docs: DataFrame,
+      factor: Int = 2): Dataset[MediaMeta] = {
+    import spark.implicits._
+    landed(spark, docs)
+      .filter(col("media_type") === "image")
+      .mapPartitions { batch =>
+        batch.map { f =>
+          val img = ImageIO.read(new ByteArrayInputStream(f.payload))
+          val nw = math.max(1, img.getWidth / factor)
+          val nh = math.max(1, img.getHeight / factor)
+          val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.drawImage(img, 0, 0, nw, nh, null)
+          g.dispose()
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", bos)
+          val (w, h, rgb) = PngCodec.decode(bos.toByteArray)
+          MediaMeta(f.doc_id, f.media_type, w, h, rgb, frames = 1L)
+        }
+      }
+  }
+
+  /** Sample every `stride`-th frame of the video rows, fully decoding
+    * each sampled frame (not just frame 0): one output row per
+    * sampled frame with its decoded dims/pixel.
+    */
+  def frameSamples(spark: SparkSession, docs: DataFrame,
+      stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    landed(spark, docs)
+      .filter(col("media_type") === "video")
+      .mapPartitions { batch =>
+        batch.flatMap { f =>
+          val buf = java.nio.ByteBuffer.wrap(f.payload)
+          buf.position(8) // magic + declared count; count re-derived below
+          var idx = 0
+          val rows = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+          while (buf.remaining() > 4) {
+            val len = buf.getInt()
+            val frame = new Array[Byte](len); buf.get(frame)
+            if (idx % stride == 0) {
+              val (w, h, rgb) = PngCodec.decode(frame)
+              rows += ((f.doc_id, idx.toLong, w.toLong, h.toLong, rgb.toLong))
+            }
+            idx += 1
+          }
+          rows.result()
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "pixel_rgb")
+  }
+
   /** The media table as it lands: every payload is a REAL container
     * (PNG / RIFF WAVE / GVID frame pack) synthesized per doc in a
     * batched pass.

@@ -69,6 +69,34 @@ class MultimodalSpec extends SparkSuite {
     assert(feats.toDF().filter(col("media_type") === "video").count() > 0)
   }
 
+  test("resize halves dims through a real re-encode and keeps the pixel") {
+    val out = Multimodal.resized(spark, Tables.documents(spark, sf)).toDF()
+    assert(out.filter(col("media_type") =!= "image").count() === 0)
+    val mismatch = out.filter(
+        col("width") =!= greatest(lit(1L), floor((col("doc_id") % 64 + 1) / 2)) ||
+        col("pixel_rgb") =!= (col("doc_id") * 2654435761L) % 16777216L)
+      .count()
+    assert(mismatch === 0)
+    assert(out.count() > 0)
+  }
+
+  test("frame sampling decodes every strided frame, not just frame 0") {
+    val out = Multimodal.frameSamples(spark, Tables.documents(spark, sf))
+    // every sampled index is even and below the doc's frame count
+    val bad = out.filter(
+        col("frame_idx") % 2 =!= 0 ||
+        col("frame_idx") >= col("doc_id") % 8 + 2 ||
+        col("width") =!= col("doc_id") % 32 + 1 ||
+        col("pixel_rgb") =!= (col("doc_id") * 2654435761L) % 16777216L)
+      .count()
+    assert(bad === 0)
+    // sampled-row count per doc = ceil(frames / 2)
+    val counts = out.groupBy("doc_id").count()
+      .filter(col("count") =!= floor((col("doc_id") % 8 + 2 + 1) / 2))
+    assert(counts.count() === 0)
+    assert(out.count() > 0)
+  }
+
   test("landed media table carries real binary payloads for every doc") {
     val landed = Multimodal.landed(spark, Tables.documents(spark, sf))
     val rows = landed.collect()
