@@ -94,6 +94,31 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p.take(1500))
   }
 
+  test("bucketed tables co-locate the join: no exchange on either side") {
+    // The technique a 100 TB deployment uses for repeated joins on the
+    // same key: both sides written bucketBy(part_id), so each scan
+    // reports HashPartitioning(part_id, n) and the join plans with NO
+    // shuffle at all — the cost moved from every query to one write.
+    val spark0 = spark
+    import spark0.implicits._
+    val msgs = graft.operators.MessageFraming.messages(
+      graft.sources.Tables.events(spark, sf))
+    msgs.write.bucketBy(4, "part_id").sortBy("part_id")
+      .mode("overwrite").saveAsTable("audit_msgs_a")
+    msgs.groupBy("part_id").count().write.bucketBy(4, "part_id")
+      .mode("overwrite").saveAsTable("audit_msgs_b")
+    // merge hint: at test scale the tiny side would broadcast, hiding
+    // the property under audit (at 100 TB neither side broadcasts)
+    val joined = spark.table("audit_msgs_a").hint("merge")
+      .join(spark.table("audit_msgs_b"), Seq("part_id"))
+    val p = plan(joined)
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE audit_msgs_a")
+    spark.sql("DROP TABLE audit_msgs_b")
+  }
+
   test("q1 shape stays in whole-stage codegen") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
     val p = df.queryExecution.explainString(
