@@ -48,4 +48,28 @@ class HexHash60Spec extends SparkSuite {
     assert(code.contains("WholeStageCodegen"), code.take(800))
     assert(code.contains("graft.functions.HexHash60.hash"), "static call not inlined")
   }
+
+  test("int_dot / hyperplane_bucket are callable from SQL and codegen'd") {
+    GraftExtensions.register(spark)
+    graft.sources.Tables.embeddings(spark, sf).limit(5)
+      .createOrReplaceTempView("emb_v")
+    val rows = spark.sql(
+      """SELECT vec_id,
+        |  int_dot(transform(embedding, x -> cast(round(x*1000, 0) AS long)),
+        |          transform(embedding, x -> cast(round(x*1000, 0) AS long))) AS n2,
+        |  hyperplane_bucket(
+        |    transform(embedding, x -> cast(round(x*1000, 0) AS long)), 8) AS b
+        |FROM emb_v""".stripMargin).collect()
+    assert(rows.length === 5)
+    val viaDsl = graft.operators.Ann.bucketed(
+        graft.sources.Tables.embeddings(spark, sf).limit(5))
+      .select("vec_id", "norm2", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === viaDsl)
+    val code = graft.operators.Ann.bucketed(
+        graft.sources.Tables.embeddings(spark, sf))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(code.contains("graft.functions.VecOps"), "static call not inlined")
+  }
 }
