@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Analytics
 
 /** Physical-plan audits: the scale properties SURVEY.md §4 claims —
@@ -117,6 +119,50 @@ class PlanAuditSpec extends SparkSuite {
     assert(joined.count() > 0)
     spark.sql("DROP TABLE audit_msgs_a")
     spark.sql("DROP TABLE audit_msgs_b")
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // The runtime complement to q_salted_user_join's manual salting:
+    // with adaptive skew-join on, a hot key's oversized shuffle
+    // partition is split AFTER the map stage reports real sizes —
+    // no code change, no salt column. Thresholds are shrunk so the
+    // test corpus trips them; at 100 TB the defaults do.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val spark0 = spark
+      import spark0.implicits._
+      // 20k rows of one hot key vs 4 × 100 of cold keys
+      val skewed = ((1 to 20000).map(_ => 7) ++
+        (1 to 400).map(i => i % 4)).toDF("k")
+        .withColumn("payload", lpad(lit("x"), 64, "x"))
+      val dim = (0 to 7).toDF("k").withColumn("name", col("k").cast("string"))
+      val joined = skewed.hint("merge").join(dim, Seq("k"))
+      // execute THIS plan (count() would spawn its own query execution
+      // and leave this one un-run, never reaching the AQE final plan)
+      assert(joined.collect().length === 20400)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(500))
+      assert(finalPlan.contains("skew=true"), finalPlan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("q1 shape stays in whole-stage codegen") {
