@@ -414,6 +414,15 @@ object SparkEntry {
     "x_frame_sample" -> ((s, dir) =>
       Multimodal.frameSamples(s, Tables.documents(s, dir))
         .orderBy("doc_id", "frame_idx")),
+
+    // Flagship composition: quality gate → language filter → near-dup
+    // keepers → decontamination → deterministic split, all from the
+    // engine's own operators (thresholds mirror the per-stage queries).
+    "p_curated_corpus" -> ((s, dir) =>
+      Pipelines.curatedCorpus(Tables.documents(s, dir), minQuality = 75,
+          langs = Seq("en"), minJaccardBp = NgramJaccardBp,
+          isBenchmark = col("doc_id") % 50 === 0)
+        .orderBy("doc_id")),
   )
 
   /** Thresholds shared with the oracles (basis points / bits). */
@@ -506,6 +515,57 @@ object SparkEntry {
 
   private val TokCte =
     """tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm)""".stripMargin
+
+  /** MinHash → band → verify → connected-components chain over `sh`
+    * (requires WITH RECURSIVE; mirrors Dedup.minhashLsh +
+    * dedupClusters). Ends at `reach`; consumers derive labels/keepers.
+    */
+  private lazy val ClusterCtes =
+    s"""params(hash_id, ha, hb) AS (VALUES
+       |  (0, 952211, 37199), (1, 370259, 915583), (2, 768389, 68477),
+       |  (3, 113111, 331777), (4, 597269, 749341), (5, 286871, 55411),
+       |  (6, 851423, 426389), (7, 104729, 711871)),
+       |sig AS (
+       |  SELECT doc_id, hash_id,
+       |         min((ha * (h % 1048576) + hb) % 1048573) AS minhash
+       |  FROM sh, params GROUP BY doc_id, hash_id
+       |),
+       |banded AS (
+       |  SELECT doc_id, (hash_id // 2)::INT AS band,
+       |         (min(CASE WHEN hash_id % 2 = 0 THEN minhash END) * 1048583
+       |           + min(CASE WHEN hash_id % 2 = 1 THEN minhash END))::BIGINT AS band_key
+       |  FROM sig GROUP BY doc_id, (hash_id // 2)::INT
+       |),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+       |),
+       |sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+       |  GROUP BY 1, 2
+       |),
+       |verified AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT p.doc_a, p.doc_b,
+       |           round(p.inter * 10000.0 / (x.n_sh + y.n_sh - p.inter), 0)::BIGINT AS jacc_bp
+       |    FROM pairs p JOIN sz x ON x.doc_id = p.doc_a JOIN sz y ON y.doc_id = p.doc_b
+       |  ) WHERE jacc_bp >= $NgramJaccardBp
+       |),
+       |e AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM verified
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM verified
+       |),
+       |reach(doc_id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN e ON reach.doc_id = e.a
+       |)""".stripMargin
 
   private val H20 = "(('0x' || substr(md5(%s),1,15))::BIGINT %% 1048576)"
 
@@ -808,55 +868,79 @@ object SparkEntry {
 
     "d_dedup_clusters" ->
       s"""WITH RECURSIVE $NormCte, $ShCte,
-         |params(hash_id, ha, hb) AS (VALUES
-         |  (0, 952211, 37199), (1, 370259, 915583), (2, 768389, 68477),
-         |  (3, 113111, 331777), (4, 597269, 749341), (5, 286871, 55411),
-         |  (6, 851423, 426389), (7, 104729, 711871)),
-         |sig AS (
-         |  SELECT doc_id, hash_id,
-         |         min((ha * (h % 1048576) + hb) % 1048573) AS minhash
-         |  FROM sh, params GROUP BY doc_id, hash_id
-         |),
-         |banded AS (
-         |  SELECT doc_id, (hash_id // 2)::INT AS band,
-         |         (min(CASE WHEN hash_id % 2 = 0 THEN minhash END) * 1048583
-         |           + min(CASE WHEN hash_id % 2 = 1 THEN minhash END))::BIGINT AS band_key
-         |  FROM sig GROUP BY doc_id, (hash_id // 2)::INT
-         |),
-         |cands AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM banded x JOIN banded y
-         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-         |),
-         |sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
-         |  FROM cands c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
-         |  GROUP BY 1, 2
-         |),
-         |verified AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT p.doc_a, p.doc_b,
-         |           round(p.inter * 10000.0 / (x.n_sh + y.n_sh - p.inter), 0)::BIGINT AS jacc_bp
-         |    FROM pairs p JOIN sz x ON x.doc_id = p.doc_a JOIN sz y ON y.doc_id = p.doc_b
-         |  ) WHERE jacc_bp >= $NgramJaccardBp
-         |),
-         |e AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM verified
-         |  UNION ALL
-         |  SELECT doc_b, doc_a FROM verified
-         |),
-         |reach(doc_id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.b, reach.r FROM reach JOIN e ON reach.doc_id = e.a
-         |)
+         |$ClusterCtes
          |SELECT doc_id, cluster_id,
          |       (CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)::INT AS keep
          |FROM (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "p_curated_corpus" ->
+      s"""WITH RECURSIVE $NormCte, $ShCte,
+         |$ClusterCtes,
+         |labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+         |keepers AS (SELECT doc_id FROM labels WHERE doc_id = cluster_id),
+         |qm AS (
+         |  SELECT doc_id,
+         |    len(string_split(t, ' '))::BIGINT AS wc,
+         |    length(replace(t, ' ', ''))::BIGINT AS letters,
+         |    len(list_filter(string_split(t, ' '),
+         |      x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::BIGINT AS sw_hits,
+         |    length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::BIGINT AS alpha_len,
+         |    length(text)::BIGINT AS text_len
+         |  FROM norm
+         |),
+         |quality AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN wc BETWEEN 20 AND 1000 THEN 25 ELSE 0 END
+         |     + CASE WHEN (letters * 10 // wc) BETWEEN 30 AND 100 THEN 25 ELSE 0 END
+         |     + CASE WHEN sw_hits * 100 >= wc * 5 THEN 25 ELSE 0 END
+         |     + CASE WHEN alpha_len * 100 >= text_len * 60 THEN 25 ELSE 0 END)::INT AS score
+         |  FROM qm
+         |),
+         |$TokCte,
+         |markers(cand_lang, marker) AS (VALUES
+         |  ('en','the'),('en','a'),('en','and'),('en','of'),
+         |  ('de','der'),('de','und'),('de','das'),('de','die'),
+         |  ('fr','le'),('fr','et'),('fr','la'),('fr','les'),
+         |  ('es','el'),('es','y'),('es','los'),('es','de')),
+         |hits AS (
+         |  SELECT doc_id, cand_lang, count(*)::BIGINT AS n_hits
+         |  FROM tok JOIN markers ON tok = marker GROUP BY 1, 2
+         |),
+         |best AS (
+         |  SELECT doc_id, cand_lang FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY n_hits DESC, cand_lang) AS rn
+         |    FROM hits
+         |  ) WHERE rn = 1
+         |),
+         |langp AS (
+         |  SELECT d.doc_id, coalesce(b.cand_lang, 'und') AS pred_lang
+         |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         |),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+         |contam AS (
+         |  SELECT doc_id FROM sh
+         |  WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM bench)
+         |  GROUP BY doc_id HAVING count(*) >= 3
+         |),
+         |spl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |        (('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100) AS b
+         |        FROM documents)
+         |)
+         |SELECT d.doc_id, langp.pred_lang, quality.score, spl.split
+         |FROM documents d
+         |JOIN quality ON quality.doc_id = d.doc_id AND quality.score >= 75
+         |JOIN langp ON langp.doc_id = d.doc_id AND langp.pred_lang = 'en'
+         |JOIN keepers ON keepers.doc_id = d.doc_id
+         |JOIN spl ON spl.doc_id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)
+         |  AND d.doc_id % 50 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
 
     "t_fingerprint" ->
       s"""WITH $NormCte

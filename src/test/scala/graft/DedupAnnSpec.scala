@@ -146,6 +146,25 @@ class DedupAnnSpec extends SparkSuite {
     assert(capped.subsetOf(all))
   }
 
+  test("curated corpus composes every gate: each survivor passes all of them") {
+    import graft.operators.Pipelines
+    val isBench = col("doc_id") % 50 === 0
+    val out = Pipelines.curatedCorpus(docs, minQuality = 75,
+      langs = Seq("en"), minJaccardBp = 5000L, isBenchmark = isBench).cache()
+    // every emitted row satisfies every stage's own operator
+    assert(out.filter(col("score") < 75).count() === 0)
+    assert(out.filter(col("pred_lang") =!= "en").count() === 0)
+    assert(out.filter(col("doc_id") % 50 === 0).count() === 0)
+    assert(out.filter(!col("split").isin("train", "validation", "test")).count() === 0)
+    val nonKeepers = Dedup.dedupClusters(docs, 5000L)
+      .filter(col("keep") === 0).select("doc_id")
+    assert(out.join(nonKeepers, Seq("doc_id")).count() === 0)
+    val contaminated = Dedup.contamination(docs, isBench).select("doc_id")
+    assert(out.join(contaminated, Seq("doc_id")).count() === 0)
+    assert(out.count() > 0)
+    out.unpersist()
+  }
+
   test("native vector expressions match the composed higher-order forms") {
     // IntDot ≡ aggregate(zip_with(·,·,*)): the codegen expression must
     // be value-identical to the declarative form it replaced
