@@ -423,6 +423,24 @@ object SparkEntry {
           langs = Seq("en"), minJaccardBp = NgramJaccardBp,
           isBenchmark = col("doc_id") % 50 === 0)
         .orderBy("doc_id")),
+
+    "t_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "p_pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(Tables.documents(s, dir), budget = 256, shards = 8)
+        .orderBy("shard", "seq_id")),
+
+    "t_mixture_resample" -> ((s, dir) =>
+      Curation.mixtureResample(Tables.documents(s, dir)).orderBy("lang")),
+
+    "d_incremental_dedup" -> ((s, dir) =>
+      Curation.incrementalDedup(Tables.documents(s, dir), batchMod = 4)
+        .orderBy("doc_id")),
+
+    "a_kmeans_train" -> ((s, dir) =>
+      Ann.kmeansTrain(Tables.embeddings(s, dir), k = 8, iterations = 2)
+        .orderBy("cluster")),
   )
 
   /** Thresholds shared with the oracles (basis points / bits). */

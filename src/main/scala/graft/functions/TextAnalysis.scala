@@ -160,6 +160,45 @@ object TextAnalysis {
       .select("source", "rnk", "doc_id")
   }
 
+  /** Repetition signals per document — the Gopher-style filters a
+    * training pipeline screens boilerplate and spam with: token count,
+    * distinct-token count, the most frequent token's count, the total
+    * occurrences of duplicated bigrams, and the unique-token ratio in
+    * basis points. All counts are integers; the one ratio is a
+    * round-4dp of int/int, so the oracle matches exactly.
+    *
+    * Scale: two shuffles, both keyed by doc_id (token counts and
+    * bigram counts partial-aggregate map-side before the exchange);
+    * the bigram list is a per-row projection (`transform` over the
+    * token array), never a corpus-wide join.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+    val tc = toks.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_unique"),
+        max("cnt").as("top_tok_n"))
+    // sequence(1, size-1) is DESCENDING when size=1 — guard to an
+    // empty bigram list for single-token docs.
+    val bigrams = toks.select(col("doc_id"),
+      explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat(element_at(col("w"), i), lit(" "),
+              element_at(col("w"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val dup = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(coalesce(sum(when(col("n") >= 2, col("n"))), lit(0L))
+        .as("dup_bigram_occ"))
+    tc.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_unique"), col("top_tok_n"),
+        coalesce(col("dup_bigram_occ"), lit(0L)).as("dup_bigram_occ"),
+        round(col("n_unique") * 10000.0 / col("n_tokens"), 0).cast("long")
+          .as("uniq_bp"))
+  }
+
   /** Polynomial rolling fingerprint over token hashes:
     * fp = foldl(0, (acc, t) => (acc*31 + h20(t)) mod (2^31-1)).
     */

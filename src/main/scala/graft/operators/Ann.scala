@@ -147,6 +147,60 @@ object Ann {
         round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
   }
 
+  /** Lloyd's k-means over quantized embeddings, the training loop that
+    * produces IVF centroids (knnIvf's fixed-stride centroids are the
+    * no-training baseline; this is the real thing). Fully portable:
+    * distances are exact integer squared-L2
+    * (‖v‖² − 2·v·c + ‖c‖², native codegen dot), and the centroid
+    * update floor-quantizes the mean per dimension (`sum div n` —
+    * truncating division, identical in Spark `div` and DuckDB `//`),
+    * so every iteration is bit-reproducible in the oracle.
+    *
+    * Scale: per iteration, the K×64 centroid table is broadcast and
+    * assignment is a pure map over the corpus (no corpus shuffle);
+    * the update is one partial-aggregated shuffle on (cluster, dim) —
+    * K·dims groups regardless of corpus size. This is exactly the
+    * MLlib k-means dataflow, kept relational so the plan is
+    * oracle-checkable. Deterministic seeding: the first k vectors.
+    */
+  def kmeansTrain(embeddings: DataFrame, k: Int = 8,
+      iterations: Int = 2): DataFrame = {
+    val q = quantized(embeddings).select("vec_id", "v", "norm2")
+
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("d"), col("c_id"))
+      q.crossJoin(broadcast(cent))
+        .withColumn("d",
+          col("norm2") - lit(2L) * VecOps.intDot(col("v"), col("cv")) + col("cn2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("norm2"),
+          col("c_id").as("cluster"), col("d"))
+    }
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "comp")))
+        .groupBy("cluster", "dim")
+        .agg(sum("comp").as("s"), count(lit(1)).as("n"))
+        .withColumn("comp", expr("s div n"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("dim"), col("comp")))).as("a"))
+        .select(col("cluster").as("c_id"),
+          transform(col("a"), s => s.getField("comp")).as("cv"))
+        .withColumn("cn2", VecOps.intDot(col("cv"), col("cv")))
+
+    val seeds = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm2").as("cn2"))
+    val centroids = (1 to iterations).foldLeft(seeds)((c, _) => update(assign(c)))
+    assign(centroids)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum("d").as("inertia"))
+      .join(broadcast(centroids.select(col("c_id").as("cluster"), col("cn2"))),
+        Seq("cluster"))
+      .select(col("cluster"), col("n_vecs"), col("inertia"),
+        col("cn2").as("centroid_norm2"))
+  }
+
   /** Embedding near-dup pairs: LSH-bucket blocking + exact cosine
     * verify — the scale path for pairwise similarity (no O(n²) join).
     */
