@@ -434,6 +434,9 @@ object SparkEntry {
     "t_mixture_resample" -> ((s, dir) =>
       Curation.mixtureResample(Tables.documents(s, dir)).orderBy("lang")),
 
+    "t_mixture_resample_exact" -> ((s, dir) =>
+      Curation.mixtureResampleExact(Tables.documents(s, dir)).orderBy("lang")),
+
     "d_incremental_dedup" -> ((s, dir) =>
       Curation.incrementalDedup(Tables.documents(s, dir), batchMod = 4)
         .orderBy("doc_id")),

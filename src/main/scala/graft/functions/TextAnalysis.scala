@@ -164,8 +164,10 @@ object TextAnalysis {
     * training pipeline screens boilerplate and spam with: token count,
     * distinct-token count, the most frequent token's count, the total
     * occurrences of duplicated bigrams, and the unique-token ratio in
-    * basis points. All counts are integers; the one ratio is a
-    * round-4dp of int/int, so the oracle matches exactly.
+    * basis points. Everything — including the bp ratio — is pure
+    * integer arithmetic (`* 10000 div`), so the oracle matches
+    * exactly (a rounded double would flake on .5 boundaries: Spark
+    * rounds HALF_UP, DuckDB half-even).
     *
     * Scale: two shuffles, both keyed by doc_id (token counts and
     * bigram counts partial-aggregate map-side before the exchange);
@@ -195,8 +197,7 @@ object TextAnalysis {
     tc.join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_unique"), col("top_tok_n"),
         coalesce(col("dup_bigram_occ"), lit(0L)).as("dup_bigram_occ"),
-        round(col("n_unique") * 10000.0 / col("n_tokens"), 0).cast("long")
-          .as("uniq_bp"))
+        expr("(n_unique * 10000) div n_tokens").as("uniq_bp"))
   }
 
   /** Polynomial rolling fingerprint over token hashes:

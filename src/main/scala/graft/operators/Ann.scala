@@ -156,49 +156,63 @@ object Ann {
     * truncating division, identical in Spark `div` and DuckDB `//`),
     * so every iteration is bit-reproducible in the oracle.
     *
-    * Scale: per iteration, the K×64 centroid table is broadcast and
-    * assignment is a pure map over the corpus (no corpus shuffle);
-    * the update is one partial-aggregated shuffle on (cluster, dim) —
-    * K·dims groups regardless of corpus size. This is exactly the
-    * MLlib k-means dataflow, kept relational so the plan is
-    * oracle-checkable. Deterministic seeding: the first k vectors.
+    * Scale (the MLlib k-means dataflow): centroids live on the driver
+    * — K·dims longs, bytes not data — and each assignment is a PURE
+    * PROJECTION over the corpus: per-centroid (distance, id) structs
+    * from literal arrays, `array_min` for the argmin, all inside
+    * whole-stage codegen. Zero corpus shuffle, zero join per
+    * iteration (the old relational form window-sorted k×|corpus| rows
+    * per iteration). The update is one partial-aggregated shuffle on
+    * (cluster, dim) — K·dims groups regardless of corpus size — and
+    * collecting the K centroid rows per iteration also truncates the
+    * lineage, so plan depth is constant in `iterations` (no foldLeft
+    * plan explosion at iterations=10). Deterministic seeding: the
+    * first k vectors; argmin ties break on centroid id.
     */
   def kmeansTrain(embeddings: DataFrame, k: Int = 8,
       iterations: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val q = quantized(embeddings).select("vec_id", "v", "norm2")
 
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("d"), col("c_id"))
-      q.crossJoin(broadcast(cent))
-        .withColumn("d",
-          col("norm2") - lit(2L) * VecOps.intDot(col("v"), col("cv")) + col("cn2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+    def assign(cent: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+      val scored = cent.map { case (cId, cv, cn2) =>
+        struct(
+          (col("norm2") - lit(2L) * VecOps.intDot(col("v"), typedLit(cv))
+            + lit(cn2)).as("d"),
+          lit(cId).as("c_id"))
+      }
+      q.withColumn("best", array_min(array(scored: _*)))
         .select(col("vec_id"), col("v"), col("norm2"),
-          col("c_id").as("cluster"), col("d"))
+          col("best").getField("c_id").as("cluster"),
+          col("best").getField("d").as("d"))
     }
 
-    def update(assigned: DataFrame): DataFrame =
+    def update(assigned: DataFrame): Seq[(Long, Seq[Long], Long)] =
       assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "comp")))
         .groupBy("cluster", "dim")
         .agg(sum("comp").as("s"), count(lit(1)).as("n"))
         .withColumn("comp", expr("s div n"))
         .groupBy("cluster")
         .agg(array_sort(collect_list(struct(col("dim"), col("comp")))).as("a"))
-        .select(col("cluster").as("c_id"),
+        .select(col("cluster"),
           transform(col("a"), s => s.getField("comp")).as("cv"))
-        .withColumn("cn2", VecOps.intDot(col("cv"), col("cv")))
+        .collect()
+        .map { r =>
+          val cv = r.getSeq[Long](1)
+          (r.getLong(0), cv, cv.map(x => x * x).sum)
+        }.toSeq.sortBy(_._1)
 
-    val seeds = q.filter(col("vec_id") < k)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm2").as("cn2"))
+    val seeds = q.filter(col("vec_id") < k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
     val centroids = (1 to iterations).foldLeft(seeds)((c, _) => update(assign(c)))
     assign(centroids)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"), sum("d").as("inertia"))
-      .join(broadcast(centroids.select(col("c_id").as("cluster"), col("cn2"))),
-        Seq("cluster"))
-      .select(col("cluster"), col("n_vecs"), col("inertia"),
-        col("cn2").as("centroid_norm2"))
+      .join(broadcast(centroids.map { case (c, _, n2) => (c, n2) }
+        .toDF("cluster", "centroid_norm2")), Seq("cluster"))
+      .select("cluster", "n_vecs", "inertia", "centroid_norm2")
   }
 
   /** Embedding near-dup pairs: LSH-bucket blocking + exact cosine

@@ -23,22 +23,36 @@ object Curation {
     * run a cumulative token count, and assign each document to the
     * sequence its first token lands in (`(cum - n_tok) div budget`).
     *
-    * Parallelism comes from sharding: documents are hash-partitioned
-    * into `shards` independent streams and packed within each shard,
-    * so the only ordered scan is per-shard. At 100 TB, shards is set
-    * to O(corpus bytes / executor memory) and each shard's window
-    * sorts one partition — there is no global sort. Output is the
-    * per-sequence manifest (doc count + token count).
+    * The per-shard ordered cumulative sum is computed as a two-level
+    * parallel prefix sum, so no task ever sorts a whole shard:
+    * the leading sort key `ord_h` is a uniform 60-bit hash, and its
+    * top `blockBits` bits split each shard into 2^blockBits ordered
+    * blocks (block id is a monotone function of the sort key — a pure
+    * projection, no range-sampling pass). Level 1 is a windowed cumsum
+    * within each (shard, block) slice — `shards·2^blockBits` concurrent
+    * groups; level 2 stitches blocks with a broadcast of per-block
+    * totals (one tiny aggregate, `shards·2^blockBits` rows). At 100 TB,
+    * raise `blockBits` so a block fits a task — the plan shape is
+    * unchanged. Output is the per-sequence manifest (doc count +
+    * token count), identical to a single global per-shard scan.
     */
   def packSequences(docs: DataFrame, budget: Int = 256,
-      shards: Int = 8): DataFrame = {
+      shards: Int = 8, blockBits: Int = 5): DataFrame = {
     val d = docs.select(col("doc_id"),
       size(split(normText(col("text")), " ")).cast("long").as("n_tok"),
       (hexHash20(col("doc_id").cast("string")) % shards).as("shard"),
       hexHash60(normText(col("text"))).as("ord_h"))
-    val w = Window.partitionBy("shard").orderBy("ord_h", "doc_id")
+      .withColumn("blk", shiftright(col("ord_h"), 60 - blockBits))
+    val local = Window.partitionBy("shard", "blk").orderBy("ord_h", "doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
-    d.withColumn("cum", sum("n_tok").over(w))
+    val offsets = d.groupBy("shard", "blk").agg(sum("n_tok").as("blk_tot"))
+      .withColumn("offset", coalesce(
+        sum("blk_tot").over(Window.partitionBy("shard").orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "blk", "offset")
+    d.withColumn("local_cum", sum("n_tok").over(local))
+      .join(broadcast(offsets), Seq("shard", "blk"))
+      .withColumn("cum", col("local_cum") + col("offset"))
       .withColumn("seq_id", expr(s"(cum - n_tok) div ${budget.toLong}"))
       .groupBy("shard", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
@@ -84,6 +98,54 @@ object Curation {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Exact-count variant of [[mixtureResample]]: each language keeps
+    * exactly `target_n` documents — the target_n lowest by
+    * (content-hash, doc_id) order, so the elected set is deterministic
+    * and stable under reshuffling.
+    *
+    * The per-language rank is a two-level prefix sum (same shape as
+    * [[packSequences]]): the hash's top `blockBits` bits split each
+    * language into ordered blocks, ranks are window-local within
+    * (lang, block), and block offsets come from one tiny broadcast
+    * aggregate — so no language ever funnels through a single reducer
+    * (a plain `row_number() over (partition by lang)` would put all of
+    * `en` on one task at 100 TB).
+    */
+  def mixtureResampleExact(docs: DataFrame,
+      shares: Seq[(String, Long)] = DefaultShares,
+      blockBits: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sharesDf = shares.toDF("lang", "share_bp")
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val tgt = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .join(broadcast(sharesDf), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .withColumn("target_n",
+        least(col("n_lang"), expr("(n_total * share_bp) div 20000")))
+      .select("lang", "n_lang", "target_n")
+    val keyed = docs.select(col("lang"), col("doc_id"),
+        hexHash60(normText(col("text"))).as("h"))
+      .withColumn("blk", shiftright(col("h"), 60 - blockBits))
+    val offsets = keyed.groupBy("lang", "blk").agg(count(lit(1)).as("n"))
+      .withColumn("prior", coalesce(
+        sum("n").over(Window.partitionBy("lang").orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "blk", "prior")
+    val localW = Window.partitionBy("lang", "blk").orderBy("h", "doc_id")
+    val kept = keyed
+      .withColumn("lr", row_number().over(localW))
+      .join(broadcast(offsets), Seq("lang", "blk"))
+      .join(broadcast(tgt.select("lang", "target_n")), Seq("lang"))
+      .filter(col("lr") + col("prior") <= col("target_n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_id_sum"))
+    tgt.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_lang"), col("target_n"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+  }
+
   /** Deduplicate an incoming batch against the already-ingested
     * corpus: a batch document survives iff (a) its normalized-text
     * hash is the batch's minimum-doc_id representative and (b) the
@@ -102,12 +164,39 @@ object Curation {
       hexHash60(normText(col("text"))).as("k"),
       (hexHash20(col("doc_id").cast("string")) % batchMod === 0).as("is_new"))
     val corpusKeys = keyed.filter(!col("is_new")).select("k").distinct()
+    dedupBatch(keyed.filter(col("is_new")).select("doc_id", "k"), corpusKeys)
+      .select(col("doc_id"), col("n_batch_dupes"))
+  }
+
+  /** Production form of [[incrementalDedup]]: the corpus key set lives
+    * in a persisted [[graft.sources.FsKeyIndex]], so batch N+1 dedups
+    * against the keys batches 1..N ingested — an index scan (8 bytes
+    * per accepted doc), never a corpus rescan. Survivors' keys are
+    * appended to the index before returning, so consecutive calls see
+    * each other's ingests.
+    */
+  def incrementalDedupIndexed(batch: DataFrame,
+      index: graft.sources.FsKeyIndex): DataFrame = {
+    val keyed = batch.select(col("doc_id"),
+      hexHash60(normText(col("text"))).as("k"))
+    // localCheckpoint truncates the lineage BEFORE the index mutates:
+    // a lazy plan re-evaluated after add() would re-read the index,
+    // see its own keys, and anti-join itself to empty.
+    val survivors = dedupBatch(keyed, index.keys()).localCheckpoint()
+    index.add(survivors.select("k"))
+    survivors.select(col("doc_id"), col("n_batch_dupes"))
+  }
+
+  /** Shared batch-vs-corpus election: within-batch min-doc_id
+    * representative per key, then a left-anti equi-join against the
+    * corpus key set.
+    */
+  private def dedupBatch(keyed: DataFrame, corpusKeys: DataFrame): DataFrame = {
     val w = Window.partitionBy("k").orderBy("doc_id")
-    keyed.filter(col("is_new"))
+    keyed
       .withColumn("rn", row_number().over(w))
       .withColumn("n_batch_dupes", count(lit(1)).over(Window.partitionBy("k")))
       .filter(col("rn") === 1)
       .join(corpusKeys, Seq("k"), "left_anti")
-      .select(col("doc_id"), col("n_batch_dupes"))
   }
 }

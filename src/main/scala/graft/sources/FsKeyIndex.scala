@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Durable dedup key index — the persisted set of content keys the
+  * corpus has already ingested, so each incoming batch dedups against
+  * an index scan instead of a corpus rescan (the incremental-ingest
+  * shape: new-batch ⋈ key-index, never corpus × corpus).
+  *
+  * Same design as [[FsCheckpointStore]]: an append-only parquet log of
+  * 60-bit keys under `root/keys/`; [[keys]] is the distinct view,
+  * [[add]] appends a batch's accepted keys, [[compact]] rewrites the
+  * log to one row per key. The log grows with ACCEPTED documents (one
+  * 8-byte key each), not with corpus bytes, and the distinct() is an
+  * aggregation Spark partial-aggregates map-side; compact on whatever
+  * cadence a deployment likes.
+  */
+class FsKeyIndex(spark: SparkSession, val root: String) {
+
+  private val keysDir = s"$root/keys"
+  private def fs =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val schema = StructType(Seq(StructField("k", LongType)))
+
+  /** Distinct ingested keys (empty when nothing has ever ingested). */
+  def keys(): DataFrame =
+    if (!fs.exists(new Path(keysDir)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(keysDir).distinct()
+
+  /** Append a batch of accepted keys (column `k`: long). */
+  def add(ks: DataFrame): Unit =
+    ks.select(col("k").cast("long")).write.mode(SaveMode.Append).parquet(keysDir)
+
+  /** Rewrite the log to one row per key (run between batches from the
+    * single-writer context, like [[FsCheckpointStore.compactLog]]).
+    */
+  def compact(): Unit = {
+    if (!fs.exists(new Path(keysDir))) return
+    val tmp = s"$root/keys_compact"
+    keys().write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(new Path(keysDir), true)
+    fs.rename(new Path(tmp), new Path(keysDir))
+    ()
+  }
+}
+
+object FsKeyIndex {
+  def apply(spark: SparkSession, root: String) = new FsKeyIndex(spark, root)
+}
