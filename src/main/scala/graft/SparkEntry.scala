@@ -444,6 +444,28 @@ object SparkEntry {
     "a_kmeans_train" -> ((s, dir) =>
       Ann.kmeansTrain(Tables.embeddings(s, dir), k = 8, iterations = 2)
         .orderBy("cluster")),
+
+    // Deeper-loop variant: proves the constant-plan-depth claim end to
+    // end (wall-time linear in iterations, oracle unrolled to match).
+    "a_kmeans_train_iter10" -> ((s, dir) =>
+      Ann.kmeansTrain(Tables.embeddings(s, dir), k = 8, iterations = 10)
+        .orderBy("cluster")),
+
+    // Production incremental-dedup path: corpus keys ingested into a
+    // durable FsKeyIndex (batch 1), then the new batch dedups against
+    // the INDEX (batch 2). Same semantics — and same oracle — as
+    // d_incremental_dedup, which rescans the corpus side instead.
+    "d_incremental_dedup_indexed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isNew = graft.functions.Portable
+        .hexHash20(col("doc_id").cast("string")) % 4 === 0
+      val root = new java.io.File(
+        s"target/tmp/keyidx-${System.nanoTime()}").getAbsolutePath
+      val idx = graft.sources.FsKeyIndex(s, root)
+      Curation.incrementalDedupIndexed(docs.filter(!isNew), idx)
+      Curation.incrementalDedupIndexed(docs.filter(isNew), idx)
+        .orderBy("doc_id")
+    }),
   )
 
   /** Thresholds shared with the oracles (basis points / bits). */
@@ -589,6 +611,98 @@ object SparkEntry {
        |)""".stripMargin
 
   private val H20 = "(('0x' || substr(md5(%s),1,15))::BIGINT %% 1048576)"
+
+  private def sqlH60(e: String) = graft.functions.Portable.sqlHexHash60(e)
+  private def sqlH20(e: String) = graft.functions.Portable.sqlHexHash20(e)
+
+  /** Target-mixture CTEs shared by both resample oracles (mirrors
+    * Curation.DefaultShares + the `target_n` election).
+    */
+  private val MixCtes =
+    """shares(lang, share_bp) AS (VALUES
+      |  ('en', 3000), ('es', 2000), ('fr', 2000), ('de', 1500), ('zh', 1500)),
+      |tot AS (SELECT count(*)::BIGINT AS n_total FROM documents),
+      |tgt AS (
+      |  SELECT l.lang, l.n_lang,
+      |         least(l.n_lang, ((t.n_total * s.share_bp) // 20000))::BIGINT AS target_n
+      |  FROM (SELECT lang, count(*)::BIGINT AS n_lang FROM documents GROUP BY lang) l
+      |  JOIN shares s ON l.lang = s.lang CROSS JOIN tot t
+      |)""".stripMargin
+
+  /** Batch-vs-corpus incremental dedup (mirrors Curation.incrementalDedup
+    * AND the FsKeyIndex-backed incrementalDedupIndexed — the index holds
+    * exactly the corpus side's distinct keys).
+    */
+  private lazy val IncrementalDedupSql =
+    s"""WITH $NormCte,
+       |keyed AS (
+       |  SELECT doc_id, ${sqlH60("t")} AS k,
+       |         (${sqlH20("doc_id::VARCHAR")} % 4 = 0) AS is_new
+       |  FROM norm
+       |),
+       |batch AS (
+       |  SELECT doc_id, k,
+       |         row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY k)::BIGINT AS n_batch_dupes
+       |  FROM keyed WHERE is_new
+       |)
+       |SELECT doc_id, n_batch_dupes FROM batch
+       |WHERE rn = 1 AND k NOT IN (SELECT k FROM keyed WHERE NOT is_new)
+       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB Lloyd's k-means unrolled to `iterations` update rounds plus
+    * the final assignment (mirrors Ann.kmeansTrain: seeds = first k
+    * vectors, exact integer squared-L2, argmin ties on centroid id,
+    * `sum div n` floor-quantized centroid update — Spark `div` and
+    * DuckDB `//` both truncate toward zero).
+    */
+  private def kmeansSql(k: Int, iterations: Int): String = {
+    def dot(v: String, c: String) =
+      s"list_sum(list_transform(range(1,65), j -> $v[j::INT]*$c[j::INT]))"
+    def asg(n: Int, cent: String) =
+      s"""asg$n AS (
+         |  SELECT vec_id, v, norm2, c_id AS cluster, d FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn
+         |    FROM (
+         |      SELECT qn.vec_id, qn.v, qn.norm2, c.c_id,
+         |             (qn.norm2 - 2*${dot("qn.v", "c.cv")} + c.cn2)::BIGINT AS d
+         |      FROM qn, $cent c
+         |    )
+         |  ) WHERE rn = 1
+         |)"""
+    def cent(n: Int) =
+      s"""cent$n AS (
+         |  SELECT c_id, cv, list_sum(list_transform(cv, x -> x*x))::BIGINT AS cn2
+         |  FROM (
+         |    SELECT cluster AS c_id, list(comp ORDER BY dim) AS cv FROM (
+         |      SELECT cluster, dim, (sum(comp)::BIGINT // count(*)::BIGINT)::BIGINT AS comp
+         |      FROM (SELECT cluster, r.dim, v[(r.dim+1)::INT] AS comp
+         |            FROM asg$n, range(0, 64) r(dim))
+         |      GROUP BY cluster, dim
+         |    ) GROUP BY cluster
+         |  )
+         |)"""
+    val chain = (1 to iterations)
+      .map(i => asg(i, s"cent${i - 1}") + ",\n" + cent(i)).mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> round(x*1000)::BIGINT) AS v
+       |  FROM embeddings
+       |),
+       |qn AS (
+       |  SELECT vec_id, v, (list_sum(list_transform(v, x -> x*x)))::BIGINT AS norm2
+       |  FROM q
+       |),
+       |cent0 AS (
+       |  SELECT vec_id::BIGINT AS c_id, v AS cv, norm2 AS cn2 FROM qn
+       |  WHERE vec_id < $k
+       |),
+       |$chain,
+       |${asg(iterations + 1, s"cent$iterations")}
+       |SELECT cluster, count(*)::BIGINT AS n_vecs, sum(d)::BIGINT AS inertia,
+       |       c.cn2 AS centroid_norm2
+       |FROM asg${iterations + 1} JOIN cent$iterations c ON cluster = c.c_id
+       |GROUP BY cluster, c.cn2 ORDER BY cluster""".stripMargin
+  }
 
   /** Quantized embeddings + hyperplane buckets (mirrors Ann.bucketed). */
   private val EmbCte =
@@ -1668,5 +1782,90 @@ object SparkEntry {
          |SELECT part_id, n_messages, total_bytes, high_offset,
          |       (SELECT max(part_max_epoch) FROM agg) - part_max_epoch AS lag_seconds
          |FROM agg ORDER BY part_id""".stripMargin,
+
+    // ---- curation / training-loop operators ----
+    "t_repetition" ->
+      s"""WITH $NormCte,
+         |w AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         |tc AS (
+         |  SELECT doc_id, sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_unique,
+         |         max(cnt)::BIGINT AS top_tok_n
+         |  FROM (SELECT doc_id, tok, count(*)::BIGINT AS cnt
+         |        FROM (SELECT doc_id, unnest(w) AS tok FROM w) GROUP BY doc_id, tok)
+         |  GROUP BY doc_id
+         |),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |         i -> w[i::INT] || ' ' || w[(i+1)::INT])) AS bg
+         |  FROM w
+         |),
+         |dup AS (
+         |  SELECT doc_id, sum(CASE WHEN n >= 2 THEN n END)::BIGINT AS dup_bigram_occ
+         |  FROM (SELECT doc_id, bg, count(*)::BIGINT AS n FROM bg GROUP BY doc_id, bg)
+         |  GROUP BY doc_id
+         |)
+         |SELECT tc.doc_id, tc.n_tokens, tc.n_unique, tc.top_tok_n,
+         |       coalesce(dup.dup_bigram_occ, 0)::BIGINT AS dup_bigram_occ,
+         |       ((tc.n_unique * 10000) // tc.n_tokens)::BIGINT AS uniq_bp
+         |FROM tc LEFT JOIN dup ON tc.doc_id = dup.doc_id
+         |ORDER BY tc.doc_id""".stripMargin,
+
+    "p_pack_sequences" ->
+      s"""WITH $NormCte,
+         |d AS (
+         |  SELECT doc_id, len(string_split(t, ' '))::BIGINT AS n_tok,
+         |         (${sqlH20("doc_id::VARCHAR")} % 8)::BIGINT AS shard,
+         |         ${sqlH60("t")} AS ord_h
+         |  FROM norm
+         |),
+         |c AS (
+         |  SELECT shard, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY shard ORDER BY ord_h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d
+         |)
+         |SELECT shard, ((cum - n_tok) // 256)::BIGINT AS seq_id,
+         |       count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+         |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
+
+    "t_mixture_resample" ->
+      s"""WITH $NormCte, $MixCtes,
+         |kept AS (
+         |  SELECT n.lang, count(*)::BIGINT AS n_kept
+         |  FROM norm n JOIN tgt ON n.lang = tgt.lang
+         |  WHERE ${sqlH20("n.t")} * tgt.n_lang < 1048576 * tgt.target_n
+         |  GROUP BY n.lang
+         |)
+         |SELECT tgt.lang, tgt.n_lang, tgt.target_n,
+         |       coalesce(kept.n_kept, 0)::BIGINT AS n_kept
+         |FROM tgt LEFT JOIN kept ON tgt.lang = kept.lang
+         |ORDER BY tgt.lang""".stripMargin,
+
+    "t_mixture_resample_exact" ->
+      s"""WITH $NormCte, $MixCtes,
+         |keyed AS (
+         |  SELECT n.lang, n.doc_id, ${sqlH60("n.t")} AS h
+         |  FROM norm n JOIN tgt ON n.lang = tgt.lang
+         |),
+         |kept AS (
+         |  SELECT k.lang, count(*)::BIGINT AS n_kept, sum(k.doc_id)::BIGINT AS kept_id_sum
+         |  FROM (SELECT lang, doc_id,
+         |               row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS r
+         |        FROM keyed) k
+         |  JOIN tgt ON k.lang = tgt.lang
+         |  WHERE k.r <= tgt.target_n
+         |  GROUP BY k.lang
+         |)
+         |SELECT tgt.lang, tgt.n_lang, tgt.target_n,
+         |       coalesce(kept.n_kept, 0)::BIGINT AS n_kept,
+         |       coalesce(kept.kept_id_sum, 0)::BIGINT AS kept_id_sum
+         |FROM tgt LEFT JOIN kept ON tgt.lang = kept.lang
+         |ORDER BY tgt.lang""".stripMargin,
+
+    "d_incremental_dedup" -> IncrementalDedupSql,
+    "d_incremental_dedup_indexed" -> IncrementalDedupSql,
+
+    "a_kmeans_train" -> kmeansSql(k = 8, iterations = 2),
+    "a_kmeans_train_iter10" -> kmeansSql(k = 8, iterations = 10),
   )
 }

@@ -169,24 +169,34 @@ object Ann {
     * plan explosion at iterations=10). Deterministic seeding: the
     * first k vectors; argmin ties break on centroid id.
     */
+  /** One k-means assignment pass over (vec_id, v, norm2) rows for
+    * driver-held centroids `(c_id, components, norm²)`: per-centroid
+    * (distance, id) structs from literal arrays + `array_min` argmin —
+    * a pure codegen projection, zero shuffle/join (public so the plan
+    * audit can pin the zero-Exchange shape).
+    */
+  def kmeansAssign(q: DataFrame,
+      cent: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+    val scored = cent.map { case (cId, cv, cn2) =>
+      struct(
+        (col("norm2") - lit(2L) * VecOps.intDot(col("v"), typedLit(cv))
+          + lit(cn2)).as("d"),
+        lit(cId).as("c_id"))
+    }
+    q.withColumn("best", array_min(array(scored: _*)))
+      .select(col("vec_id"), col("v"), col("norm2"),
+        col("best").getField("c_id").as("cluster"),
+        col("best").getField("d").as("d"))
+  }
+
   def kmeansTrain(embeddings: DataFrame, k: Int = 8,
       iterations: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val q = quantized(embeddings).select("vec_id", "v", "norm2")
 
-    def assign(cent: Seq[(Long, Seq[Long], Long)]): DataFrame = {
-      val scored = cent.map { case (cId, cv, cn2) =>
-        struct(
-          (col("norm2") - lit(2L) * VecOps.intDot(col("v"), typedLit(cv))
-            + lit(cn2)).as("d"),
-          lit(cId).as("c_id"))
-      }
-      q.withColumn("best", array_min(array(scored: _*)))
-        .select(col("vec_id"), col("v"), col("norm2"),
-          col("best").getField("c_id").as("cluster"),
-          col("best").getField("d").as("d"))
-    }
+    def assign(cent: Seq[(Long, Seq[Long], Long)]): DataFrame =
+      kmeansAssign(q, cent)
 
     def update(assigned: DataFrame): Seq[(Long, Seq[Long], Long)] =
       assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "comp")))

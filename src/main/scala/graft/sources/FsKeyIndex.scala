@@ -26,26 +26,55 @@ class FsKeyIndex(spark: SparkSession, val root: String) {
 
   private val schema = StructType(Seq(StructField("k", LongType)))
 
+  private val compactDir = s"$root/keys_compact"
+  private val backupDir = s"$root/keys_old"
+
+  /** Complete an interrupted [[compact]]: if `keys/` is missing but the
+    * compacted copy (or the pre-compaction backup) survives, promote it.
+    * Cheap (two existence checks) and idempotent, so every read/write
+    * entry point runs it — a crash can never silently empty the index
+    * and re-admit duplicates.
+    */
+  private def recover(): Unit =
+    if (!fs.exists(new Path(keysDir))) {
+      if (fs.exists(new Path(compactDir)))
+        fs.rename(new Path(compactDir), new Path(keysDir))
+      else if (fs.exists(new Path(backupDir)))
+        fs.rename(new Path(backupDir), new Path(keysDir))
+    }
+
   /** Distinct ingested keys (empty when nothing has ever ingested). */
-  def keys(): DataFrame =
+  def keys(): DataFrame = {
+    recover()
     if (!fs.exists(new Path(keysDir)))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(keysDir).distinct()
+  }
 
   /** Append a batch of accepted keys (column `k`: long). */
-  def add(ks: DataFrame): Unit =
+  def add(ks: DataFrame): Unit = {
+    recover()
     ks.select(col("k").cast("long")).write.mode(SaveMode.Append).parquet(keysDir)
+  }
 
   /** Rewrite the log to one row per key (run between batches from the
     * single-writer context, like [[FsCheckpointStore.compactLog]]).
+    * Crash-safe write-then-swap: the distinct copy is fully written to
+    * `keys_compact/` BEFORE `keys/` moves aside to `keys_old/`, so at
+    * every instant at least one complete copy exists and [[recover]]
+    * can promote it (the old delete-then-rename had a window that lost
+    * the whole index).
     */
   def compact(): Unit = {
+    recover()
     if (!fs.exists(new Path(keysDir))) return
-    val tmp = s"$root/keys_compact"
-    keys().write.mode(SaveMode.Overwrite).parquet(tmp)
-    fs.delete(new Path(keysDir), true)
-    fs.rename(new Path(tmp), new Path(keysDir))
+    fs.delete(new Path(compactDir), true)
+    keys().write.mode(SaveMode.Overwrite).parquet(compactDir)
+    fs.delete(new Path(backupDir), true)
+    fs.rename(new Path(keysDir), new Path(backupDir))
+    fs.rename(new Path(compactDir), new Path(keysDir))
+    fs.delete(new Path(backupDir), true)
     ()
   }
 }
