@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{Portable, TextAnalysis}
+import graft.operators.{Ann, Curation}
+import graft.sources.Tables
+
+/** Value-level specs for the curation / training-loop operators
+  * (each also carries a DuckDB oracle in SparkEntry.oracleSql; these
+  * pin the semantics against independent in-test reference
+  * implementations and hand-computed corpora).
+  */
+class CurationSpec extends SparkSuite {
+
+  private def docs = Tables.documents(spark, sf)
+  private def emb = Tables.embeddings(spark, sf)
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("packSequences two-level prefix sum == single global per-shard cumsum") {
+    // reference: ONE window over the whole shard (the plan shape the
+    // two-level decomposition exists to avoid, but the same math)
+    val d = docs.select(col("doc_id"),
+      size(split(Portable.normText(col("text")), " ")).cast("long").as("n_tok"),
+      (Portable.hexHash20(col("doc_id").cast("string")) % 8).as("shard"),
+      Portable.hexHash60(Portable.normText(col("text"))).as("ord_h"))
+    val w = Window.partitionBy("shard").orderBy("ord_h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val expected = d.withColumn("cum", sum("n_tok").over(w))
+      .withColumn("seq_id", expr("(cum - n_tok) div 256"))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    assert(sameRows(Curation.packSequences(docs, 256, 8, blockBits = 5), expected))
+    // blockBits changes the decomposition, never the result
+    assert(sameRows(Curation.packSequences(docs, 256, 8, blockBits = 2), expected))
+  }
+
+  test("packSequences conserves documents and tokens") {
+    val out = Curation.packSequences(docs, 256, 8)
+      .agg(sum("n_docs").as("d"), sum("n_tokens").as("t")).head()
+    val totTok = docs
+      .select(size(split(Portable.normText(col("text")), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(out.getLong(0) === docs.count())
+    assert(out.getLong(1) === totTok)
+  }
+
+  test("mixtureResample matches a driver-side recount of the hash election") {
+    val total = docs.count()
+    val shares = Curation.DefaultShares.toMap
+    val rows = docs
+      .select(col("lang"), Portable.hexHash20(Portable.normText(col("text"))).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = rows.groupBy(_._1).collect {
+      case (lang, xs) if shares.contains(lang) =>
+        val nLang = xs.length.toLong
+        val target = math.min(nLang, total * shares(lang) / 20000)
+        val kept = xs.count { case (_, h) => h * nLang < 1048576L * target }
+        (lang, nLang, target, kept.toLong)
+    }.toSet
+    val actual = Curation.mixtureResample(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(actual === expected)
+  }
+
+  test("mixtureResampleExact keeps exactly target_n, lowest by (hash, doc_id)") {
+    val total = docs.count()
+    val shares = Curation.DefaultShares.toMap
+    val rows = docs.select(col("lang"), col("doc_id"),
+        Portable.hexHash60(Portable.normText(col("text"))).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).collect {
+      case (lang, xs) if shares.contains(lang) =>
+        val nLang = xs.length.toLong
+        val target = math.min(nLang, total * shares(lang) / 20000)
+        val kept = xs.sortBy(x => (x._3, x._2)).take(target.toInt)
+        (lang, nLang, target, kept.length.toLong, kept.map(_._2).sum)
+    }.toSet
+    val run = Curation.mixtureResampleExact(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(run === expected)
+    // reshuffle-stable: a repartitioned input elects the same set
+    val rerun = Curation.mixtureResampleExact(docs.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(rerun === expected)
+  }
+
+  test("incrementalDedup: survivors are batch min-reps whose key the corpus lacks") {
+    val keyed = docs.select(col("doc_id"),
+      Portable.hexHash60(Portable.normText(col("text"))).as("k"),
+      (Portable.hexHash20(col("doc_id").cast("string")) % 4 === 0).as("is_new"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val corpusKeys = keyed.collect { case (_, k, false) => k }.toSet
+    val expected = keyed.filter(_._3).groupBy(_._2).collect {
+      case (k, xs) if !corpusKeys.contains(k) =>
+        (xs.map(_._1).min, xs.length.toLong)
+    }.toSet
+    val actual = Curation.incrementalDedup(docs, batchMod = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(actual === expected)
+    assert(actual.nonEmpty)
+  }
+
+  test("repetitionSignals: exact counts on a hand-built corpus (integer-div uniq_bp)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tiny = Seq(
+      (1L, "a a b"),         // 2/3 ratio: 6666 under div, 6667 under HALF_UP
+      (2L, "x x x x"),       // dup bigram "x x" occurs 3 times
+      (3L, "Hello, World!")  // normalizes to "hello world"
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(tiny).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got === Array(
+      (1L, 3L, 2L, 2L, 0L, 6666L),
+      (2L, 4L, 1L, 4L, 3L, 2500L),
+      (3L, 2L, 2L, 1L, 0L, 10000L)))
+  }
+
+  test("kmeansTrain matches an independent driver-side Lloyd's") {
+    val k = 4; val iters = 2
+    val vecs = Ann.quantized(emb).select("vec_id", "v", "norm2").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    // pure-Scala reference: same seeding, argmin ties on centroid id,
+    // floor-quantized update (Long division truncates like Spark div)
+    var cents = vecs.takeWhile(_._1 < k).map { case (id, v, n2) => (id, v, n2) }
+    def assign(cs: Array[(Long, Array[Long], Long)]) = vecs.map { case (id, v, n2) =>
+      val best = cs.map { case (cId, cv, cn2) =>
+        val dot = v.zip(cv).map { case (a, b) => a * b }.sum
+        (n2 - 2 * dot + cn2, cId)
+      }.min
+      (id, v, best._2, best._1)
+    }
+    for (_ <- 1 to iters) {
+      val asg = assign(cents)
+      cents = asg.groupBy(_._3).toArray.sortBy(_._1).map { case (cId, xs) =>
+        val n = xs.length
+        val cv = Array.tabulate(64)(d => xs.map(_._2(d)).sum / n)
+        (cId, cv, cv.map(x => x * x).sum)
+      }
+    }
+    val fin = assign(cents)
+    val expected = fin.groupBy(_._3).map { case (cId, xs) =>
+      (cId, xs.length.toLong, xs.map(_._4).sum,
+        cents.find(_._1 == cId).get._3)
+    }.toSet
+    val actual = Ann.kmeansTrain(emb, k = k, iterations = iters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(actual === expected)
+  }
+
+  test("kmeansTrain plan depth is constant in iterations") {
+    def lines(it: Int) = Ann.kmeansTrain(emb, k = 4, iterations = it)
+      .queryExecution.executedPlan.toString.linesIterator.size
+    assert(lines(1) === lines(3))
+  }
+}

@@ -165,6 +165,28 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("k-means assignment is a pure projection: zero exchanges") {
+    // the round-6 cure for the per-iteration k×corpus window shuffle:
+    // centroids are driver-held literals, argmin is array_min over
+    // per-centroid structs — nothing may shuffle or broadcast
+    val q = graft.operators.Ann.quantized(
+      graft.sources.Tables.embeddings(spark, sf)).select("vec_id", "v", "norm2")
+    val cents = Seq(
+      (0L, Seq.fill(64)(1L), 64L), (1L, Seq.fill(64)(-1L), 64L))
+    val p = plan(graft.operators.Ann.kmeansAssign(q, cents))
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
+  test("pack sequences: prefix-sum windows never funnel through one partition") {
+    // the round-6 cure for the single-task-per-shard sort: both window
+    // levels partition by (shard[, blk]) — a SinglePartition exchange
+    // would mean a global sort crept back in
+    val p = plan(graft.operators.Curation.packSequences(
+      graft.sources.Tables.documents(spark, sf), 256, 8, blockBits = 5))
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    assert(p.contains("hashpartitioning"), p.take(2500))
+  }
+
   test("q1 shape stays in whole-stage codegen") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
     val p = df.queryExecution.explainString(
