@@ -174,6 +174,15 @@ object Ann {
     * (distance, id) structs from literal arrays + `array_min` argmin —
     * a pure codegen projection, zero shuffle/join (public so the plan
     * audit can pin the zero-Exchange shape).
+    *
+    * Practical bound on k: the projection inlines k·dims literal longs
+    * into one expression tree (k=8/dims=64 → 512 — trivial). Whole-stage
+    * codegen splits oversized functions and falls back gracefully, but
+    * past k·dims ≈ 10⁵ (k in the thousands at dims=64) prefer chunking
+    * the argmin into a fold over centroid batches (`array_min` over per-
+    * batch minima) or broadcasting a centroid table; driver-held
+    * centroid state itself is the standard MLlib dataflow at any k that
+    * fits driver memory.
     */
   def kmeansAssign(q: DataFrame,
       cent: Seq[(Long, Seq[Long], Long)]): DataFrame = {
