@@ -459,8 +459,8 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val isNew = graft.functions.Portable
         .hexHash20(col("doc_id").cast("string")) % 4 === 0
-      val root = new java.io.File(
-        s"target/tmp/keyidx-${System.nanoTime()}").getAbsolutePath
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-keyidx-").toAbsolutePath.toString
       val idx = graft.sources.FsKeyIndex(s, root)
       Curation.incrementalDedupIndexed(docs.filter(!isNew), idx)
       Curation.incrementalDedupIndexed(docs.filter(isNew), idx)
