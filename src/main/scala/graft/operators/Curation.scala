@@ -189,9 +189,10 @@ object Curation {
 
   /** Shared batch-vs-corpus election: within-batch min-doc_id
     * representative per key, then a left-anti equi-join against the
-    * corpus key set.
+    * corpus key set (package-visible for the streaming ingest, which
+    * must interleave the output write between election and index add).
     */
-  private def dedupBatch(keyed: DataFrame, corpusKeys: DataFrame): DataFrame = {
+  private[graft] def dedupBatch(keyed: DataFrame, corpusKeys: DataFrame): DataFrame = {
     val w = Window.partitionBy("k").orderBy("doc_id")
     keyed
       .withColumn("rn", row_number().over(w))
