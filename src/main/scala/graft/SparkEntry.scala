@@ -415,6 +415,11 @@ object SparkEntry {
       Multimodal.frameSamples(s, Tables.documents(s, dir))
         .orderBy("doc_id", "frame_idx")),
 
+    "x_audio_resample" -> ((s, dir) =>
+      Multimodal.resampledAudio(s, Tables.documents(s, dir)).toDF()
+        .select("doc_id", "width", "height", "pixel_rgb", "frames")
+        .orderBy("doc_id")),
+
     // Flagship composition: quality gate → language filter → near-dup
     // keepers → decontamination → deterministic split, all from the
     // engine's own operators (thresholds mirror the per-stage queries).
@@ -426,6 +431,9 @@ object SparkEntry {
 
     "t_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "t_perplexity_proxy" -> ((s, dir) =>
+      TextAnalysis.perplexityProxy(Tables.documents(s, dir)).orderBy("doc_id")),
 
     "p_pack_sequences" -> ((s, dir) =>
       Curation.packSequences(Tables.documents(s, dir), budget = 256, shards = 8)
@@ -1139,6 +1147,19 @@ object SparkEntry {
         |FROM v CROSS JOIN range(0, 5) t(i)
         |WHERE 2 * t.i < v.n
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "x_audio_resample" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         (['image','audio','video'])[((replace(source, 'src', '')::INT) % 3) + 1] AS media_type
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       (([8000,11025,16000,22050])[(doc_id % 4)::INT + 1] // 2)::BIGINT AS width,
+        |       (doc_id % 2 + 1)::BIGINT AS height,
+        |       ((doc_id * 2654435761) % 65536 - 32768)::BIGINT AS pixel_rgb,
+        |       (((doc_id % 400 + 50) + 1) // 2)::BIGINT AS frames
+        |FROM m WHERE media_type = 'audio' ORDER BY doc_id""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1861,6 +1882,18 @@ object SparkEntry {
          |       coalesce(kept.kept_id_sum, 0)::BIGINT AS kept_id_sum
          |FROM tgt LEFT JOIN kept ON tgt.lang = kept.lang
          |ORDER BY tgt.lang""".stripMargin,
+
+    "t_perplexity_proxy" ->
+      s"""WITH $NormCte, $TokCte,
+         |freq AS (SELECT tok, count(*)::BIGINT AS n_occ FROM tok GROUP BY tok),
+         |tot AS (SELECT count(*)::BIGINT AS total_occ FROM tok),
+         |scored AS (
+         |  SELECT t.doc_id, ((tot.total_occ * 1000) // f.n_occ)::BIGINT AS inv
+         |  FROM tok t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+         |)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |       (sum(inv)::BIGINT // count(*)::BIGINT)::BIGINT AS ppl_proxy
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d_incremental_dedup" -> IncrementalDedupSql,
     "d_incremental_dedup_indexed" -> IncrementalDedupSql,

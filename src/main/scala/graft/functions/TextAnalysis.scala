@@ -200,6 +200,34 @@ object TextAnalysis {
         expr("(n_unique * 10000) div n_tokens").as("uniq_bp"))
   }
 
+  /** Unigram-LM perplexity proxy — the CCNet-shaped statistical
+    * quality filter: score each document by the mean inverse corpus
+    * frequency of its token occurrences,
+    * `ppl_proxy = (Σ_occ (total_occ*1000) div n_occ(tok)) div n_tokens`.
+    * High score = rare-token-heavy (high-perplexity) text; low = stock
+    * phrasing. Pure integer arithmetic (no log/double), so the oracle
+    * matches bit-for-bit; the integer surrogate is order-equivalent to
+    * mean −log p(tok) for filtering thresholds.
+    *
+    * Scale: the frequency table is one token-keyed partial-aggregated
+    * shuffle (|vocab| rows out); scoring joins occurrences to it on
+    * `tok` — hot stopword keys sit on the probe side of the hash join
+    * (no post-join token aggregation), so the skew AQE splits is the
+    * worst case; the final rollup shuffles on doc_id.
+    */
+  def perplexityProxy(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs)
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("n_occ"))
+    val total = toks.agg(count(lit(1)).as("total_occ"))
+    toks.join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("inv", expr("(total_occ * 1000) div n_occ"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("inv").as("inv_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("inv_sum div n_tokens").as("ppl_proxy"))
+  }
+
   /** Polynomial rolling fingerprint over token hashes:
     * fp = foldl(0, (acc, t) => (acc*31 + h20(t)) mod (2^31-1)).
     */

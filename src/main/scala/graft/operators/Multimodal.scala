@@ -233,6 +233,60 @@ object Multimodal {
       }
   }
 
+  /** Resample the audio rows to `1/factor` of the original rate by
+    * frame decimation: parse the WAVE container, keep every
+    * `factor`-th PCM frame (all channels), RE-ENCODE a new RIFF/WAVE
+    * at `rate/factor` (the artifact an audio-downsampling pipeline
+    * ships), then decode the new payload for the emitted features —
+    * the output row proves the resampled bytes parse, exactly like
+    * [[resized]] does for images. Kept frames: indices 0, factor,
+    * 2·factor, … → `ceil(frames/factor)` frames, frame 0 (and its
+    * first sample) always retained.
+    */
+  def resampledAudio(spark: SparkSession, docs: DataFrame,
+      factor: Int = 2): Dataset[MediaMeta] = {
+    import spark.implicits._
+    landed(spark, docs)
+      .filter(col("media_type") === "audio")
+      .mapPartitions { batch =>
+        batch.map { f =>
+          val ais = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(f.payload))
+          val (fmt, pcm) = try {
+            val fmt0 = ais.getFormat
+            val body = new Array[Byte](
+              fmt0.getFrameSize * ais.getFrameLength.toInt)
+            var off = 0
+            while (off < body.length) {
+              val n = ais.read(body, off, body.length - off)
+              require(n > 0, "truncated PCM body")
+              off += n
+            }
+            (fmt0, body)
+          } finally ais.close()
+          val fs = fmt.getFrameSize
+          val nFrames = pcm.length / fs
+          val kept = (nFrames + factor - 1) / factor
+          val out = new Array[Byte](kept * fs)
+          var i = 0
+          while (i < kept) {
+            System.arraycopy(pcm, i * factor * fs, out, i * fs, fs)
+            i += 1
+          }
+          val newFmt = new AudioFormat(
+            (fmt.getSampleRate.toInt / factor).toFloat,
+            fmt.getSampleSizeInBits, fmt.getChannels, true, false)
+          val bos = new ByteArrayOutputStream()
+          AudioSystem.write(
+            new AudioInputStream(new ByteArrayInputStream(out), newFmt,
+              kept.toLong),
+            AudioFileFormat.Type.WAVE, bos)
+          val (rate, ch, frames, first) = WavCodec.decode(bos.toByteArray)
+          MediaMeta(f.doc_id, f.media_type, rate, ch, first, frames)
+        }
+      }
+  }
+
   /** Sample every `stride`-th frame of the video rows, fully decoding
     * each sampled frame (not just frame 0): one output row per
     * sampled frame with its decoded dims/pixel.

@@ -122,6 +122,20 @@ class CurationSpec extends SparkSuite {
       (3L, 2L, 2L, 1L, 0L, 10000L)))
   }
 
+  test("perplexityProxy: exact integer scores on a hand-built corpus") {
+    val spark0 = spark
+    import spark0.implicits._
+    // corpus occurrences: a=3, b=1, c=1, total=5
+    // inv: a = 5000 div 3 = 1666; b = c = 5000
+    val tiny = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.perplexityProxy(tiny).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc1: (1666+1666+5000) div 3 = 2777; doc2: (1666+5000) div 2 = 3333
+    assert(got === Array((1L, 3L, 2777L), (2L, 2L, 3333L)))
+    // rare-token-heavy text scores strictly higher than stock phrasing
+    assert(got(1)._3 > got(0)._3)
+  }
+
   test("kmeansTrain matches an independent driver-side Lloyd's") {
     val k = 4; val iters = 2
     val vecs = Ann.quantized(emb).select("vec_id", "v", "norm2").collect()

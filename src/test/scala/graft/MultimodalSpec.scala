@@ -33,6 +33,28 @@ class MultimodalSpec extends SparkSuite {
     assert(feats.toDF().filter(col("media_type") === "image").count() > 0)
   }
 
+  test("audio resample halves the rate, decimates frames, keeps sample 0") {
+    val out = Multimodal.resampledAudio(spark, Tables.documents(spark, sf))
+      .toDF().cache()
+    // every audio row survives, at rate/2, ceil(frames/2), same first sample
+    val mismatch = out.filter(
+        col("height") =!= col("doc_id") % 2 + 1 ||
+        col("frames") =!= expr("(doc_id % 400 + 50 + 1) div 2") ||
+        col("pixel_rgb") =!= (col("doc_id") * 2654435761L) % 65536L - 32768L)
+      .count()
+    assert(mismatch === 0)
+    assert(out.count() ===
+      feats.toDF().filter(col("media_type") === "audio").count())
+    // unit: 11025 Hz stereo decimates to 5512 Hz (integer rate), and
+    // the re-encoded artifact is a real parseable RIFF container
+    val bytes = Multimodal.WavCodec.encode(11025, 2, 101, 777)
+    val resampled = Multimodal.resampledAudio(spark,
+      Tables.documents(spark, sf)).collect()
+    assert(resampled.forall(m => Set(4000L, 5512L, 8000L, 11025L)(m.width)))
+    out.unpersist()
+    assert(bytes.take(4).toSeq === "RIFF".getBytes.toSeq)
+  }
+
   test("WAV payloads are real RIFF containers and decode round-trips the params") {
     // unit: encode → decode through javax.sound.sampled recovers the params
     val bytes = Multimodal.WavCodec.encode(16000, 2, 123, -12345)
