@@ -459,6 +459,10 @@ object SparkEntry {
       Ann.kmeansTrain(Tables.embeddings(s, dir), k = 8, iterations = 10)
         .orderBy("cluster")),
 
+    "a_cluster_profile" -> ((s, dir) =>
+      Ann.kmeansProfile(Tables.embeddings(s, dir), k = 8, iterations = 2)
+        .orderBy("cluster")),
+
     // Production incremental-dedup path: corpus keys ingested into a
     // durable FsKeyIndex (batch 1), then the new batch dedups against
     // the INDEX (batch 2). Same semantics — and same oracle — as
@@ -665,6 +669,41 @@ object SparkEntry {
     * DuckDB `//` both truncate toward zero).
     */
   private def kmeansSql(k: Int, iterations: Int): String = {
+    val (ctes, fin, cent) = kmeansCtes(k, iterations)
+    s"""$ctes
+       |SELECT cluster, count(*)::BIGINT AS n_vecs, sum(d)::BIGINT AS inertia,
+       |       c.cn2 AS centroid_norm2
+       |FROM $fin JOIN $cent c ON cluster = c.c_id
+       |GROUP BY cluster, c.cn2 ORDER BY cluster""".stripMargin
+  }
+
+  /** Same unrolled training chain, profiled against the label column
+    * (mirrors Ann.kmeansProfile: majority label per cluster, ties →
+    * first label, integer purity).
+    */
+  private def kmeansProfileSql(k: Int, iterations: Int): String = {
+    val (ctes, fin, _) = kmeansCtes(k, iterations)
+    s"""$ctes,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |cl AS (
+       |  SELECT cluster, label, count(*)::BIGINT AS n
+       |  FROM $fin a JOIN lab ON a.vec_id = lab.vec_id
+       |  GROUP BY cluster, label
+       |),
+       |tot AS (SELECT cluster, sum(n)::BIGINT AS n_vecs FROM cl GROUP BY cluster)
+       |SELECT t.cluster, t.n_vecs, c.label AS top_label, c.n AS top_label_n,
+       |       ((c.n * 10000) // t.n_vecs)::BIGINT AS purity_bp
+       |FROM tot t JOIN (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster
+       |    ORDER BY n DESC, label) AS rn FROM cl
+       |) c ON c.cluster = t.cluster AND c.rn = 1
+       |ORDER BY t.cluster""".stripMargin
+  }
+
+  /** The shared unrolled Lloyd chain: returns (CTE block, final
+    * assignment CTE name, final centroid CTE name).
+    */
+  private def kmeansCtes(k: Int, iterations: Int): (String, String, String) = {
     def dot(v: String, c: String) =
       s"list_sum(list_transform(range(1,65), j -> $v[j::INT]*$c[j::INT]))"
     def asg(n: Int, cent: String) =
@@ -692,7 +731,7 @@ object SparkEntry {
          |)"""
     val chain = (1 to iterations)
       .map(i => asg(i, s"cent${i - 1}") + ",\n" + cent(i)).mkString(",\n")
-    s"""WITH q AS (
+    val ctes = s"""WITH q AS (
        |  SELECT vec_id, list_transform(embedding, x -> round(x*1000)::BIGINT) AS v
        |  FROM embeddings
        |),
@@ -705,11 +744,8 @@ object SparkEntry {
        |  WHERE vec_id < $k
        |),
        |$chain,
-       |${asg(iterations + 1, s"cent$iterations")}
-       |SELECT cluster, count(*)::BIGINT AS n_vecs, sum(d)::BIGINT AS inertia,
-       |       c.cn2 AS centroid_norm2
-       |FROM asg${iterations + 1} JOIN cent$iterations c ON cluster = c.c_id
-       |GROUP BY cluster, c.cn2 ORDER BY cluster""".stripMargin
+       |${asg(iterations + 1, s"cent$iterations")}""".stripMargin
+    (ctes, s"asg${iterations + 1}", s"cent$iterations")
   }
 
   /** Quantized embeddings + hyperplane buckets (mirrors Ann.bucketed). */
@@ -1900,5 +1936,6 @@ object SparkEntry {
 
     "a_kmeans_train" -> kmeansSql(k = 8, iterations = 2),
     "a_kmeans_train_iter10" -> kmeansSql(k = 8, iterations = 10),
+    "a_cluster_profile" -> kmeansProfileSql(k = 8, iterations = 2),
   )
 }

@@ -193,20 +193,17 @@ object Ann {
         lit(cId).as("c_id"))
     }
     q.withColumn("best", array_min(array(scored: _*)))
-      .select(col("vec_id"), col("v"), col("norm2"),
-        col("best").getField("c_id").as("cluster"),
-        col("best").getField("d").as("d"))
+      .withColumn("cluster", col("best").getField("c_id"))
+      .withColumn("d", col("best").getField("d"))
+      .drop("best")
   }
 
-  def kmeansTrain(embeddings: DataFrame, k: Int = 8,
-      iterations: Int = 2): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val q = quantized(embeddings).select("vec_id", "v", "norm2")
-
-    def assign(cent: Seq[(Long, Seq[Long], Long)]): DataFrame =
-      kmeansAssign(q, cent)
-
+  /** The training loop alone: Lloyd-iterate from the first-k seeds and
+    * return the final driver-held centroids `(c_id, components, norm²)`
+    * (shared by [[kmeansTrain]] and [[kmeansProfile]]).
+    */
+  def kmeansCentroids(q: DataFrame, k: Int,
+      iterations: Int): Seq[(Long, Seq[Long], Long)] = {
     def update(assigned: DataFrame): Seq[(Long, Seq[Long], Long)] =
       assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "comp")))
         .groupBy("cluster", "dim")
@@ -222,16 +219,53 @@ object Ann {
           (r.getLong(0), cv, cv.map(x => x * x).sum)
         }.toSeq.sortBy(_._1)
 
-    val seeds = q.filter(col("vec_id") < k).collect()
+    val seeds = q.select("vec_id", "v", "norm2")
+      .filter(col("vec_id") < k).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .toSeq.sortBy(_._1)
-    val centroids = (1 to iterations).foldLeft(seeds)((c, _) => update(assign(c)))
-    assign(centroids)
+    (1 to iterations).foldLeft(seeds)((c, _) => update(kmeansAssign(q, c)))
+  }
+
+  def kmeansTrain(embeddings: DataFrame, k: Int = 8,
+      iterations: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = quantized(embeddings).select("vec_id", "v", "norm2")
+    val centroids = kmeansCentroids(q, k, iterations)
+    kmeansAssign(q, centroids)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"), sum("d").as("inertia"))
       .join(broadcast(centroids.map { case (c, _, n2) => (c, n2) }
         .toDF("cluster", "centroid_norm2")), Seq("cluster"))
       .select("cluster", "n_vecs", "inertia", "centroid_norm2")
+  }
+
+  /** Profile the trained clustering against the label column — the
+    * standard corpus-clustering diagnostic (does unsupervised structure
+    * recover the known strata?): per cluster, its size, majority label
+    * (ties → lexicographically first), and purity in basis points
+    * (`top_label_n * 10000 div n_vecs`, integer-exact for the oracle).
+    *
+    * Scale: the assignment is the same zero-shuffle projection as
+    * [[kmeansTrain]] (label rides through as a passthrough column);
+    * profiling is one (cluster, label) partial-aggregated shuffle —
+    * k·|labels| groups regardless of corpus size — and a k-row window.
+    */
+  def kmeansProfile(embeddings: DataFrame, k: Int = 8,
+      iterations: Int = 2): DataFrame = {
+    val q = quantized(embeddings).select("vec_id", "label", "v", "norm2")
+    val centroids = kmeansCentroids(q, k, iterations)
+    val byLabel = kmeansAssign(q, centroids)
+      .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("n").desc, col("label"))
+    byLabel
+      .withColumn("n_vecs", sum("n").over(Window.partitionBy("cluster")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("n_vecs"),
+        col("label").as("top_label"), col("n").as("top_label_n"),
+        expr("n * 10000 div n_vecs").as("purity_bp"))
   }
 
   /** Embedding near-dup pairs: LSH-bucket blocking + exact cosine

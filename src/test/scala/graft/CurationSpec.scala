@@ -169,6 +169,35 @@ class CurationSpec extends SparkSuite {
     assert(actual === expected)
   }
 
+  test("kmeansProfile matches a driver-side label recount of the assignment") {
+    val k = 4; val iters = 2
+    val q = Ann.quantized(emb).select("vec_id", "label", "v", "norm2")
+    val cents = Ann.kmeansCentroids(q, k, iters)
+    // reference: per-vector argmin on the collected corpus + label rollup
+    val labels = q.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = q.select("vec_id", "v", "norm2").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val assigned = vecs.map { case (id, v, n2) =>
+      val best = cents.map { case (cId, cv, cn2) =>
+        (n2 - 2 * v.zip(cv).map { case (a, b) => a * b }.sum + cn2, cId)
+      }.min
+      (best._2, labels(id))
+    }
+    val expected = assigned.groupBy(_._1).map { case (cl, xs) =>
+      val byLabel = xs.groupBy(_._2).map { case (l, ys) => (l, ys.length.toLong) }
+      val (topL, topN) = byLabel.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      (cl, xs.length.toLong, topL, topN, topN * 10000 / xs.length)
+    }.toSet
+    val rows = Ann.kmeansProfile(emb, k = k, iterations = iters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.toSet === expected)
+    // purity is a valid bp share and clusters partition the corpus
+    assert(rows.map(_._2).sum === emb.count())
+    assert(rows.forall(t => t._5 > 0 && t._5 <= 10000))
+  }
+
   test("kmeansTrain plan depth is constant in iterations") {
     def lines(it: Int) = Ann.kmeansTrain(emb, k = 4, iterations = it)
       .queryExecution.executedPlan.toString.linesIterator.size
