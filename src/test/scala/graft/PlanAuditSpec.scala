@@ -187,6 +187,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("hashpartitioning"), p.take(2500))
   }
 
+  test("perplexity proxy and cluster profile: no cartesian, bounded shuffles") {
+    Seq("t_perplexity_proxy", "a_cluster_profile").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1500)}")
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }.size
+      // perplexity: token freq + doc rollup (+ output order); profile:
+      // (cluster,label) rollup + k-row window (+ output order). A
+      // corpus-width replan or a lost equi-key would multiply this.
+      assert(shuffles <= 4, s"$q: $shuffles shuffles:\n${p.take(2000)}")
+    }
+  }
+
+  test("audio resample is shuffle-free: codecs run where the docs live") {
+    val p = plan(graft.operators.Multimodal.resampledAudio(
+      spark, graft.sources.Tables.documents(spark, sf)).toDF())
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
   test("q1 shape stays in whole-stage codegen") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
     val p = df.queryExecution.explainString(
