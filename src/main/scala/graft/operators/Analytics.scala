@@ -236,16 +236,63 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
-  /** Exact interpolated quantiles of event value per type. */
-  def valueQuantiles(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy("event_type")
-      .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(min("value"), 2).as("vmin"),
-        round(max("value"), 2).as("vmax"))
+  /** Exact interpolated quantiles of event value per type —
+    * DISTRIBUTED: `percentile()` (and any sort-within-group rank)
+    * buffers a whole group's values on one reducer, the classic 100 TB
+    * funnel when a group dominates. This plan never does:
+    *
+    *  1. range-repartition rows by (group, value) — every group spans
+    *     MANY ordered partitions, sized by Spark's range sampler;
+    *  2. partition-local ranks via a (pid, group)-keyed window (each
+    *     slice is at most one partition's worth of one group);
+    *  3. global rank = local rank + a BROADCAST per-(pid, group) offset
+    *     table (#partitions × #groups rows — metadata, not data);
+    *  4. keep ONLY the two rows straddling each target position
+    *     `pos = p·(n−1)` and interpolate Hive/`percentile`-style
+    *     (`lo + frac·(hi − lo)`), so the final aggregate sees
+    *     2·|groups|·|quantiles| rows.
+    *
+    * Same result, same oracle (`quantile_cont`), no funnel.
+    */
+  def valueQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val ranged = ev.repartitionByRange(parts, col("event_type"), col("value"))
+      .withColumn("pid", spark_partition_id())
+    val local = ranged.withColumn("lr",
+      row_number().over(Window.partitionBy("pid", "event_type").orderBy("value")))
+    val counts = local.groupBy("pid", "event_type").agg(count(lit(1)).as("n"))
+    val offsets = counts
+      .withColumn("prior", coalesce(
+        sum("n").over(Window.partitionBy("event_type").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "event_type", "prior")
+    val totals = counts.groupBy("event_type").agg(sum("n").as("n_grp"))
+    val targets = totals
+      .crossJoin(Seq(("p50", 0.5), ("p90", 0.9)).toDF("q", "p"))
+      .withColumn("pos", col("p") * (col("n_grp") - 1))
+      .select(col("event_type"), col("q"),
+        floor(col("pos")).cast("long").as("lo"),
+        (col("pos") - floor(col("pos"))).as("frac"))
+    val interp = local
+      .join(broadcast(offsets), Seq("pid", "event_type"))
+      .withColumn("gr", col("lr") + col("prior") - 1)
+      .join(broadcast(targets), Seq("event_type"))
+      .filter(col("gr") === col("lo") || col("gr") === col("lo") + 1)
+      .groupBy("event_type", "q", "lo", "frac")
+      .agg(max(when(col("gr") === col("lo"), col("value"))).as("v_lo"),
+        max(when(col("gr") === col("lo") + 1, col("value"))).as("v_hi"))
+      .withColumn("v", col("v_lo")
+        + col("frac") * (coalesce(col("v_hi"), col("v_lo")) - col("v_lo")))
+    val minmax = ev.groupBy("event_type")
+      .agg(round(min("value"), 2).as("vmin"), round(max("value"), 2).as("vmax"))
+    interp.groupBy("event_type")
+      .agg(round(max(when(col("q") === "p50", col("v"))), 4).as("p50"),
+        round(max(when(col("q") === "p90", col("v"))), 4).as("p90"))
+      .join(minmax, Seq("event_type"))
       .orderBy("event_type")
+  }
 
   /** Grouping sets: totals by event type, by partition, and overall —
     * one shuffle via the native GROUPING SETS plan (not a union of

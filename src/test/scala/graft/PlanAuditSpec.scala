@@ -202,6 +202,23 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("distributed quantiles: no per-group funnel, matches percentile()") {
+    val df = Analytics.valueQuantiles(spark, sf)
+    val p = plan(df)
+    // the rank window is keyed (pid, group) — a SinglePartition
+    // exchange or a sort-aggregate over whole groups would mean the
+    // funnel crept back
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    // equivalence with Spark's own single-reducer exact aggregate
+    val ref = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(min("value"), 2).as("vmin"),
+        round(max("value"), 2).as("vmax"))
+    assert(df.exceptAll(ref).isEmpty && ref.exceptAll(df).isEmpty)
+  }
+
   test("audio resample is shuffle-free: codecs run where the docs live") {
     val p = plan(graft.operators.Multimodal.resampledAudio(
       spark, graft.sources.Tables.documents(spark, sf)).toDF())
