@@ -151,10 +151,20 @@ object TextAnalysis {
     * beyond the source shuffle.
     */
   def quotaSample(docs: DataFrame, quota: Int = 5): DataFrame = {
+    // pre-reduce per (partition, source) before the global window: a
+    // row in the global top-`quota` has local rank ≤ quota in ANY
+    // partitioning (deleting rows never raises a survivor's rank), so
+    // the final per-source window sees ≤ #partitions × quota rows —
+    // a hot domain is never a one-task funnel at 100 TB
+    val keyed = docs.select(col("source"), col("doc_id"),
+      hexHash60(col("doc_id").cast("string")).as("hash_rank"))
+    val localW = Window.partitionBy(spark_partition_id(), col("source"))
+      .orderBy(col("hash_rank"), col("doc_id"))
     val w = Window.partitionBy("source")
       .orderBy(col("hash_rank"), col("doc_id"))
-    docs.select(col("source"), col("doc_id"),
-        hexHash60(col("doc_id").cast("string")).as("hash_rank"))
+    keyed
+      .withColumn("local_rnk", row_number().over(localW))
+      .filter(col("local_rnk") <= quota)
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= quota)
       .select("source", "rnk", "doc_id")

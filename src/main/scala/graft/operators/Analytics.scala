@@ -86,7 +86,14 @@ object Analytics {
       .limit(20)
   }
 
-  /** Top-3 parts by revenue within each brand (windowed top-N per group). */
+  /** Top-3 parts by revenue within each brand. The global window runs
+    * over a PRE-REDUCED candidate set: each task first keeps its own
+    * per-(partition, brand) rank() ≤ 3 rows — sound because deleting
+    * rows can only lower a survivor's global rank, so every global
+    * top-3 row has local rank ≤ 3 — and the final window sees at most
+    * #partitions × 3 rows per brand instead of ALL of a brand's parts
+    * (at 100 TB a popular brand is otherwise a one-task funnel).
+    */
   def topPartsPerBrand(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
     val p = Tables.part(s, dir)
@@ -94,9 +101,14 @@ object Analytics {
       .groupBy("p_brand", "p_partkey")
       .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("revenue_cents"))
+    val localW = Window.partitionBy(spark_partition_id(), col("p_brand"))
+      .orderBy(col("revenue_cents").desc, col("p_partkey"))
+    val candidates = rev
+      .withColumn("local_rank", rank().over(localW))
+      .filter(col("local_rank") <= 3)
     val w = Window.partitionBy("p_brand")
       .orderBy(col("revenue_cents").desc, col("p_partkey"))
-    rev.withColumn("brand_rank", rank().over(w))
+    candidates.withColumn("brand_rank", rank().over(w))
       .filter(col("brand_rank") <= 3)
       .select("p_brand", "brand_rank", "p_partkey", "revenue_cents")
       .orderBy("p_brand", "brand_rank")
