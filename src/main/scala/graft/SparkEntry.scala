@@ -358,6 +358,10 @@ object SparkEntry {
       Ann.knnIvf(Tables.embeddings(s, dir), KnnQueries, 3)
         .orderBy("q_id", "rnk")),
 
+    "a_knn_ivf_probe2" -> ((s, dir) =>
+      Ann.knnIvf(Tables.embeddings(s, dir), KnnQueries, 3, probes = 2)
+        .orderBy("q_id", "rnk")),
+
     "t_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), 20)
         .orderBy(col("n_occurrences").desc, col("tok"))),
@@ -919,6 +923,38 @@ object SparkEntry {
          |  FROM assigned q2 JOIN assigned c
          |    ON c.cell = q2.cell AND c.vec_id <> q2.vec_id
          |  WHERE q2.vec_id < $KnnQueries
+         |)
+         |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
+         |  SELECT q_id, neighbor_id, cos_bp,
+         |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
+         |  FROM scored
+         |) WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "a_knn_ivf_probe2" ->
+      s"""WITH $EmbCte,
+         |cent AS (SELECT vec_id AS c_id, v AS cv, norm2 AS cn2 FROM qn
+         |         WHERE vec_id % 50 = 0),
+         |ranked AS (
+         |  SELECT qn.vec_id, qn.v, qn.norm2, cent.c_id,
+         |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+         |      (list_sum(list_transform(range(1,65), i -> cent.cv[i::INT]*qn.v[i::INT])))::DOUBLE
+         |        / (sqrt(cent.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) DESC, cent.c_id) AS c_rn
+         |  FROM qn, cent
+         |),
+         |assigned AS (
+         |  SELECT vec_id, v, norm2, c_id AS cell FROM ranked WHERE c_rn = 1
+         |),
+         |probes AS (
+         |  SELECT vec_id AS q_id, v AS qv, norm2 AS qn2, c_id AS qcell
+         |  FROM ranked WHERE vec_id < $KnnQueries AND c_rn <= 2
+         |),
+         |scored AS (
+         |  SELECT q2.q_id, c.vec_id AS neighbor_id,
+         |         ${sqlCosBp("q2.qv", "c.v", "q2.qn2", "c.norm2")} AS cos_bp,
+         |         (list_sum(list_transform(range(1,65), i -> q2.qv[i::INT]*c.v[i::INT])))::DOUBLE
+         |           / (sqrt(q2.qn2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+         |  FROM probes q2 JOIN assigned c
+         |    ON c.cell = q2.qcell AND c.vec_id <> q2.q_id
          |)
          |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
          |  SELECT q_id, neighbor_id, cos_bp,

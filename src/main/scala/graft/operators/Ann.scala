@@ -118,25 +118,30 @@ object Ann {
   /** IVF-style ANN: partition the corpus into cells around a fixed
     * centroid set (every `centroidStride`-th vector — deterministic, no
     * training loop so the oracle can mirror it), assign each vector to
-    * its max-cosine centroid, then search only the query's own cell
-    * (probe=1). At 100 TB the cell id is the shuffle/partition key and
+    * its max-cosine centroid, then search the query's `probes` nearest
+    * cells (the standard IVF recall knob: probe-1 is the fastest,
+    * probe-p trades p cell scans for recall). Corpus vectors always
+    * live in exactly ONE cell, so multi-probe never duplicates a
+    * candidate. At 100 TB the cell id is the shuffle/partition key and
     * per-cell scans replace the full-corpus scan; centroids are a
-    * broadcast table.
+    * broadcast table, and probes multiplies only the (tiny) broadcast
+    * query table, not the corpus side.
     */
   def knnIvf(embeddings: DataFrame, numQueries: Int, k: Int,
-      centroidStride: Int = 50): DataFrame = {
+      centroidStride: Int = 50, probes: Int = 1): DataFrame = {
     val q = quantized(embeddings)
     val centroids = q.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm2").as("cn2"))
     val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = q.crossJoin(broadcast(centroids))
+    val ranked = q.crossJoin(broadcast(centroids))
       .withColumn("c_cos", cosine(col("cv"), col("v"), col("cn2"), col("norm2")))
       .withColumn("c_rn", row_number().over(w))
-      .filter(col("c_rn") === 1)
+    val assigned = ranked.filter(col("c_rn") === 1)
       .select(col("vec_id"), col("v"), col("norm2"), col("c_id").as("cell"))
-    val queries = assigned.filter(col("vec_id") < numQueries)
+    val queries = ranked
+      .filter(col("vec_id") < numQueries && col("c_rn") <= probes)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("norm2").as("qn2"), col("cell").as("qcell"))
+        col("norm2").as("qn2"), col("c_id").as("qcell"))
     val scored = assigned.join(broadcast(queries),
         col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("norm2")))

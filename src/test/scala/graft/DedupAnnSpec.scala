@@ -229,6 +229,32 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("knn IVF multi-probe: probe-2 strictly improves recall at a cell boundary") {
+    import spark.implicits._
+    // Constructed boundary: the query (vec 0, also centroid c0) has its two
+    // true nearest neighbors (50 = centroid c50, 7 ≈ c50) in cell 50, while
+    // its own cell holds only the far vector 3. Probe-1 can only see 3;
+    // probe-2 adds cell 50 and recovers the true top-2.
+    def pad(xs: Double*): Seq[Float] =
+      xs.map(_.toFloat) ++ Seq.fill(64 - xs.size)(0f)
+    val emb = Seq(
+      (0L, pad(1.0), 0),
+      (3L, pad(0.5, -0.87), 0),
+      (7L, pad(0.70, 0.72), 0),
+      (50L, pad(0.707, 0.707), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val brute = Ann.knnBruteForce(emb, 1, 2).collect()
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    val p1 = Ann.knnIvf(emb, 1, 2, probes = 1).collect()
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    val p2 = Ann.knnIvf(emb, 1, 2, probes = 2).collect()
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    assert(brute === Set(7L, 50L))
+    assert(p1 === Set(3L)) // probe-1 recall 0/2: stuck in the query's own cell
+    assert(p2 === brute)   // probe-2 recall 2/2
+    assert((p1 & brute).size < (p2 & brute).size)
+  }
+
   test("language id is deterministic and covers all docs") {
     val out = TextAnalysis.langId(docs)
     assert(out.count() === docs.count())
