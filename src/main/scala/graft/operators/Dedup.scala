@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable._
@@ -47,8 +47,8 @@ object Dedup {
     * The corpus count is a broadcast scalar, not a driver-side action.
     */
   def cappedShingleHashes(docs: DataFrame): DataFrame = {
-    val key = (docs.sparkSession, docs.queryExecution.logical.canonicalized.toString)
-    shCache.getOrElseUpdate(key, {
+    val key = corpusKey(docs)
+    shCache.getOrElseUpdate(key)({
       val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
       val sh = shingleTable(docs)
         .select(col("doc_id"), hexHash60(col("s")).as("h")).cache()
@@ -70,27 +70,99 @@ object Dedup {
     })
   }
 
+  /** Resident-table bound per session for each dedup cache registry
+    * (shingle tables and verified pair tables count separately). A
+    * long-lived service session cycling through many distinct corpora
+    * evicts and unpersists its least-recently-used cached table at the
+    * bound instead of accumulating resident tables for the session's
+    * lifetime. Tunable (`@volatile var`) so a deployment sizes it to
+    * its executor storage budget.
+    */
+  @volatile var cacheBound: Int = 4
+
+  /** LRU registry of session-cached tables: key component 0 is the
+    * owning SparkSession; inserts past [[cacheBound]] entries for that
+    * session unpersist and drop its least-recently-used entry, and
+    * lookups refresh recency. The build runs under the lock — a
+    * concurrent caller pays at worst a wait, never a leaked table.
+    */
+  private final class LruTableCache[K <: Product] {
+    private val m = scala.collection.mutable.LinkedHashMap.empty[K, DataFrame]
+    def getOrElseUpdate(key: K)(build: => DataFrame): DataFrame = synchronized {
+      m.remove(key) match {
+        case Some(df) => m.put(key, df); df // re-insert = most recent
+        case None =>
+          val df = build
+          m.put(key, df)
+          val mine = m.keys
+            .filter(_.productElement(0) == key.productElement(0)).toSeq
+          mine.dropRight(cacheBound)
+            .foreach(k => m.remove(k).foreach(_.unpersist()))
+          df
+      }
+    }
+    def releaseSession(session: SparkSession): Unit = synchronized {
+      m.keys.filter(_.productElement(0) == session).toSeq
+        .foreach(k => m.remove(k).foreach(_.unpersist()))
+    }
+  }
+
   /** Cached capped shingle table per (session, corpus plan). */
-  private val shCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private val shCache = new LruTableCache[(SparkSession, String)]
+
+  /** Cache key for a corpus: the canonicalized plan text plus a
+    * fingerprint of any inline (local) relation's rows. The
+    * canonicalized text alone elides LocalRelation data, so two
+    * distinct in-memory corpora with the same schema would collide on
+    * one cache entry and the second would silently read the first's
+    * shingles. File-backed corpora are distinguished by path in the
+    * plan text itself.
+    */
+  private def corpusKey(docs: DataFrame): (SparkSession, String) = {
+    val plan = docs.queryExecution.logical.canonicalized
+    val localFp = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.hashCode
+    }
+    (docs.sparkSession, plan.toString + localFp.mkString("[", ",", "]"))
+  }
 
   /** Unpersist every shingle and pair table cached for `spark` (call
     * when the dedup queries of a session are done).
     */
-  def releaseShingleCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
-    shCache.keys.filter(_._1 eq spark).foreach { k =>
-      shCache.remove(k).foreach(_.unpersist())
-    }
-    pairCache.keys.filter(_._1 eq spark).foreach { k =>
-      pairCache.remove(k).foreach(_.unpersist())
-    }
+  def releaseShingleCaches(spark: SparkSession): Unit = {
+    shCache.releaseSession(spark)
+    pairCache.releaseSession(spark)
   }
+
+  /** Default blast-radius bound for [[ngramJaccard]]'s exhaustive pair
+    * join: Σdf² over the capped shingle table, an upper bound on the
+    * join's candidate-row fanout (every pair of docs sharing a shingle
+    * becomes a join row, so each shingle contributes df²). Beyond this
+    * the exhaustive baseline is a mistake, not a query — [[minhashLsh]]
+    * produces the same pairs from bounded candidates.
+    */
+  val MaxNgramCandidatePairs: Long = 1L << 32
 
   /** Exact Jaccard over df-capped k-shingles for every pair sharing a
     * shingle. Output: pairs with similarity >= minJaccardBp/10000.
+    *
+    * This is the exhaustive CORRECTNESS baseline (Σdf² join fanout): a
+    * guard estimates the fanout from the cached shingle table first and
+    * fails fast past `maxCandidatePairs` instead of launching a
+    * quadratic join — the scale twin [[minhashLsh]] yields the same
+    * pair set with bounded candidates.
     */
-  def ngramJaccard(docs: DataFrame, minJaccardBp: Long): DataFrame = {
+  def ngramJaccard(docs: DataFrame, minJaccardBp: Long,
+      maxCandidatePairs: Long = MaxNgramCandidatePairs): DataFrame = {
     val sh = cappedShingleHashes(docs)
+    val est = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)).as("p"))
+      .head.getLong(0)
+    require(est <= maxCandidatePairs,
+      s"ngramJaccard: estimated candidate fanout sum(df^2)=$est exceeds " +
+        s"$maxCandidatePairs; use minhashLsh (d_minhash_lsh) — same pairs, " +
+        "bounded candidates")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,
@@ -143,9 +215,9 @@ object Dedup {
     * largest repeated cost in a dedup session.
     */
   def minhashLsh(docs: DataFrame, minJaccardBp: Long): DataFrame = {
-    val key = (docs.sparkSession,
-      docs.queryExecution.logical.canonicalized.toString, minJaccardBp)
-    pairCache.getOrElseUpdate(key, {
+    val ck = corpusKey(docs)
+    val key = (ck._1, ck._2, minJaccardBp)
+    pairCache.getOrElseUpdate(key)({
       val sh = cappedShingleHashes(docs)
       val cands = lshCandidates(minhashSignatures(sh))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -159,8 +231,8 @@ object Dedup {
     })
   }
 
-  private val pairCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Long), DataFrame]
+  /** Cached verified pair table per (session, corpus plan, threshold). */
+  private val pairCache = new LruTableCache[(SparkSession, String, Long)]
 
   /** SimHash width in bits. 60 keeps the value in the portable
     * non-negative i64 range (DuckDB errors on i64 overflow) while
@@ -274,15 +346,6 @@ object Dedup {
     // 100k reducers alive to shuffle a few thousand rows)
     val nEdges = dbg("edges0 materialize") { edges0.count() }
     val gp = math.max(1, math.min(2000, (nEdges / 50000L).toInt + 1))
-    val spark = docs.sparkSession
-    // Scope the loop's shuffle width to the graph, not the corpus:
-    // joins over cached plans bypass AQE coalescing, so every round
-    // would otherwise run its ~5 shuffle stages at the session width
-    // for a table thousands of times smaller than the corpus. Restored
-    // after the loop.
-    val sessionShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", gp.toString)
-    try {
     // localCheckpoint TRUNCATES the logical plan, not just the
     // computation: a self-join per round otherwise DOUBLES the plan
     // tree each iteration (each reference inlines the full upstream
@@ -297,7 +360,7 @@ object Dedup {
     // iterate ONLY over docs that appear in the pair graph — everything
     // else is trivially its own singleton cluster (unioned at the end)
     val edgeDocs = dbg("edgeDocs checkpoint") {
-      edges.select("doc_a").distinct()
+      edges.select("doc_a").repartition(gp, col("doc_a")).distinct()
         .withColumnRenamed("doc_a", "doc_id").localCheckpoint(true)
     }
     var labels = edgeDocs.withColumn("cluster", col("doc_id"))
@@ -305,30 +368,12 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("cluster", "nb_cluster"), Seq("doc_b"))
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min("nb_cluster").as("nb_min"))
-      val propagated = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nb_min"), col("cluster")))
-            .as("cluster"))
-      // pointer jumping (path halving): follow the label's own label,
-      // turning O(diameter) convergence into O(log diameter) — long
-      // similarity chains otherwise dominate the round count
       val next = dbg(s"round ${i + 1} step") {
-        propagated.as("a")
-          .join(propagated.select(col("doc_id").as("cluster"),
-            col("cluster").as("jump")), Seq("cluster"), "left")
-          .select(col("doc_id"),
-            least(col("cluster"), coalesce(col("jump"), col("cluster")))
-              .as("cluster"))
-          .localCheckpoint(true)
+        ccRound(edges, labels, gp).localCheckpoint(true)
       }
       val changed = dbg(s"round ${i + 1} changed-count") {
-        next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
+        next.repartition(gp, col("doc_id"))
+          .join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
           .filter(col("cluster") =!= col("old")).count()
       }
       labels = next
@@ -345,7 +390,43 @@ object Dedup {
     labels.unionByName(singletons)
       .withColumn("keep", (col("doc_id") === col("cluster")).cast("int"))
       .withColumnRenamed("cluster", "cluster_id")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionShuffle)
+  }
+
+  /** One label-propagation round over the pair graph: neighbor-min
+    * plus a pointer jump (path halving — follow the label's own label,
+    * turning O(diameter) convergence into O(log diameter); long
+    * similarity chains otherwise dominate the round count).
+    *
+    * Every shuffle is pinned to `gp` partitions by explicitly
+    * repartitioning each join/aggregation input: the graph tables are
+    * thousands of times smaller than the corpus, so the loop must not
+    * inherit the session shuffle width — and it must not MUTATE the
+    * session conf to get its width either (a concurrent query on the
+    * same session would plan at the narrowed width; this loop ran
+    * conf-swapped until round 8). Package-visible so the plan audit
+    * can pin the exchange widths.
+    */
+  private[graft] def ccRound(edges: DataFrame, labels: DataFrame,
+      gp: Int): DataFrame = {
+    val neighborMin = edges
+      .join(labels.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("cluster", "nb_cluster")
+        .repartition(gp, col("doc_b")), Seq("doc_b"))
+      .repartition(gp, col("doc_a"))
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min("nb_cluster").as("nb_min"))
+    val propagated = labels.repartition(gp, col("doc_id"))
+      .join(neighborMin, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("cluster"), coalesce(col("nb_min"), col("cluster")))
+          .as("cluster"))
+    propagated.as("a")
+      .join(propagated.select(col("doc_id").as("cluster"),
+          col("cluster").as("jump")).repartition(gp, col("cluster")),
+        Seq("cluster"), "left")
+      .select(col("doc_id"),
+        least(col("cluster"), coalesce(col("jump"), col("cluster")))
+          .as("cluster"))
   }
 
   /** Benchmark-contamination check — the decontamination pass every

@@ -229,6 +229,46 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("dedup cache registry: a second corpus evicts the first at the bound") {
+    import spark.implicits._
+    val old = Dedup.cacheBound
+    Dedup.cacheBound = 1
+    try {
+      val corpusA = Seq((1L, "alpha beta gamma delta first"),
+        (2L, "alpha beta gamma delta second")).toDF("doc_id", "text")
+      val corpusB = Seq((1L, "epsilon zeta eta theta first"),
+        (2L, "epsilon zeta eta theta second")).toDF("doc_id", "text")
+      val a = Dedup.cappedShingleHashes(corpusA)
+      assert(a.storageLevel.useMemory)
+      val b = Dedup.cappedShingleHashes(corpusB)
+      assert(b.storageLevel.useMemory)
+      // the bound evicted AND unpersisted corpus A's table
+      assert(!a.storageLevel.useMemory)
+      // distinct same-schema local corpora must not share a cache entry
+      assert(!(b eq a))
+    } finally {
+      Dedup.cacheBound = old
+      Dedup.releaseShingleCaches(spark)
+    }
+  }
+
+  test("ngram Jaccard blast-radius guard trips on a hot-shingle corpus") {
+    import spark.implicits._
+    // 100 docs in 20 identical-text groups of 5: within-group shingles
+    // have df=5 (kept: 5*20 <= 100), so sum(df^2) reaches thousands —
+    // far over the tiny bound passed here
+    val hot = (0 until 100).map { i =>
+      val g = i % 20
+      (i.toLong, s"unique-group-$g-marker-$g-body-$g with shared tail words")
+    }.toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(hot, 5000L, maxCandidatePairs = 100L)
+    }
+    assert(e.getMessage.contains("minhashLsh"))
+    // the default bound leaves the gated corpus untouched
+    assert(Dedup.ngramJaccard(docs, 5000L).count() > 0)
+  }
+
   test("knn IVF multi-probe: probe-2 strictly improves recall at a cell boundary") {
     import spark.implicits._
     // Constructed boundary: the query (vec 0, also centroid c0) has its two

@@ -225,6 +225,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p.take(1500))
   }
 
+  test("dedup cluster round: shuffle width pinned to graph size, conf untouched") {
+    // the round-8 cure for the session-conf swap: every shuffle in the
+    // label-propagation round is an explicit gp-width repartition, so
+    // a concurrent query on the same session plans at its own width
+    val spark0 = spark
+    import spark0.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("doc_a", "doc_b")
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "cluster")
+    val gp = 3
+    val df = graft.operators.Dedup.ccRound(edges, labels, gp)
+    assert(df.collect().length === 3)
+    // read the (adaptive) final plan string: every hash exchange in the
+    // round must be at gp width, none at the session width
+    val p = df.queryExecution.executedPlan.toString
+    val widths = "hashpartitioning\\([^(]*?, (\\d+)\\)".r
+      .findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(widths.nonEmpty && widths.forall(_ == gp), s"$widths\n${p.take(2500)}")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+  }
+
   test("q1 shape stays in whole-stage codegen") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
     val p = df.queryExecution.explainString(
