@@ -287,6 +287,67 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("kafka stub pub/sub: live egress→ingress round trip through the wire frame") {
+    import spark.implicits._
+    // producer → wire queue → KafkaBridge.toMessages → egress roller →
+    // segment store → fileReplay → destination: the reference topology
+    // (pkg/kafka/pub_sub.go's role) with the broker swapped for the
+    // file-backed stub, every hop live while both queries run
+    val queue = tmpDir("kstub-queue")
+    val store = graft.sources.FsSegmentStore(spark, tmpDir("kstub-store"))
+    def recs(part: Int, n: Int, ts0: Long) =
+      (0 until n).map(i => (part, f"k$i%03d", s"p$part-$i",
+        new Timestamp(ts0 + i * 1000L))).toDF("part_id", "key", "msg_value", "ts")
+    KafkaStub.produce(spark, queue, "t", recs(0, 10, 1700000000000L))
+    KafkaStub.produce(spark, queue, "t", recs(1, 5, 1700000000000L))
+    // per-partition offsets are contiguous from 0 regardless of batching
+    val wire = spark.read.schema(KafkaStub.WireSchema).parquet(queue)
+    assert(wire.groupBy("partition").agg(min("offset"), max("offset"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      === Seq((0, 0L, 9L), (1, 0L, 4L)))
+
+    val messages = KafkaBridge.toMessages(KafkaStub.consume(spark, queue))
+    val egress = StreamingEgress.foreachBatchEgress(messages, store, "src", "t",
+      maxMessages = 5, checkpointDir = tmpDir("kstub-egress-ckpt"))
+    val ckptStore = graft.sources.FsCheckpointStore(spark, tmpDir("kstub-ckstore"))
+    val dest = tmpDir("kstub-dest")
+    val replaySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("part_id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("msg_offset",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("msg_value",
+        org.apache.spark.sql.types.StringType)))
+    try {
+      egress.processAllAvailable()
+      assert(store.list("src", "t").map(m => (m.partId, m.startOffset, m.endOffset))
+        .sorted === Seq((0, 0L, 4L), (0, 5L, 9L), (1, 0L, 4L)))
+      val ingress = StreamingIngress.fileReplay(spark, store.root, "src", "t",
+        replaySchema, ckptStore, dest, tmpDir("kstub-ingress-ckpt"))
+      try {
+        ingress.processAllAvailable()
+        val out1 = spark.read.parquet(dest)
+        assert(out1.count() === 15)
+        assert(ckptStore.latestMap() === Map(0 -> 9L, 1 -> 4L))
+        // produce MORE while both queries are live: offsets continue at
+        // the high watermark and flow through to the destination once
+        KafkaStub.produce(spark, queue, "t", recs(0, 5, 1700000100000L))
+        egress.processAllAvailable()
+        ingress.processAllAvailable()
+        val out2 = spark.read.parquet(dest)
+        assert(out2.count() === 20)
+        assert(out2.groupBy("part_id", "msg_offset").count()
+          .filter(col("count") > 1).count() === 0) // exactly once
+        assert(ckptStore.latestMap() === Map(0 -> 14L, 1 -> 4L))
+        // payloads survive the wire round trip byte-for-byte
+        assert(out2.filter(col("part_id") === 0 && col("msg_offset") === 12)
+          .head.getAs[String]("msg_value") === "p0-2")
+      } finally ingress.stop()
+    } finally egress.stop()
+  }
+
   test("watermarked windowed metrics aggregate per partition-hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
