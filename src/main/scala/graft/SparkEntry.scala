@@ -479,8 +479,16 @@ object SparkEntry {
         .createTempDirectory("graft-keyidx-").toAbsolutePath.toString
       val idx = graft.sources.FsKeyIndex(s, root)
       Curation.incrementalDedupIndexed(docs.filter(!isNew), idx)
-      Curation.incrementalDedupIndexed(docs.filter(isNew), idx)
+      val out = Curation.incrementalDedupIndexed(docs.filter(isNew), idx)
         .orderBy("doc_id")
+      // the result is localCheckpointed and no longer reads the index;
+      // drop the temp dir now (bench re-runs this query several times —
+      // leaked index dirs would accumulate across runs)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+      out
     }),
   )
 

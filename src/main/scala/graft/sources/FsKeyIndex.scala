@@ -29,19 +29,30 @@ class FsKeyIndex(spark: SparkSession, val root: String) {
   private val compactDir = s"$root/keys_compact"
   private val backupDir = s"$root/keys_old"
 
+  /** Per-root lock: [[recover]] runs on the READ path too, so a reader
+    * racing [[compact]]'s swap window could otherwise observe `keys/`
+    * missing mid-swap and issue a competing promote rename. Within one
+    * JVM the lock serializes the swap against every entry point;
+    * ACROSS processes the index keeps the documented single-writer
+    * contract (readers in other JVMs must not run concurrently with a
+    * compaction, same as [[FsCheckpointStore.compactLog]]).
+    */
+  private val lock = FsKeyIndex.lockFor(root)
+
   /** Complete an interrupted [[compact]]: if `keys/` is missing but the
     * compacted copy (or the pre-compaction backup) survives, promote it.
     * Cheap (two existence checks) and idempotent, so every read/write
     * entry point runs it — a crash can never silently empty the index
     * and re-admit duplicates.
     */
-  private def recover(): Unit =
+  private def recover(): Unit = lock.synchronized {
     if (!fs.exists(new Path(keysDir))) {
       if (fs.exists(new Path(compactDir)))
         fs.rename(new Path(compactDir), new Path(keysDir))
       else if (fs.exists(new Path(backupDir)))
         fs.rename(new Path(backupDir), new Path(keysDir))
     }
+  }
 
   /** Distinct ingested keys (empty when nothing has ever ingested). */
   def keys(): DataFrame = {
@@ -66,8 +77,8 @@ class FsKeyIndex(spark: SparkSession, val root: String) {
     * can promote it (the old delete-then-rename had a window that lost
     * the whole index).
     */
-  def compact(): Unit = {
-    recover()
+  def compact(): Unit = lock.synchronized {
+    recover() // reentrant: same monitor
     if (!fs.exists(new Path(keysDir))) return
     fs.delete(new Path(compactDir), true)
     keys().write.mode(SaveMode.Overwrite).parquet(compactDir)
@@ -81,4 +92,12 @@ class FsKeyIndex(spark: SparkSession, val root: String) {
 
 object FsKeyIndex {
   def apply(spark: SparkSession, root: String) = new FsKeyIndex(spark, root)
+
+  /** One lock object per index root (shared across instances, so two
+    * handles on the same directory still serialize the swap window).
+    */
+  private val locks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private[sources] def lockFor(root: String): Object =
+    locks.getOrElseUpdate(root, new Object)
 }
