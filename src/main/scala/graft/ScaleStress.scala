@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness for the dedup/curation family: synthesizes an
+  * N× corpus from sf0.1 in a temp dir (never touching the source), then
+  * times the family at 1× and N× in ONE JVM so both scales share a
+  * measurement window (this host throttles episodically — cross-window
+  * comparisons are garbage).
+  *
+  * Corpus construction: union of `factor` re-keyed copies whose text is
+  * per-copy letter-ROTATED (a bijection on the alphabet). A bijection
+  * preserves shingle equality WITHIN a copy — every copy reproduces the
+  * original's exact similarity structure — while sharing essentially no
+  * shingles ACROSS copies, so total dedup work (pairs, clusters,
+  * shingle universe) scales linearly by construction. That makes the
+  * measurement meaningful: if wall time scales super-linearly, the
+  * ENGINE is super-linear, not the workload. (Naive replication without
+  * rotation would make every doc a 10-way near-duplicate and square the
+  * candidate volume — a quadratic workload would masquerade as a
+  * quadratic engine.)
+  *
+  * Embeddings are re-keyed plain copies: the vector family (k-means)
+  * is assignment-dominated and has no pairwise blowup to distort.
+  *
+  * Usage: `graft.ScaleStress [sfDir] [factor] [reps]`. Prints one JSON
+  * line: per-query 1× and N× medians plus the wall-time ratio.
+  */
+object ScaleStress {
+
+  /** The family the 100 TB story rests on (alphabetical = Bench order). */
+  val Queries: Seq[String] = Seq("a_kmeans_train_iter10", "d_dedup_clusters",
+    "d_minhash_lsh", "p_curated_corpus", "p_pack_sequences")
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Per-copy letter rotation; copy 0 is the original corpus. */
+  def rotated(text: Column, i: Int): Column =
+    if (i % 26 == 0) text
+    else {
+      def rot(s: String) = s.drop(i % 26) + s.take(i % 26)
+      translate(text, Lower + Lower.toUpperCase,
+        rot(Lower) + rot(Lower).toUpperCase)
+    }
+
+  def synth(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until factor).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * 1000000000L)).as("doc_id"),
+        rotated(col("text"), i).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until factor).map { i =>
+      emb.select((col("vec_id") + lit(i * 1000000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  private def timeQuery(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir)
+      .write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-scale-").toAbsolutePath.toString
+    synth(spark, src, out, factor)
+
+    // untimed warmup (JVM/codegen/scan), as in Bench
+    try SparkEntry.queries("q1_pricing_summary")(spark, src)
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => }
+
+    // fresh dedup caches per rep: within a rep the queries share the
+    // cache exactly like a Bench run (d_dedup_clusters pays the fill,
+    // d_minhash_lsh and p_curated_corpus reuse it)
+    def runScale(dir: String): Map[String, Double] = {
+      val all = (1 to reps).map { _ =>
+        graft.operators.Dedup.releaseShingleCaches(spark)
+        Queries.map(q => q -> timeQuery(spark, q, dir)).toMap
+      }
+      Queries.map(q => q -> median(all.map(_(q)))).toMap
+    }
+    val base = runScale(src)
+    val big = runScale(out)
+    graft.operators.Dedup.releaseShingleCaches(spark)
+
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(out))
+
+    def fmt(m: Map[String, Double]) = Queries
+      .map(q => s"""\"$q\":${"%.2f".format(m(q))}""").mkString("{", ",", "}")
+    val ratios = Queries.map(q => q -> big(q) / base(q)).toMap
+    println(s"""{"metric":"scalestress","factor":$factor,"reps":$reps""" +
+      s""","base_sec":${fmt(base)},"scaled_sec":${fmt(big)}""" +
+      s""","ratio":${fmt(ratios)}""" +
+      s""","base_total":${"%.2f".format(base.values.sum)}""" +
+      s""","scaled_total":${"%.2f".format(big.values.sum)}}""")
+    spark.stop()
+  }
+}
