@@ -97,15 +97,20 @@ object ScaleStress {
     // fresh dedup caches per rep: within a rep the queries share the
     // cache exactly like a Bench run (d_dedup_clusters pays the fill,
     // d_minhash_lsh and p_curated_corpus reuse it)
-    def runScale(dir: String): Map[String, Double] = {
-      val all = (1 to reps).map { _ =>
+    def runScale(tag: String, dir: String): Map[String, Double] = {
+      val all = (1 to reps).map { r =>
         graft.operators.Dedup.releaseShingleCaches(spark)
-        Queries.map(q => q -> timeQuery(spark, q, dir)).toMap
+        val m = Queries.map(q => q -> timeQuery(spark, q, dir)).toMap
+        // per-rep line: lets the recording protocol spot a throttle
+        // window hitting a single rep (this host swings episodically)
+        System.err.println(s"[scalestress] $tag rep $r: " + Queries
+          .map(q => f"$q=${m(q)}%.2f").mkString(" "))
+        m
       }
       Queries.map(q => q -> median(all.map(_(q)))).toMap
     }
-    val base = runScale(src)
-    val big = runScale(out)
+    val base = runScale("1x", src)
+    val big = runScale(s"${factor}x", out)
     graft.operators.Dedup.releaseShingleCaches(spark)
 
     def rm(f: java.io.File): Unit = {
