@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Calm-window recorder for the 10x ScaleStress run (VERDICT r07 item 2).
+
+Same gates as benchwhencalm (strict DuckDB canary + timed 1x JVM
+probe), plus an intra-run stability check: ScaleStress prints per-rep
+timings to stderr, and a throttle arriving mid-run shows up as a >3x
+swing between reps of the same query at the same scale (calm reps
+differ only by JIT drift, well under 2x). Unstable runs are discarded.
+
+Usage: python3 tools/scalestresswhencalm.py [tag] [factor] [reps] [max_attempts]
+Writes bench/scalestress_<tag>.json (the harness's own JSON line plus
+the per-rep audit trail).
+"""
+import glob, json, os, re, subprocess, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import calmbench, benchwhencalm
+
+MAX_REP_SWING = 3.0
+STRESS_TIMEOUT = 2400
+COOLDOWN = 240
+
+REP_RE = re.compile(r"\[scalestress\] (\S+) rep (\d+): (.*)")
+
+
+def run_stress(factor, reps):
+    cp = "/root/repo/target/scala-2.13/classes:" + ":".join(
+        glob.glob("/opt/spark/jars/*.jar"))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="32")
+    try:
+        r = subprocess.run(
+            ["java"] + calmbench.ADD_OPENS + ["-Xmx96g", "-cp", cp,
+             "graft.ScaleStress", calmbench.SF, str(factor), str(reps)],
+            capture_output=True, text=True, env=env, timeout=STRESS_TIMEOUT)
+    except subprocess.TimeoutExpired:
+        return None, None, "wall-clamp exceeded (throttle)"
+    line = [l for l in r.stdout.splitlines() if l.startswith('{"metric"')]
+    if r.returncode != 0 or not line:
+        return None, None, f"failed: {r.stderr[-500:]}"
+    per_rep = {}  # (tag, query) -> [sec per rep]
+    for m in (REP_RE.match(l.strip()) for l in r.stderr.splitlines()):
+        if not m:
+            continue
+        for qv in m.group(3).split():
+            q, v = qv.split("=")
+            per_rep.setdefault((m.group(1), q), []).append(float(v))
+    return json.loads(line[-1]), per_rep, None
+
+
+def stable(per_rep):
+    worst = ("", 1.0)
+    for (tag, q), xs in per_rep.items():
+        swing = max(xs) / max(min(xs), 1e-9)
+        if swing > worst[1]:
+            worst = (f"{tag}/{q} reps={['%.1f' % x for x in xs]}", swing)
+    return worst[1] <= MAX_REP_SWING, worst
+
+
+def main():
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r08"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    max_attempts = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    for attempt in range(1, max_attempts + 1):
+        c = calmbench.canary()
+        print(f"[stresswhencalm] attempt {attempt}: canary {c:.3f}s", flush=True)
+        if c >= benchwhencalm.STRICT_CANARY:
+            print(f"[stresswhencalm] canary throttled; cooling {COOLDOWN}s",
+                  flush=True)
+            time.sleep(COOLDOWN)
+            continue
+        ok, info = benchwhencalm.jvm_probe()
+        print(f"[stresswhencalm] jvm probe: {'CALM' if ok else 'THROTTLED'} {info}",
+              flush=True)
+        if not ok:
+            time.sleep(COOLDOWN)
+            continue
+        t0 = time.time()
+        res, per_rep, err = run_stress(factor, reps)
+        if err:
+            print(f"[stresswhencalm] DISCARD: {err}", flush=True)
+            time.sleep(COOLDOWN)
+            continue
+        is_stable, worst = stable(per_rep)
+        print(f"[stresswhencalm] run done in {time.time()-t0:.0f}s; "
+              f"worst rep swing {worst[1]:.2f}x ({worst[0]})", flush=True)
+        if not is_stable:
+            print(f"[stresswhencalm] DISCARD (swing > {MAX_REP_SWING}x: "
+                  f"throttle mid-run)", flush=True)
+            time.sleep(COOLDOWN)
+            continue
+        res["canary_sec"] = c
+        res["per_rep"] = {f"{t}/{q}": xs for (t, q), xs in sorted(per_rep.items())}
+        path = f"{calmbench.OUT}/scalestress_{tag}.json"
+        json.dump(res, open(path, "w"), indent=1)
+        print(f"[stresswhencalm] KEEP -> {path}", flush=True)
+        return
+    print("[stresswhencalm] no clean run recorded")
+    sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
