@@ -45,7 +45,18 @@ object ScaleStress {
     }
 
   def synth(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    // The rotation family has exactly 26 distinct bijections: past 26
+    // copies i and i+26 would be VERBATIM duplicates, silently turning
+    // the linear-by-construction workload quadratic. Likewise the
+    // re-keying stride collides if the source exceeds 1e9 doc ids.
+    // Fail loudly instead of measuring the wrong workload.
+    require(factor >= 1 && factor <= 26,
+      s"ScaleStress factor=$factor: only 26 distinct letter rotations " +
+        "exist; factor > 26 duplicates copies verbatim (quadratic workload)")
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    require(maxId < 1000000000L,
+      s"ScaleStress: source max doc_id=$maxId collides with the 1e9 re-key stride")
     (0 until factor).map { i =>
       docs.select(
         (col("doc_id") + lit(i * 1000000000L)).as("doc_id"),
@@ -54,6 +65,8 @@ object ScaleStress {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    require(emb.agg(max("vec_id")).head.getLong(0) < 1000000000L,
+      "ScaleStress: source vec_id collides with the 1e9 re-key stride")
     (0 until factor).map { i =>
       emb.select((col("vec_id") + lit(i * 1000000000L)).as("vec_id"),
         col("embedding"), col("label"))

@@ -83,22 +83,55 @@ object Dedup {
   /** LRU registry of session-cached tables: key component 0 is the
     * owning SparkSession; inserts past [[cacheBound]] entries for that
     * session unpersist and drop its least-recently-used entry, and
-    * lookups refresh recency. The build runs under the lock — a
-    * concurrent caller pays at worst a wait, never a leaked table.
+    * lookups refresh recency. The build (a corpus-scale Spark job) runs
+    * OUTSIDE the registry monitor under a per-key latch: two sessions
+    * filling caches for different corpora build concurrently, while
+    * same-key callers wait on the one in-flight build instead of
+    * duplicating it (a failed build releases its latch, so a waiter
+    * retries the fill rather than caching the failure).
     */
-  private final class LruTableCache[K <: Product] {
+  private[graft] final class LruTableCache[K <: Product] {
     private val m = scala.collection.mutable.LinkedHashMap.empty[K, DataFrame]
-    def getOrElseUpdate(key: K)(build: => DataFrame): DataFrame = synchronized {
-      m.remove(key) match {
-        case Some(df) => m.put(key, df); df // re-insert = most recent
+    private val building = scala.collection.concurrent
+      .TrieMap.empty[K, java.util.concurrent.CountDownLatch]
+    @annotation.tailrec
+    def getOrElseUpdate(key: K)(build: => DataFrame): DataFrame = {
+      val hit = synchronized {
+        m.remove(key).map { df => m.put(key, df); df } // re-insert = most recent
+      }
+      hit match {
+        case Some(df) => df
         case None =>
-          val df = build
-          m.put(key, df)
-          val mine = m.keys
-            .filter(_.productElement(0) == key.productElement(0)).toSeq
-          mine.dropRight(cacheBound)
-            .foreach(k => m.remove(k).foreach(_.unpersist()))
-          df
+          val latch = new java.util.concurrent.CountDownLatch(1)
+          building.putIfAbsent(key, latch) match {
+            case Some(inFlight) =>
+              inFlight.await() // another caller is building this key
+              getOrElseUpdate(key)(build)
+            case None =>
+              // re-check under the claim: a build finishing between the
+              // miss and the claim must not be rebuilt (and its cached
+              // table must not be silently overwritten = leaked)
+              val done = synchronized {
+                m.remove(key).map { df => m.put(key, df); df }
+              }
+              done match {
+                case Some(df) =>
+                  building.remove(key); latch.countDown(); df
+                case None =>
+                  val built =
+                    try Some(build)
+                    finally { building.remove(key); latch.countDown() }
+                  synchronized {
+                    val df = built.get
+                    m.put(key, df)
+                    val mine = m.keys
+                      .filter(_.productElement(0) == key.productElement(0)).toSeq
+                    mine.dropRight(cacheBound)
+                      .foreach(k => m.remove(k).foreach(_.unpersist()))
+                    df
+                  }
+              }
+          }
       }
     }
     def releaseSession(session: SparkSession): Unit = synchronized {
@@ -156,10 +189,14 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, minJaccardBp: Long,
       maxCandidatePairs: Long = MaxNgramCandidatePairs): DataFrame = {
     val sh = cappedShingleHashes(docs)
+    // Σdf² in decimal: LongType would wrap silently under non-ANSI
+    // semantics at extreme fanout, letting a negative estimate slip
+    // past the bound (the guard must fail CLOSED).
     val est = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .agg(coalesce(sum(col("df") * col("df")), lit(0L)).as("p"))
-      .head.getLong(0)
-    require(est <= maxCandidatePairs,
+      .agg(coalesce(sum(col("df").cast("decimal(38,0)") * col("df")),
+        lit(java.math.BigDecimal.ZERO)).as("p"))
+      .head.getDecimal(0)
+    require(est.compareTo(java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
       s"ngramJaccard: estimated candidate fanout sum(df^2)=$est exceeds " +
         s"$maxCandidatePairs; use minhashLsh (d_minhash_lsh) — same pairs, " +
         "bounded candidates")

@@ -31,11 +31,13 @@ class FsKeyIndex(spark: SparkSession, val root: String) {
 
   /** Per-root lock: [[recover]] runs on the READ path too, so a reader
     * racing [[compact]]'s swap window could otherwise observe `keys/`
-    * missing mid-swap and issue a competing promote rename. Within one
-    * JVM the lock serializes the swap against every entry point;
-    * ACROSS processes the index keeps the documented single-writer
-    * contract (readers in other JVMs must not run concurrently with a
-    * compaction, same as [[FsCheckpointStore.compactLog]]).
+    * missing mid-swap and issue a competing promote rename. The lock
+    * serializes the RECOVER/PROMOTE rename window in-JVM; the lazy
+    * parquet scan [[keys]] returns executes UNLOCKED, so the
+    * single-writer contract applies in-JVM too for the scan phase — a
+    * compact() must not run concurrently with an in-flight read of a
+    * previously returned `keys()` frame (same contract ACROSS
+    * processes, as for [[FsCheckpointStore.compactLog]]).
     */
   private val lock = FsKeyIndex.lockFor(root)
 

@@ -44,7 +44,8 @@ object KafkaStub {
     * (ts, key) within the batch, deterministically.
     */
   def produce(spark: SparkSession, dir: String, topic: String,
-      records: DataFrame): Unit = {
+      records: DataFrame): Unit = locks.getOrElseUpdate(dir, new Object)
+    .synchronized {
     val w = Window.partitionBy("part_id").orderBy("ts", "key")
     records
       .withColumn("seq", row_number().over(w).cast("long"))
@@ -59,6 +60,15 @@ object KafkaStub {
         lit(0).as("timestampType"))
       .write.mode("append").parquet(dir)
   }
+
+  /** One lock per queue dir: produce() is a read-modify-write of the
+    * high watermarks, so unsynchronized concurrent producers to the
+    * same queue would observe the same watermark and assign colliding
+    * offsets, breaking the per-partition monotonic-offset contract the
+    * wire schema promises.
+    */
+  private val locks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** Current per-partition high offset (empty for a fresh queue). */
   def highWatermarks(spark: SparkSession, dir: String): DataFrame =

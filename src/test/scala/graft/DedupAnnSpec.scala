@@ -252,6 +252,36 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("dedup cache registry: different-key builds run concurrently, same-key builds once") {
+    import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
+    import spark.implicits._
+    val cache =
+      new Dedup.LruTableCache[(org.apache.spark.sql.SparkSession, String)]
+    // both builds must be in flight at once to pass the barrier: a
+    // global build lock (the old design) deadlocks here and times out
+    val barrier = new CyclicBarrier(2)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build(tag: String) = {
+      builds.incrementAndGet()
+      barrier.await(20, TimeUnit.SECONDS)
+      Seq((tag, 1)).toDF("k", "v")
+    }
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(() => cache.getOrElseUpdate((spark, "a"))(build("a")))
+      val fb = pool.submit(() => cache.getOrElseUpdate((spark, "b"))(build("b")))
+      assert(fa.get(30, TimeUnit.SECONDS).count() === 1L)
+      assert(fb.get(30, TimeUnit.SECONDS).count() === 1L)
+      assert(builds.get() === 2)
+      // same key again, two threads: served from the registry, no rebuild
+      val fc = pool.submit(() => cache.getOrElseUpdate((spark, "a"))(build("a")))
+      val fd = pool.submit(() => cache.getOrElseUpdate((spark, "a"))(build("a")))
+      assert(fc.get(30, TimeUnit.SECONDS).count() === 1L)
+      assert(fd.get(30, TimeUnit.SECONDS).count() === 1L)
+      assert(builds.get() === 2)
+    } finally pool.shutdownNow()
+  }
+
   test("ngram Jaccard blast-radius guard trips on a hot-shingle corpus") {
     import spark.implicits._
     // 100 docs in 20 identical-text groups of 5: within-group shingles
