@@ -362,6 +362,13 @@ object SparkEntry {
       Ann.knnIvf(Tables.embeddings(s, dir), KnnQueries, 3, probes = 2)
         .orderBy("q_id", "rnk")),
 
+    // A5→A3: IVF over the TRAINED k-means cell set (K=const) — the
+    // 100 TB shape, vs the stride-derived baseline above whose K grows
+    // with the corpus
+    "a_knn_ivf_trained" -> ((s, dir) =>
+      Ann.knnIvfTrained(Tables.embeddings(s, dir), KnnQueries, 3)
+        .orderBy("q_id", "rnk")),
+
     "t_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), 20)
         .orderBy(col("n_occurrences").desc, col("tok"))),
@@ -969,6 +976,40 @@ object SparkEntry {
          |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
          |  FROM scored
          |) WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    // trained-IVF: the unrolled k-means chain supplies the centroid
+    // CTE; cell assignment/probing then mirror the stride-IVF oracle
+    "a_knn_ivf_trained" -> {
+      val (ctes, _, cent) = kmeansCtes(k = 8, iterations = 2)
+      s"""$ctes,
+         |rankedc AS (
+         |  SELECT qn.vec_id, qn.v, qn.norm2, c.c_id,
+         |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+         |      (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
+         |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) DESC, c.c_id) AS c_rn
+         |  FROM qn, $cent c
+         |),
+         |assigned AS (
+         |  SELECT vec_id, v, norm2, c_id AS cell FROM rankedc WHERE c_rn = 1
+         |),
+         |probes AS (
+         |  SELECT vec_id AS q_id, v AS qv, norm2 AS qn2, c_id AS qcell
+         |  FROM rankedc WHERE vec_id < $KnnQueries AND c_rn <= 1
+         |),
+         |scored AS (
+         |  SELECT q2.q_id, c.vec_id AS neighbor_id,
+         |         ${sqlCosBp("q2.qv", "c.v", "q2.qn2", "c.norm2")} AS cos_bp,
+         |         (list_sum(list_transform(range(1,65), i -> q2.qv[i::INT]*c.v[i::INT])))::DOUBLE
+         |           / (sqrt(q2.qn2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+         |  FROM probes q2 JOIN assigned c
+         |    ON c.cell = q2.qcell AND c.vec_id <> q2.q_id
+         |)
+         |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
+         |  SELECT q_id, neighbor_id, cos_bp,
+         |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
+         |  FROM scored
+         |) WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    },
 
     "t_top_tokens" ->
       s"""WITH $NormCte, $TokCte

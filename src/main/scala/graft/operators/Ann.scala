@@ -152,6 +152,55 @@ object Ann {
         round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
   }
 
+  /** IVF over TRAINED centroids — the A5→A3 wiring that closes
+    * [[knnIvf]]'s scale caveat: stride-derived centroids grow with the
+    * corpus (K = n/stride makes cell assignment an n×K ranked
+    * cross-join and an unbounded centroid broadcast), while the
+    * trained cell set from [[kmeansCentroids]] is K = CONST regardless
+    * of corpus size. Corpus→cell assignment is then the same
+    * zero-shuffle codegen projection as [[kmeansAssign]] (argmax
+    * cosine via `array_min` over per-centroid (−cos, c_id) literal
+    * structs — K·dims literal longs, bytes not data), so the only
+    * corpus-wide ops are that projection and the final per-cell
+    * equi-join against the broadcast query probes. Multi-probe ranks
+    * the K-row centroid table per QUERY only (|queries|·K rows,
+    * driver-scale). Tie-break matches the oracle: max cos, then min
+    * c_id (−cos sorts ascending; −0.0 and 0.0 compare equal in both
+    * engines).
+    */
+  def knnIvfTrained(embeddings: DataFrame, numQueries: Int, k: Int,
+      kCells: Int = 8, iterations: Int = 2, probes: Int = 1): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = quantized(embeddings)
+    val cent = kmeansCentroids(q.select("vec_id", "v", "norm2"), kCells, iterations)
+    val cellScores = cent.map { case (cId, cv, cn2) =>
+      struct((lit(-1.0) * cosine(typedLit(cv), col("v"), lit(cn2), col("norm2")))
+        .as("nc"), lit(cId).as("c_id"))
+    }
+    val assigned = q
+      .withColumn("cell", array_min(array(cellScores: _*)).getField("c_id"))
+      .select("vec_id", "v", "norm2", "cell")
+    val centDf = cent.map { case (c, cv, n2) => (c, cv, n2) }
+      .toDF("c_id", "cv", "cn2")
+    val qw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val queries = q.filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(centDf))
+      .withColumn("c_cos", cosine(col("cv"), col("v"), col("cn2"), col("norm2")))
+      .withColumn("c_rn", row_number().over(qw))
+      .filter(col("c_rn") <= probes)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm2").as("qn2"), col("c_id").as("qcell"))
+    val scored = assigned.join(broadcast(queries),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("norm2")))
+    val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
+  }
+
   /** Lloyd's k-means over quantized embeddings, the training loop that
     * produces IVF centroids (knnIvf's fixed-stride centroids are the
     * no-training baseline; this is the real thing). Fully portable:

@@ -229,6 +229,18 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("knn IVF over trained cells: exact cosines, K=const centroid set") {
+    val brute = Ann.knnBruteForce(emb, 5, Int.MaxValue)
+      .select("q_id", "neighbor_id", "cos_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ivf = Ann.knnIvfTrained(emb, 5, 3).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      assert(brute(key) === r.getAs[Long]("cos_bp"))
+    }
+  }
+
   test("dedup cache registry: a second corpus evicts the first at the bound") {
     import spark.implicits._
     val old = Dedup.cacheBound

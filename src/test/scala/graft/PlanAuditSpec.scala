@@ -177,6 +177,30 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p.take(1500))
   }
 
+  test("trained IVF: corpus never cartesians; probes broadcast at K=const rows") {
+    // the scale fix over stride-IVF (K = n/stride): cell assignment is
+    // a literal-argmax projection, so the CORPUS side may never plan a
+    // CartesianProduct, and every broadcast in the plan is probe/
+    // centroid-scale (numQueries·K rows at most), never corpus-scale
+    val df = SparkEntry.queries("a_knn_ivf_trained")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the candidate join is an equi-join on the cell key; the probe
+    // ranking's tiny cross join (|queries|·K rows) broadcasts too
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // corpus-side cell assignment is a literal-argmax projection: the
+    // only shuffles left are the probe/result windows + output order,
+    // never a corpus re-key per centroid
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 4, s"$exchanges exchanges:\n${p.take(2500)}")
+    // K is CONST by construction (the stride baseline's K = n/stride
+    // is the caveat this operator closes): 8 cells at any corpus size
+    val cents = graft.operators.Ann.kmeansCentroids(
+      graft.operators.Ann.quantized(graft.sources.Tables.embeddings(spark, sf))
+        .select("vec_id", "v", "norm2"), 8, 2)
+    assert(cents.size === 8)
+  }
+
   test("pack sequences: prefix-sum windows never funnel through one partition") {
     // the round-6 cure for the single-task-per-shard sort: both window
     // levels partition by (shard[, blk]) — a SinglePartition exchange
