@@ -1459,13 +1459,42 @@ object SparkEntry {
         |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    // rank-based fixed-point quantiles: pos in integer tenths, output
+    // in integer milli-cents — exact integers end-to-end, no FP
+    // boundary between engines (mirrors Analytics.valueQuantiles)
     "q_value_quantiles" ->
-      """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 4) AS p50,
-        |  round(quantile_cont(value, 0.9), 4) AS p90,
-        |  round(min(value), 2) AS vmin,
-        |  round(max(value), 2) AS vmax
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS gr,
+        |         count(*) OVER (PARTITION BY event_type) AS n_grp
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type, q, pt,
+        |         ((pt*(n_grp-1)) // 10)::BIGINT AS lo,
+        |         ((pt*(n_grp-1)) % 10)::BIGINT AS m
+        |  FROM (SELECT DISTINCT event_type, n_grp FROM r)
+        |  CROSS JOIN (VALUES ('p50', 5), ('p90', 9)) v(q, pt)
+        |), s AS (
+        |  SELECT t.event_type, t.q, t.m,
+        |         round(max(CASE WHEN gr = lo THEN value END)*100, 0)::BIGINT AS c_lo,
+        |         round(coalesce(max(CASE WHEN gr = lo+1 THEN value END),
+        |                        max(CASE WHEN gr = lo THEN value END))*100, 0)::BIGINT AS c_hi
+        |  FROM r JOIN t ON r.event_type = t.event_type
+        |             AND (r.gr = t.lo OR r.gr = t.lo + 1)
+        |  GROUP BY t.event_type, t.q, t.m
+        |), mm AS (
+        |  SELECT event_type,
+        |         round(min(value)*100, 0)::BIGINT AS vmin_cents,
+        |         round(max(value)*100, 0)::BIGINT AS vmax_cents
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT s.event_type,
+        |  max(CASE WHEN q='p50' THEN 10*c_lo + m*(c_hi-c_lo) END)::BIGINT AS p50_mc,
+        |  max(CASE WHEN q='p90' THEN 10*c_lo + m*(c_hi-c_lo) END)::BIGINT AS p90_mc,
+        |  any_value(mm.vmin_cents) AS vmin_cents,
+        |  any_value(mm.vmax_cents) AS vmax_cents
+        |FROM s JOIN mm ON s.event_type = mm.event_type
+        |GROUP BY s.event_type ORDER BY s.event_type""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(event_type, 'ALL') AS et,

@@ -259,12 +259,18 @@ object Analytics {
     *     slice is at most one partition's worth of one group);
     *  3. global rank = local rank + a BROADCAST per-(pid, group) offset
     *     table (#partitions × #groups rows — metadata, not data);
-    *  4. keep ONLY the two rows straddling each target position
-    *     `pos = p·(n−1)` and interpolate Hive/`percentile`-style
-    *     (`lo + frac·(hi − lo)`), so the final aggregate sees
-    *     2·|groups|·|quantiles| rows.
+    *  4. keep ONLY the two rows straddling each target position and
+    *     interpolate in FIXED POINT: `pos` is held as integer TENTHS
+    *     (`pos_tenths = pt·(n−1)` for pt ∈ {5, 9}), so `lo`, the
+    *     tenths-remainder `m`, and the interpolated milli-cents
+    *     `10·c_lo + m·(c_hi − c_lo)` are exact integers end-to-end —
+    *     no floating-point boundary can flip `floor(pos)` or the
+    *     rounded output between engines (the r07 FP-boundary risk,
+    *     retired). The final aggregate sees 2·|groups|·|quantiles|
+    *     rows.
     *
-    * Same result, same oracle (`quantile_cont`), no funnel.
+    * Same rank semantics as Hive `percentile`/`quantile_cont` with the
+    * fraction quantized to tenths; output in integer milli-cents.
     */
   def valueQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -282,26 +288,25 @@ object Analytics {
       .select("pid", "event_type", "prior")
     val totals = counts.groupBy("event_type").agg(sum("n").as("n_grp"))
     val targets = totals
-      .crossJoin(Seq(("p50", 0.5), ("p90", 0.9)).toDF("q", "p"))
-      .withColumn("pos", col("p") * (col("n_grp") - 1))
+      .crossJoin(Seq(("p50", 5L), ("p90", 9L)).toDF("q", "pt"))
+      .withColumn("pos_t", col("pt") * (col("n_grp") - 1))
       .select(col("event_type"), col("q"),
-        floor(col("pos")).cast("long").as("lo"),
-        (col("pos") - floor(col("pos"))).as("frac"))
+        expr("pos_t div 10").as("lo"), (col("pos_t") % 10).as("m"))
     val interp = local
       .join(broadcast(offsets), Seq("pid", "event_type"))
       .withColumn("gr", col("lr") + col("prior") - 1)
       .join(broadcast(targets), Seq("event_type"))
       .filter(col("gr") === col("lo") || col("gr") === col("lo") + 1)
-      .groupBy("event_type", "q", "lo", "frac")
-      .agg(max(when(col("gr") === col("lo"), col("value"))).as("v_lo"),
-        max(when(col("gr") === col("lo") + 1, col("value"))).as("v_hi"))
-      .withColumn("v", col("v_lo")
-        + col("frac") * (coalesce(col("v_hi"), col("v_lo")) - col("v_lo")))
+      .groupBy("event_type", "q", "lo", "m")
+      .agg(cents(max(when(col("gr") === col("lo"), col("value")))).as("c_lo"),
+        cents(max(when(col("gr") === col("lo") + 1, col("value")))).as("c_hi"))
+      .withColumn("mc", lit(10L) * col("c_lo")
+        + col("m") * (coalesce(col("c_hi"), col("c_lo")) - col("c_lo")))
     val minmax = ev.groupBy("event_type")
-      .agg(round(min("value"), 2).as("vmin"), round(max("value"), 2).as("vmax"))
+      .agg(cents(min("value")).as("vmin_cents"), cents(max("value")).as("vmax_cents"))
     interp.groupBy("event_type")
-      .agg(round(max(when(col("q") === "p50", col("v"))), 4).as("p50"),
-        round(max(when(col("q") === "p90", col("v"))), 4).as("p90"))
+      .agg(max(when(col("q") === "p50", col("mc"))).as("p50_mc"),
+        max(when(col("q") === "p90", col("mc"))).as("p90_mc"))
       .join(minmax, Seq("event_type"))
       .orderBy("event_type")
   }

@@ -226,21 +226,33 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
-  test("distributed quantiles: no per-group funnel, matches percentile()") {
+  test("distributed quantiles: no per-group funnel, matches exact rank reference") {
     val df = Analytics.valueQuantiles(spark, sf)
     val p = plan(df)
     // the rank window is keyed (pid, group) — a SinglePartition
     // exchange or a sort-aggregate over whole groups would mean the
     // funnel crept back
     assert(!p.contains("SinglePartition"), p.take(2500))
-    // equivalence with Spark's own single-reducer exact aggregate
-    val ref = graft.sources.Tables.events(spark, sf)
-      .groupBy("event_type")
-      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(min("value"), 2).as("vmin"),
-        round(max("value"), 2).as("vmax"))
-    assert(df.exceptAll(ref).isEmpty && ref.exceptAll(df).isEmpty)
+    // independent driver-side reference: per-group sorted cents, the
+    // same integer-tenths interpolation in pure Scala (cents is the
+    // shared primitive; rank + interpolation — the contested parts —
+    // are recomputed from scratch)
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = rows.groupBy(_._1).toSeq.map { case (et, xs) =>
+      val c = xs.map(_._2).sorted
+      def mc(pt: Long): Long = {
+        val posT = pt * (c.length - 1)
+        val lo = (posT / 10).toInt
+        val hi = if (lo + 1 < c.length) c(lo + 1) else c(lo)
+        10L * c(lo) + (posT % 10) * (hi - c(lo))
+      }
+      (et, mc(5), mc(9), c.min, c.max)
+    }.sortBy(_._1)
+    val got = df.collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got === expect)
   }
 
   test("audio resample is shuffle-free: codecs run where the docs live") {
