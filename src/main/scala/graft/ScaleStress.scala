@@ -29,9 +29,28 @@ import org.apache.spark.sql.functions._
   */
 object ScaleStress {
 
-  /** The family the 100 TB story rests on (alphabetical = Bench order). */
-  val Queries: Seq[String] = Seq("a_kmeans_train_iter10", "d_dedup_clusters",
-    "d_minhash_lsh", "p_curated_corpus", "p_pack_sequences")
+  /** The family the 100 TB story rests on (alphabetical = Bench order).
+    * Per-query linear-workload argument under the letter-rotation
+    * construction (cross-copy shingle/vector disjointness):
+    *  - a_kmeans_train_iter10: assignment is a projection over N× rows;
+    *    centroid update aggregates to K·dims groups at any scale.
+    *  - d_contamination: benchmark set (doc_id % 50) grows N× but stays
+    *    a broadcast/semi-join side; candidate pairs stay within-copy.
+    *  - d_dedup_clusters: pair graph and cluster count grow exactly N×
+    *    (rotation preserves each copy's similarity structure).
+    *  - d_minhash_lsh: shingle universe and band buckets grow N×; no
+    *    cross-copy bucket collisions beyond hash noise.
+    *  - d_simhash: 60-bit signatures differ across copies (rotation
+    *    changes tokens), so pigeonhole bands pair within copies only.
+    *  - p3_stream_ingest: fixed batch COUNT (each of the 4 batches is
+    *    N× larger); for a fixed batch count total ingest work is
+    *    Σ_b (|batch_b| + |index at b|) = O(corpus).
+    *  - p_curated_corpus / p_pack_sequences: per-doc projections,
+    *    rollups, and bounded prefix-sum windows over N× rows.
+    */
+  val Queries: Seq[String] = Seq("a_kmeans_train_iter10", "d_contamination",
+    "d_dedup_clusters", "d_minhash_lsh", "d_simhash", "p3_stream_ingest",
+    "p_curated_corpus", "p_pack_sequences")
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
 
@@ -74,11 +93,49 @@ object ScaleStress {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  /** P3 batch-count stress: the continuous dedup ingest
+    * (StreamingCuration) driven as 4 REAL micro-batches through a
+    * parquet file stream — each loop turn appends one batch's files to
+    * the staging dir and drains the stream, so the per-batch
+    * batch ⋈ key-index work (and the idempotent two-sink commit) runs
+    * exactly as in production. Everything is per-rep and timed,
+    * including the staging writes (linear in data, identical work
+    * every rep — the rep-swing throttle gate needs equal reps).
+    */
+  def p3StreamIngest(spark: SparkSession, dir: String): Unit = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-p3-").toAbsolutePath.toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val staging = s"$root/staging"
+    new java.io.File(staging).mkdirs()
+    val q = graft.streaming.StreamingCuration.dedupIngest(
+      spark.readStream.schema(docs.schema).parquet(staging),
+      graft.sources.FsKeyIndex(spark, s"$root/index"),
+      s"$root/corpus", s"$root/ckpt")
+    try {
+      (0 until 4).foreach { b =>
+        docs.filter(col("doc_id") % 4 === b)
+          .write.mode("append").parquet(staging)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    rm(new java.io.File(root))
+  }
+
+  /** Non-SQL members of [[Queries]] (timed as a whole workload). */
+  val StreamRunners: Map[String, (SparkSession, String) => Unit] =
+    Map("p3_stream_ingest" -> p3StreamIngest _)
+
   private def timeQuery(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, dir)
+    if (StreamRunners.contains(name)) StreamRunners(name)(spark, dir)
+    else SparkEntry.queries(name)(spark, dir)
       .write.mode("overwrite").format("noop").save()
     (System.nanoTime() - t0) / 1e9
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
   }
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
@@ -87,6 +144,12 @@ object ScaleStress {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
     val reps = if (args.length > 2) args(2).toInt else 3
+    // optional comma-separated subset: lets the calm-window JVM probe
+    // time two signature queries without paying for the whole family
+    val queries =
+      if (args.length > 3) Queries.filter(args(3).split(",").toSet)
+      else Queries
+    require(queries.nonEmpty, s"no known queries in '${args(3)}'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -113,27 +176,24 @@ object ScaleStress {
     def runScale(tag: String, dir: String): Map[String, Double] = {
       val all = (1 to reps).map { r =>
         graft.operators.Dedup.releaseShingleCaches(spark)
-        val m = Queries.map(q => q -> timeQuery(spark, q, dir)).toMap
+        val m = queries.map(q => q -> timeQuery(spark, q, dir)).toMap
         // per-rep line: lets the recording protocol spot a throttle
         // window hitting a single rep (this host swings episodically)
-        System.err.println(s"[scalestress] $tag rep $r: " + Queries
+        System.err.println(s"[scalestress] $tag rep $r: " + queries
           .map(q => f"$q=${m(q)}%.2f").mkString(" "))
         m
       }
-      Queries.map(q => q -> median(all.map(_(q)))).toMap
+      queries.map(q => q -> median(all.map(_(q)))).toMap
     }
     val base = runScale("1x", src)
     val big = runScale(s"${factor}x", out)
     graft.operators.Dedup.releaseShingleCaches(spark)
 
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
     rm(new java.io.File(out))
 
-    def fmt(m: Map[String, Double]) = Queries
+    def fmt(m: Map[String, Double]) = queries
       .map(q => s"""\"$q\":${"%.2f".format(m(q))}""").mkString("{", ",", "}")
-    val ratios = Queries.map(q => q -> big(q) / base(q)).toMap
+    val ratios = queries.map(q => q -> big(q) / base(q)).toMap
     println(s"""{"metric":"scalestress","factor":$factor,"reps":$reps""" +
       s""","base_sec":${fmt(base)},"scaled_sec":${fmt(big)}""" +
       s""","ratio":${fmt(ratios)}""" +

@@ -105,6 +105,15 @@ class CurationSpec extends SparkSuite {
     assert(actual.nonEmpty)
   }
 
+  test("ScaleStress.synth rejects factors past the 26 distinct rotations") {
+    // copies i and i+26 would be verbatim duplicates: the measurement
+    // would silently run a quadratic workload and call the engine slow
+    val e = intercept[IllegalArgumentException] {
+      ScaleStress.synth(spark, sf, tmpDir("scale-guard"), 27)
+    }
+    assert(e.getMessage.contains("26"))
+  }
+
   test("repetitionSignals: exact counts on a hand-built corpus (integer-div uniq_bp)") {
     val spark0 = spark
     import spark0.implicits._

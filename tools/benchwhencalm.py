@@ -42,7 +42,8 @@ def jvm_probe():
     try:
         r = subprocess.run(
             ["java"] + calmbench.ADD_OPENS + ["-Xmx96g", "-cp", cp,
-             "graft.ScaleStress", SF, "1", "1"],
+             "graft.ScaleStress", SF, "1", "1",
+             "a_kmeans_train_iter10,d_dedup_clusters"],
             capture_output=True, text=True, env=env, timeout=PROBE_TIMEOUT)
     except subprocess.TimeoutExpired:
         return None, "probe wall-clamp exceeded"

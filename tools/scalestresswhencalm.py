@@ -7,9 +7,11 @@ timings to stderr, and a throttle arriving mid-run shows up as a >3x
 swing between reps of the same query at the same scale (calm reps
 differ only by JIT drift, well under 2x). Unstable runs are discarded.
 
-Usage: python3 tools/scalestresswhencalm.py [tag] [factor] [reps] [max_attempts]
-Writes bench/scalestress_<tag>.json (the harness's own JSON line plus
-the per-rep audit trail).
+Usage: python3 tools/scalestresswhencalm.py [tag] [factor] [reps] [max_attempts] [subset]
+`subset` (optional) is a comma-separated query list passed through to
+graft.ScaleStress, so separate families can be recorded as separate
+gated artifacts. Writes bench/scalestress_<tag>.json (the harness's
+own JSON line plus the per-rep audit trail).
 """
 import glob, json, os, re, subprocess, sys, time
 
@@ -17,20 +19,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import calmbench, benchwhencalm
 
 MAX_REP_SWING = 3.0
-STRESS_TIMEOUT = 2400
+STRESS_TIMEOUT = 3600
 COOLDOWN = 240
 
 REP_RE = re.compile(r"\[scalestress\] (\S+) rep (\d+): (.*)")
 
 
-def run_stress(factor, reps):
+def run_stress(factor, reps, subset=None):
     cp = "/root/repo/target/scala-2.13/classes:" + ":".join(
         glob.glob("/opt/spark/jars/*.jar"))
     env = dict(os.environ, SPARK_GRAFT_CPUS="32")
+    args = ["graft.ScaleStress", calmbench.SF, str(factor), str(reps)]
+    if subset:
+        args.append(subset)
     try:
         r = subprocess.run(
-            ["java"] + calmbench.ADD_OPENS + ["-Xmx96g", "-cp", cp,
-             "graft.ScaleStress", calmbench.SF, str(factor), str(reps)],
+            ["java"] + calmbench.ADD_OPENS + ["-Xmx96g", "-cp", cp] + args,
             capture_output=True, text=True, env=env, timeout=STRESS_TIMEOUT)
     except subprocess.TimeoutExpired:
         return None, None, "wall-clamp exceeded (throttle)"
@@ -61,6 +65,7 @@ def main():
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     max_attempts = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    subset = sys.argv[5] if len(sys.argv) > 5 else None
     for attempt in range(1, max_attempts + 1):
         c = calmbench.canary()
         print(f"[stresswhencalm] attempt {attempt}: canary {c:.3f}s", flush=True)
@@ -76,7 +81,7 @@ def main():
             time.sleep(COOLDOWN)
             continue
         t0 = time.time()
-        res, per_rep, err = run_stress(factor, reps)
+        res, per_rep, err = run_stress(factor, reps, subset)
         if err:
             print(f"[stresswhencalm] DISCARD: {err}", flush=True)
             time.sleep(COOLDOWN)
