@@ -497,6 +497,49 @@ object SparkEntry {
       rm(new java.io.File(root))
       out
     }),
+
+    // Line-level dedup (C4/Dolma-style): the corpus has no newlines,
+    // so "lines" are fixed 3-token windows of the normalized text —
+    // constructed identically in the oracle, so duplicate and
+    // boilerplate structure is real at both sf0.01 and sf0.1.
+    "d_line_dedup" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          split(graft.functions.Portable.normText(col("text")), " ").as("w"))
+        .withColumn("nw", expr(s"size(w) div $LineDedupK"))
+      // sequence(0, nw-1) is DESCENDING when nw=0 — guard to empty.
+      val lines = toks.select(col("doc_id"), posexplode(
+          when(col("nw") > 0, transform(sequence(lit(0), col("nw") - 1),
+            i => array_join(
+              slice(col("w"), i * LineDedupK + 1, lit(LineDedupK)), " ")))
+            .otherwise(array().cast("array<string>"))))
+        .toDF("doc_id", "pos", "line")
+      Dedup.lineDedup(lines, LineBoilerMax).orderBy("doc_id")
+    }),
+
+    // PII scrub: the synthetic corpus carries no digits or '@', so a
+    // deterministic doc_id-derived PII suffix (emails on even ids, a
+    // phone always, IPs on id%3=0, a second phone on id%5=0) is
+    // appended identically in the oracle — zero/one/many matches per
+    // class are all exercised.
+    "t_pii_redact" -> ((s, dir) => {
+      val id = col("doc_id")
+      val synth = concat(
+        col("text"),
+        when(id % 2 === 0, concat(lit(" contact user"),
+          id.cast("string"), lit("@example.com"))).otherwise(lit("")),
+        lit(" call 555-"),
+        lpad(((id * 7) % 10000).cast("string"), 4, "0"),
+        when(id % 3 === 0, concat(lit(" from 10."),
+          (id % 250).cast("string"), lit(".0."),
+          ((id * 3) % 250).cast("string"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" alt 555-"),
+          lpad(((id * 11) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      TextAnalysis.piiRedact(
+        Tables.documents(s, dir).select(col("doc_id"), synth.as("text")))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Thresholds shared with the oracles (basis points / bits). */
@@ -504,6 +547,11 @@ object SparkEntry {
   val SimhashMaxHamming = 1
   val EmbedDedupCosBp = 4000L
   val KnnQueries = 10
+  /** Line-dedup window width (tokens) and the C4-style boilerplate
+    * occurrence cap (> cap ⇒ dropped everywhere).
+    */
+  val LineDedupK = 3
+  val LineBoilerMax = 4L
 
   // ------------------------------------------------------------------
   // DuckDB oracles. Shared CTE fragments keep the two sides in lockstep.
@@ -2051,5 +2099,63 @@ object SparkEntry {
     "a_kmeans_train" -> kmeansSql(k = 8, iterations = 2),
     "a_kmeans_train_iter10" -> kmeansSql(k = 8, iterations = 10),
     "a_cluster_profile" -> kmeansProfileSql(k = 8, iterations = 2),
+
+    "d_line_dedup" ->
+      s"""WITH $NormCte,
+         |tw AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         |lines AS (
+         |  SELECT doc_id, i AS pos,
+         |         array_to_string(w[(i*$LineDedupK+1):(i*$LineDedupK+$LineDedupK)], ' ') AS line
+         |  FROM tw, unnest(range((len(w) // $LineDedupK)::BIGINT)) u(i)
+         |),
+         |dec AS (
+         |  SELECT doc_id, pos, line,
+         |         count(*) OVER (PARTITION BY h) AS occ,
+         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |  FROM (SELECT doc_id, pos, line, ${sqlH60("line")} AS h FROM lines)
+         |),
+         |st AS (
+         |  SELECT doc_id, pos, line,
+         |         CASE WHEN occ > $LineBoilerMax THEN 'boilerplate'
+         |              WHEN rn = 1 THEN 'kept' ELSE 'dup' END AS status
+         |  FROM dec
+         |)
+         |SELECT doc_id, count(*)::BIGINT AS n_lines,
+         |       sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |       sum(CASE WHEN status = 'dup' THEN 1 ELSE 0 END)::BIGINT AS n_dup_dropped,
+         |       sum(CASE WHEN status = 'boilerplate' THEN 1 ELSE 0 END)::BIGINT AS n_boiler_dropped,
+         |       ${sqlH60("coalesce(string_agg(line, ' ' ORDER BY pos) " +
+             "FILTER (WHERE status = 'kept'), '')")} AS kept_hash
+         |FROM st GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t_pii_redact" ->
+      s"""WITH synth AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 2 = 0 THEN ' contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    ' call 555-' || lpad(CAST((doc_id*7) % 10000 AS VARCHAR), 4, '0') ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' from 10.' ||
+         |      CAST(doc_id % 250 AS VARCHAR) || '.0.' ||
+         |      CAST((doc_id*3) % 250 AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' alt 555-' ||
+         |      lpad(CAST((doc_id*11) % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+         |  FROM documents),
+         |r1 AS (SELECT doc_id, text,
+         |         regexp_replace(text, '${TextAnalysis.PiiEmailRe}', '<EMAIL>', 'g') AS t1
+         |       FROM synth),
+         |r2 AS (SELECT doc_id, text, t1,
+         |         regexp_replace(t1, '${TextAnalysis.PiiPhoneRe}', '<PHONE>', 'g') AS t2
+         |       FROM r1),
+         |r3 AS (SELECT doc_id, text, t1, t2,
+         |         regexp_replace(t2, '${TextAnalysis.PiiIpRe}', '<IP>', 'g') AS t3
+         |       FROM r2)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(text, '${TextAnalysis.PiiEmailRe}'))::BIGINT AS n_email,
+         |       len(regexp_extract_all(t1, '${TextAnalysis.PiiPhoneRe}'))::BIGINT AS n_phone,
+         |       len(regexp_extract_all(t2, '${TextAnalysis.PiiIpRe}'))::BIGINT AS n_ip,
+         |       length(t3)::BIGINT AS red_len,
+         |       ${sqlH60("t3")} AS red_hash
+         |FROM r3 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -249,4 +249,50 @@ object TextAnalysis {
       aggregate(hashed, lit(0L),
         (acc, h) => (acc * 31L + h) % 2147483647L).as("fingerprint"))
   }
+
+  /** PII patterns, RE2-safe (no backtracking constructs) so the exact
+    * same strings compile in Spark's Java regex AND the oracle's RE2 —
+    * shared verbatim with the DuckDB SQL. Deliberately simple
+    * recall-oriented shapes (the standard curation trade-off: a
+    * redactor must over-match, never under-match).
+    */
+  val PiiEmailRe = "[a-z0-9._]+@[a-z0-9-]+\\.[a-z]+"
+  val PiiPhoneRe = "555-[0-9]{4}"
+  val PiiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII detection + redaction — the scrubbing pass every public-web
+    * training corpus runs (RefinedWeb/Dolma mask emails, phone
+    * numbers, and IPs before release): per document, count matches of
+    * each PII class, then rewrite the text with class placeholders.
+    * Redaction order is fixed (email → phone → ip) so later patterns
+    * scan the already-masked text — deterministic and identical in the
+    * oracle, and an email's host can never be re-matched as a
+    * bare domain/IP.
+    *
+    * Output: `(doc_id, n_email, n_phone, n_ip, red_len, red_hash)` —
+    * the 60-bit hash of the redacted text, so the oracle verifies the
+    * exact rewritten document, not just match counts.
+    *
+    * Scale: a pure per-row projection — zero shuffle, zero join; the
+    * regexes are native codegen `RLIKE`-family expressions, so the
+    * pass fuses into whatever scan precedes it.
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(regexp_replace(regexp_replace(
+      col("text"),
+      PiiEmailRe, "<EMAIL>"),
+      PiiPhoneRe, "<PHONE>"),
+      PiiIpRe, "<IP>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(regexp_replace(col("text"), PiiEmailRe, "<EMAIL>"),
+        lit(PiiPhoneRe), lit(0))).cast("long").as("n_phone"),
+      size(regexp_extract_all(regexp_replace(regexp_replace(col("text"),
+          PiiEmailRe, "<EMAIL>"), PiiPhoneRe, "<PHONE>"),
+        lit(PiiIpRe), lit(0))).cast("long").as("n_ip"),
+      length(redacted).cast("long").as("red_len"),
+      hexHash60(redacted).as("red_hash"))
+  }
 }

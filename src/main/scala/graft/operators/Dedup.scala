@@ -495,6 +495,59 @@ object Dedup {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  /** Line-level exact dedup — the C4/Dolma-style sub-document pass
+    * (C4 dropped lines duplicated across the corpus; Dolma's paragraph
+    * dedup keeps only a line's first occurrence): given `(doc_id, pos,
+    * line)` rows — the caller picks the splitter (newline paragraphs,
+    * sentences, fixed token windows) — classify every line as
+    *
+    *  - `boilerplate`: its corpus-wide occurrence count exceeds
+    *    `boilerplateMax` → dropped EVERYWHERE (the C4 rule: such lines
+    *    are navigation chrome / license headers, not content);
+    *  - `kept`: the first occurrence in `(doc_id, pos)` order of a
+    *    non-boilerplate line (the Dolma keep-first rule);
+    *  - `dup`: any later occurrence → dropped.
+    *
+    * and roll up per document: line counts by class plus the 60-bit
+    * hash of the surviving text (kept lines re-joined in `pos` order),
+    * so the oracle verifies the REASSEMBLED document exactly, not just
+    * the counts.
+    *
+    * Scale: lines are hashed to 60-bit keys immediately (fixed-width
+    * longs on every shuffle). Occurrence count and first occurrence
+    * come from ONE `groupBy(h)` whose aggregates — `count` and
+    * `min(struct(doc_id, pos))` — both partial-aggregate map-side, so
+    * a mega-hot line (the empty paragraph, a license header repeated
+    * billions of times) collapses to one row per map task instead of
+    * flooding a single reducer; the decision then joins that stats
+    * table back on `h` (equi-join, AQE-skew-splittable). No windows
+    * over the raw line table, no all-pairs anything; the per-doc
+    * rollup shuffles on `doc_id`, whose group size is one doc's lines.
+    */
+  def lineDedup(lines: DataFrame, boilerplateMax: Long): DataFrame = {
+    val keyed = lines.select(col("doc_id"), col("pos"),
+      col("line"), hexHash60(col("line")).as("h"))
+    val stats = keyed.groupBy("h").agg(
+      count(lit(1)).as("occ"),
+      min(struct(col("doc_id"), col("pos"))).as("first_occ"))
+    val decided = keyed.join(stats, Seq("h"))
+      .withColumn("status",
+        when(col("occ") > boilerplateMax, lit("boilerplate"))
+          .when(col("first_occ.doc_id") === col("doc_id")
+            && col("first_occ.pos") === col("pos"), lit("kept"))
+          .otherwise(lit("dup")))
+    decided.groupBy("doc_id").agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("status") === "dup", 1L).otherwise(0L)).as("n_dup_dropped"),
+      sum(when(col("status") === "boilerplate", 1L).otherwise(0L))
+        .as("n_boiler_dropped"),
+      hexHash60(array_join(transform(
+        array_sort(collect_list(when(col("status") === "kept",
+          struct(col("pos"), col("line"))))),
+        s => s.getField("line")), " ")).as("kept_hash"))
+  }
+
   // ---- helpers ----
 
   /** doc_id + distinct k-shingles of the normalized text. Docs shorter

@@ -145,6 +145,30 @@ class CurationSpec extends SparkSuite {
     assert(got(1)._3 > got(0)._3)
   }
 
+  test("piiRedact: per-class counts and the exact redacted text") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tiny = Seq(
+      (1L, "write to bob.smith@mail-host.org today"),
+      (2L, "call 555-1234 or 555-9999 from 10.0.0.1"),
+      (3L, "plain text nothing to scrub"),
+      (4L, "x@y.com 1.2.3.4 555-0000")
+    ).toDF("doc_id", "text")
+    def h(s: String) = graft.functions.Portable.jvmHexHash60(s.getBytes("UTF-8"))
+    val got = TextAnalysis.piiRedact(tiny).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val expected = Array(
+      (1L, 1L, 0L, 0L, "write to <EMAIL> today"),
+      (2L, 0L, 2L, 1L, "call <PHONE> or <PHONE> from <IP>"),
+      (3L, 0L, 0L, 0L, "plain text nothing to scrub"),
+      (4L, 1L, 1L, 1L, "<EMAIL> <IP> <PHONE>")
+    ).map { case (id, e, p, ip, red) =>
+      (id, e, p, ip, red.length.toLong, h(red))
+    }
+    assert(got === expected)
+  }
+
   test("kmeansTrain matches an independent driver-side Lloyd's") {
     val k = 4; val iters = 2
     val vecs = Ann.quantized(emb).select("vec_id", "v", "norm2").collect()

@@ -348,4 +348,28 @@ class DedupAnnSpec extends SparkSuite {
     assert(out.filter(col("score") % 25 =!= 0).count() === 0)
     assert(out.filter(col("score") > 100 || col("score") < 0).count() === 0)
   }
+
+  test("lineDedup: C4 boilerplate cap + Dolma keep-first, exact reassembly hash") {
+    val spark0 = spark
+    import spark0.implicits._
+    // "header" occurs 5 times (> cap 4) -> dropped EVERYWHERE incl. its
+    // first occurrence; "body one" is a plain dup -> kept only at its
+    // (doc_id, pos)-minimal occurrence (1,1); unique lines survive.
+    val lines = Seq(
+      (1L, 0, "header"), (1L, 1, "body one"), (1L, 2, "tail a"),
+      (2L, 0, "header"), (2L, 1, "body one"), (2L, 2, "tail b"),
+      (3L, 0, "header"), (4L, 0, "header"), (5L, 0, "header")
+    ).toDF("doc_id", "pos", "line")
+    def h(s: String) = graft.functions.Portable.jvmHexHash60(s.getBytes("UTF-8"))
+    val got = Dedup.lineDedup(lines, boilerplateMax = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got === Array(
+      (1L, 3L, 2L, 0L, 1L, h("body one tail a")),
+      (2L, 3L, 1L, 1L, 1L, h("tail b")),
+      (3L, 1L, 0L, 0L, 1L, h("")),
+      (4L, 1L, 0L, 0L, 1L, h("")),
+      (5L, 1L, 0L, 0L, 1L, h(""))))
+  }
 }

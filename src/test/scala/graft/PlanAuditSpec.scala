@@ -61,6 +61,23 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p.take(1500))
   }
 
+  test("pii redact is a pure projection: zero exchanges") {
+    val p = plan(graft.functions.TextAnalysis.piiRedact(
+      graft.sources.Tables.documents(spark, sf)))
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
+  test("line dedup: no cartesian, no window over the raw line table, partial aggs") {
+    val p = plan(SparkEntry.queries("d_line_dedup")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    // the occurrence/first-occurrence stats must come from a groupBy
+    // (map-side partial aggregation collapses mega-hot lines), never a
+    // Window over every raw line row
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("partial"), p.take(2000))
+  }
+
   test("replay metrics audit: no cartesian, single window pass shape") {
     val p = plan(SparkEntry.queries("r_replay_metrics")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -36,7 +36,9 @@ OUT = calmbench.OUT
 
 
 def jvm_probe():
-    cp = "/root/repo/target/scala-2.13/classes:" + ":".join(
+    cp = os.environ.get("GRAFT_CLASSES_DIR",  # frozen snapshot: sbt compile swaps
+        "/root/repo/target/scala-2.13/classes") + ":" + ":".join(  # class files under a live probe
+        
         glob.glob("/opt/spark/jars/*.jar"))
     env = dict(os.environ, SPARK_GRAFT_CPUS="32")
     try:

@@ -58,7 +58,9 @@ def wait_for_calm():
 
 
 def run_bench():
-    cp = "/root/repo/target/scala-2.13/classes:" + ":".join(
+    cp = os.environ.get("GRAFT_CLASSES_DIR",  # frozen snapshot: sbt compile swaps
+        "/root/repo/target/scala-2.13/classes") + ":" + ":".join(  # class files under a live probe
+        
         glob.glob("/opt/spark/jars/*.jar"))
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF, SPARK_GRAFT_CPUS="32")
     r = subprocess.run(

@@ -23,14 +23,20 @@ for p in ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io", "java
 
 def run_verify():
     # wipe stale outputs: a query that now fails must not "pass" by
-    # diffing a previous run's parquet against the oracle
+    # diffing a previous run's parquet against the oracle. With an
+    # explicit query subset, wipe (and re-dump) just those queries.
     import shutil
-    shutil.rmtree(OUT, ignore_errors=True)
+    if ONLY:
+        for name in ONLY:
+            shutil.rmtree(f"{OUT}/{name}", ignore_errors=True)
+    else:
+        shutil.rmtree(OUT, ignore_errors=True)
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     cmd = ["java"] + ADD_OPENS + [
         "-Xmx8g", "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
-        "-cp", CP, "graft.Verify", SF, OUT]
+        "-cp", CP, "graft.Verify", SF, OUT] + \
+        ([",".join(sorted(ONLY))] if ONLY else [])
     r = subprocess.run(cmd, capture_output=True, text=True)
     for line in r.stderr.splitlines():
         if "[verify]" in line or "Exception" in line:

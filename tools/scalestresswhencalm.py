@@ -26,7 +26,9 @@ REP_RE = re.compile(r"\[scalestress\] (\S+) rep (\d+): (.*)")
 
 
 def run_stress(factor, reps, subset=None):
-    cp = "/root/repo/target/scala-2.13/classes:" + ":".join(
+    cp = os.environ.get("GRAFT_CLASSES_DIR",  # frozen snapshot: sbt compile swaps
+        "/root/repo/target/scala-2.13/classes") + ":" + ":".join(  # class files under a live probe
+        
         glob.glob("/opt/spark/jars/*.jar"))
     env = dict(os.environ, SPARK_GRAFT_CPUS="32")
     args = ["graft.ScaleStress", calmbench.SF, str(factor), str(reps)]
