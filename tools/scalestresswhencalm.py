@@ -50,7 +50,14 @@ def run_stress(factor, reps, subset=None):
         for qv in m.group(3).split():
             q, v = qv.split("=")
             per_rep.setdefault((m.group(1), q), []).append(float(v))
-    return json.loads(line[-1]), per_rep, None
+    res = json.loads(line[-1])
+    # memory-pressure audit: executor page-allocation retries at 10x
+    # would mean the per-partition working set no longer fits — record
+    # the count so the artifact itself says whether the run was clean
+    res["mem_warnings"] = sum(
+        1 for l in r.stderr.splitlines()
+        if "TaskMemoryManager" in l or "Failed to allocate a page" in l)
+    return res, per_rep, None
 
 
 def stable(per_rep):
