@@ -523,6 +523,13 @@ object Dedup {
     * table back on `h` (equi-join, AQE-skew-splittable). No windows
     * over the raw line table, no all-pairs anything; the per-doc
     * rollup shuffles on `doc_id`, whose group size is one doc's lines.
+    *
+    * Collision semantics: lines are identified by their 60-bit hash,
+    * so at trillion-line scale birthday collisions will occasionally
+    * merge two distinct lines and drop one as a false "dup" — the
+    * standard lossy-curation tolerance (Dolma's paragraph bloom
+    * filter accepts the same false-positive class). Dedup can only
+    * OVER-drop, never under-drop or corrupt kept text.
     */
   def lineDedup(lines: DataFrame, boilerplateMax: Long): DataFrame = {
     val keyed = lines.select(col("doc_id"), col("pos"),
