@@ -98,13 +98,20 @@ def main():
         is_stable, worst = stable(per_rep)
         print(f"[stresswhencalm] run done in {time.time()-t0:.0f}s; "
               f"worst rep swing {worst[1]:.2f}x ({worst[0]})", flush=True)
-        if not is_stable:
-            print(f"[stresswhencalm] DISCARD (swing > {MAX_REP_SWING}x: "
-                  f"throttle mid-run)", flush=True)
-            time.sleep(COOLDOWN)
-            continue
         res["canary_sec"] = c
         res["per_rep"] = {f"{t}/{q}": xs for (t, q), xs in sorted(per_rep.items())}
+        if not is_stable:
+            # keep the audit trail: a discarded run's per-rep data still
+            # documents WHICH rep the throttle hit (typically one ~100 s
+            # spike in an otherwise calm run) — evidence, not artifact
+            res["gated"] = False
+            res["worst_swing"] = worst[1]
+            with open(f"{calmbench.OUT}/scalestress_{tag}_discards.jsonl", "a") as f:
+                f.write(json.dumps(res) + "\n")
+            print(f"[stresswhencalm] DISCARD (swing > {MAX_REP_SWING}x: "
+                  f"throttle mid-run); per-rep audit appended", flush=True)
+            time.sleep(COOLDOWN)
+            continue
         path = f"{calmbench.OUT}/scalestress_{tag}.json"
         json.dump(res, open(path, "w"), indent=1)
         print(f"[stresswhencalm] KEEP -> {path}", flush=True)
