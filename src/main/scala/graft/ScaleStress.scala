@@ -40,6 +40,8 @@ object ScaleStress {
     *    (rotation preserves each copy's similarity structure).
     *  - d_minhash_lsh: shingle universe and band buckets grow N×; no
     *    cross-copy bucket collisions beyond hash noise.
+    *  - d_line_dedup: line-hash groups grow N× (rotation makes each
+    *    copy's lines distinct); stats stay one partial-agg groupBy.
     *  - d_simhash: 60-bit signatures differ across copies (rotation
     *    changes tokens), so pigeonhole bands pair within copies only.
     *  - p3_stream_ingest: fixed batch COUNT (each of the 4 batches is
@@ -47,10 +49,12 @@ object ScaleStress {
     *    Σ_b (|batch_b| + |index at b|) = O(corpus).
     *  - p_curated_corpus / p_pack_sequences: per-doc projections,
     *    rollups, and bounded prefix-sum windows over N× rows.
+    *  - t_pii_redact: zero-shuffle codegen projection over N× rows —
+    *    the pure-scan control for the shuffle-family members.
     */
   val Queries: Seq[String] = Seq("a_kmeans_train_iter10", "d_contamination",
-    "d_dedup_clusters", "d_minhash_lsh", "d_simhash", "p3_stream_ingest",
-    "p_curated_corpus", "p_pack_sequences")
+    "d_dedup_clusters", "d_line_dedup", "d_minhash_lsh", "d_simhash",
+    "p3_stream_ingest", "p_curated_corpus", "p_pack_sequences", "t_pii_redact")
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
 

@@ -128,7 +128,17 @@ object Ann {
     * query table, not the corpus side.
     */
   def knnIvf(embeddings: DataFrame, numQueries: Int, k: Int,
-      centroidStride: Int = 50, probes: Int = 1): DataFrame = {
+      centroidStride: Int = 50, probes: Int = 1,
+      maxCells: Int = 4096): DataFrame = {
+    // Stride-derived K grows with the corpus (K = n/stride): past a few
+    // thousand cells the ranked cross-join and centroid broadcast stop
+    // being metadata-sized. This form exists as the oracle-mirrorable
+    // baseline; use [[knnIvfTrained]] (K = const) at scale. The count
+    // below is parquet-metadata-only, not a corpus scan.
+    val n = embeddings.count()
+    require(n / centroidStride <= maxCells,
+      s"knnIvf stride-centroid cell count ${n / centroidStride} exceeds " +
+        s"maxCells=$maxCells; use knnIvfTrained for corpora this large")
     val q = quantized(embeddings)
     val centroids = q.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm2").as("cn2"))

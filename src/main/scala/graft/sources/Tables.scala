@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   * Plain `spark.read.parquet` — Catalyst handles column pruning and
@@ -23,16 +23,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads
-    * via `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/
-    * Bench/test sessions). Convert the nano count to a microsecond
-    * timestamp here so downstream code sees a plain TimestampType.
+  /** `events.ts` has drifted across testdata generations: parquet
+    * TIMESTAMP(NANOS) (read as long via `spark.sql.legacy.parquet
+    * .nanosAsLong=true`, set in Verify/Bench/test sessions), then
+    * TIMESTAMP(MICROS, isAdjustedToUTC=0) which Spark 4 reads as
+    * TIMESTAMP_NTZ. Normalize every encoding to a plain TimestampType
+    * here so downstream `cast(ts as long)` / `unix_micros(ts)` stay
+    * legal. The session timezone is UTC, so NTZ -> LTZ is
+    * value-preserving and the DuckDB oracle sees identical instants.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

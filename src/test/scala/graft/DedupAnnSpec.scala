@@ -229,6 +229,13 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("knn IVF: stride-centroid cell-count guard fails fast past maxCells") {
+    val e = intercept[IllegalArgumentException] {
+      Ann.knnIvf(emb, 5, 3, centroidStride = 1, maxCells = 10)
+    }
+    assert(e.getMessage.contains("knnIvfTrained"))
+  }
+
   test("knn IVF over trained cells: exact cosines, K=const centroid set") {
     val brute = Ann.knnBruteForce(emb, 5, Int.MaxValue)
       .select("q_id", "neighbor_id", "cos_bp").collect()
