@@ -32,10 +32,14 @@ object Bench {
       // a failed query records the -1 sentinel, never a bogus duration
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values keep the line compact enough that tail-style
+    // captures of stdout hold all queries (full-precision doubles
+    // nearly doubled the line and got clipped in the r09 capture).
+    def f(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     graft.operators.Dedup.releaseShingleCaches(spark)
     spark.stop()
   }

@@ -178,6 +178,18 @@ object ScaleStress {
     // cache exactly like a Bench run (d_dedup_clusters pays the fill,
     // d_minhash_lsh and p_curated_corpus reuse it)
     def runScale(tag: String, dir: String): Map[String, Double] = {
+      // Untimed warmup pass per scale (mirrors Bench's untimed warmup):
+      // the first execution of each plan pays whole-stage-codegen
+      // compilation and JIT tiering that no steady-state run repays —
+      // three rounds of discard audits show the resulting rep-1 spike
+      // (e.g. 233s -> 97s -> 36s) tripping the recorder's 3x swing gate,
+      // which exists to detect mid-run HOST throttle, not cold JVMs.
+      // Warmup timings still go to stderr for the audit trail but are
+      // excluded from medians and the gate (the "rep N" regex).
+      graft.operators.Dedup.releaseShingleCaches(spark)
+      val wm = queries.map(q => q -> timeQuery(spark, q, dir))
+      System.err.println(s"[scalestress] $tag warmup (untimed): " + wm
+        .map { case (q, t) => f"$q=$t%.2f" }.mkString(" "))
       val all = (1 to reps).map { r =>
         graft.operators.Dedup.releaseShingleCaches(spark)
         val m = queries.map(q => q -> timeQuery(spark, q, dir)).toMap

@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import calmbench
 
 STRICT_CANARY = 0.03
-PROBE_TIMEOUT = 180          # calm probe ~95 s; 4x-slow would blow this
+PROBE_TIMEOUT = 300          # calm probe ~95 s (+ the untimed warmup pass
+                             # ScaleStress now runs per scale); 4x-slow
+                             # would still blow this
 PROBE_DEDUP_MAX = 16.0       # calm warm median ~8-12 s
 PROBE_KMEANS_MAX = 9.0       # calm warm median ~5-7 s
 MAX_SANE_TOTAL = 140.0       # calm full suite ~110-120 s
