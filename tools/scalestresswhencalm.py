@@ -3,9 +3,10 @@
 
 Same gates as benchwhencalm (strict DuckDB canary + timed 1x JVM
 probe), plus an intra-run stability check: ScaleStress prints per-rep
-timings to stderr, and a throttle arriving mid-run shows up as a >3x
-swing between reps of the same query at the same scale (calm reps
-differ only by JIT drift, well under 2x). Unstable runs are discarded.
+timings to stderr, and a throttle wide enough to corrupt a reported
+median shows up as median/min > 2x for some significant query (calm
+reps differ only by JIT drift, well under 2x). Unstable runs are
+discarded; single-rep spikes leave the median honest and pass.
 
 Usage: python3 tools/scalestresswhencalm.py [tag] [factor] [reps] [max_attempts] [subset]
 `subset` (optional) is a comma-separated query list passed through to
@@ -18,7 +19,15 @@ import glob, json, os, re, subprocess, sys, time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import calmbench, benchwhencalm
 
-MAX_REP_SWING = 3.0
+# The artifact reports per-query MEDIANS of the reps, so the gate tests
+# the median's integrity, not the worst rep: median/min <= 2 means at
+# most one of 3 reps spiked (calm JIT drift is well under 2x), leaving
+# the reported median honest. A throttle window wide enough to corrupt
+# the median must hit >=2 reps, which pushes median/min past the bound.
+# (r08-r10 discard audits show the old max/min gate rejecting runs for
+# single-rep spikes — e.g. kmeans [26.4, 5.1, 5.9] — whose medians were
+# fine, which is why three rounds produced zero artifacts.)
+MAX_MED_SWING = 2.0
 # Swings on queries whose slowest rep is under this floor are scheduler
 # noise (a 0.5s-vs-2.9s blip), not evidence of host throttle: a throttle
 # window distorting a multi-minute run always shows in the >=5s queries.
@@ -69,10 +78,11 @@ def stable(per_rep):
     for (tag, q), xs in per_rep.items():
         if max(xs) < SIG_FLOOR_SEC:
             continue
-        swing = max(xs) / max(min(xs), 1e-9)
+        med = sorted(xs)[len(xs) // 2]
+        swing = med / max(min(xs), 1e-9)
         if swing > worst[1]:
             worst = (f"{tag}/{q} reps={['%.1f' % x for x in xs]}", swing)
-    return worst[1] <= MAX_REP_SWING, worst
+    return worst[1] <= MAX_MED_SWING, worst
 
 
 def main():
@@ -114,7 +124,7 @@ def main():
             res["worst_swing"] = worst[1]
             with open(f"{calmbench.OUT}/scalestress_{tag}_discards.jsonl", "a") as f:
                 f.write(json.dumps(res) + "\n")
-            print(f"[stresswhencalm] DISCARD (swing > {MAX_REP_SWING}x: "
+            print(f"[stresswhencalm] DISCARD (median swing > {MAX_MED_SWING}x: "
                   f"throttle mid-run); per-rep audit appended", flush=True)
             time.sleep(COOLDOWN)
             continue
