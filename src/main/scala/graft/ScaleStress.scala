@@ -40,6 +40,10 @@ object ScaleStress {
     *    (rotation preserves each copy's similarity structure).
     *  - d_minhash_lsh: shingle universe and band buckets grow N×; no
     *    cross-copy bucket collisions beyond hash noise.
+    *  - d_ngram_jaccard (round 10, prefix-filtered): prefix shingles
+    *    stay within-copy-rare under rotation, so Σprefix-df² and the
+    *    verify joins grow N×; the exhaustive Σdf² twin would too but
+    *    with a ~df× larger constant.
     *  - d_line_dedup: line-hash groups grow N× (rotation makes each
     *    copy's lines distinct); stats stay one partial-agg groupBy.
     *  - d_simhash: 60-bit signatures differ across copies (rotation
@@ -53,8 +57,9 @@ object ScaleStress {
     *    the pure-scan control for the shuffle-family members.
     */
   val Queries: Seq[String] = Seq("a_kmeans_train_iter10", "d_contamination",
-    "d_dedup_clusters", "d_line_dedup", "d_minhash_lsh", "d_simhash",
-    "p3_stream_ingest", "p_curated_corpus", "p_pack_sequences", "t_pii_redact")
+    "d_dedup_clusters", "d_line_dedup", "d_minhash_lsh", "d_ngram_jaccard",
+    "d_simhash", "p3_stream_ingest", "p_curated_corpus", "p_pack_sequences",
+    "t_pii_redact")
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
 

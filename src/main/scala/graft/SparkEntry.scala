@@ -369,6 +369,16 @@ object SparkEntry {
       Ann.knnIvfTrained(Tables.embeddings(s, dir), KnnQueries, 3)
         .orderBy("q_id", "rnk")),
 
+    // A7: int8 scalar quantization (4x embedding compression) + ANN
+    // over the quantized codes — integer dots, scale-free by cosine
+    // invariance
+    "a_int8_quantize" -> ((s, dir) =>
+      Ann.int8QuantAudit(Tables.embeddings(s, dir)).orderBy("vec_id")),
+
+    "a_knn_quantized" -> ((s, dir) =>
+      Ann.knnQuantized(Tables.embeddings(s, dir), KnnQueries, 5)
+        .orderBy("q_id", "rnk")),
+
     "t_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), 20)
         .orderBy(col("n_occurrences").desc, col("tok"))),
@@ -837,6 +847,24 @@ object SparkEntry {
       |  ) GROUP BY vec_id
       |)""".stripMargin
 
+  /** Int8 codes from the milli-quantized vectors (mirrors
+    * Ann.int8Codes): per-vector max-abs scale onto [-127,127], HALF_UP
+    * round of one IEEE division — bit-identical across engines.
+    */
+  private val Int8Cte =
+    """cq AS (
+      |  SELECT vec_id, v, maxabs,
+      |         list_transform(v, x -> CASE WHEN maxabs = 0 THEN 0
+      |           ELSE round((x*127)::DOUBLE / maxabs)::BIGINT END) AS c
+      |  FROM (SELECT vec_id, v,
+      |          list_max(list_transform(v, x -> abs(x))) AS maxabs FROM qn)
+      |),
+      |cqn AS (
+      |  SELECT vec_id, v, maxabs, c,
+      |         (list_sum(list_transform(c, x -> x*x)))::BIGINT AS n2q
+      |  FROM cq
+      |)""".stripMargin
+
   /** Exact portable cosine in basis points between q-vectors a and b. */
   private def sqlCosBp(av: String, bv: String, an2: String, bn2: String) =
     s"""round((list_sum(list_transform(range(1,65), i -> $av[i::INT]*$bv[i::INT])))::DOUBLE
@@ -1058,6 +1086,32 @@ object SparkEntry {
          |  FROM scored
          |) WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
     },
+
+    "a_int8_quantize" ->
+      s"""WITH $EmbCte, $Int8Cte
+         |SELECT vec_id, maxabs,
+         |       len(list_filter(c, x -> abs(x) = 127))::BIGINT AS n_sat,
+         |       (list_sum(list_transform(c, x -> abs(x))))::BIGINT AS l1_q,
+         |       (list_sum(list_transform(range(1,65),
+         |          i -> (c[i::INT]*maxabs - v[i::INT]*127)
+         |             * (c[i::INT]*maxabs - v[i::INT]*127))))::BIGINT AS err127_2
+         |FROM cqn ORDER BY vec_id""".stripMargin,
+
+    "a_knn_quantized" ->
+      s"""WITH $EmbCte, $Int8Cte,
+         |scored AS (
+         |  SELECT q2.vec_id AS q_id, cdb.vec_id AS neighbor_id,
+         |         CASE WHEN q2.n2q = 0 OR cdb.n2q = 0 THEN -2.0
+         |           ELSE (list_sum(list_transform(range(1,65), i -> q2.c[i::INT]*cdb.c[i::INT])))::DOUBLE
+         |             / (sqrt(q2.n2q::DOUBLE) * sqrt(cdb.n2q::DOUBLE)) END AS qcos
+         |  FROM cqn q2 JOIN cqn cdb ON cdb.vec_id <> q2.vec_id
+         |  WHERE q2.vec_id < $KnnQueries
+         |)
+         |SELECT q_id, rnk, neighbor_id, round(qcos * 10000, 0)::BIGINT AS qcos_bp FROM (
+         |  SELECT q_id, neighbor_id, qcos,
+         |         (row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, neighbor_id))::INT AS rnk
+         |  FROM scored
+         |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
     "t_top_tokens" ->
       s"""WITH $NormCte, $TokCte

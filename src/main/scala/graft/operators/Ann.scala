@@ -95,6 +95,67 @@ object Ann {
         round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
   }
 
+  /** Int8 scalar quantization of the milli-quantized vectors: scale
+    * each vector by its max|component| onto [-127, 127] and round —
+    * the standard 4× compression layout for embedding stores at corpus
+    * scale (one byte per component; the per-vector scale is the only
+    * extra state). Output: (vec_id, label, v, maxabs, c, n2q) with
+    * integer codes `c` and their self-dot `n2q`.
+    *
+    * Portability: a code is round((v_d·127)::double / maxabs) — exact
+    * long product, one IEEE division, HALF_UP round, identical in
+    * DuckDB — so every downstream code dot is an exact integer.
+    * Because cosine is scale-invariant, the per-vector scales cancel:
+    * quantized cosine is simply the cosine of the code vectors.
+    */
+  def int8Codes(embeddings: DataFrame): DataFrame =
+    quantized(embeddings)
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("c", transform(col("v"),
+        x => when(col("maxabs") === 0, lit(0L))
+          .otherwise(round((x * 127).cast("double") / col("maxabs"), 0)
+            .cast("long"))))
+      .withColumn("n2q", VecOps.intDot(col("c"), col("c")))
+
+  /** Per-vector quantization audit: saturation count (|c|=127), code
+    * L1 mass, and the EXACT integer round-trip error
+    * Σ(c_d·maxabs − v_d·127)² = 127²·‖v̂−v‖² in milli-units² — the
+    * quality the 4× compression pays, with no float in sight.
+    */
+  def int8QuantAudit(embeddings: DataFrame): DataFrame =
+    int8Codes(embeddings)
+      .select(col("vec_id"), col("maxabs"),
+        size(filter(col("c"), x => abs(x) === 127)).cast("long").as("n_sat"),
+        aggregate(transform(col("c"), x => abs(x)),
+          lit(0L), (acc, x) => acc + x).as("l1_q"),
+        aggregate(zip_with(col("c"), col("v"),
+            (c, x) => (c * col("maxabs") - x * 127)
+              * (c * col("maxabs") - x * 127)),
+          lit(0L), (acc, x) => acc + x).as("err127_2"))
+
+  /** Brute-force top-k by QUANTIZED cosine: the int8 codes stand in
+    * for the full vectors (what a 100 TB store actually scans); exact
+    * integer code dots, scale-free by cosine invariance. Same shape as
+    * [[knnBruteForce]] — broadcast queries, one corpus scan, no corpus
+    * shuffle. Zero vectors get sentinel cosine −2 (below any real
+    * cosine) instead of a NaN whose sort order is engine-specific.
+    */
+  def knnQuantized(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val q = int8Codes(embeddings)
+    val queries = q.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("c").as("qc"), col("n2q").as("qn2q"))
+    val scored = q.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("qcos",
+        when(col("qn2q") === 0 || col("n2q") === 0, lit(-2.0))
+          .otherwise(VecOps.intDot(col("qc"), col("c")).cast("double")
+            / (sqrt(col("qn2q").cast("double")) * sqrt(col("n2q").cast("double")))))
+    val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("qcos") * 10000, 0).cast("long").as("qcos_bp"))
+  }
+
   /** Exact per-label vector aggregates over quantized components:
     * count, Σ|component| (L1 mass), and ‖Σv‖² (squared norm of the
     * unnormalized centroid) — all integer arithmetic, so the oracle

@@ -177,29 +177,90 @@ object Dedup {
     */
   val MaxNgramCandidatePairs: Long = 1L << 32
 
-  /** Exact Jaccard over df-capped k-shingles for every pair sharing a
-    * shingle. Output: pairs with similarity >= minJaccardBp/10000.
+  /** Exact Jaccard over df-capped k-shingles. Output: pairs whose
+    * rounded similarity reaches minJaccardBp/10000 — identical to
+    * [[ngramJaccardExhaustive]], which is the Σdf² correctness twin.
     *
-    * This is the exhaustive CORRECTNESS baseline (Σdf² join fanout): a
-    * guard estimates the fanout from the cached shingle table first and
-    * fails fast past `maxCandidatePairs` instead of launching a
-    * quadratic join — the scale twin [[minhashLsh]] yields the same
-    * pair set with bounded candidates.
+    * Candidate generation is prefix-filtered (the AllPairs/PPJoin
+    * bound — Bayardo et al., WWW'07; Xiao et al., WWW'08): order
+    * shingles globally rarest-first (df asc, h tie-break); a doc's
+    * PREFIX is its first |x| − ⌈t·|x|⌉ + 1 shingles in that order, and
+    * any pair with Jaccard ≥ t must share a prefix shingle (≥ ⌈t·|x|⌉
+    * of x's shingles are in the intersection, so the intersection
+    * can't hide entirely in the ⌈t·|x|⌉ − 1 shingles after the
+    * prefix). The candidate self-join therefore runs on the prefix
+    * table only — fanout Σ prefix-df² concentrated on RARE shingles —
+    * instead of the exhaustive Σdf², while staying exact: candidates
+    * are a superset of qualifying pairs and the verify stage computes
+    * true Jaccard on full shingle sets.
+    *
+    * All derived bounds (prefix length, pair size filter) use the
+    * INCLUSIVE effective threshold t_eff = (2·bp − 1)/20000: the
+    * output condition round(inter·10⁴/union) ≥ bp admits pairs with
+    * true Jaccard down to bp − 0.5 bp, so deriving the prefix from the
+    * nominal t would leak boundary pairs the exhaustive form keeps.
     */
   def ngramJaccard(docs: DataFrame, minJaccardBp: Long,
       maxCandidatePairs: Long = MaxNgramCandidatePairs): DataFrame = {
     val sh = cappedShingleHashes(docs)
-    // Σdf² in decimal: LongType would wrap silently under non-ANSI
-    // semantics at extreme fanout, letting a negative estimate slip
-    // past the bound (the guard must fail CLOSED).
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val df_ = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+    // one exchange: both windows hash-partition by doc_id
+    val prefix = sh.join(df_, "h")
+      .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+      .filter(col("rn") <= col("n_sh")
+        - expr(s"((${2 * minJaccardBp - 1} * n_sh + 19999) div 20000)") + 1)
+      .select("doc_id", "h", "n_sh")
+    // Fail-fast guard on the PREFIX fanout, in decimal (LongType would
+    // wrap silently under non-ANSI semantics, and the guard must fail
+    // CLOSED). Past the bound the candidate volume is genuinely
+    // pair-graph-sized-quadratic (e.g. a corpus of near-identical
+    // docs) and minhashLsh's banding is the right tool.
+    val est = prefix.groupBy("h").agg(count(lit(1)).as("pdf"))
+      .agg(coalesce(sum(col("pdf").cast("decimal(38,0)") * col("pdf")),
+        lit(java.math.BigDecimal.ZERO)).as("p"))
+      .head.getDecimal(0)
+    require(est.compareTo(java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
+      s"ngramJaccard: estimated prefix-candidate fanout sum(prefix_df^2)=$est " +
+        s"exceeds $maxCandidatePairs; use minhashLsh (d_minhash_lsh) — " +
+        "same pairs, bounded candidates")
+    val a = prefix.as("a"); val b = prefix.as("b")
+    // size filter: J ≥ t_eff forces min(|x|,|y|) ≥ t_eff·max(|x|,|y|)
+    val cands = a.join(b,
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
+          && col("a.n_sh") * 20000 >= col("b.n_sh") * (2 * minJaccardBp - 1)
+          && col("b.n_sh") * 20000 >= col("a.n_sh") * (2 * minJaccardBp - 1))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id")
+        && col("sa.h") === col("sb.h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    jaccardFilter(inter, sizes, minJaccardBp)
+  }
+
+  /** The exhaustive Σdf² twin of [[ngramJaccard]]: every pair sharing
+    * any shingle is a candidate. Same output by construction — kept as
+    * the correctness oracle for the prefix-filtered form (the
+    * equivalence is spec-pinned) and fanout-guarded because past the
+    * bound the exhaustive join is a mistake, not a query.
+    */
+  def ngramJaccardExhaustive(docs: DataFrame, minJaccardBp: Long,
+      maxCandidatePairs: Long = MaxNgramCandidatePairs): DataFrame = {
+    val sh = cappedShingleHashes(docs)
     val est = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(col("df").cast("decimal(38,0)") * col("df")),
         lit(java.math.BigDecimal.ZERO)).as("p"))
       .head.getDecimal(0)
     require(est.compareTo(java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
-      s"ngramJaccard: estimated candidate fanout sum(df^2)=$est exceeds " +
-        s"$maxCandidatePairs; use minhashLsh (d_minhash_lsh) — same pairs, " +
-        "bounded candidates")
+      s"ngramJaccardExhaustive: estimated candidate fanout sum(df^2)=$est " +
+        s"exceeds $maxCandidatePairs; use minhashLsh (d_minhash_lsh) — " +
+        "same pairs, bounded candidates")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,

@@ -301,6 +301,66 @@ class DedupAnnSpec extends SparkSuite {
     } finally pool.shutdownNow()
   }
 
+  test("int8 codes: bounded, half-scale round-trip, high top-5 agreement") {
+    val codes = Ann.int8Codes(emb).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val maxabs = r.getAs[Long]("maxabs")
+      val v = r.getAs[scala.collection.Seq[Long]]("v")
+      val c = r.getAs[scala.collection.Seq[Long]]("c")
+      c.foreach(x => assert(math.abs(x) <= 127))
+      // |c·maxabs − v·127| ≤ maxabs/2: the rounding contract the audit
+      // query's err127_2 column aggregates
+      v.zip(c).foreach { case (x, cd) =>
+        assert(math.abs(cd * maxabs - x * 127) <= (maxabs + 1) / 2,
+          s"vec ${r.getAs[Long]("vec_id")}")
+      }
+    }
+    // quantized ANN finds mostly the same neighbors as the exact scan
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.knnBruteForce(emb, 10, 5))
+    val quant = pairs(Ann.knnQuantized(emb, 10, 5))
+    assert(quant.size === exact.size)
+    assert((exact intersect quant).size * 10 >= exact.size * 7,
+      s"int8 top-5 agreement below 70%: ${(exact intersect quant).size}/${exact.size}")
+  }
+
+  test("prefix-filtered ngram Jaccard equals the exhaustive pair set") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "inter", "union_sh", "jacc_bp")
+      .collect().map(_.toSeq).toSet
+    Seq(2000L, 5000L, 8000L).foreach { bp =>
+      val fast = rows(Dedup.ngramJaccard(docs, bp))
+      val slow = rows(Dedup.ngramJaccardExhaustive(docs, bp))
+      assert(fast === slow, s"bp=$bp")
+      if (bp == 5000L) assert(fast.nonEmpty)
+    }
+  }
+
+  test("prefix filter keeps rounding-boundary pairs the output filter admits") {
+    import spark.implicits._
+    // A 3-shingle doc and a 2-shingle doc sharing 2 shingles: J = 2/3,
+    // below the nominal t = 0.6667 but round(6666.67) = 6667 passes the
+    // output filter — the prefix/size bounds must be derived from the
+    // inclusive effective threshold or this pair silently vanishes.
+    // 38 unique fillers keep the shared shingles (df=2) under the
+    // df*20 <= n_docs cap.
+    val fillers = (10L until 48L).map(i =>
+      (i, s"filler document number $i with its own private text body $i$i"))
+    val d = (Seq(
+      (1L, "abcdefghij"), // shingles: abcdefgh bcdefghi cdefghij
+      (2L, "abcdefghi")   // shingles: abcdefgh bcdefghi
+    ) ++ fillers).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "jacc_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = pairs(Dedup.ngramJaccardExhaustive(d, 6667L))
+    assert(expected === Set((1L, 2L, 6667L))) // the boundary pair exists
+    assert(pairs(Dedup.ngramJaccard(d, 6667L)) === expected)
+  }
+
   test("ngram Jaccard blast-radius guard trips on a hot-shingle corpus") {
     import spark.implicits._
     // 100 docs in 20 identical-text groups of 5: within-group shingles
