@@ -40,10 +40,18 @@ object ScaleStress {
     *    (rotation preserves each copy's similarity structure).
     *  - d_minhash_lsh: shingle universe and band buckets grow N×; no
     *    cross-copy bucket collisions beyond hash noise.
-    *  - d_ngram_jaccard (round 10, prefix-filtered): prefix shingles
-    *    stay within-copy-rare under rotation, so Σprefix-df² and the
-    *    verify joins grow N×; the exhaustive Σdf² twin would too but
-    *    with a ~df× larger constant.
+    *  - d_ngram_jaccard is deliberately NOT in the family: rotation
+    *    keeps per-shingle df CONSTANT while n_docs grows N×, so the
+    *    df-cap (df·20 ≤ n_docs) weakens with the factor and re-admits
+    *    boilerplate shingles the 1× corpus drops — the N× corpus is a
+    *    QUALITATIVELY different workload for prefix-filtered Jaccard
+    *    (its candidate volume is df-distribution-shaped), not the
+    *    linear-scaled original, and measuring it here would report a
+    *    construction artifact (observed: ~100 GB candidate shuffle at
+    *    10×). On organic N× growth df scales with the corpus and the
+    *    cap ratio is invariant; candidate volume then tracks Σpdf²,
+    *    which is linear when new content is new and proportional to
+    *    the (genuinely quadratic) OUTPUT when content replicates.
     *  - d_line_dedup: line-hash groups grow N× (rotation makes each
     *    copy's lines distinct); stats stay one partial-agg groupBy.
     *  - d_simhash: 60-bit signatures differ across copies (rotation
@@ -57,9 +65,8 @@ object ScaleStress {
     *    the pure-scan control for the shuffle-family members.
     */
   val Queries: Seq[String] = Seq("a_kmeans_train_iter10", "d_contamination",
-    "d_dedup_clusters", "d_line_dedup", "d_minhash_lsh", "d_ngram_jaccard",
-    "d_simhash", "p3_stream_ingest", "p_curated_corpus", "p_pack_sequences",
-    "t_pii_redact")
+    "d_dedup_clusters", "d_line_dedup", "d_minhash_lsh", "d_simhash",
+    "p3_stream_ingest", "p_curated_corpus", "p_pack_sequences", "t_pii_redact")
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
 
