@@ -54,6 +54,16 @@ object ScaleStress {
     *    the (genuinely quadratic) OUTPUT when content replicates.
     *  - d_line_dedup: line-hash groups grow N× (rotation makes each
     *    copy's lines distinct); stats stay one partial-agg groupBy.
+    *  - d_repeated_spans: rotation changes every token, so window
+    *    hashes are cross-copy disjoint — window count, hash groups,
+    *    and the h-join all grow exactly N×.
+    *  - d_semantic_dedup is deliberately NOT in the family: embedding
+    *    copies are NOT rotated (plain re-keyed vectors), so at N×
+    *    every vector has N−1 exact semantic duplicates in its cell —
+    *    the within-cell pair volume grows N² BY CONSTRUCTION (the
+    *    same artifact class that keeps prefix Jaccard out). Organic
+    *    growth instead grows kCells with the corpus, holding per-cell
+    *    volume constant.
     *  - d_simhash: 60-bit signatures differ across copies (rotation
     *    changes tokens), so pigeonhole bands pair within copies only.
     *  - p3_stream_ingest: fixed batch COUNT (each of the 4 batches is
@@ -65,8 +75,9 @@ object ScaleStress {
     *    the pure-scan control for the shuffle-family members.
     */
   val Queries: Seq[String] = Seq("a_kmeans_train_iter10", "d_contamination",
-    "d_dedup_clusters", "d_line_dedup", "d_minhash_lsh", "d_simhash",
-    "p3_stream_ingest", "p_curated_corpus", "p_pack_sequences", "t_pii_redact")
+    "d_dedup_clusters", "d_line_dedup", "d_minhash_lsh", "d_repeated_spans",
+    "d_simhash", "p3_stream_ingest", "p_curated_corpus", "p_pack_sequences",
+    "t_pii_redact")
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
 

@@ -346,6 +346,21 @@ object SparkEntry {
       Ann.embeddingDedup(Tables.embeddings(s, dir), EmbedDedupCosBp)
         .orderBy("vec_a", "vec_b")),
 
+    // D11: suffix-array substring dedup re-expressed — w-token rolling
+    // windows keyed by polynomial hash, corpus-wide occurrence stats
+    "d_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(Tables.documents(s, dir), SpanW)
+        .orderBy("doc_id")),
+
+    // D12: SemDeDup — trained k-means cells + within-cell keep-first
+    // near-dup election over exact cosine. kCells=32 exercises the
+    // scale knob: per-cell pair volume is (n/kCells)², so cells must
+    // outnumber a handful even at bench scale (8 cells over sf0.1's
+    // 50k vectors would be 156M pairs; 32 is 16x less)
+    "d_semantic_dedup" -> ((s, dir) =>
+      Ann.semanticDedup(Tables.embeddings(s, dir), SemDedupCosBp,
+        kCells = 32).orderBy("vec_id")),
+
     "a_knn_bruteforce" -> ((s, dir) =>
       Ann.knnBruteForce(Tables.embeddings(s, dir), KnnQueries, 5)
         .orderBy("q_id", "rnk")),
@@ -556,6 +571,16 @@ object SparkEntry {
   val NgramJaccardBp = 5000L
   val SimhashMaxHamming = 1
   val EmbedDedupCosBp = 4000L
+  /** SemDeDup keep-first threshold (same near-dup band as
+    * [[EmbedDedupCosBp]]: the corpus' planted duplicates sit at
+    * cos ≈ 0.4+, organic pairs well below).
+    */
+  val SemDedupCosBp = 4000L
+  /** Repeated-span window width in tokens (the substring-dedup scale;
+    * Lee et al. use 50 BPE tokens — 8 whitespace tokens is the same
+    * order on this corpus' short synthetic docs).
+    */
+  val SpanW = 8
   val KnnQueries = 10
   /** Line-dedup window width (tokens) and the C4-style boilerplate
     * occurrence cap (> cap ⇒ dropped everywhere).
@@ -958,6 +983,79 @@ object SparkEntry {
          |         ${sqlCosBp("x.v", "y.v", "x.norm2", "y.norm2")} AS cos_bp
          |  FROM qq x JOIN qq y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |) WHERE cos_bp >= $EmbedDedupCosBp ORDER BY vec_a, vec_b""".stripMargin,
+
+    // w-token rolling windows over 20-bit token hashes (poly hash mod
+    // 2^31-1, mirrors Dedup.repeatedSpans); zipped unnests explode the
+    // per-doc position/window-hash lists
+    "d_repeated_spans" ->
+      s"""WITH $NormCte,
+         |toks AS (
+         |  SELECT doc_id, list_transform(string_split(t, ' '),
+         |                                x -> ${H20.format("x")}) AS th
+         |  FROM norm
+         |),
+         |wins AS (
+         |  SELECT doc_id,
+         |    unnest(ps) AS pos,
+         |    unnest(list_transform(ps, p ->
+         |      list_reduce(list_prepend(0::BIGINT, list_slice(th, p+1, p+$SpanW)),
+         |        (a,b) -> (a*31+b) % 2147483647))) AS h
+         |  FROM (SELECT doc_id, th,
+         |          list_transform(generate_series(0, len(th)-$SpanW), i -> i) AS ps
+         |        FROM toks WHERE len(th) >= $SpanW)
+         |),
+         |per_doc AS (
+         |  SELECT h, doc_id, count(*)::BIGINT AS n_in_doc FROM wins GROUP BY 1, 2
+         |),
+         |stats AS (
+         |  SELECT h, sum(n_in_doc)::BIGINT AS n_occ, count(*)::BIGINT AS n_docs
+         |  FROM per_doc GROUP BY h
+         |),
+         |rolled AS (
+         |  SELECT p.doc_id,
+         |    sum(p.n_in_doc)::BIGINT AS n_windows,
+         |    sum(CASE WHEN s.n_occ > 1 THEN p.n_in_doc ELSE 0 END)::BIGINT AS n_dup_windows,
+         |    sum(CASE WHEN s.n_docs > 1 THEN p.n_in_doc ELSE 0 END)::BIGINT AS n_xdoc_windows
+         |  FROM per_doc p JOIN stats s ON p.h = s.h
+         |  GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(r.n_windows, 0)::BIGINT AS n_windows,
+         |  coalesce(r.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+         |  coalesce(r.n_xdoc_windows, 0)::BIGINT AS n_xdoc_windows
+         |FROM documents d LEFT JOIN rolled r ON d.doc_id = r.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // SemDeDup: the unrolled k-means chain supplies the trained
+    // centroids; cell assignment mirrors the trained-IVF oracle, then
+    // keep-first = no smaller-id within-cell neighbor at cos >= tau
+    "d_semantic_dedup" -> {
+      val (ctes, _, cent) = kmeansCtes(k = 32, iterations = 2)
+      s"""$ctes,
+         |rankedc AS (
+         |  SELECT qn.vec_id, qn.v, qn.norm2, c.c_id,
+         |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+         |      (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
+         |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) DESC, c.c_id) AS c_rn
+         |  FROM qn, $cent c
+         |),
+         |cells AS (
+         |  SELECT vec_id, v, norm2, c_id AS cell FROM rankedc WHERE c_rn = 1
+         |),
+         |dropped AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM cells x JOIN cells y
+         |    ON y.cell = x.cell AND y.vec_id < x.vec_id
+         |  WHERE round((CASE WHEN x.norm2 = 0 OR y.norm2 = 0 THEN -2.0
+         |    ELSE (list_sum(list_transform(range(1,65), i -> x.v[i::INT]*y.v[i::INT])))::DOUBLE
+         |      / (sqrt(x.norm2::DOUBLE)*sqrt(y.norm2::DOUBLE)) END) * 10000)::BIGINT
+         |    >= $SemDedupCosBp
+         |)
+         |SELECT a.vec_id, a.cell,
+         |  (CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
+         |FROM cells a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    },
 
     "a_knn_bruteforce" ->
       s"""WITH $EmbCte,

@@ -393,6 +393,63 @@ object Ann {
         expr("n * 10000 div n_vecs").as("purity_bp"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * corpus embeddings with trained k-means, then within each cluster
+    * drop every vector that has a SMALLER-id near-duplicate at
+    * cosine ≥ `minCosBp` — the deterministic keep-first statement of
+    * the paper's one-representative-per-duplicate-set rule (greedy by
+    * id: a vector is kept iff no kept-or-dropped smaller-id neighbor
+    * clears the threshold; chains a~b~c keep only `a`). Output is the
+    * full corpus verdict: (vec_id, cell, kept).
+    *
+    * Vs [[embeddingDedup]]: hyperplane buckets block on SIGN
+    * structure (near-dups must agree on every plane), k-means cells
+    * block on learned density structure — the paper's point is that
+    * semantic duplicates concentrate inside trained clusters, so the
+    * pair join never leaves a cell.
+    *
+    * Scale: centroids are driver-held (K·dims literals) and cell
+    * assignment is the same zero-shuffle codegen argmax projection as
+    * [[knnIvfTrained]]; the only corpus-wide shuffle is the
+    * within-cell self-equi-join on `cell`. Per-cell pair volume is
+    * Σ|cell|² — `kCells` is the knob that bounds it (the paper runs
+    * ~100k clusters at web scale precisely so cells stay small; K
+    * scales with the corpus while per-cell work stays constant).
+    * Zero-norm vectors get sentinel cosine −2 (never a near-dup of
+    * anything, NaN-free in both engines).
+    */
+  def semanticDedup(embeddings: DataFrame, minCosBp: Long,
+      kCells: Int = 8, iterations: Int = 2): DataFrame = {
+    val q = quantized(embeddings)
+    val cent = kmeansCentroids(q.select("vec_id", "v", "norm2"), kCells, iterations)
+    // Zero-norm vectors can't rank cells by cosine (0/0 — an ANSI
+    // divide-by-zero): give them a constant score so the argmin falls
+    // through to the c_id tie-break, the lowest cell id — exactly
+    // where the oracle's NaN-sorts-first ORDER BY lands them.
+    val cellScores = cent.map { case (cId, cv, cn2) =>
+      struct(when(col("norm2") === 0 || lit(cn2) === 0, lit(2.0))
+        .otherwise(lit(-1.0) *
+          cosine(typedLit(cv), col("v"), lit(cn2), col("norm2")))
+        .as("nc"), lit(cId).as("c_id"))
+    }
+    val assigned = q
+      .withColumn("cell", array_min(array(cellScores: _*)).getField("c_id"))
+      .select("vec_id", "v", "norm2", "cell")
+    val x = assigned.as("x"); val y = assigned.as("y")
+    val dropped = x.join(y, col("x.cell") === col("y.cell")
+        && col("y.vec_id") < col("x.vec_id"))
+      .withColumn("cos",
+        when(col("x.norm2") === 0 || col("y.norm2") === 0, lit(-2.0))
+          .otherwise(cosine(col("x.v"), col("y.v"),
+            col("x.norm2"), col("y.norm2"))))
+      .filter(round(col("cos") * 10000, 0).cast("long") >= minCosBp)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("is_dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("is_dropped").isNull.cast("long").as("kept"))
+  }
+
   /** Embedding near-dup pairs: LSH-bucket blocking + exact cosine
     * verify — the scale path for pairwise similarity (no O(n²) join).
     */

@@ -616,6 +616,65 @@ object Dedup {
         s => s.getField("line")), " ")).as("kept_hash"))
   }
 
+  /** Cross-document repeated-span detection — the Spark re-expression
+    * of suffix-array exact substring dedup ("Deduplicating Training
+    * Data Makes Language Models Better": memorized spans repeat
+    * VERBATIM across documents at sub-document granularity, below
+    * what doc-level minhash sees and across doc boundaries where
+    * line dedup can't look). A suffix array is a single sorted
+    * in-memory structure with no distributed analogue; the relational
+    * re-expression slides a `w`-token window (stride `stride`) over
+    * each doc's token-hash array and keys every window by its
+    * polynomial rolling hash — two windows share a key iff their
+    * token sequences collide (60→20-bit token hashes mod 2^31−1:
+    * over-flag-only, the standard lossy-curation tolerance).
+    *
+    * Output per doc: total windows, windows whose span occurs again
+    * anywhere in the corpus (`n_dup_windows`), and windows whose span
+    * occurs in at least one OTHER doc (`n_xdoc_windows` — the
+    * memorization signal). Docs shorter than one window report zeros.
+    *
+    * Scale: window generation is a pure projection (array transform
+    * inside codegen — no self-join, no per-token explode of raw
+    * text); the exploded (doc_id, pos, h) table is `n_toks/stride`
+    * rows per doc — the honest cost of substring-level dedup; stride
+    * thins it when full coverage isn't needed. Stats come from
+    * `groupBy(h, doc_id)` then `groupBy(h)`, both partial-aggregating
+    * map-side, so a corpus-wide boilerplate span (license header,
+    * nav chrome) collapses per map task instead of flooding one
+    * reducer; the decision join is an equi-join on `h`
+    * (AQE-skew-splittable) against the already-collapsed per-doc
+    * table, never against raw windows.
+    */
+  def repeatedSpans(docs: DataFrame, w: Int = 8, stride: Int = 1): DataFrame = {
+    val th = transform(split(normText(col("text")), " "), t => hexHash20(t))
+    val base = docs.select(col("doc_id"), th.as("th"))
+      .withColumn("n_toks", size(col("th")))
+    val wins = base.filter(col("n_toks") >= w)
+      .select(col("doc_id"), explode(transform(
+        // (n_toks - w) >= 0 here, so double-divide + int cast is floor
+        sequence(lit(0), ((col("n_toks") - w) / stride).cast("int")),
+        i => struct((i * stride).cast("long").as("pos"),
+          aggregate(slice(col("th"), i * stride + 1, lit(w)), lit(0L),
+            (acc, h) => (acc * 31L + h) % 2147483647L).as("h")))).as("wn"))
+      .select(col("doc_id"), col("wn.pos").as("pos"), col("wn.h").as("h"))
+    val perDoc = wins.groupBy("h", "doc_id").agg(count(lit(1)).as("n_in_doc"))
+    val stats = perDoc.groupBy("h")
+      .agg(sum("n_in_doc").as("n_occ"), count(lit(1)).as("n_docs"))
+    val rolled = perDoc.join(stats, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sum("n_in_doc").as("n_windows"),
+        sum(when(col("n_occ") > 1, col("n_in_doc")).otherwise(0L))
+          .as("n_dup_windows"),
+        sum(when(col("n_docs") > 1, col("n_in_doc")).otherwise(0L))
+          .as("n_xdoc_windows"))
+    docs.select("doc_id").join(rolled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_xdoc_windows"), lit(0L)).as("n_xdoc_windows"))
+  }
+
   // ---- helpers ----
 
   /** doc_id + distinct k-shingles of the normalized text. Docs shorter

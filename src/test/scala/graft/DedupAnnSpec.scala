@@ -439,4 +439,50 @@ class DedupAnnSpec extends SparkSuite {
       (4L, 1L, 0L, 0L, 1L, h("")),
       (5L, 1L, 0L, 0L, 1L, h(""))))
   }
+
+  test("repeatedSpans: cross-doc shared span, within-doc repeat, short doc") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = Seq(
+      // doc 1 pos-0 window == doc 2 pos-1 window (cross-doc span)
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "zzz one two three four five six seven eight"),
+      (3L, "short text"), // < 8 tokens -> zero windows, still reported
+      // pos-0 and pos-8 windows identical (within-doc repeat only)
+      (4L, "a b c d e f g h a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(d, w = 8).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (1L, 2L, 1L, 1L),
+      (2L, 2L, 1L, 1L),
+      (3L, 0L, 0L, 0L),
+      (4L, 9L, 2L, 0L)))
+  }
+
+  test("semanticDedup: keep-first within cells, zero vector never dropped") {
+    val spark0 = spark
+    import spark0.implicits._
+    def e(d: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == d) scale else 0.0f)
+    val emb6 = Seq(
+      (0L, "a", e(0, 1.0f)),   // seed / keeper of the e0 direction
+      (1L, "b", e(1, 1.0f)),   // seed / keeper of the e1 direction
+      (2L, "a", e(0, 0.9f)),   // parallel to v0 (cos=1) -> dropped
+      (3L, "b", e(1, 0.8f)),   // parallel to v1 (cos=1) -> dropped
+      (4L, "c", e(2, 1.0f)),   // orthogonal to all -> kept
+      (5L, "z", Seq.fill(64)(0.0f)) // zero vector: sentinel -2 -> kept
+    ).toDF("vec_id", "label", "embedding")
+    val out = Ann.semanticDedup(emb6, minCosBp = 9000L,
+        kCells = 2, iterations = 1)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size === 6)
+    // parallel vectors share a cell by construction (identical cosine
+    // to every centroid) and the smaller id wins
+    assert(out(2L)._1 === out(0L)._1)
+    assert(out(3L)._1 === out(1L)._1)
+    assert(out.view.mapValues(_._2).toMap ===
+      Map(0L -> 1L, 1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+  }
 }
