@@ -394,6 +394,16 @@ object SparkEntry {
       Ann.knnQuantized(Tables.embeddings(s, dir), KnnQueries, 5)
         .orderBy("q_id", "rnk")),
 
+    // A8: product quantization — per-subspace codebooks, 12-bit codes
+    // with exact integer reconstruction error, and ADC top-k (distance
+    // tables + lookups, never per-pair dots)
+    "a_pq_codes" -> ((s, dir) =>
+      Ann.pqCodes(Tables.embeddings(s, dir)).orderBy("vec_id")),
+
+    "a_knn_pq" -> ((s, dir) =>
+      Ann.knnPq(Tables.embeddings(s, dir), KnnQueries, 5)
+        .orderBy("q_id", "rnk")),
+
     "t_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), 20)
         .orderBy(col("n_occurrences").desc, col("tok"))),
@@ -465,11 +475,24 @@ object SparkEntry {
           isBenchmark = col("doc_id") % 50 === 0)
         .orderBy("doc_id")),
 
+    // P4: the pipeline's lineage report — every doc attributed to the
+    // first stage that rejects it (same thresholds as p_curated_corpus)
+    "p_curation_audit" -> ((s, dir) =>
+      Pipelines.curationAudit(Tables.documents(s, dir), minQuality = 75,
+          langs = Seq("en"), minJaccardBp = NgramJaccardBp,
+          isBenchmark = col("doc_id") % 50 === 0)
+        .orderBy("fate")),
+
     "t_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, dir)).orderBy("doc_id")),
 
     "t_perplexity_proxy" -> ((s, dir) =>
       TextAnalysis.perplexityProxy(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // T14: deterministic KMV distinct-token sketch per language + the
+    // corpus-wide merge — exact-match-checkable, unlike HLL
+    "t_kmv_distinct" -> ((s, dir) =>
+      Sketch.kmvDistinctTokens(Tables.documents(s, dir)).orderBy("grp")),
 
     "p_pack_sequences" -> ((s, dir) =>
       Curation.packSequences(Tables.documents(s, dir), budget = 256, shards = 8)
@@ -673,6 +696,70 @@ object SparkEntry {
   private val TokCte =
     """tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm)""".stripMargin
 
+  /** The curation pipeline's stage CTEs (keepers / quality / langp /
+    * contam / spl — mirrors Pipelines.curatedCorpus's per-stage
+    * operators), shared by the `p_curated_corpus` and
+    * `p_curation_audit` oracles so the two cannot drift apart.
+    * Assumes `norm`, `sh`, and `reach` are already in scope (NormCte,
+    * ShCte, ClusterCtes). Does NOT end in a comma.
+    */
+  private lazy val CurationStageCtes =
+    s"""labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+       |keepers AS (SELECT doc_id FROM labels WHERE doc_id = cluster_id),
+       |qm AS (
+       |  SELECT doc_id,
+       |    len(string_split(t, ' '))::BIGINT AS wc,
+       |    length(replace(t, ' ', ''))::BIGINT AS letters,
+       |    len(list_filter(string_split(t, ' '),
+       |      x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::BIGINT AS sw_hits,
+       |    length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::BIGINT AS alpha_len,
+       |    length(text)::BIGINT AS text_len
+       |  FROM norm
+       |),
+       |quality AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN wc BETWEEN 20 AND 1000 THEN 25 ELSE 0 END
+       |     + CASE WHEN (letters * 10 // wc) BETWEEN 30 AND 100 THEN 25 ELSE 0 END
+       |     + CASE WHEN sw_hits * 100 >= wc * 5 THEN 25 ELSE 0 END
+       |     + CASE WHEN alpha_len * 100 >= text_len * 60 THEN 25 ELSE 0 END)::INT AS score
+       |  FROM qm
+       |),
+       |$TokCte,
+       |markers(cand_lang, marker) AS (VALUES
+       |  ('en','the'),('en','a'),('en','and'),('en','of'),
+       |  ('de','der'),('de','und'),('de','das'),('de','die'),
+       |  ('fr','le'),('fr','et'),('fr','la'),('fr','les'),
+       |  ('es','el'),('es','y'),('es','los'),('es','de')),
+       |hits AS (
+       |  SELECT doc_id, cand_lang, count(*)::BIGINT AS n_hits
+       |  FROM tok JOIN markers ON tok = marker GROUP BY 1, 2
+       |),
+       |best AS (
+       |  SELECT doc_id, cand_lang FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY n_hits DESC, cand_lang) AS rn
+       |    FROM hits
+       |  ) WHERE rn = 1
+       |),
+       |langp AS (
+       |  SELECT d.doc_id, coalesce(b.cand_lang, 'und') AS pred_lang
+       |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+       |),
+       |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+       |contam AS (
+       |  SELECT doc_id FROM sh
+       |  WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM bench)
+       |  GROUP BY doc_id HAVING count(*) >= 3
+       |),
+       |spl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |        (('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100) AS b
+       |        FROM documents)
+       |)""".stripMargin
+
   /** MinHash → band → verify → connected-components chain over `sh`
     * (requires WITH RECURSIVE; mirrors Dedup.minhashLsh +
     * dedupClusters). Ends at `reach`; consumers derive labels/keepers.
@@ -848,6 +935,59 @@ object SparkEntry {
        |$chain,
        |${asg(iterations + 1, s"cent$iterations")}""".stripMargin
     (ctes, s"asg${iterations + 1}", s"cent$iterations")
+  }
+
+  /** Per-subspace k-means chains + final assignments for the PQ
+    * oracles (mirrors Ann.pqCodebooks/pqEncoded: 4 × 16-dim slices,
+    * independent Lloyd's per slice). Returns (ctes, finalAsgNames,
+    * finalCentNames); assumes a CTE `q(vec_id, v)` with the
+    * milli-quantized 64-dim vectors is in scope.
+    */
+  private def pqCtes(k: Int, iterations: Int): (String, Seq[String], Seq[String]) = {
+    def dot(v: String, c: String) =
+      s"list_sum(list_transform(range(1,17), j -> $v[j::INT]*$c[j::INT]))"
+    def chain(s: Int): String = {
+      val lo = s * 16 + 1; val hi = s * 16 + 16
+      def asg(n: Int, cent: String) =
+        s"""pasg$s$n AS (
+           |  SELECT vec_id, v, norm2, c_id AS cluster, d FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn
+           |    FROM (
+           |      SELECT q2.vec_id, q2.v, q2.norm2, c.c_id,
+           |             (q2.norm2 - 2*${dot("q2.v", "c.cv")} + c.cn2)::BIGINT AS d
+           |      FROM sub$s q2, $cent c
+           |    )
+           |  ) WHERE rn = 1
+           |)"""
+      def cent(n: Int) =
+        s"""pcent$s$n AS (
+           |  SELECT c_id, cv, list_sum(list_transform(cv, x -> x*x))::BIGINT AS cn2
+           |  FROM (
+           |    SELECT cluster AS c_id, list(comp ORDER BY dim) AS cv FROM (
+           |      SELECT cluster, dim, (sum(comp)::BIGINT // count(*)::BIGINT)::BIGINT AS comp
+           |      FROM (SELECT cluster, r.dim, v[(r.dim+1)::INT] AS comp
+           |            FROM pasg$s$n, range(0, 16) r(dim))
+           |      GROUP BY cluster, dim
+           |    ) GROUP BY cluster
+           |  )
+           |)"""
+      val base =
+        s"""sub$s AS (
+           |  SELECT vec_id, v[$lo:$hi] AS v,
+           |         (list_sum(list_transform(v[$lo:$hi], x -> x*x)))::BIGINT AS norm2
+           |  FROM q
+           |),
+           |pcent${s}0 AS (
+           |  SELECT vec_id::BIGINT AS c_id, v AS cv, norm2 AS cn2 FROM sub$s
+           |  WHERE vec_id < $k
+           |)"""
+      (Seq(base) ++ (1 to iterations)
+        .map(i => asg(i, s"pcent$s${i - 1}") + ",\n" + cent(i))
+        :+ asg(iterations + 1, s"pcent$s$iterations")).mkString(",\n")
+    }
+    ((0 until 4).map(chain).mkString(",\n").stripMargin,
+      (0 until 4).map(s => s"pasg$s${iterations + 1}"),
+      (0 until 4).map(s => s"pcent$s$iterations"))
   }
 
   /** Quantized embeddings + hyperplane buckets (mirrors Ann.bucketed). */
@@ -1211,6 +1351,67 @@ object SparkEntry {
          |  FROM scored
          |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
+    // PQ codes: 4 independent 16-dim k-means chains; recon_err is the
+    // exact integer sum of per-subspace assignment distances
+    "a_pq_codes" -> {
+      val (ctes, asgs, _) = pqCtes(k = Ann.PqK, iterations = 2)
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding, x -> round(x*1000)::BIGINT) AS v
+         |  FROM embeddings
+         |),
+         |$ctes
+         |SELECT a0.vec_id, a0.cluster AS c0, a1.cluster AS c1,
+         |       a2.cluster AS c2, a3.cluster AS c3,
+         |       (a0.d + a1.d + a2.d + a3.d)::BIGINT AS recon_err
+         |FROM ${asgs(0)} a0
+         |JOIN ${asgs(1)} a1 ON a1.vec_id = a0.vec_id
+         |JOIN ${asgs(2)} a2 ON a2.vec_id = a0.vec_id
+         |JOIN ${asgs(3)} a3 ON a3.vec_id = a0.vec_id
+         |ORDER BY a0.vec_id""".stripMargin
+    },
+
+    // ADC: per-query distance tables against each final codebook,
+    // pair distance = 4 c_id equi-join lookups (never a 64-dim dot)
+    "a_knn_pq" -> {
+      val (ctes, asgs, cents) = pqCtes(k = Ann.PqK, iterations = 2)
+      val qds = (0 until 4).map { s =>
+        s"""qd$s AS (
+           |  SELECT t.vec_id AS q_id, c.c_id,
+           |         (t.norm2 - 2*list_sum(list_transform(range(1,17),
+           |             j -> t.v[j::INT]*c.cv[j::INT])) + c.cn2)::BIGINT AS d
+           |  FROM sub$s t, ${cents(s)} c WHERE t.vec_id < $KnnQueries
+           |)"""
+      }.mkString(",\n")
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding, x -> round(x*1000)::BIGINT) AS v
+         |  FROM embeddings
+         |),
+         |$ctes,
+         |codes AS (
+         |  SELECT a0.vec_id, a0.cluster AS c0, a1.cluster AS c1,
+         |         a2.cluster AS c2, a3.cluster AS c3
+         |  FROM ${asgs(0)} a0
+         |  JOIN ${asgs(1)} a1 ON a1.vec_id = a0.vec_id
+         |  JOIN ${asgs(2)} a2 ON a2.vec_id = a0.vec_id
+         |  JOIN ${asgs(3)} a3 ON a3.vec_id = a0.vec_id
+         |),
+         |$qds,
+         |scored AS (
+         |  SELECT q0.q_id, x.vec_id, (q0.d + q1.d + q2.d + q3.d)::BIGINT AS est_d
+         |  FROM codes x
+         |  JOIN qd0 q0 ON q0.c_id = x.c0
+         |  JOIN qd1 q1 ON q1.c_id = x.c1 AND q1.q_id = q0.q_id
+         |  JOIN qd2 q2 ON q2.c_id = x.c2 AND q2.q_id = q0.q_id
+         |  JOIN qd3 q3 ON q3.c_id = x.c3 AND q3.q_id = q0.q_id
+         |  WHERE x.vec_id <> q0.q_id
+         |)
+         |SELECT q_id, rnk, neighbor_id, est_d FROM (
+         |  SELECT q_id, vec_id AS neighbor_id, est_d,
+         |         (row_number() OVER (PARTITION BY q_id ORDER BY est_d, vec_id))::INT AS rnk
+         |  FROM scored
+         |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+    },
+
     "t_top_tokens" ->
       s"""WITH $NormCte, $TokCte
          |SELECT tok, count(*)::BIGINT AS n_occurrences,
@@ -1341,61 +1542,7 @@ object SparkEntry {
     "p_curated_corpus" ->
       s"""WITH RECURSIVE $NormCte, $ShCte,
          |$ClusterCtes,
-         |labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
-         |keepers AS (SELECT doc_id FROM labels WHERE doc_id = cluster_id),
-         |qm AS (
-         |  SELECT doc_id,
-         |    len(string_split(t, ' '))::BIGINT AS wc,
-         |    length(replace(t, ' ', ''))::BIGINT AS letters,
-         |    len(list_filter(string_split(t, ' '),
-         |      x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::BIGINT AS sw_hits,
-         |    length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::BIGINT AS alpha_len,
-         |    length(text)::BIGINT AS text_len
-         |  FROM norm
-         |),
-         |quality AS (
-         |  SELECT doc_id,
-         |    (CASE WHEN wc BETWEEN 20 AND 1000 THEN 25 ELSE 0 END
-         |     + CASE WHEN (letters * 10 // wc) BETWEEN 30 AND 100 THEN 25 ELSE 0 END
-         |     + CASE WHEN sw_hits * 100 >= wc * 5 THEN 25 ELSE 0 END
-         |     + CASE WHEN alpha_len * 100 >= text_len * 60 THEN 25 ELSE 0 END)::INT AS score
-         |  FROM qm
-         |),
-         |$TokCte,
-         |markers(cand_lang, marker) AS (VALUES
-         |  ('en','the'),('en','a'),('en','and'),('en','of'),
-         |  ('de','der'),('de','und'),('de','das'),('de','die'),
-         |  ('fr','le'),('fr','et'),('fr','la'),('fr','les'),
-         |  ('es','el'),('es','y'),('es','los'),('es','de')),
-         |hits AS (
-         |  SELECT doc_id, cand_lang, count(*)::BIGINT AS n_hits
-         |  FROM tok JOIN markers ON tok = marker GROUP BY 1, 2
-         |),
-         |best AS (
-         |  SELECT doc_id, cand_lang FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY n_hits DESC, cand_lang) AS rn
-         |    FROM hits
-         |  ) WHERE rn = 1
-         |),
-         |langp AS (
-         |  SELECT d.doc_id, coalesce(b.cand_lang, 'und') AS pred_lang
-         |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
-         |),
-         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
-         |contam AS (
-         |  SELECT doc_id FROM sh
-         |  WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM bench)
-         |  GROUP BY doc_id HAVING count(*) >= 3
-         |),
-         |spl AS (
-         |  SELECT doc_id,
-         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
-         |         ELSE 'test' END AS split
-         |  FROM (SELECT doc_id,
-         |        (('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100) AS b
-         |        FROM documents)
-         |)
+         |$CurationStageCtes
          |SELECT d.doc_id, langp.pred_lang, quality.score, spl.split
          |FROM documents d
          |JOIN quality ON quality.doc_id = d.doc_id AND quality.score >= 75
@@ -1405,6 +1552,30 @@ object SparkEntry {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)
          |  AND d.doc_id % 50 <> 0
          |ORDER BY d.doc_id""".stripMargin,
+
+    // first-fail attribution over the SAME stage CTEs as the pipeline
+    // oracle (shared fragment — the two can't drift apart)
+    "p_curation_audit" ->
+      s"""WITH RECURSIVE $NormCte, $ShCte,
+         |$ClusterCtes,
+         |$CurationStageCtes,
+         |fates AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN q.score < 75 THEN 'fail_quality'
+         |         WHEN lp.pred_lang <> 'en' THEN 'fail_lang'
+         |         WHEN k.doc_id IS NULL THEN 'dup_dropped'
+         |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         |         WHEN d.doc_id % 50 = 0 THEN 'benchmark'
+         |         ELSE 'kept_' || spl.split END AS fate
+         |  FROM documents d
+         |  JOIN quality q ON q.doc_id = d.doc_id
+         |  JOIN langp lp ON lp.doc_id = d.doc_id
+         |  LEFT JOIN keepers k ON k.doc_id = d.doc_id
+         |  LEFT JOIN contam c ON c.doc_id = d.doc_id
+         |  JOIN spl ON spl.doc_id = d.doc_id
+         |)
+         |SELECT fate, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS id_sum
+         |FROM fates GROUP BY fate ORDER BY fate""".stripMargin,
 
     "t_fingerprint" ->
       s"""WITH $NormCte
@@ -2244,6 +2415,40 @@ object SparkEntry {
          |SELECT doc_id, count(*)::BIGINT AS n_tokens,
          |       (sum(inv)::BIGINT // count(*)::BIGINT)::BIGINT AS ppl_proxy
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // KMV sketch: k smallest distinct 60-bit token hashes per group;
+    // estimate = round((k-1)*2^60 / h_k) — one IEEE division + one
+    // HALF_UP round, bit-identical across engines. 255*2^60 is exactly
+    // representable (mantissa 255 < 2^53).
+    "t_kmv_distinct" -> {
+      val k = Sketch.KmvK
+      s"""WITH $NormCte,
+         |lh AS (
+         |  SELECT lang, ${sqlH60("tok")} AS h
+         |  FROM (SELECT lang, unnest(string_split(t, ' ')) AS tok FROM norm)
+         |),
+         |d AS (
+         |  SELECT DISTINCT grp, h FROM (
+         |    SELECT lang AS grp, h FROM lh
+         |    UNION ALL SELECT 'ALL' AS grp, h FROM lh
+         |  )
+         |),
+         |r AS (
+         |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+         |  FROM d
+         |),
+         |ex AS (SELECT grp, count(*)::BIGINT AS n_exact FROM d GROUP BY grp),
+         |sk AS (
+         |  SELECT grp, count(*)::BIGINT AS k_actual, max(h) AS h_k
+         |  FROM r WHERE rn <= $k GROUP BY grp
+         |)
+         |SELECT sk.grp, ex.n_exact, sk.k_actual, sk.h_k,
+         |  CASE WHEN sk.k_actual < $k THEN sk.k_actual
+         |       ELSE round(((${k - 1}::BIGINT * 1152921504606846976)::DOUBLE)
+         |                  / sk.h_k::DOUBLE)::BIGINT END AS distinct_est
+         |FROM sk JOIN ex ON sk.grp = ex.grp
+         |ORDER BY sk.grp""".stripMargin
+    },
 
     "d_incremental_dedup" -> IncrementalDedupSql,
     "d_incremental_dedup_indexed" -> IncrementalDedupSql,

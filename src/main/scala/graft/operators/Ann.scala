@@ -393,6 +393,111 @@ object Ann {
         expr("n * 10000 div n_vecs").as("purity_bp"))
   }
 
+  /** Product-quantization layout: PqM subspaces of PqSubDims dims,
+    * PqK centroids per subspace codebook → PqM·log2(PqK) bits per
+    * vector (4 subspaces × 3 bits = 12 bits vs 64×8 bytes for int8 —
+    * the compression regime past scalar quantization).
+    */
+  val PqM = 4
+  val PqSubDims = 16
+  val PqK = 8
+
+  private def subvec(v: Column, s: Int): Column =
+    slice(v, s * PqSubDims + 1, PqSubDims)
+
+  /** Per-subspace PQ codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): Lloyd's k-means run
+    * independently on each 16-dim slice of the milli-quantized
+    * corpus — [[kmeansCentroids]] is dimension-generic, so each
+    * subspace reuses the exact bit-reproducible training loop
+    * (driver-held centroids, zero-shuffle assignment, floor-quantized
+    * update). Returns PqM codebooks of (c_id, components, norm²).
+    */
+  def pqCodebooks(embeddings: DataFrame, k: Int = PqK,
+      iterations: Int = 2): Seq[Seq[(Long, Seq[Long], Long)]] = {
+    val q = quantized(embeddings)
+    (0 until PqM).map { s =>
+      val sv = subvec(col("v"), s)
+      kmeansCentroids(q.select(col("vec_id"), sv.as("v"),
+        VecOps.intDot(sv, sv).as("norm2")), k, iterations)
+    }
+  }
+
+  private def pqEncoded(embeddings: DataFrame,
+      books: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame = {
+    val q = quantized(embeddings)
+    books.zipWithIndex.foldLeft(q.select(col("vec_id"), col("v"))) {
+      case (df, (cent, s)) =>
+        val sv = subvec(col("v"), s)
+        val sn = VecOps.intDot(sv, sv)
+        val scored = cent.map { case (cId, cv, cn2) =>
+          struct((sn - lit(2L) * VecOps.intDot(sv, typedLit(cv)) + lit(cn2))
+            .as("d"), lit(cId).as("c_id"))
+        }
+        df.withColumn(s"best$s", array_min(array(scored: _*)))
+          .withColumn(s"c$s", col(s"best$s").getField("c_id"))
+          .withColumn(s"d$s", col(s"best$s").getField("d"))
+          .drop(s"best$s")
+    }
+  }
+
+  /** PQ codes + the exact integer reconstruction error
+    * Σ_s ‖v_s − cent_s[c_s]‖² (the PQ analogue of
+    * [[int8QuantAudit]]'s round-trip error — what the 170×
+    * compression pays, exactly, per vector). Encoding is a pure
+    * zero-shuffle codegen projection: per subspace an argmin over
+    * PqK·PqSubDims literal longs, the same shape as [[kmeansAssign]].
+    */
+  def pqCodes(embeddings: DataFrame, k: Int = PqK,
+      iterations: Int = 2): DataFrame = {
+    pqEncoded(embeddings, pqCodebooks(embeddings, k, iterations))
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        (col("d0") + col("d1") + col("d2") + col("d3")).as("recon_err"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over the PQ codes: each query
+    * precomputes ONE distance table per subspace (PqK exact integer
+    * squared-L2 entries against its own uncompressed subvector), and
+    * a corpus vector's estimated distance is then PqM table LOOKUPS —
+    * `element_at` on a per-query map literal-keyed by codebook id —
+    * never a per-pair dot product. That lookup trick is the entire
+    * point of PQ at 100 TB: the scan touches only the 12-bit codes,
+    * compute per pair is O(M) adds, and the codebooks/query tables
+    * are driver-scale broadcast state. Keyed by c_id (not array
+    * position) so a codebook that lost a cluster during training
+    * still looks up correctly — same robustness as the oracle's
+    * c_id equi-join.
+    */
+  def knnPq(embeddings: DataFrame, numQueries: Int, k: Int,
+      pqK: Int = PqK, iterations: Int = 2): DataFrame = {
+    val books = pqCodebooks(embeddings, pqK, iterations)
+    val codes = pqEncoded(embeddings, books)
+      .select("vec_id", "c0", "c1", "c2", "c3")
+    val q = quantized(embeddings)
+    val queries = books.zipWithIndex.foldLeft(
+        q.filter(col("vec_id") < numQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))) {
+      case (df, (cent, s)) =>
+        val sv = subvec(col("qv"), s)
+        val sn = VecOps.intDot(sv, sv)
+        df.withColumn(s"qd$s", map_from_arrays(
+          typedLit(cent.map(_._1)),
+          array(cent.map { case (_, cv, cn2) =>
+            sn - lit(2L) * VecOps.intDot(sv, typedLit(cv)) + lit(cn2)
+          }: _*)))
+    }.drop("qv")
+    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("est_d",
+        element_at(col("qd0"), col("c0")) + element_at(col("qd1"), col("c1"))
+          + element_at(col("qd2"), col("c2"))
+          + element_at(col("qd3"), col("c3")))
+    val w = Window.partitionBy("q_id").orderBy(col("est_d"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("est_d"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * corpus embeddings with trained k-means, then within each cluster
     * drop every vector that has a SMALLER-id near-duplicate at

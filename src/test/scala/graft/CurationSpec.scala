@@ -236,4 +236,61 @@ class CurationSpec extends SparkSuite {
       .queryExecution.executedPlan.toString.linesIterator.size
     assert(lines(1) === lines(3))
   }
+
+  test("kmvDistinctTokens: exact reference, estimate formula, ALL = merge") {
+    import graft.operators.Sketch
+    val k = 8
+    val out = Sketch.kmvDistinctTokens(docs, k).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // driver-side reference over the collected distinct (lang, h) set
+    val lh = docs.select(col("lang"),
+        explode(split(Portable.normText(col("text")), " ")).as("tok"))
+      .select(col("lang"), Portable.hexHash60(col("tok")).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val byLang = lh.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted.toSeq).toMap
+    val all = lh.map(_._2).distinct.sorted.toSeq
+    def expect(hs: Seq[Long]) = {
+      val kmin = hs.take(k)
+      val est = if (kmin.size < k) kmin.size.toLong
+        else math.round((k - 1).toDouble * math.pow(2, 60) / kmin.last.toDouble)
+      (hs.size.toLong, kmin.size.toLong, kmin.last, est)
+    }
+    assert(out.keySet === byLang.keySet + "ALL")
+    (byLang + ("ALL" -> all)).foreach { case (g, hs) =>
+      assert(out(g) === expect(hs), s"group $g")
+    }
+    // the estimate branch (k_actual == k) is actually exercised
+    assert(out.values.exists(_._2 == k.toLong))
+    // mergeability: k smallest of the concatenated per-lang sketches
+    // IS the corpus sketch
+    val merged = byLang.values.flatMap(_.take(k)).toSeq.distinct.sorted.take(k)
+    assert(merged === all.take(k))
+  }
+
+  test("curationAudit: fates partition the corpus; kept set == curatedCorpus") {
+    import graft.operators.Pipelines
+    val bench = col("doc_id") % 50 === 0
+    val audit = Pipelines.curationAudit(docs, minQuality = 75,
+        langs = Seq("en"), minJaccardBp = 5000L, isBenchmark = bench)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exactly one fate per doc — counts partition the corpus, and the
+    // id sums partition the id mass (content, not just cardinality)
+    assert(audit.values.map(_._1).sum === docs.count())
+    val ids = docs.select(sum("doc_id")).head.getLong(0)
+    assert(audit.values.map(_._2).sum === ids)
+    // the kept_* rows reproduce the pipeline's survivor set
+    val kept = Pipelines.curatedCorpus(docs, minQuality = 75,
+        langs = Seq("en"), minJaccardBp = 5000L, isBenchmark = bench)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.nonEmpty)
+    Seq("train", "validation", "test").foreach { s =>
+      val ks = kept.filter(_._2 == s).map(_._1)
+      val (n, idSum) = audit.getOrElse(s"kept_$s", (0L, 0L))
+      assert(n === ks.length.toLong, s"kept_$s count")
+      assert(idSum === ks.sum, s"kept_$s id_sum")
+    }
+  }
 }

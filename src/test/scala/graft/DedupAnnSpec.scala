@@ -460,6 +460,39 @@ class DedupAnnSpec extends SparkSuite {
       (4L, 9L, 2L, 0L)))
   }
 
+  test("PQ: codes are per-subspace argmins; ADC distances match a driver reference") {
+    val books = Ann.pqCodebooks(emb)
+    val vecs = Ann.quantized(emb).select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def sub(v: Array[Long], s: Int) = v.slice(s * 16, s * 16 + 16)
+    def d2(a: Array[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val codes = Ann.pqCodes(emb).collect()
+      .map(r => r.getLong(0) ->
+        (Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+          r.getLong(5))).toMap
+    assert(codes.size === vecs.size)
+    vecs.foreach { case (id, v) =>
+      val (cs, err) = codes(id)
+      val expect = (0 until 4).map { s =>
+        books(s).map { case (cId, cv, _) => (d2(sub(v, s), cv), cId) }.min
+      }
+      assert(cs === expect.map(_._2), s"vec $id codes")
+      assert(err === expect.map(_._1).sum, s"vec $id recon_err")
+    }
+    // every reported ADC distance is exactly the 4-table-lookup sum
+    val knn = Ann.knnPq(emb, 3, 5).collect()
+    assert(knn.length === 15)
+    knn.foreach { r =>
+      val (q, n, est) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val est2 = (0 until 4).map { s =>
+        val code = codes(n)._1(s)
+        d2(sub(vecs(q), s), books(s).find(_._1 == code).get._2)
+      }.sum
+      assert(est === est2, s"query $q neighbor $n")
+    }
+  }
+
   test("semanticDedup: keep-first within cells, zero vector never dropped") {
     val spark0 = spark
     import spark0.implicits._
