@@ -218,6 +218,61 @@ class PlanAuditSpec extends SparkSuite {
     assert(cents.size === 8)
   }
 
+  test("repeated spans: no cartesian, no window; stats partial-aggregate") {
+    // window generation must be a projection (transform over the token
+    // array) and occurrence stats a groupBy chain — a Window over the
+    // exploded table or any non-equi join would be the scale-killer
+    val p = plan(SparkEntry.queries("d_repeated_spans")(spark, sf))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("partial_"), p.take(2000))
+  }
+
+  test("semantic dedup: cell assignment is literal-argmax; pair join is equi on cell") {
+    val p = plan(SparkEntry.queries("d_semantic_dedup")(spark, sf))
+    // within-cell pairs come from an equi-join on the cell id — an
+    // all-pairs formulation would plan a CartesianProduct
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // assignment itself must not re-key the corpus per centroid: the
+    // only shuffles are the pair equi-join + dropped-set distinct +
+    // final order — bounded regardless of kCells
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 6, s"$exchanges exchanges:\n${p.take(2500)}")
+  }
+
+  test("PQ: encoding is a pure projection; ADC scan never dots the corpus") {
+    // pqCodes = 4 literal-argmin subspace assignments on one scan —
+    // zero exchanges except the output sort
+    val books = graft.operators.Ann.pqCodebooks(
+      graft.sources.Tables.embeddings(spark, sf))
+    assert(books.size === 4)
+    val p = plan(SparkEntry.queries("a_pq_codes")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val nonSortEx = p.linesIterator.count(l =>
+      l.trim.startsWith("+- Exchange") && !l.contains("rangepartitioning"))
+    assert(nonSortEx === 0, s"$nonSortEx exchanges:\n${p.take(2500)}")
+    // ADC: the corpus side joins the broadcast query tables and looks
+    // distances up — the 64-dim corpus vector column must not survive
+    // into the join (the whole point: the scan touches codes only)
+    val pk = plan(SparkEntry.queries("a_knn_pq")(spark, sf))
+    assert(!pk.contains("CartesianProduct"), pk.take(2000))
+    assert(pk.contains("BroadcastHashJoin")
+      || pk.contains("BroadcastNestedLoopJoin"), pk.take(2000))
+  }
+
+  test("KMV sketch: k-th minimum never funnels a group through one task") {
+    // the two-level rank skeleton: range partition + per-(pid, grp)
+    // windows; a single Window partitioned only by grp would put the
+    // hot ALL group (every distinct hash) on one task
+    val p = plan(SparkEntry.queries("t_kmv_distinct")(spark, sf))
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p.take(2000))
+    val rankWindow = windows.find(_.contains("row_number"))
+    assert(rankWindow.exists(_.contains("pid")),
+      s"local rank must partition by (pid, grp):\n${rankWindow.getOrElse("")}")
+  }
+
   test("pack sequences: prefix-sum windows never funnel through one partition") {
     // the round-6 cure for the single-task-per-shard sort: both window
     // levels partition by (shard[, blk]) — a SinglePartition exchange
