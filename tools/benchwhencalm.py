@@ -31,7 +31,9 @@ PROBE_TIMEOUT = 300          # calm probe ~95 s (+ the untimed warmup pass
                              # would still blow this
 PROBE_DEDUP_MAX = 16.0       # calm warm median ~8-12 s
 PROBE_KMEANS_MAX = 9.0       # calm warm median ~5-7 s
-MAX_SANE_TOTAL = 140.0       # calm full suite ~110-120 s
+MAX_SANE_TOTAL = 155.0       # calm 80-query suite was ~110-120 s; r10 adds
+                             # 8 queries (PQ/int8 ANN, KMV, repeated spans,
+                             # semantic dedup, curation audit) ~+15-25 s calm
 COOLDOWN = 240
 SF = calmbench.SF
 OUT = calmbench.OUT
