@@ -508,6 +508,15 @@ object SparkEntry {
       Curation.incrementalDedup(Tables.documents(s, dir), batchMod = 4)
         .orderBy("doc_id")),
 
+    // D13: same semantics (and same oracle) as d_incremental_dedup,
+    // but the corpus key set meets the batch as a broadcast Bloom
+    // bitmap probe (pure projection); only Bloom-positive rows reach
+    // the exact anti-join. Result-identical by construction — the
+    // filter has no false negatives and the exact join eats the FPs.
+    "d_bloom_dedup" -> ((s, dir) =>
+      Curation.bloomGuardedDedup(Tables.documents(s, dir), batchMod = 4)
+        .orderBy("doc_id")),
+
     "a_kmeans_train" -> ((s, dir) =>
       Ann.kmeansTrain(Tables.embeddings(s, dir), k = 8, iterations = 2)
         .orderBy("cluster")),
@@ -2452,6 +2461,7 @@ object SparkEntry {
 
     "d_incremental_dedup" -> IncrementalDedupSql,
     "d_incremental_dedup_indexed" -> IncrementalDedupSql,
+    "d_bloom_dedup" -> IncrementalDedupSql,
 
     "a_kmeans_train" -> kmeansSql(k = 8, iterations = 2),
     "a_kmeans_train_iter10" -> kmeansSql(k = 8, iterations = 10),

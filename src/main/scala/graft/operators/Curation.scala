@@ -192,12 +192,101 @@ object Curation {
     * corpus key set (package-visible for the streaming ingest, which
     * must interleave the output write between election and index add).
     */
-  private[graft] def dedupBatch(keyed: DataFrame, corpusKeys: DataFrame): DataFrame = {
+  private[graft] def dedupBatch(keyed: DataFrame, corpusKeys: DataFrame): DataFrame =
+    electBatch(keyed).join(corpusKeys, Seq("k"), "left_anti")
+
+  /** The within-batch half of [[dedupBatch]]: min-doc_id representative
+    * per key plus the batch-dup count (shared with the Bloom-guarded
+    * form, which routes representatives by filter verdict before any
+    * corpus join).
+    */
+  private[graft] def electBatch(keyed: DataFrame): DataFrame = {
     val w = Window.partitionBy("k").orderBy("doc_id")
     keyed
       .withColumn("rn", row_number().over(w))
       .withColumn("n_batch_dupes", count(lit(1)).over(Window.partitionBy("k")))
       .filter(col("rn") === 1)
+  }
+
+  /** Bloom-guarded incremental dedup — result-identical to
+    * [[incrementalDedup]] (same election, same corpus semantics, so it
+    * shares the same oracle), but the batch never meets the corpus key
+    * set in a full anti-join. The corpus keys fold into a Bloom bitmap
+    * (`2^log2m` bits as `2^log2m / 64` word-indexed longs, built by one
+    * partial-aggregating `groupBy(word) → bit_or` whose shuffle volume
+    * is partitions × words — metadata, not data), the bitmap rides a
+    * one-row broadcast into the batch, and the membership probe is a
+    * PURE PROJECTION (`kHashes` double-hashed positions, word lookup +
+    * bit test per position, all inside codegen). Bloom-negative rows
+    * are DEFINITELY new — they skip the corpus entirely; only
+    * Bloom-positive rows (true dups + the false-positive rate
+    * ≈ (1−e^(−kn/m))^k) reach the exact left-anti equi-join, so the
+    * join's shuffle volume is bounded by the true-dup volume, not the
+    * batch.
+    *
+    * That is the 100 TB ingest shape: the filter state is bytes-per-key
+    * (m/n ≈ 10 bits/key at 1% FP — a 10^10-key corpus is ~12 GB of
+    * bitmap, sliceable by key range into per-slice bitmaps when one
+    * broadcast would be too fat), while the D9 form shuffles the full
+    * batch against the full key index on every ingest. No false
+    * negatives by construction (build and probe share the position
+    * family), so the exact join behind the filter makes the composite
+    * EXACTLY equal to D9 — false positives only cost work, never
+    * correctness.
+    *
+    * Double hashing (Kirsch–Mitzenmacher): with m a power of two,
+    * pos_i = (h1 + i·h2) mod m where h1 = low bits of the 60-bit key,
+    * h2 = (next bits | 1) — odd, hence coprime with m, a full-period
+    * probe sequence. All integer, engine-portable.
+    */
+  def bloomGuardedDedup(docs: DataFrame, batchMod: Int = 4,
+      log2m: Int = 16, kHashes: Int = 4): DataFrame = {
+    require(log2m >= 6 && log2m <= 40, s"log2m=$log2m out of range")
+    require(kHashes >= 1 && kHashes <= 16, s"kHashes=$kHashes out of range")
+    val mask = (1L << log2m) - 1
+    def pos(key: org.apache.spark.sql.Column, i: Int) = {
+      val h1 = key.bitwiseAND(lit(mask))
+      val h2 = shiftright(key, log2m).bitwiseAND(lit(mask)).bitwiseOR(lit(1L))
+      (h1 + lit(i.toLong) * h2).bitwiseAND(lit(mask))
+    }
+    val keyed = docs.select(col("doc_id"),
+      hexHash60(normText(col("text"))).as("k"),
+      (hexHash20(col("doc_id").cast("string")) % batchMod === 0).as("is_new"))
+    val corpusKeys = keyed.filter(!col("is_new")).select("k").distinct()
+    // sparse bitmap as a single-row map(word -> 64-bit word); absent
+    // word = all-zero word. The final one-row aggregate funnels only
+    // m/64 entries — parameter-scale, like the k-means centroids.
+    val bloomRow = corpusKeys
+      .select(explode(array((0 until kHashes).map(i => pos(col("k"), i)): _*))
+        .as("p"))
+      .select(shiftright(col("p"), 6).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
+      .groupBy("word").agg(expr("bit_or(m)").as("bits"))
+      .agg(map_from_arrays(collect_list("word"), collect_list("bits"))
+        .as("bloom"))
+    // localCheckpoint the probed batch once: the verdict split below is
+    // two filters over the same frame, and without materialization each
+    // branch would re-scan the batch, re-run the election window, and
+    // re-build the bitmap (the plan literally doubles). Checkpointing
+    // at the smallest point — one row per distinct batch key, verdict
+    // attached — makes the split two trivial scans of cached
+    // partitions (same pattern as [[incrementalDedupIndexed]]).
+    val probed = (0 until kHashes).foldLeft(
+        electBatch(keyed.filter(col("is_new")).select("doc_id", "k"))
+          .select("doc_id", "k", "n_batch_dupes")
+          .crossJoin(broadcast(bloomRow))) { (df, i) =>
+      df.withColumn(s"p$i", pos(col("k"), i))
+        .withColumn(s"hit$i", expr(
+          s"(coalesce(element_at(bloom, p$i div 64), CAST(0 AS BIGINT)) & " +
+            s"shiftleft(CAST(1 AS BIGINT), CAST(p$i % 64 AS INT))) != 0"))
+    }.withColumn("might",
+        (0 until kHashes).map(i => col(s"hit$i")).reduce(_ && _))
+      .select("doc_id", "k", "n_batch_dupes", "might")
+      .localCheckpoint()
+    val definitelyNew = probed.filter(!col("might"))
+    val candidates = probed.filter(col("might"))
       .join(corpusKeys, Seq("k"), "left_anti")
+    definitelyNew.unionByName(candidates)
+      .select(col("doc_id"), col("n_batch_dupes"))
   }
 }

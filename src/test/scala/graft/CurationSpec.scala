@@ -105,6 +105,20 @@ class CurationSpec extends SparkSuite {
     assert(actual.nonEmpty)
   }
 
+  test("bloomGuardedDedup == incrementalDedup at both filter extremes") {
+    val expected = Curation.incrementalDedup(docs, batchMod = 4)
+    // default bitmap: most new keys are Bloom-negative and skip the
+    // corpus join entirely — the filter must introduce no false
+    // negatives (a lost survivor would show up here)
+    assert(sameRows(Curation.bloomGuardedDedup(docs, batchMod = 4), expected))
+    // degenerate 64-bit bitmap: ~every probe collides, so ~the whole
+    // batch routes through the exact anti-join — false positives must
+    // only cost work, never change the result
+    assert(sameRows(
+      Curation.bloomGuardedDedup(docs, batchMod = 4, log2m = 6, kHashes = 2),
+      expected))
+  }
+
   test("ScaleStress.synth rejects factors past the 26 distinct rotations") {
     // copies i and i+26 would be verbatim duplicates: the measurement
     // would silently run a quadratic workload and call the engine slow

@@ -55,6 +55,21 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("bloom dedup: one anti-join, gated on the verdict, off one materialized batch") {
+    val p = plan(graft.operators.Curation.bloomGuardedDedup(
+      graft.sources.Tables.documents(spark, sf)))
+    // the probe is a one-row broadcast (BNLJ allowed); a shuffled
+    // CartesianProduct would mean the bitmap stopped broadcasting
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // exactly one exact corpus join, fed only by the bloom-positive
+    // filter — the definite-new branch must bypass the corpus entirely
+    assert(p.linesIterator.count(_.contains("LeftAnti")) == 1, p.take(2000))
+    assert(p.contains("might"), p.take(2000))
+    // both verdict branches read the SAME checkpointed batch (election
+    // + bitmap probe ran once, not once per branch)
+    assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) == 2, p.take(2000))
+  }
+
   test("sample split is a pure projection: zero exchanges") {
     val p = plan(graft.functions.TextAnalysis.sampleSplit(
       graft.sources.Tables.documents(spark, sf)))
