@@ -404,6 +404,14 @@ object SparkEntry {
       Ann.knnPq(Tables.embeddings(s, dir), KnnQueries, 5)
         .orderBy("q_id", "rnk")),
 
+    // A9: IVFADC — trained coarse cells (A3/A5) × residual product
+    // quantization (A8): IVF bounds the scan (probes/kCells of the
+    // corpus per query), PQ bounds the bytes (12-bit codes); ADC
+    // tables are per-(query, probed-cell) against the query's residual
+    "a_knn_ivfpq" -> ((s, dir) =>
+      Ann.knnIvfPq(Tables.embeddings(s, dir), KnnQueries, 5, probes = 2)
+        .orderBy("q_id", "rnk")),
+
     "t_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), 20)
         .orderBy(col("n_occurrences").desc, col("tok"))),
@@ -952,7 +960,8 @@ object SparkEntry {
     * finalCentNames); assumes a CTE `q(vec_id, v)` with the
     * milli-quantized 64-dim vectors is in scope.
     */
-  private def pqCtes(k: Int, iterations: Int): (String, Seq[String], Seq[String]) = {
+  private def pqCtes(k: Int, iterations: Int,
+      src: String = "q"): (String, Seq[String], Seq[String]) = {
     def dot(v: String, c: String) =
       s"list_sum(list_transform(range(1,17), j -> $v[j::INT]*$c[j::INT]))"
     def chain(s: Int): String = {
@@ -984,7 +993,7 @@ object SparkEntry {
         s"""sub$s AS (
            |  SELECT vec_id, v[$lo:$hi] AS v,
            |         (list_sum(list_transform(v[$lo:$hi], x -> x*x)))::BIGINT AS norm2
-           |  FROM q
+           |  FROM $src
            |),
            |pcent${s}0 AS (
            |  SELECT vec_id::BIGINT AS c_id, v AS cv, norm2 AS cn2 FROM sub$s
@@ -1412,6 +1421,65 @@ object SparkEntry {
          |  JOIN qd1 q1 ON q1.c_id = x.c1 AND q1.q_id = q0.q_id
          |  JOIN qd2 q2 ON q2.c_id = x.c2 AND q2.q_id = q0.q_id
          |  JOIN qd3 q3 ON q3.c_id = x.c3 AND q3.q_id = q0.q_id
+         |  WHERE x.vec_id <> q0.q_id
+         |)
+         |SELECT q_id, rnk, neighbor_id, est_d FROM (
+         |  SELECT q_id, vec_id AS neighbor_id, est_d,
+         |         (row_number() OVER (PARTITION BY q_id ORDER BY est_d, vec_id))::INT AS rnk
+         |  FROM scored
+         |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+    },
+
+    // IVFADC: coarse k-means chain -> residuals -> PQ chains trained on
+    // the residuals (src = "res") -> per-(query, probed-cell) ADC
+    "a_knn_ivfpq" -> {
+      val (kctes, kasg, kcent) = kmeansCtes(k = 8, iterations = 2)
+      val (pctes, pasgs, pcents) = pqCtes(k = Ann.PqK, iterations = 2, src = "res")
+      val qds = (0 until 4).map { s =>
+        val off = s * 16
+        s"""qd$s AS (
+           |  SELECT p.q_id, p.cell, c.c_id,
+           |         (list_sum(list_transform(range(1,17),
+           |             j -> p.qres[(j + $off)::INT]*p.qres[(j + $off)::INT]))
+           |          - 2*list_sum(list_transform(range(1,17),
+           |             j -> p.qres[(j + $off)::INT]*c.cv[j::INT]))
+           |          + c.cn2)::BIGINT AS d
+           |  FROM probed p, ${pcents(s)} c
+           |)"""
+      }.mkString(",\n")
+      s"""$kctes,
+         |res AS (
+         |  SELECT a.vec_id, list_transform(range(1,65), j -> a.v[j::INT] - c.cv[j::INT]) AS v
+         |  FROM $kasg a JOIN $kcent c ON a.cluster = c.c_id
+         |),
+         |cellof AS (SELECT vec_id, cluster AS cell FROM $kasg),
+         |$pctes,
+         |codes AS (
+         |  SELECT a0.vec_id, co.cell, a0.cluster AS c0, a1.cluster AS c1,
+         |         a2.cluster AS c2, a3.cluster AS c3
+         |  FROM ${pasgs(0)} a0
+         |  JOIN ${pasgs(1)} a1 ON a1.vec_id = a0.vec_id
+         |  JOIN ${pasgs(2)} a2 ON a2.vec_id = a0.vec_id
+         |  JOIN ${pasgs(3)} a3 ON a3.vec_id = a0.vec_id
+         |  JOIN cellof co ON co.vec_id = a0.vec_id
+         |),
+         |qcells AS (
+         |  SELECT qn.vec_id AS q_id, c.c_id AS cell,
+         |         row_number() OVER (PARTITION BY qn.vec_id
+         |           ORDER BY (qn.norm2 - 2*list_sum(list_transform(range(1,65),
+         |             j -> qn.v[j::INT]*c.cv[j::INT])) + c.cn2), c.c_id) AS crn,
+         |         list_transform(range(1,65), j -> qn.v[j::INT] - c.cv[j::INT]) AS qres
+         |  FROM qn, $kcent c WHERE qn.vec_id < $KnnQueries
+         |),
+         |probed AS (SELECT q_id, cell, qres FROM qcells WHERE crn <= 2),
+         |$qds,
+         |scored AS (
+         |  SELECT q0.q_id, x.vec_id, (q0.d + q1.d + q2.d + q3.d)::BIGINT AS est_d
+         |  FROM codes x
+         |  JOIN qd0 q0 ON q0.c_id = x.c0 AND q0.cell = x.cell
+         |  JOIN qd1 q1 ON q1.c_id = x.c1 AND q1.q_id = q0.q_id AND q1.cell = q0.cell
+         |  JOIN qd2 q2 ON q2.c_id = x.c2 AND q2.q_id = q0.q_id AND q2.cell = q0.cell
+         |  JOIN qd3 q3 ON q3.c_id = x.c3 AND q3.q_id = q0.q_id AND q3.cell = q0.cell
          |  WHERE x.vec_id <> q0.q_id
          |)
          |SELECT q_id, rnk, neighbor_id, est_d FROM (

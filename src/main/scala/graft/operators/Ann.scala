@@ -414,19 +414,35 @@ object Ann {
     * update). Returns PqM codebooks of (c_id, components, norm²).
     */
   def pqCodebooks(embeddings: DataFrame, k: Int = PqK,
-      iterations: Int = 2): Seq[Seq[(Long, Seq[Long], Long)]] = {
-    val q = quantized(embeddings)
+      iterations: Int = 2): Seq[Seq[(Long, Seq[Long], Long)]] =
+    pqCodebooksFromQ(quantized(embeddings), k, iterations)
+
+  /** [[pqCodebooks]] over an already-integer vector column `v` keyed by
+    * `vec_id` — lets the IVFADC path train the product quantizer on
+    * coarse-cell RESIDUALS instead of raw vectors (the codebooks only
+    * ever see 16-dim slices; what the slices are slices OF is the
+    * caller's choice).
+    */
+  def pqCodebooksFromQ(q: DataFrame, k: Int = PqK,
+      iterations: Int = 2): Seq[Seq[(Long, Seq[Long], Long)]] =
     (0 until PqM).map { s =>
       val sv = subvec(col("v"), s)
       kmeansCentroids(q.select(col("vec_id"), sv.as("v"),
         VecOps.intDot(sv, sv).as("norm2")), k, iterations)
     }
-  }
 
   private def pqEncoded(embeddings: DataFrame,
+      books: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame =
+    pqEncodedFromQ(quantized(embeddings).select(col("vec_id"), col("v")), books)
+
+  /** Per-subspace argmin encoding over an arbitrary integer vector
+    * column `v` (all other columns ride along): adds c0..c3 code and
+    * d0..d3 per-subspace reconstruction-error columns. A pure
+    * zero-shuffle codegen projection, same shape as [[kmeansAssign]].
+    */
+  private def pqEncodedFromQ(q: DataFrame,
       books: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame = {
-    val q = quantized(embeddings)
-    books.zipWithIndex.foldLeft(q.select(col("vec_id"), col("v"))) {
+    books.zipWithIndex.foldLeft(q) {
       case (df, (cent, s)) =>
         val sv = subvec(col("v"), s)
         val sn = VecOps.intDot(sv, sv)
@@ -491,6 +507,76 @@ object Ann {
         element_at(col("qd0"), col("c0")) + element_at(col("qd1"), col("c1"))
           + element_at(col("qd2"), col("c2"))
           + element_at(col("qd3"), col("c3")))
+    val w = Window.partitionBy("q_id").orderBy(col("est_d"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("est_d"))
+  }
+
+  /** IVFADC (Jégou et al. 2011 §5): the composition of the trained
+    * coarse quantizer (A3/A5) with the product quantizer (A8) — THE
+    * web-scale ANN architecture. Corpus vectors are assigned to a
+    * trained coarse cell (zero-shuffle literal-argmin projection) and
+    * PQ-encode their RESIDUAL v − cent[cell] (one product quantizer
+    * pooled across cells, per the paper); a query ranks cells by exact
+    * coarse distance, and within each of its `probes` cells runs ADC
+    * over the 12-bit residual codes — per-(query, cell) distance
+    * tables against the query's own residual TO THAT CELL, corpus-side
+    * cost still PqM map lookups per candidate.
+    *
+    * Why both stages matter at 100 TB: IVF bounds the SCAN (only
+    * probes/kCells of the corpus is touched per query — the join is
+    * equi on cell, never corpus-wide), PQ bounds the BYTES (the
+    * scanned fraction is read as codes, ~170× smaller than vectors).
+    * All trained state (coarse centroids + codebooks + per-query
+    * tables) is driver/broadcast-scale. Residual encoding is what
+    * makes one shared codebook work across cells: residuals are
+    * centered regardless of which cell a vector landed in.
+    */
+  def knnIvfPq(embeddings: DataFrame, numQueries: Int, k: Int,
+      kCells: Int = 8, pqK: Int = PqK, iterations: Int = 2,
+      probes: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = quantized(embeddings)
+    val coarse = kmeansCentroids(q.select("vec_id", "v", "norm2"),
+      kCells, iterations)
+    val centMap = typedLit(coarse.map { case (c, cv, _) => c -> cv }.toMap)
+    val residuals = kmeansAssign(q.select("vec_id", "v", "norm2"), coarse)
+      .select(col("vec_id"), col("cluster").as("cell"),
+        zip_with(col("v"), element_at(centMap, col("cluster")),
+          (a, b) => a - b).as("v"))
+    val books = pqCodebooksFromQ(residuals.select("vec_id", "v"),
+      pqK, iterations)
+    val codes = pqEncodedFromQ(residuals, books)
+      .select("vec_id", "cell", "c0", "c1", "c2", "c3")
+    // query side: exact coarse ranking picks the probed cells, and the
+    // ADC tables are built from the query's residual to EACH cell
+    val centDf = coarse.toDF("c_id", "cv", "cn2")
+    val qw = Window.partitionBy("vec_id").orderBy(col("cd"), col("c_id"))
+    val probed = q.filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(centDf))
+      .withColumn("cd",
+        col("norm2") - lit(2L) * VecOps.intDot(col("v"), col("cv")) + col("cn2"))
+      .withColumn("crn", row_number().over(qw))
+      .filter(col("crn") <= probes)
+      .select(col("vec_id").as("q_id"), col("c_id").as("qcell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("qres"))
+    val tables = books.zipWithIndex.foldLeft(probed) { case (df, (cent, s)) =>
+      val sv = subvec(col("qres"), s)
+      val sn = VecOps.intDot(sv, sv)
+      df.withColumn(s"qd$s", map_from_arrays(
+        typedLit(cent.map(_._1)),
+        array(cent.map { case (_, cv, cn2) =>
+          sn - lit(2L) * VecOps.intDot(sv, typedLit(cv)) + lit(cn2)
+        }: _*)))
+    }.drop("qres")
+    val scored = codes.join(broadcast(tables),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("est_d",
+        element_at(col("qd0"), col("c0")) + element_at(col("qd1"), col("c1"))
+          + element_at(col("qd2"), col("c2")) + element_at(col("qd3"), col("c3")))
     val w = Window.partitionBy("q_id").orderBy(col("est_d"), col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

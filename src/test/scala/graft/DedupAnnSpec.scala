@@ -493,6 +493,51 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("IVFADC: cell-restricted ADC over residual codes matches a driver reference") {
+    val spark0 = spark
+    import spark0.implicits._
+    val q = Ann.quantized(emb)
+    val vecs = q.select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val coarse = Ann.kmeansCentroids(q.select("vec_id", "v", "norm2"), 8, 2)
+    val centMap = coarse.map { case (c, cv, _) => c -> cv }.toMap
+    def d2(a: Array[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def sub(v: Array[Long], s: Int) = v.slice(s * 16, s * 16 + 16)
+    val cellMap = vecs.map { case (id, v) =>
+      id -> coarse.map { case (c, cv, _) => (d2(v, cv), c) }.min._2
+    }
+    def resOf(id: Long) =
+      vecs(id).zip(centMap(cellMap(id))).map { case (x, y) => x - y }
+    // train the residual books on exactly the operator's residual frame
+    val resDf = vecs.keys.toSeq.sorted.map(id => (id, resOf(id).toSeq))
+      .toDF("vec_id", "v")
+    val books = Ann.pqCodebooksFromQ(resDf)
+    def codeOf(r: Array[Long], s: Int) =
+      books(s).map { case (cId, cv, _) => (d2(sub(r, s), cv), cId) }.min._2
+    val out = Ann.knnIvfPq(emb, 3, 5, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    (0L until 3L).foreach { qid =>
+      val qv = vecs(qid)
+      val probed = coarse.map { case (c, cv, _) => (d2(qv, cv), c) }
+        .sorted.take(2).map(_._2).toSet
+      val ref = vecs.keys
+        .filter(id => id != qid && probed(cellMap(id)))
+        .map { id =>
+          // ADC: query residual TO THE CANDIDATE'S CELL vs the
+          // candidate's residual codes
+          val qres = qv.zip(centMap(cellMap(id))).map { case (x, y) => x - y }
+          val est = (0 until 4).map { s =>
+            val code = codeOf(resOf(id), s)
+            d2(sub(qres, s), books(s).find(_._1 == code).get._2)
+          }.sum
+          (est, id)
+        }.toSeq.sorted.take(5)
+      val got = out.filter(_._1 == qid).sortBy(_._2).map(r => (r._4, r._3)).toSeq
+      assert(got === ref, s"query $qid")
+    }
+  }
+
   test("semanticDedup: keep-first within cells, zero vector never dropped") {
     val spark0 = spark
     import spark0.implicits._
