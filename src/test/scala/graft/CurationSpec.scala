@@ -119,6 +119,80 @@ class CurationSpec extends SparkSuite {
       expected))
   }
 
+  test("clusterSplit: every near-dup cluster lands wholly in one split") {
+    val out = Curation.clusterSplit(docs, 5000L)
+    // no cluster straddles a split boundary — the property the
+    // operator exists for
+    assert(out.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n")).filter(col("n") =!= 1).isEmpty)
+    // the bucket is the CLUSTER hash: recompute it independently
+    val recomputed = out.select(col("doc_id"),
+      (Portable.hexHash60(col("cluster_id").cast("string")) % 100).as("b2"))
+    assert(out.join(recomputed, Seq("doc_id"))
+      .filter(col("bucket") =!= col("b2")).isEmpty)
+    // cluster partition agrees with dedupClusters
+    val labels = graft.operators.Dedup.dedupClusters(docs, 5000L)
+      .select("doc_id", "cluster_id")
+    assert(sameRows(out.select("doc_id", "cluster_id"), labels))
+    // split labels follow the 80/10/10 bucket rule
+    out.collect().foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val want = if (b < 80) "train" else if (b < 90) "validation" else "test"
+      assert(r.getAs[String]("split") === want)
+    }
+  }
+
+  test("globalShuffle: two-level ordinal == one-window row_number; permutation per shard") {
+    val ref = docs.select(col("doc_id"),
+        Portable.hexHash60(concat(lit("shuf1:"), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(8L)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("shuffle_key", "doc_id"))
+        .cast("long"))
+    val expected = ref.select("doc_id", "shuffle_key", "shard", "pos")
+    assert(sameRows(Curation.globalShuffle(docs, 8), expected))
+    // blockBits changes the decomposition, never the result
+    assert(sameRows(Curation.globalShuffle(docs, 8, blockBits = 2), expected))
+    // pos is a dense 1..n permutation within each shard
+    val bad = Curation.globalShuffle(docs, 8)
+      .groupBy("shard").agg(count(lit(1)).as("n"), max("pos").as("mx"),
+        countDistinct("pos").as("nd"))
+      .filter(col("mx") =!= col("n") || col("nd") =!= col("n"))
+    assert(bad.isEmpty)
+  }
+
+  test("chunkOverlap: exact geometry and content hashes on a hand corpus") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks
+      (2L, "a b c"), // shorter than one window
+      (3L, (1 to 8).map(i => s"v$i").mkString(" "))) // exactly one window
+      .toDF("doc_id", "text")
+    def h(s: String): Long = Portable.jvmHexHash60(s.getBytes("UTF-8"))
+    val toks1 = (1 to 10).map(i => s"w$i")
+    val expected = Set(
+      (1L, 0L, 0L, 8L, h(toks1.slice(0, 8).mkString(" "))),
+      (1L, 1L, 4L, 6L, h(toks1.slice(4, 10).mkString(" "))),
+      (1L, 2L, 8L, 2L, h(toks1.slice(8, 10).mkString(" "))),
+      (2L, 0L, 0L, 3L, h("a b c")),
+      (3L, 0L, 0L, 8L, h((1 to 8).map(i => s"v$i").mkString(" "))),
+      (3L, 1L, 4L, 4L, h((5 to 8).map(i => s"v$i").mkString(" "))))
+    val got = Curation.chunkOverlap(d, win = 8, stride = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    // real corpus: chunk counts and tail coverage per doc
+    val byDoc = Curation.chunkOverlap(docs, win = 16, stride = 8)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"),
+        max(col("start_tok") + col("chunk_len")).as("covered"))
+    val lens = docs.select(col("doc_id"),
+      size(split(Portable.normText(col("text")), " ")).cast("long").as("n_tok"))
+    assert(byDoc.join(lens, Seq("doc_id"))
+      .filter(col("covered") =!= col("n_tok") ||
+        col("n_chunks") =!= expr("((n_tok - 1) div 8) + 1")).isEmpty)
+  }
+
   test("ScaleStress.synth rejects factors past the 26 distinct rotations") {
     // copies i and i+26 would be verbatim duplicates: the measurement
     // would silently run a quadratic workload and call the engine slow

@@ -58,6 +58,51 @@ class DedupAnnSpec extends SparkSuite {
       out.values.map(_._1).toSet.size) // one keeper per cluster
   }
 
+  test("qualityKeeper: keeper is each cluster's max-score (tie min-id) member") {
+    val out = Dedup.qualityKeeper(docs, 5000L)
+    val labels = Dedup.dedupClusters(docs, 5000L).select("doc_id", "cluster_id")
+    val q = TextAnalysis.qualityScore(docs).select("doc_id", "score")
+    // same cluster partition as dedupClusters, every doc present
+    assert(out.select("doc_id", "cluster_id").exceptAll(labels).isEmpty)
+    assert(labels.exceptAll(out.select("doc_id", "cluster_id")).isEmpty)
+    // independent argmax via struct ordering (different mechanism than
+    // the packed-integer election under test)
+    val ref = labels.join(q, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(min(struct((lit(100) - col("score")).as("ns"),
+        col("doc_id").as("id"))).as("b"))
+      .select(col("cluster_id"), col("b.id").as("keeper_id"))
+    val got = out.select("cluster_id", "keeper_id").distinct()
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    // exactly one keeper per cluster, and keep flags the keeper row
+    val rows = out.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("keep") ===
+        (if (r.getAs[Long]("doc_id") == r.getAs[Long]("keeper_id")) 1 else 0))
+    }
+    assert(rows.count(_.getAs[Int]("keep") == 1) ===
+      rows.map(_.getAs[Long]("cluster_id")).distinct.length)
+    // on a constructed cluster the LOW-id degraded member loses to the
+    // HIGH-id clean one — the case a min-id election gets wrong. Filler
+    // docs keep the 1/20 shingle-df cap from emptying the tiny corpus.
+    import spark.implicits._
+    val clean = ("the quick brown fox jumps over the lazy dog and runs " +
+      "far away to the old stone house near the wide green river ") * 3
+    val digits = "0123456789 " * 30 // breaks the 60% alpha-ratio gate
+    val filler = (10L to 49L).map(i =>
+      (i, s"filler doc $i with the words of a completely unrelated tale " +
+        s"number $i telling about the ship $i and the long sea voyage"))
+    val d2 = (Seq((1L, clean + digits), (2L, clean)) ++ filler)
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val k2 = Dedup.qualityKeeper(d2, 3000L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("keeper_id"))).toMap
+    assert(k2(1L)._1 === k2(2L)._1, "construction: docs 1,2 must cluster")
+    assert(k2(1L)._2 === 2L && k2(2L)._2 === 2L,
+      "quality election must pick the clean high-id member")
+  }
+
   test("sample split is deterministic, content-independent, and near the ratios") {
     val a = TextAnalysis.sampleSplit(docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSet

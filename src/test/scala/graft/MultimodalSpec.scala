@@ -33,6 +33,35 @@ class MultimodalSpec extends SparkSuite {
     assert(feats.toDF().filter(col("media_type") === "image").count() > 0)
   }
 
+  test("imageDedup: perceptual buckets from decoded rasters, min-id keeper") {
+    val out = Multimodal.imageDedup(spark, Tables.documents(spark, sf))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("phash"),
+        r.getAs[Long]("keeper_id"), r.getAs[Long]("n_bucket"),
+        r.getAs[Int]("keep"))).toList
+    // driver-side reference straight from the synthesis params (the
+    // operator's values went through a REAL png encode/decode instead)
+    val imgIds = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        element_at(split(col("source"), "src"), 2).cast("int").as("s"))
+      .collect().filter(_.getInt(1) % 3 == 0).map(_.getLong(0))
+    val ph = imgIds.map { id =>
+      val (w, h, rgb) = Multimodal.imageParams(id)
+      id -> ((rgb / 262144) * 64L + ((w - 1) / 8) * 8L + ((h - 1) / 8))
+    }.toMap
+    val keeper = ph.groupBy(_._2).map { case (p, xs) => p -> xs.keys.min }
+    val sizes = ph.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    assert(out.map(_._1).toSet === imgIds.toSet)
+    out.foreach { case (id, p, k, n, keep) =>
+      assert(p === ph(id), s"phash of $id")
+      assert(k === keeper(p) && n === sizes(p))
+      assert(keep === (if (id == k) 1 else 0))
+    }
+    // the bucketing is a real dedup on this corpus: at least one
+    // multi-member bucket exists (64×8×6 buckets vs ~n/3 images)
+    assert(out.exists(_._4 > 1))
+  }
+
   test("audio resample halves the rate, decimates frames, keeps sample 0") {
     val out = Multimodal.resampledAudio(spark, Tables.documents(spark, sf))
       .toDF().cache()

@@ -298,6 +298,37 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("hashpartitioning"), p.take(2500))
   }
 
+  test("global shuffle: two-level ordinal never funnels one partition") {
+    // same property as pack sequences: both window levels partition by
+    // (shard[, blk]); a SinglePartition exchange = whole-shard sort
+    val p = plan(graft.operators.Curation.globalShuffle(
+      graft.sources.Tables.documents(spark, sf), 8))
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    assert(p.contains("hashpartitioning"), p.take(2500))
+  }
+
+  test("chunk overlap is a pure projection + explode: zero exchanges") {
+    val p = plan(graft.operators.Curation.chunkOverlap(
+      graft.sources.Tables.documents(spark, sf)))
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert(p.contains("Generate"), p.take(1500)) // the explode
+  }
+
+  test("cluster split and quality keeper: no cartesian; post-cluster stages stay equi-join") {
+    for (q <- Seq("p_cluster_split", "d_quality_keeper")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(1500)}")
+    }
+  }
+
+  test("image dedup: keeper map joins back as a broadcast") {
+    val p = plan(graft.operators.Multimodal.imageDedup(
+      spark, graft.sources.Tables.documents(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("perplexity proxy and cluster profile: no cartesian, bounded shuffles") {
     Seq("t_perplexity_proxy", "a_cluster_profile").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
