@@ -555,6 +555,12 @@ object SparkEntry {
       Multimodal.imageDedup(s, Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // Q24: one-pass column-level table profile (rows/nulls/distincts/
+    // min/max per column) over the widest fact table
+    "q_column_profile" -> ((s, dir) =>
+      Analytics.columnProfile(Tables.lineitem(s, dir))
+        .orderBy("col_name")),
+
     "a_kmeans_train" -> ((s, dir) =>
       Ann.kmeansTrain(Tables.embeddings(s, dir), k = 8, iterations = 2)
         .orderBy("cluster")),
@@ -2627,6 +2633,21 @@ object SparkEntry {
                "(chunk_idx * 8 + 1)::INT, (chunk_idx * 8 + 16)::INT), ' ')")}
          |         AS chunk_hash
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // one UNION ALL stanza per lineitem column, same aggregates as the
+    // single-pass Spark profile
+    "q_column_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           |  (count(*) - count($c))::BIGINT AS n_null,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     // image synthesis params reproduced arithmetically (the Spark side
     // derives the same values by really decoding the PNG payloads)

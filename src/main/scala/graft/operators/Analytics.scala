@@ -329,6 +329,36 @@ object Analytics {
       .orderBy("et", "p")
 
   /** Running per-user cumulative aggregates (exact, integer cents). */
+  /** Column-level table profile (the ANALYZE/data-quality staple a
+    * user points at any landed table): per column — row count, null
+    * count, exact distinct count, and min/max rendered as strings so
+    * one output schema covers every column type.
+    *
+    * ONE pass over the table: all per-column aggregates run in a
+    * single `agg` (the multi-distinct plan rewrites to one Expand +
+    * aggregate, so the scan is read once but flows #cols× through the
+    * aggregate — profile very wide tables in column groups), then the
+    * single result row unpivots to per-column rows via `stack`. No
+    * per-column jobs, no driver-side loop over columns.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    val aggs = cs.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cs.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c")
+      .mkString(", ")
+    row.selectExpr("n_rows",
+        s"stack(${cs.size}, $stackExpr) AS (col_name, n_non_null, n_distinct, min_s, max_s)")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_non_null")).as("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+  }
+
   def userRunningValue(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -70,4 +70,89 @@ object StreamingCuration {
         index.add(survivors.select("k"))
       }
       .start()
+
+  /** P8: continuous NEAR-dup ingest — the streaming form of the
+    * minhash/LSH family. Each micro-batch computes the same 4-band ×
+    * 2-row minhash signatures as [[graft.operators.Dedup.minhashLsh]],
+    * drops every document with ANY band bucket already ingested (probe
+    * of a durable band-key index), elects within-batch representatives
+    * (a doc survives iff it is the min doc_id in EVERY of its batch
+    * band buckets), appends survivors to the corpus, then records
+    * their band keys — so later batches (and later query lineages over
+    * the shared index) see them.
+    *
+    * Semantics are deliberately OVER-DROP-ONLY relative to the batch
+    * operators, in three documented ways:
+    *  - no verify stage: a band collision drops the doc without an
+    *    exact-Jaccard check (collision probability per band is J² at
+    *    true Jaccard J; ~10⁻¹²-scale for unrelated docs). A false
+    *    positive loses one training document; it never admits a
+    *    duplicate — the curation-safe direction. The batch pipeline
+    *    (D2/D7) remains the verified form.
+    *  - no df cap: the cap is corpus-relative (df·20 ≤ n_docs), so a
+    *    doc's signature would depend on WHICH batch carried it; raw
+    *    shingle hashes keep each doc's bands reproducible across batch
+    *    boundaries, restarts, and replays.
+    *  - bucket-local election, not transitive closure: a doc that
+    *    loses any bucket drops even if that bucket's winner itself
+    *    dropped — decided in two relational passes, no iteration.
+    *  - documents shorter than one shingle (8 normalized chars) are
+    *    below the similarity floor: always ingested, never indexed
+    *    (exact-key dedup — [[dedupIngest]] — is the tool for those).
+    *
+    * Exactly-once: identical two-idempotent-sinks ordering as
+    * [[dedupIngest]] (partition-overwrite corpus write BEFORE the
+    * distinct-view index add; the election is deterministic, so a
+    * replayed batch rewrites its partition with the same rows).
+    *
+    * Scale: per batch — signature generation is a projection + one
+    * groupBy over the BATCH; the index probe is batch-bands ⋈ index
+    * (8 bytes per band per accepted doc ever, key-partitioned); the
+    * election two batch-local aggregations. Never corpus × corpus.
+    */
+  def nearDupIngest(docs: DataFrame, index: FsKeyIndex, corpusDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Dedup
+        val sh = Dedup.shingleTable(batch)
+          .select(col("doc_id"), hexHash60(col("s")).as("h"))
+        val stackExpr = (0 until Dedup.MinHashK / 2)
+          .map(b => s"$b, mh${2 * b} * 1048583 + mh${2 * b + 1}")
+          .mkString(", ")
+        // ikey packs (band_key, band) into one indexable long:
+        // band_key < 2^41, so << 2 bits for the 4 band ids is safe
+        val banded = Dedup.minhashSignatures(sh)
+          .selectExpr("doc_id",
+            s"stack(${Dedup.MinHashK / 2}, $stackExpr) AS (band, band_key)")
+          .withColumn("ikey", col("band_key") * 4 + col("band"))
+          .localCheckpoint() // read 3× below; must not re-plan after add
+        val indexHit = banded
+          .join(index.keys().withColumnRenamed("k", "ikey"), Seq("ikey"))
+          .select("doc_id").distinct()
+        val fresh = banded.join(indexHit, Seq("doc_id"), "left_anti")
+        val bucketMin = fresh.groupBy("ikey").agg(min("doc_id").as("win"))
+        val elected = fresh.join(bucketMin, Seq("ikey"))
+          .groupBy("doc_id")
+          .agg(max(when(col("doc_id") =!= col("win"), 1).otherwise(0))
+            .as("lost"))
+          .filter(col("lost") === 0)
+          .select("doc_id")
+        // sub-shingle-length docs have no bands: below the similarity
+        // floor, always ingested, never indexed
+        val floor = batch.select("doc_id")
+          .join(banded.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        val survivors = elected.unionByName(floor).localCheckpoint()
+        survivors.join(batch, Seq("doc_id"))
+          .withColumn("ingest_batch", lit(batchId))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .partitionBy("ingest_batch")
+          .parquet(corpusDir)
+        index.add(banded.join(survivors, Seq("doc_id"))
+          .select(col("ikey").as("k")))
+      }
+      .start()
 }

@@ -51,6 +51,55 @@ class StreamingCurationSpec extends SparkSuite {
     assert(FsKeyIndex(spark, s"$root/index").keys().count() === 4)
   }
 
+  test("near-dup ingest: band collisions drop across batches; floor docs pass") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-neardup")
+    val idx = FsKeyIndex(spark, s"$root/bands")
+    // long repeated base so shingle overlap (and hence band collision
+    // probability) is high for the appended-tail variant
+    val base = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs across the wide green field toward the old stone bridge ") * 2
+    val variant = base + "with a few extra tail words appended"
+    val other = ("completely different text about ships and long voyages " +
+      "across the cold northern sea under a pale winter sun ") * 2
+    def ids(dir: String): Set[Long] =
+      spark.read.parquet(dir).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCuration.nearDupIngest(
+      input.toDS().toDF("doc_id", "text"), idx,
+      s"$root/corpus", s"$root/ckpt")
+    try {
+      // batch 0: 3 is an exact dup of 1 (all four bands equal —
+      // deterministic drop); 4 is below the shingle floor
+      input.addData(1L -> base, 2L -> other, 3L -> base, 4L -> "hi")
+      q.processAllAvailable()
+      assert(ids(s"$root/corpus") === Set(1L, 2L, 4L))
+      // batch 1: the variant shares ≥1 band with ingested doc 1 (high
+      // Jaccard; pinned by the fixed hash family) → dropped; a floor
+      // doc repeats and passes again (below the similarity floor, by
+      // contract); 11 is novel
+      input.addData(10L -> variant, 11L -> "a brand new story entirely",
+        12L -> "hi")
+      q.processAllAvailable()
+      assert(ids(s"$root/corpus") === Set(1L, 2L, 4L, 11L, 12L))
+    } finally q.stop()
+    // a fresh lineage over the SHARED band index still sees batch 0/1:
+    // exact re-sends collide on every band
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = StreamingCuration.nearDupIngest(
+      input2.toDS().toDF("doc_id", "text"), FsKeyIndex(spark, s"$root/bands"),
+      s"$root/corpus2", s"$root/ckpt2")
+    try {
+      input2.addData(20L -> other, 21L -> ("an unrelated final tale told " +
+        "around the evening fire in the mountain village for hours"))
+      q2.processAllAvailable()
+      assert(ids(s"$root/corpus2") === Set(21L))
+    } finally q2.stop()
+  }
+
   test("replaying a batch is idempotent: partition rewrite, no duplicate rows") {
     val spark0 = spark
     import spark0.implicits._
