@@ -36,10 +36,21 @@ object ScaleStress {
     *    centroid update aggregates to K·dims groups at any scale.
     *  - d_contamination: benchmark set (doc_id % 50) grows N× but stays
     *    a broadcast/semi-join side; candidate pairs stay within-copy.
-    *  - d_dedup_clusters: pair graph and cluster count grow exactly N×
-    *    (rotation preserves each copy's similarity structure).
-    *  - d_minhash_lsh: shingle universe and band buckets grow N×; no
-    *    cross-copy bucket collisions beyond hash noise.
+    *  - d_dedup_clusters: VERIFIED pair graph and cluster count grow
+    *    exactly N× (rotation preserves each copy's similarity
+    *    structure; measured — first-round CC label changes 243 at 1×
+    *    vs 6100 = 25×243 at 25×). The CANDIDATE/VERIFY volume does
+    *    not: see the df-cap note below.
+    *  - d_minhash_lsh: band buckets grow N×; no cross-copy bucket
+    *    collisions beyond hash noise. BUT the shingle df CAP is
+    *    corpus-relative while rotation holds per-shingle df constant,
+    *    so the cap weakens with the factor (measured on the synth
+    *    corpora: retained shingle volume 61.5× at factor 10, 157× at
+    *    factor 25 where the cap is fully inert) — at large factors the
+    *    cap-dependent rows (minhash_lsh, dedup_clusters, contamination,
+    *    curated_corpus) run a super-linearly-heavier workload and
+    *    their ratios are UPPER bounds on engine scaling
+    *    (BASELINE.md §Scaling has the full decomposition).
     *  - d_ngram_jaccard is deliberately NOT in the family: rotation
     *    keeps per-shingle df CONSTANT while n_docs grows N×, so the
     *    df-cap (df·20 ≤ n_docs) weakens with the factor and re-admits

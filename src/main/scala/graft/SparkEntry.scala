@@ -525,6 +525,12 @@ object SparkEntry {
       Curation.bloomGuardedDedup(Tables.documents(s, dir), batchMod = 4)
         .orderBy("doc_id")),
 
+    // D15: directed containment pairs — src mostly inside dst (quotes,
+    // partial copies) even when symmetric Jaccard is low
+    "d_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), NgramJaccardBp)
+        .orderBy("doc_src", "doc_dst")),
+
     // D14: quality-aware keeper election — each near-dup cluster keeps
     // its highest-quality member (tie → min doc_id), not its min-id one
     "d_quality_keeper" -> ((s, dir) =>
@@ -2566,6 +2572,21 @@ object SparkEntry {
     "d_incremental_dedup" -> IncrementalDedupSql,
     "d_incremental_dedup_indexed" -> IncrementalDedupSql,
     "d_bloom_dedup" -> IncrementalDedupSql,
+
+    "d_containment_pairs" ->
+      s"""WITH $NormCte, $ShCte,
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+         |it AS (
+         |  SELECT sa.doc_id AS doc_src, sb.doc_id AS doc_dst,
+         |         count(*)::BIGINT AS inter
+         |  FROM sh sa JOIN sh sb ON sa.h = sb.h AND sa.doc_id <> sb.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_src, doc_dst, inter, sz.n_sh AS n_src,
+         |       round(inter * 10000.0 / sz.n_sh, 0)::BIGINT AS contain_bp
+         |FROM it JOIN sz ON sz.doc_id = it.doc_src
+         |WHERE round(inter * 10000.0 / sz.n_sh, 0)::BIGINT >= $NgramJaccardBp
+         |ORDER BY doc_src, doc_dst""".stripMargin,
 
     // quality-aware keeper: the election key packs (100 - score, id)
     // into one integer so a single min() is argmax-quality with

@@ -270,6 +270,97 @@ object Dedup {
     jaccardFilter(inter, sizes, minJaccardBp)
   }
 
+  /** Directed shingle CONTAINMENT pairs — the asymmetric complement of
+    * [[ngramJaccard]]: C(src→dst) = |src∩dst| / |src| ≥ t flags a
+    * source document largely CONTAINED in a destination (quotes,
+    * partial copies, page-in-page boilerplate) even when symmetric
+    * Jaccard is far below any dedup threshold because the container is
+    * much larger. Since C(a→b) ≥ J(a,b), the output is a superset of
+    * both directions of the Jaccard pairs at the same threshold.
+    *
+    * Candidates are prefix-filtered on the SOURCE side (the
+    * overlap/containment variant of the AllPairs/PPJoin bound):
+    * C ≥ t forces inter ≥ ⌈t·|src|⌉, so the intersection cannot avoid
+    * the source's first |src| − ⌈t·|src|⌉ + 1 shingles under any fixed
+    * global order — rarest-df-first concentrates that prefix on rare
+    * shingles. The destination side stays the FULL shingle table
+    * (containment puts no lower bound on what fraction of dst
+    * matches), so the candidate fanout is Σ_h prefix-df(h) · df(h) —
+    * guarded in decimal like the Jaccard forms, failing CLOSED with a
+    * pointer at the banded pipeline. All bounds use the
+    * round-inclusive effective threshold (2·bp − 1)/20000, mirroring
+    * [[ngramJaccard]]'s boundary-pair analysis.
+    */
+  def containmentPairs(docs: DataFrame, minContainBp: Long,
+      maxCandidatePairs: Long = MaxNgramCandidatePairs): DataFrame = {
+    val sh = cappedShingleHashes(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val df_ = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+    val prefix = sh.join(df_, "h")
+      .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+      .filter(col("rn") <= col("n_sh")
+        - expr(s"((${2 * minContainBp - 1} * n_sh + 19999) div 20000)") + 1)
+      .select(col("doc_id").as("doc_src"), col("h"))
+    val est = prefix.groupBy("h").agg(count(lit(1)).as("pdf"))
+      .join(df_, Seq("h"))
+      .agg(coalesce(sum(col("pdf").cast("decimal(38,0)") * col("df")),
+        lit(java.math.BigDecimal.ZERO)).as("p"))
+      .head.getDecimal(0)
+    require(est.compareTo(java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
+      s"containmentPairs: estimated candidate fanout sum(prefix_df*df)=$est " +
+        s"exceeds $maxCandidatePairs; for symmetric near-dups use " +
+        "minhashLsh (d_minhash_lsh) — bounded candidates")
+    val cands = prefix
+      .join(sh.select(col("doc_id").as("doc_dst"), col("h")), Seq("h"))
+      .filter(col("doc_src") =!= col("doc_dst"))
+      .select("doc_src", "doc_dst").distinct()
+    val inter = cands
+      .join(sh.as("sa"), col("doc_src") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_dst") === col("sb.doc_id")
+        && col("sa.h") === col("sb.h"))
+      .groupBy("doc_src", "doc_dst")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_src")
+        .withColumnRenamed("n_sh", "n_src"), Seq("doc_src"))
+      .withColumn("contain_bp",
+        round(col("inter") * 10000.0 / col("n_src"), 0).cast("long"))
+      .filter(col("contain_bp") >= minContainBp)
+      .select("doc_src", "doc_dst", "inter", "n_src", "contain_bp")
+  }
+
+  /** The exhaustive twin of [[containmentPairs]] (every directed pair
+    * sharing any shingle is a candidate) — spec-pinned equal, kept as
+    * the correctness oracle for the prefix filter.
+    */
+  def containmentPairsExhaustive(docs: DataFrame, minContainBp: Long,
+      maxCandidatePairs: Long = MaxNgramCandidatePairs): DataFrame = {
+    val sh = cappedShingleHashes(docs)
+    val est = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df").cast("decimal(38,0)") * col("df")),
+        lit(java.math.BigDecimal.ZERO)).as("p"))
+      .head.getDecimal(0)
+    require(est.compareTo(java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
+      s"containmentPairsExhaustive: estimated candidate fanout " +
+        s"sum(df^2)=$est exceeds $maxCandidatePairs")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_src"), col("b.doc_id").as("doc_dst"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_src")
+        .withColumnRenamed("n_sh", "n_src"), Seq("doc_src"))
+      .withColumn("contain_bp",
+        round(col("inter") * 10000.0 / col("n_src"), 0).cast("long"))
+      .filter(col("contain_bp") >= minContainBp)
+      .select("doc_src", "doc_dst", "inter", "n_src", "contain_bp")
+  }
+
   /** MinHash signatures in ONE aggregation pass: all K minima computed
     * as separate agg expressions over a single shuffle — no K-way row
     * explosion (the naive param cross join multiplies the shingle

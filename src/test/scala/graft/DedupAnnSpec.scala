@@ -58,6 +58,41 @@ class DedupAnnSpec extends SparkSuite {
       out.values.map(_._1).toSet.size) // one keeper per cluster
   }
 
+  test("containment pairs: prefix filter == exhaustive; superset of Jaccard pairs") {
+    val pref = Dedup.containmentPairs(docs, 5000L)
+    val exh = Dedup.containmentPairsExhaustive(docs, 5000L)
+    assert(pref.exceptAll(exh).isEmpty && exh.exceptAll(pref).isEmpty)
+    assert(pref.count() > 0)
+    // C(a→b) ≥ J(a,b): every symmetric near-dup pair appears in BOTH
+    // directed forms at the same threshold
+    val jac = Dedup.ngramJaccardExhaustive(docs, 5000L)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = pref.select("doc_src", "doc_dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    jac.foreach { case (a, b) =>
+      assert(got((a, b)) && got((b, a)), s"pair ($a,$b)")
+    }
+  }
+
+  test("containment: an embedded excerpt scores 10000 toward its container") {
+    import spark.implicits._
+    val container = "the long original story begins here with many detailed " +
+      "passages about the voyage and the storm and the quiet harbor at the end"
+    // the excerpt is a verbatim substring → every 8-shingle of the
+    // excerpt is a shingle of the container
+    val excerpt = "passages about the voyage and the storm"
+    val filler = (10L to 49L).map(i =>
+      (i, s"unrelated filler tale number $i about the mountain town $i " +
+        s"and its winter market $i with the lanterns"))
+    val d = (Seq((1L, excerpt), (2L, container)) ++ filler)
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, 8000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(out((1L, 2L)) === 10000L) // excerpt fully contained
+    assert(!out.contains((2L, 1L))) // container is NOT inside the excerpt
+  }
+
   test("qualityKeeper: keeper is each cluster's max-score (tie min-id) member") {
     val out = Dedup.qualityKeeper(docs, 5000L)
     val labels = Dedup.dedupClusters(docs, 5000L).select("doc_id", "cluster_id")
