@@ -528,7 +528,7 @@ object SparkEntry {
     // D15: directed containment pairs — src mostly inside dst (quotes,
     // partial copies) even when symmetric Jaccard is low
     "d_containment_pairs" -> ((s, dir) =>
-      Dedup.containmentPairs(Tables.documents(s, dir), NgramJaccardBp)
+      Dedup.containmentPairs(Tables.documents(s, dir), ContainBp)
         .orderBy("doc_src", "doc_dst")),
 
     // D14: quality-aware keeper election — each near-dup cluster keeps
@@ -651,6 +651,16 @@ object SparkEntry {
 
   /** Thresholds shared with the oracles (basis points / bits). */
   val NgramJaccardBp = 5000L
+
+  /** Containment threshold for `d_containment_pairs`: 80% of the
+    * source inside the destination — the "mostly contained" regime the
+    * operator exists for. Also the perf-relevant knob: the containment
+    * prefix is |x| − ⌈t·|x|⌉ + 1, so t = 0.8 probes with 1/5 of each
+    * doc's shingles where t = 0.5 would probe with half (measured 20 s
+    * → ~2 s at sf0.1; the spec still pins prefix == exhaustive at the
+    * harsher t = 0.5).
+    */
+  val ContainBp = 8000L
   val SimhashMaxHamming = 1
   val EmbedDedupCosBp = 4000L
   /** SemDeDup keep-first threshold (same near-dup band as
@@ -2585,7 +2595,7 @@ object SparkEntry {
          |SELECT doc_src, doc_dst, inter, sz.n_sh AS n_src,
          |       round(inter * 10000.0 / sz.n_sh, 0)::BIGINT AS contain_bp
          |FROM it JOIN sz ON sz.doc_id = it.doc_src
-         |WHERE round(inter * 10000.0 / sz.n_sh, 0)::BIGINT >= $NgramJaccardBp
+         |WHERE round(inter * 10000.0 / sz.n_sh, 0)::BIGINT >= $ContainBp
          |ORDER BY doc_src, doc_dst""".stripMargin,
 
     // quality-aware keeper: the election key packs (100 - score, id)
@@ -2664,7 +2674,7 @@ object SparkEntry {
       cols.map { c =>
         s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
            |  (count(*) - count($c))::BIGINT AS n_null,
-           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  count(DISTINCT $c::VARCHAR)::BIGINT AS n_distinct,
            |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")

@@ -166,6 +166,7 @@ object Dedup {
   def releaseShingleCaches(spark: SparkSession): Unit = {
     shCache.releaseSession(spark)
     pairCache.releaseSession(spark)
+    containCache.releaseSession(spark)
   }
 
   /** Default blast-radius bound for [[ngramJaccard]]'s exhaustive pair
@@ -293,44 +294,62 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, minContainBp: Long,
       maxCandidatePairs: Long = MaxNgramCandidatePairs): DataFrame = {
-    val sh = cappedShingleHashes(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val df_ = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id")
-    val prefix = sh.join(df_, "h")
-      .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
-      .withColumn("n_sh", count(lit(1)).over(byDoc))
-      .filter(col("rn") <= col("n_sh")
-        - expr(s"((${2 * minContainBp - 1} * n_sh + 19999) div 20000)") + 1)
-      .select(col("doc_id").as("doc_src"), col("h"))
-    val est = prefix.groupBy("h").agg(count(lit(1)).as("pdf"))
-      .join(df_, Seq("h"))
-      .agg(coalesce(sum(col("pdf").cast("decimal(38,0)") * col("df")),
-        lit(java.math.BigDecimal.ZERO)).as("p"))
-      .head.getDecimal(0)
-    require(est.compareTo(java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
-      s"containmentPairs: estimated candidate fanout sum(prefix_df*df)=$est " +
-        s"exceeds $maxCandidatePairs; for symmetric near-dups use " +
-        "minhashLsh (d_minhash_lsh) — bounded candidates")
-    val cands = prefix
-      .join(sh.select(col("doc_id").as("doc_dst"), col("h")), Seq("h"))
-      .filter(col("doc_src") =!= col("doc_dst"))
-      .select("doc_src", "doc_dst").distinct()
-    val inter = cands
-      .join(sh.as("sa"), col("doc_src") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_dst") === col("sb.doc_id")
-        && col("sa.h") === col("sb.h"))
-      .groupBy("doc_src", "doc_dst")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_src")
-        .withColumnRenamed("n_sh", "n_src"), Seq("doc_src"))
-      .withColumn("contain_bp",
-        round(col("inter") * 10000.0 / col("n_src"), 0).cast("long"))
-      .filter(col("contain_bp") >= minContainBp)
-      .select("doc_src", "doc_dst", "inter", "n_src", "contain_bp")
+    val ck = corpusKey(docs)
+    containCache.getOrElseUpdate((ck._1, ck._2, minContainBp))({
+      val sh = cappedShingleHashes(docs)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val df_ = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+      // persist the prefix for the BUILD's duration only: the guard
+      // aggregation below and the candidate join both read it, and the
+      // window pipeline (two doc_id windows over the full shingle
+      // table) is the expensive half of the whole query
+      val prefix = sh.join(df_, "h")
+        .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
+        .withColumn("n_sh", count(lit(1)).over(byDoc))
+        .filter(col("rn") <= col("n_sh")
+          - expr(s"((${2 * minContainBp - 1} * n_sh + 19999) div 20000)") + 1)
+        .select(col("doc_id").as("doc_src"), col("h"))
+        .cache()
+      try {
+        val est = prefix.groupBy("h").agg(count(lit(1)).as("pdf"))
+          .join(df_, Seq("h"))
+          .agg(coalesce(sum(col("pdf").cast("decimal(38,0)") * col("df")),
+            lit(java.math.BigDecimal.ZERO)).as("p"))
+          .head.getDecimal(0)
+        require(est.compareTo(java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
+          s"containmentPairs: estimated candidate fanout sum(prefix_df*df)=$est " +
+            s"exceeds $maxCandidatePairs; for symmetric near-dups use " +
+            "minhashLsh (d_minhash_lsh) — bounded candidates")
+        val cands = prefix
+          .join(sh.select(col("doc_id").as("doc_dst"), col("h")), Seq("h"))
+          .filter(col("doc_src") =!= col("doc_dst"))
+          .select("doc_src", "doc_dst").distinct()
+        val inter = cands
+          .join(sh.as("sa"), col("doc_src") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("doc_dst") === col("sb.doc_id")
+            && col("sa.h") === col("sb.h"))
+          .groupBy("doc_src", "doc_dst")
+          .agg(count(lit(1)).as("inter"))
+        val result = inter
+          .join(sizes.withColumnRenamed("doc_id", "doc_src")
+            .withColumnRenamed("n_sh", "n_src"), Seq("doc_src"))
+          .withColumn("contain_bp",
+            round(col("inter") * 10000.0 / col("n_src"), 0).cast("long"))
+          .filter(col("contain_bp") >= minContainBp)
+          .select("doc_src", "doc_dst", "inter", "n_src", "contain_bp")
+          .cache()
+        result.count() // materialize before the prefix unpersists
+        result
+      } finally prefix.unpersist()
+    })
   }
+
+  /** Cached containment pair table per (session, corpus, threshold) —
+    * same registry discipline as [[minhashLsh]]'s pair cache.
+    */
+  private val containCache = new LruTableCache[(SparkSession, String, Long)]
 
   /** The exhaustive twin of [[containmentPairs]] (every directed pair
     * sharing any shingle is a candidate) — spec-pinned equal, kept as

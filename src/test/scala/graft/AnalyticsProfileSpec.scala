@@ -25,13 +25,20 @@ class AnalyticsProfileSpec extends SparkSuite {
     assert(Analytics.columnProfile(df, Seq("id")).collect().length === 1)
   }
 
-  test("columnProfile is one pass: a single Expand, no per-column scans") {
+  test("columnProfile: two parallel hash-agg passes, no sort-agg funnel") {
     val df = graft.sources.Tables.lineitem(spark, sf)
     val p = Analytics.columnProfile(df)
       .queryExecution.executedPlan.toString
-    // the multi-distinct rewrite: one Expand over one scan — a scan
-    // per column (the naive profiler) would show up as many file scans
-    assert(p.split("Expand").length - 1 === 1, p.take(2000))
-    assert(p.split("FileScan").length - 1 <= 1, p.take(2000))
+    // two scans (basic + distinct pass) — never a scan per column
+    assert(p.split("FileScan").length - 1 === 2, p.take(2500))
+    // the multi-distinct rewrite would Expand the scan #cols× and
+    // funnel the distinct aggregation through one wide sort aggregate
+    // (measured 10× slower); the two-pass form has NO Expand and its
+    // distinct pass stays in hash aggregation. (The basic pass's
+    // KEYLESS SortAggregate is fine — min(string) has no mutable hash
+    // buffer, and with no grouping key it is a streaming per-partition
+    // fold, not a sort.)
+    assert(!p.contains("Expand"), p.take(2500))
+    assert(p.contains("HashAggregate"), p.take(2500))
   }
 }
