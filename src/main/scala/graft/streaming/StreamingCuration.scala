@@ -100,10 +100,23 @@ object StreamingCuration {
     *    below the similarity floor: always ingested, never indexed
     *    (exact-key dedup — [[dedupIngest]] — is the tool for those).
     *
-    * Exactly-once: identical two-idempotent-sinks ordering as
-    * [[dedupIngest]] (partition-overwrite corpus write BEFORE the
-    * distinct-view index add; the election is deterministic, so a
-    * replayed batch rewrites its partition with the same rows).
+    * Exactly-once: the two-idempotent-sinks ordering of [[dedupIngest]]
+    * (partition-overwrite corpus write BEFORE the distinct-view index
+    * add), plus one hazard this operator has that the exact-key form
+    * does not: on a replay AFTER the index add (crash before the
+    * checkpoint commit), the batch's own band keys are already in the
+    * index, so re-election yields zero banded survivors — and because
+    * floor docs still survive, the replayed write is NON-empty and a
+    * bare partition overwrite would rewrite the batch's partition
+    * WITHOUT the originally elected docs ([[dedupIngest]] is immune
+    * only because its zero-survivor replay writes nothing and touches
+    * no partition). The write therefore unions the survivors with the
+    * partition's EXISTING rows (keyed by doc_id — per the corpus-dir
+    * contract the partition holds only this batch's docs), making the
+    * rewrite a superset-stable fixpoint: every replay rewrites exactly
+    * the original row set, whichever side of the index add it lands
+    * on. The read-back is one partition (batch-sized), not a corpus
+    * scan.
     *
     * Scale: per batch — signature generation is a projection + one
     * groupBy over the BATCH; the index probe is batch-bands ⋈ index
@@ -143,7 +156,20 @@ object StreamingCuration {
         // floor, always ingested, never indexed
         val floor = batch.select("doc_id")
           .join(banded.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-        val survivors = elected.unionByName(floor).localCheckpoint()
+        // replay stability (see scaladoc): docs already in THIS batch's
+        // partition stay in it — a post-index-add replay must not
+        // shrink the rewrite
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(s"$corpusDir/ingest_batch=$batchId")
+            .select("doc_id")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              new org.apache.spark.sql.types.StructType()
+                .add("doc_id", org.apache.spark.sql.types.LongType))
+          }
+        val survivors = elected.unionByName(floor).unionByName(existing)
+          .distinct().localCheckpoint()
         survivors.join(batch, Seq("doc_id"))
           .withColumn("ingest_batch", lit(batchId))
           .write

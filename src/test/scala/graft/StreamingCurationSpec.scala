@@ -100,6 +100,42 @@ class StreamingCurationSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("near-dup replay AFTER the index add keeps the corpus whole") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-neardup-replay")
+    val base = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs across the wide green field toward the old stone bridge ") * 2
+    def ids(dir: String): Set[Long] =
+      spark.read.parquet(dir).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCuration.nearDupIngest(
+      input.toDS().toDF("doc_id", "text"), FsKeyIndex(spark, s"$root/bands"),
+      s"$root/corpus", s"$root/ckpt")
+    try {
+      input.addData(1L -> base, 4L -> "hi")
+      q.processAllAvailable()
+      assert(ids(s"$root/corpus") === Set(1L, 4L))
+    } finally q.stop()
+    // crash-replay on the WRONG side of the index add: a fresh
+    // checkpoint re-delivers the same data as its own batch 0 while
+    // the index already holds doc 1's bands. Re-election alone would
+    // drop doc 1 — and the floor doc makes the replayed write
+    // NON-empty, so without the existing-partition union the
+    // partition overwrite would shrink to {4}.
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = StreamingCuration.nearDupIngest(
+      input2.toDS().toDF("doc_id", "text"), FsKeyIndex(spark, s"$root/bands"),
+      s"$root/corpus", s"$root/ckpt-replayed")
+    try {
+      input2.addData(1L -> base, 4L -> "hi")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(ids(s"$root/corpus") === Set(1L, 4L))
+  }
+
   test("replaying a batch is idempotent: partition rewrite, no duplicate rows") {
     val spark0 = spark
     import spark0.implicits._
