@@ -41,6 +41,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     graft.operators.Dedup.releaseShingleCaches(spark)
+    graft.operators.Ann.releaseTrainedModels(spark)
     spark.stop()
   }
 }

@@ -226,11 +226,13 @@ object ScaleStress {
       // Warmup timings still go to stderr for the audit trail but are
       // excluded from medians and the gate (the "rep N" regex).
       graft.operators.Dedup.releaseShingleCaches(spark)
+      graft.operators.Ann.releaseTrainedModels(spark)
       val wm = queries.map(q => q -> timeQuery(spark, q, dir))
       System.err.println(s"[scalestress] $tag warmup (untimed): " + wm
         .map { case (q, t) => f"$q=$t%.2f" }.mkString(" "))
       val all = (1 to reps).map { r =>
         graft.operators.Dedup.releaseShingleCaches(spark)
+      graft.operators.Ann.releaseTrainedModels(spark)
         val m = queries.map(q => q -> timeQuery(spark, q, dir)).toMap
         // per-rep line: lets the recording protocol spot a throttle
         // window hitting a single rep (this host swings episodically)
@@ -243,6 +245,7 @@ object ScaleStress {
     val base = runScale("1x", src)
     val big = runScale(s"${factor}x", out)
     graft.operators.Dedup.releaseShingleCaches(spark)
+      graft.operators.Ann.releaseTrainedModels(spark)
 
     rm(new java.io.File(out))
 

@@ -46,6 +46,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.operators.Dedup.releaseShingleCaches(spark)
+    graft.operators.Ann.releaseTrainedModels(spark)
     spark.stop()
   }
 }

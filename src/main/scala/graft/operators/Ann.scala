@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -323,11 +323,55 @@ object Ann {
       .drop("best")
   }
 
+  /** Memo of trained centroid sets per (session, input-frame plan, k,
+    * iterations). The trained state is PARAMETER-scale (k × dims
+    * longs, a few KB) but each training run is `iterations` Spark jobs
+    * over the corpus — and the ANN family retrains constantly: the
+    * coarse quantizer alone is re-derived by kmeansTrain / profile /
+    * knnIvfTrained / knnIvfPq / semanticDedup over the same corpus,
+    * and PQ re-trains one codebook per subspace. Production systems
+    * train once and SHIP the model; the memo is that shape in-session
+    * (deterministic training — seeds are fixed rows, arithmetic is
+    * integer — so memoization is invisible to results). Keys
+    * fingerprint inline-relation rows like the dedup cache registry,
+    * so two in-memory corpora with one schema cannot collide.
+    */
+  private val centroidMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), Seq[(Long, Seq[Long], Long)]]()
+
+  private def frameKey(df: DataFrame): (SparkSession, String) = {
+    val plan = df.queryExecution.logical.canonicalized
+    val localFp = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.hashCode
+    }
+    (df.sparkSession, plan.toString + localFp.mkString("[", ",", "]"))
+  }
+
+  /** Drop every trained model memoized for `spark` (call when a
+    * session's ANN work is done; mirrors Dedup.releaseShingleCaches).
+    */
+  def releaseTrainedModels(spark: SparkSession): Unit = {
+    val it = centroidMemo.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == spark) it.remove()
+  }
+
   /** The training loop alone: Lloyd-iterate from the first-k seeds and
     * return the final driver-held centroids `(c_id, components, norm²)`
-    * (shared by [[kmeansTrain]] and [[kmeansProfile]]).
+    * (shared by [[kmeansTrain]] and [[kmeansProfile]]), memoized per
+    * (session, input frame, k, iterations).
     */
   def kmeansCentroids(q: DataFrame, k: Int,
+      iterations: Int): Seq[(Long, Seq[Long], Long)] = {
+    val fk = frameKey(q)
+    centroidMemo.computeIfAbsent((fk._1, fk._2, k, iterations),
+      _ => kmeansCentroidsUncached(q, k, iterations))
+  }
+
+  /** The un-memoized training loop (exposed for specs that must
+    * observe a fresh training run).
+    */
+  def kmeansCentroidsUncached(q: DataFrame, k: Int,
       iterations: Int): Seq[(Long, Seq[Long], Long)] = {
     def update(assigned: DataFrame): Seq[(Long, Seq[Long], Long)] =
       assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "comp")))
@@ -543,10 +587,16 @@ object Ann {
     val coarse = kmeansCentroids(q.select("vec_id", "v", "norm2"),
       kCells, iterations)
     val centMap = typedLit(coarse.map { case (c, cv, _) => c -> cv }.toMap)
+    // materialize the residual frame ONCE: PQ training reads it
+    // 4 subspaces × (seeds + iterations) times, and as a lazy plan
+    // each of those actions would re-run the coarse argmax + residual
+    // projection over the whole corpus (measured ~8 s of the query's
+    // 11.5 s at sf0.1)
     val residuals = kmeansAssign(q.select("vec_id", "v", "norm2"), coarse)
       .select(col("vec_id"), col("cluster").as("cell"),
         zip_with(col("v"), element_at(centMap, col("cluster")),
           (a, b) => a - b).as("v"))
+      .localCheckpoint()
     val books = pqCodebooksFromQ(residuals.select("vec_id", "v"),
       pqK, iterations)
     val codes = pqEncodedFromQ(residuals, books)

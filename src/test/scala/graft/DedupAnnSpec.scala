@@ -58,6 +58,20 @@ class DedupAnnSpec extends SparkSuite {
       out.values.map(_._1).toSet.size) // one keeper per cluster
   }
 
+  test("kmeans centroid memo: bit-identical to fresh training, per-corpus keys") {
+    val q = Ann.quantized(emb).select("vec_id", "v", "norm2")
+    val a = Ann.kmeansCentroids(q, 8, 2)
+    assert(a === Ann.kmeansCentroidsUncached(q, 8, 2)) // memo == fresh
+    assert(Ann.kmeansCentroids(q, 8, 2) eq a) // second call is a map hit
+    // a different corpus (different plan) must key separately
+    val q2 = Ann.quantized(emb.filter(col("vec_id") < 40))
+      .select("vec_id", "v", "norm2")
+    val c2 = Ann.kmeansCentroids(q2, 8, 2)
+    assert(!(c2 eq a) && c2 != a)
+    Ann.releaseTrainedModels(spark)
+    assert(!(Ann.kmeansCentroids(q, 8, 2) eq a)) // released → retrained
+  }
+
   test("containment pairs: prefix filter == exhaustive; superset of Jaccard pairs") {
     val pref = Dedup.containmentPairs(docs, 5000L)
     val exh = Dedup.containmentPairsExhaustive(docs, 5000L)
