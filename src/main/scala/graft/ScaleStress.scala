@@ -232,7 +232,7 @@ object ScaleStress {
         .map { case (q, t) => f"$q=$t%.2f" }.mkString(" "))
       val all = (1 to reps).map { r =>
         graft.operators.Dedup.releaseShingleCaches(spark)
-      graft.operators.Ann.releaseTrainedModels(spark)
+        graft.operators.Ann.releaseTrainedModels(spark)
         val m = queries.map(q => q -> timeQuery(spark, q, dir)).toMap
         // per-rep line: lets the recording protocol spot a throttle
         // window hitting a single rep (this host swings episodically)
@@ -245,7 +245,7 @@ object ScaleStress {
     val base = runScale("1x", src)
     val big = runScale(s"${factor}x", out)
     graft.operators.Dedup.releaseShingleCaches(spark)
-      graft.operators.Ann.releaseTrainedModels(spark)
+    graft.operators.Ann.releaseTrainedModels(spark)
 
     rm(new java.io.File(out))
 

@@ -329,6 +329,17 @@ object Analytics {
       .orderBy("et", "p")
 
   /** Running per-user cumulative aggregates (exact, integer cents). */
+  def userRunningValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("value_cents", cents(col("value")))
+      .withColumn("run_cents", sum("value_cents").over(w))
+      .withColumn("run_events", count(lit(1)).over(w))
+      .select("user_id", "event_id", "value_cents", "run_cents", "run_events")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Column-level table profile (the ANALYZE/data-quality staple a
     * user points at any landed table): per column — row count, null
     * count, exact distinct count, and min/max rendered as strings so
@@ -373,16 +384,5 @@ object Analytics {
         (col("n_rows") - col("n_non_null")).as("n_null"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("min_s"), col("max_s"))
-  }
-
-  def userRunningValue(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
-      .withColumn("value_cents", cents(col("value")))
-      .withColumn("run_cents", sum("value_cents").over(w))
-      .withColumn("run_events", count(lit(1)).over(w))
-      .select("user_id", "event_id", "value_cents", "run_cents", "run_events")
-      .orderBy("user_id", "event_id")
   }
 }

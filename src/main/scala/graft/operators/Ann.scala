@@ -339,14 +339,14 @@ object Ann {
   private val centroidMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int, Int), Seq[(Long, Seq[Long], Long)]]()
 
-  private def frameKey(df: DataFrame): (SparkSession, String) = {
-    val plan = df.queryExecution.logical.canonicalized
-    val localFp = plan.collect {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        l.data.hashCode
-    }
-    (df.sparkSession, plan.toString + localFp.mkString("[", ",", "]"))
-  }
+  /** One keying function for every plan-keyed registry: see
+    * [[Dedup.corpusKey]] for the elided-identity fingerprints
+    * (LocalRelation rows, LogicalRDD ids) that keep same-schema
+    * corpora — including `localCheckpoint` frames like the IVFADC
+    * residuals — from colliding.
+    */
+  private def frameKey(df: DataFrame): (SparkSession, String) =
+    Dedup.corpusKey(df)
 
   /** Drop every trained model memoized for `spark` (call when a
     * session's ANN work is done; mirrors Dedup.releaseShingleCaches).
@@ -423,7 +423,11 @@ object Ann {
   def kmeansProfile(embeddings: DataFrame, k: Int = 8,
       iterations: Int = 2): DataFrame = {
     val q = quantized(embeddings).select("vec_id", "label", "v", "norm2")
-    val centroids = kmeansCentroids(q, k, iterations)
+    // train WITHOUT the label passthrough: centroids don't depend on
+    // it, and the label-free frame is the memo key every other coarse
+    // consumer (train / ivf-trained / ivfadc / semantic dedup) shares
+    val centroids = kmeansCentroids(
+      quantized(embeddings).select("vec_id", "v", "norm2"), k, iterations)
     val byLabel = kmeansAssign(q, centroids)
       .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("cluster")

@@ -144,20 +144,25 @@ object Dedup {
   private val shCache = new LruTableCache[(SparkSession, String)]
 
   /** Cache key for a corpus: the canonicalized plan text plus a
-    * fingerprint of any inline (local) relation's rows. The
-    * canonicalized text alone elides LocalRelation data, so two
-    * distinct in-memory corpora with the same schema would collide on
-    * one cache entry and the second would silently read the first's
-    * shingles. File-backed corpora are distinguished by path in the
-    * plan text itself.
+    * fingerprint of any relation whose IDENTITY the plan text elides —
+    * inline (local) relations print only their schema, and RDD-backed
+    * scans (`localCheckpoint` frames) print only (output, isStreaming).
+    * Without the fingerprints, two distinct in-memory or checkpointed
+    * corpora with one schema would collide on one cache entry and the
+    * second would silently read the first's tables. File-backed
+    * corpora are distinguished by path in the plan text itself.
+    * Shared with the ANN trained-model memo ([[graft.operators.Ann]]),
+    * so both registries collide — or don't — identically.
     */
-  private def corpusKey(docs: DataFrame): (SparkSession, String) = {
+  private[operators] def corpusKey(docs: DataFrame): (SparkSession, String) = {
     val plan = docs.queryExecution.logical.canonicalized
-    val localFp = plan.collect {
+    val fp = plan.collect {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        l.data.hashCode
+        "L" + l.data.hashCode
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        "R" + r.rdd.id
     }
-    (docs.sparkSession, plan.toString + localFp.mkString("[", ",", "]"))
+    (docs.sparkSession, plan.toString + fp.mkString("[", ",", "]"))
   }
 
   /** Unpersist every shingle and pair table cached for `spark` (call
@@ -394,15 +399,25 @@ object Dedup {
     withH.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Banded minhash signatures: wide (mh0..mh7) → long (doc_id, band,
+    * band_key). The band-key arithmetic is a cross-component CONTRACT
+    * — the streaming near-dup ingest stores these keys in a DURABLE
+    * index that later batches and lineages probe — so it lives in
+    * exactly one place.
+    */
+  def bandedSignatures(signatures: DataFrame): DataFrame = {
+    val stackExpr = (0 until MinHashK / 2)
+      .map(b => s"$b, mh${2 * b} * 1048583 + mh${2 * b + 1}")
+      .mkString(", ")
+    signatures.selectExpr("doc_id",
+      s"stack(${MinHashK / 2}, $stackExpr) AS (band, band_key)")
+  }
+
   /** LSH candidate pairs from banded minhash signatures (4 bands × 2):
     * wide signature → stack to (band, band_key) → self equi-join.
     */
   def lshCandidates(signatures: DataFrame): DataFrame = {
-    val stackExpr = (0 until MinHashK / 2)
-      .map(b => s"$b, mh${2 * b} * 1048583 + mh${2 * b + 1}")
-      .mkString(", ")
-    val banded = signatures.selectExpr("doc_id",
-      s"stack(${MinHashK / 2}, $stackExpr) AS (band, band_key)")
+    val banded = bandedSignatures(signatures)
     val x = banded.as("x"); val y = banded.as("y")
     x.join(y, col("x.band") === col("y.band")
         && col("x.band_key") === col("y.band_key")

@@ -131,14 +131,11 @@ object StreamingCuration {
         import graft.operators.Dedup
         val sh = Dedup.shingleTable(batch)
           .select(col("doc_id"), hexHash60(col("s")).as("h"))
-        val stackExpr = (0 until Dedup.MinHashK / 2)
-          .map(b => s"$b, mh${2 * b} * 1048583 + mh${2 * b + 1}")
-          .mkString(", ")
         // ikey packs (band_key, band) into one indexable long:
-        // band_key < 2^41, so << 2 bits for the 4 band ids is safe
-        val banded = Dedup.minhashSignatures(sh)
-          .selectExpr("doc_id",
-            s"stack(${Dedup.MinHashK / 2}, $stackExpr) AS (band, band_key)")
+        // band_key < 2^41, so << 2 bits for the 4 band ids is safe.
+        // The banding itself is Dedup's — band keys are the durable
+        // index contract and must match the batch operators bit-for-bit
+        val banded = Dedup.bandedSignatures(Dedup.minhashSignatures(sh))
           .withColumn("ikey", col("band_key") * 4 + col("band"))
           .localCheckpoint() // read 3× below; must not re-plan after add
         val indexHit = banded

@@ -70,6 +70,14 @@ class DedupAnnSpec extends SparkSuite {
     assert(!(c2 eq a) && c2 != a)
     Ann.releaseTrainedModels(spark)
     assert(!(Ann.kmeansCentroids(q, 8, 2) eq a)) // released → retrained
+    // localCheckpoint frames print NO rdd identity in their canonical
+    // plan text (LogicalRDD.stringArgs is (output, isStreaming) only):
+    // without the LogicalRDD fingerprint in the key, two checkpointed
+    // corpora with one schema collide and the second silently trains
+    // on the first's memo entry — the IVFADC residual-frame bug shape
+    val r1 = Ann.kmeansCentroids(q.localCheckpoint(), 8, 2)
+    val r2 = Ann.kmeansCentroids(q2.localCheckpoint(), 8, 2)
+    assert(r1 != r2, "checkpointed frames with one schema must key apart")
   }
 
   test("containment pairs: prefix filter == exhaustive; superset of Jaccard pairs") {
