@@ -35,7 +35,10 @@ object Bench {
     // 3-decimal values keep the line compact enough that tail-style
     // captures of stdout hold all queries (full-precision doubles
     // nearly doubled the line and got clipped in the r09 capture).
-    def f(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: the default-locale formatter writes comma decimal
+    // separators under e.g. de_DE, and this line is machine-parsed
+    // JSON — the calm-window recorders would discard every attempt
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -95,6 +95,14 @@ object ScaleStress {
     "d_simhash", "p3_stream_ingest", "p_chunk_overlap", "p_curated_corpus",
     "p_global_shuffle", "p_pack_sequences", "t_pii_redact")
 
+  /** Locale-independent 2-decimal formatter: every number printed here
+    * is machine-parsed (per-rep stderr lines by the calm-window
+    * recorder's regex, the JSON line by the artifact writer); a
+    * comma-decimal default locale would silently discard every run.
+    */
+  private def fmtD(v: Double): String =
+    "%.2f".formatLocal(java.util.Locale.ROOT, v)
+
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
 
   /** Per-copy letter rotation; copy 0 is the original corpus. */
@@ -229,7 +237,7 @@ object ScaleStress {
       graft.operators.Ann.releaseTrainedModels(spark)
       val wm = queries.map(q => q -> timeQuery(spark, q, dir))
       System.err.println(s"[scalestress] $tag warmup (untimed): " + wm
-        .map { case (q, t) => f"$q=$t%.2f" }.mkString(" "))
+        .map { case (q, t) => s"$q=${fmtD(t)}" }.mkString(" "))
       val all = (1 to reps).map { r =>
         graft.operators.Dedup.releaseShingleCaches(spark)
         graft.operators.Ann.releaseTrainedModels(spark)
@@ -237,7 +245,7 @@ object ScaleStress {
         // per-rep line: lets the recording protocol spot a throttle
         // window hitting a single rep (this host swings episodically)
         System.err.println(s"[scalestress] $tag rep $r: " + queries
-          .map(q => f"$q=${m(q)}%.2f").mkString(" "))
+          .map(q => s"$q=${fmtD(m(q))}").mkString(" "))
         m
       }
       queries.map(q => q -> median(all.map(_(q)))).toMap
@@ -250,13 +258,13 @@ object ScaleStress {
     rm(new java.io.File(out))
 
     def fmt(m: Map[String, Double]) = queries
-      .map(q => s"""\"$q\":${"%.2f".format(m(q))}""").mkString("{", ",", "}")
+      .map(q => s"""\"$q\":${fmtD(m(q))}""").mkString("{", ",", "}")
     val ratios = queries.map(q => q -> big(q) / base(q)).toMap
     println(s"""{"metric":"scalestress","factor":$factor,"reps":$reps""" +
       s""","base_sec":${fmt(base)},"scaled_sec":${fmt(big)}""" +
       s""","ratio":${fmt(ratios)}""" +
-      s""","base_total":${"%.2f".format(base.values.sum)}""" +
-      s""","scaled_total":${"%.2f".format(big.values.sum)}}""")
+      s""","base_total":${fmtD(base.values.sum)}""" +
+      s""","scaled_total":${fmtD(big.values.sum)}}""")
     spark.stop()
   }
 }

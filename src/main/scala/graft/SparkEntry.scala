@@ -354,9 +354,10 @@ object SparkEntry {
 
     // D12: SemDeDup — trained k-means cells + within-cell keep-first
     // near-dup election over exact cosine. kCells=32 exercises the
-    // scale knob: per-cell pair volume is (n/kCells)², so cells must
-    // outnumber a handful even at bench scale (8 cells over sf0.1's
-    // 50k vectors would be 156M pairs; 32 is 16x less)
+    // scale knob: TOTAL pair volume is kCells·(n/kCells)²/2 = n²/2k,
+    // so quadrupling cells quarters the work (8 cells over sf0.1's
+    // 50k vectors ≈ 156M total pairs; 32 cells ≈ 39M, 4× less — the
+    // PER-CELL figure is what drops 16×, 19.5M → 1.2M)
     "d_semantic_dedup" -> ((s, dir) =>
       Ann.semanticDedup(Tables.embeddings(s, dir), SemDedupCosBp,
         kCells = 32).orderBy("vec_id")),
@@ -1245,8 +1246,9 @@ object SparkEntry {
          |rankedc AS (
          |  SELECT qn.vec_id, qn.v, qn.norm2, c.c_id,
          |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
-         |      (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
-         |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) DESC, c.c_id) AS c_rn
+         |      (CASE WHEN c.cn2 = 0 OR qn.norm2 = 0 THEN -2.0
+         |       ELSE (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
+         |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) END) DESC, c.c_id) AS c_rn
          |  FROM qn, $cent c
          |),
          |cells AS (
@@ -1369,8 +1371,9 @@ object SparkEntry {
          |rankedc AS (
          |  SELECT qn.vec_id, qn.v, qn.norm2, c.c_id,
          |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
-         |      (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
-         |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) DESC, c.c_id) AS c_rn
+         |      (CASE WHEN c.cn2 = 0 OR qn.norm2 = 0 THEN -2.0
+         |       ELSE (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
+         |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) END) DESC, c.c_id) AS c_rn
          |  FROM qn, $cent c
          |),
          |assigned AS (

@@ -245,8 +245,16 @@ object Ann {
     import spark.implicits._
     val q = quantized(embeddings)
     val cent = kmeansCentroids(q.select("vec_id", "v", "norm2"), kCells, iterations)
+    // zero-norm guard, matching the oracle's CASE arm: a zero-norm
+    // CENTROID must rank worst (a raw 0/0 cosine is NaN, which is
+    // GREATEST under Spark's struct-min but sorts FIRST under the
+    // oracle's ORDER BY DESC — opposite corners); a zero-norm VECTOR
+    // gets a constant so the tie-break lands it in the lowest cell id,
+    // deterministically, in both engines
     val cellScores = cent.map { case (cId, cv, cn2) =>
-      struct((lit(-1.0) * cosine(typedLit(cv), col("v"), lit(cn2), col("norm2")))
+      struct(when(col("norm2") === 0 || lit(cn2) === 0, lit(2.0))
+        .otherwise(lit(-1.0) *
+          cosine(typedLit(cv), col("v"), lit(cn2), col("norm2")))
         .as("nc"), lit(cId).as("c_id"))
     }
     val assigned = q
