@@ -556,6 +556,12 @@ object SparkEntry {
       Curation.chunkOverlap(Tables.documents(s, dir), win = 16, stride = 8)
         .orderBy("doc_id", "chunk_idx")),
 
+    // P9: dataset-card composition report — per (source, lang)
+    // doc/token/char counts + integer-exact corpus shares
+    "p_corpus_stats" -> ((s, dir) =>
+      Curation.corpusStats(Tables.documents(s, dir))
+        .orderBy("source", "lang")),
+
     // X5: image dedup over really-decoded content (perceptual-bucket
     // key: quantized mean color × /8 dims)
     "x_image_dedup" -> ((s, dir) =>
@@ -2667,6 +2673,32 @@ object SparkEntry {
                "(chunk_idx * 8 + 1)::INT, (chunk_idx * 8 + 16)::INT), ' ')")}
          |         AS chunk_hash
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "p_corpus_stats" ->
+      s"""WITH d AS (
+         |  SELECT source, lang,
+         |         len(string_split(
+         |           ${graft.functions.Portable.sqlNormText("text")}, ' '))::BIGINT
+         |           AS n_tok,
+         |         n_chars
+         |  FROM documents
+         |),
+         |strata AS (
+         |  SELECT source, lang, count(*)::BIGINT AS n_docs,
+         |         sum(n_tok)::BIGINT AS n_tokens,
+         |         sum(n_chars)::BIGINT AS n_chars
+         |  FROM d GROUP BY 1, 2
+         |),
+         |tot AS (
+         |  SELECT count(*)::BIGINT AS total_docs,
+         |         sum(n_tok)::BIGINT AS total_tokens
+         |  FROM d
+         |)
+         |SELECT source, lang, n_docs, n_tokens, n_chars,
+         |       (n_docs * 10000 // total_docs)::BIGINT AS doc_share_bp,
+         |       (n_tokens * 10000 // total_tokens)::BIGINT AS tok_share_bp
+         |FROM strata, tot
+         |ORDER BY source, lang""".stripMargin,
 
     // one UNION ALL stanza per lineitem column, same aggregates as the
     // single-pass Spark profile

@@ -353,6 +353,32 @@ object Curation {
         (col("local_rn") + col("offset")).as("pos"))
   }
 
+  /** Corpus composition report — the dataset-card staple every data
+    * release ships: per (source, lang) stratum, document / token /
+    * char counts plus the stratum's share of the corpus in integer
+    * basis points (`n * 10000 div total` — exact, engine-portable).
+    *
+    * Scale: one partial-aggregating `groupBy(source, lang)` (strata
+    * count is bounded by the domain, not the corpus) + a broadcast of
+    * the one-row corpus totals; shares are then a pure projection.
+    */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"), col("lang"),
+      size(split(normText(col("text")), " ")).cast("long").as("n_tok"),
+      col("n_chars"))
+    val strata = d.groupBy("source", "lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("n_tokens"),
+      sum("n_chars").as("n_chars"))
+    val totals = d.agg(count(lit(1)).as("total_docs"),
+      sum("n_tok").as("total_tokens"))
+    strata.crossJoin(broadcast(totals))
+      .withColumn("doc_share_bp", expr("n_docs * 10000 div total_docs"))
+      .withColumn("tok_share_bp", expr("n_tokens * 10000 div total_tokens"))
+      .select("source", "lang", "n_docs", "n_tokens", "n_chars",
+        "doc_share_bp", "tok_share_bp")
+  }
+
   /** Fixed-window token chunking with stride — the long-document half
     * of sequence preparation (the complement of [[packSequences]]'s
     * concat-of-short-docs): each document's token stream is cut into

@@ -119,6 +119,22 @@ class CurationSpec extends SparkSuite {
       expected))
   }
 
+  test("corpusStats: shares sum to ~10000 bp and strata partition the corpus") {
+    val out = Curation.corpusStats(docs).collect()
+    val totalDocs = docs.count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === totalDocs)
+    // integer-floor shares: each sums to (10000 - strata rounding loss)
+    val docBp = out.map(_.getAs[Long]("doc_share_bp")).sum
+    val tokBp = out.map(_.getAs[Long]("tok_share_bp")).sum
+    assert(docBp <= 10000 && docBp > 10000 - out.length)
+    assert(tokBp <= 10000 && tokBp > 10000 - out.length)
+    // spot-check one stratum against a direct recount
+    val r = out.head
+    val n = docs.filter(col("source") === r.getAs[String]("source")
+      && col("lang") === r.getAs[String]("lang")).count()
+    assert(r.getAs[Long]("n_docs") === n)
+  }
+
   test("clusterSplit: every near-dup cluster lands wholly in one split") {
     val out = Curation.clusterSplit(docs, 5000L)
     // no cluster straddles a split boundary — the property the
