@@ -568,6 +568,12 @@ object SparkEntry {
       Multimodal.imageDedup(s, Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // X6: video twin of X5 — coarser perceptual key over the decoded
+    // frame pack (4-bit color, /8 dims, /4 frame count)
+    "x_video_dedup" -> ((s, dir) =>
+      Multimodal.videoDedup(s, Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // Q24: one-pass column-level table profile (rows/nulls/distincts/
     // min/max per column) over the widest fact table
     "q_column_profile" -> ((s, dir) =>
@@ -2699,6 +2705,33 @@ object SparkEntry {
          |       (n_tokens * 10000 // total_tokens)::BIGINT AS tok_share_bp
          |FROM strata, tot
          |ORDER BY source, lang""".stripMargin,
+
+    "x_video_dedup" ->
+      """WITH vid AS (
+        |  SELECT doc_id,
+        |         (doc_id % 32 + 1)::BIGINT AS width,
+        |         (doc_id % 24 + 1)::BIGINT AS height,
+        |         (doc_id % 8 + 2)::BIGINT AS frames,
+        |         ((doc_id * 2654435761) % 16777216)::BIGINT AS rgb
+        |  FROM documents
+        |  WHERE (replace(source, 'src', '')::INT) % 3 = 2
+        |),
+        |ph AS (
+        |  SELECT doc_id,
+        |         ((rgb // 1048576) * 64 + ((width - 1) // 8) * 16
+        |           + ((height - 1) // 8) * 2 + ((frames - 2) // 4))::BIGINT
+        |           AS phash
+        |  FROM vid
+        |),
+        |bk AS (
+        |  SELECT phash, min(doc_id)::BIGINT AS keeper_id,
+        |         count(*)::BIGINT AS n_bucket
+        |  FROM ph GROUP BY 1
+        |)
+        |SELECT p.doc_id, p.phash, b.keeper_id, b.n_bucket,
+        |       (CASE WHEN p.doc_id = b.keeper_id THEN 1 ELSE 0 END)::INT AS keep
+        |FROM ph p JOIN bk b USING (phash)
+        |ORDER BY p.doc_id""".stripMargin,
 
     // one UNION ALL stanza per lineitem column, same aggregates as the
     // single-pass Spark profile

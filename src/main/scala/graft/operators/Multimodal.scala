@@ -379,4 +379,30 @@ object Multimodal {
       .withColumn("keep", (col("doc_id") === col("keeper_id")).cast("int"))
       .select("doc_id", "phash", "keeper_id", "n_bucket", "keep")
   }
+
+  /** Video dedup over really-decoded frame packs — the video twin of
+    * [[imageDedup]], keyed COARSER because video similarity is more
+    * forgiving than stills: the decoded frame-0 mean color quantized
+    * to 4 bits, dims to /8 buckets, and the decoded frame COUNT to /4
+    * buckets (re-encodes commonly gain or lose a few frames). The
+    * synthesis makes frame 0 representative (all frames share the
+    * pixel rule), so the key reads only decoded values — equality with
+    * the synthesis-param oracle proves the dedup ran over bytes that
+    * really round-tripped the container + PNG codec.
+    *
+    * Scale: identical shape to [[imageDedup]] — batched codec pass,
+    * partial-agg `groupBy` on a ≤384-value key, broadcast keeper map.
+    */
+  def videoDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val vids = features(spark, docs)
+      .filter(col("media_type") === "video").toDF()
+      .withColumn("phash", expr(
+        "(pixel_rgb div 1048576) * 64 + ((width - 1) div 8) * 16 " +
+          "+ ((height - 1) div 8) * 2 + ((frames - 2) div 4)"))
+    val buckets = vids.groupBy("phash")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_bucket"))
+    vids.join(broadcast(buckets), Seq("phash"))
+      .withColumn("keep", (col("doc_id") === col("keeper_id")).cast("int"))
+      .select("doc_id", "phash", "keeper_id", "n_bucket", "keep")
+  }
 }

@@ -62,6 +62,32 @@ class MultimodalSpec extends SparkSuite {
     assert(out.exists(_._4 > 1))
   }
 
+  test("videoDedup: coarse perceptual buckets from decoded frame packs") {
+    val out = Multimodal.videoDedup(spark, Tables.documents(spark, sf))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("phash"),
+        r.getAs[Long]("keeper_id"), r.getAs[Long]("n_bucket"),
+        r.getAs[Int]("keep"))).toList
+    val vidIds = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        element_at(split(col("source"), "src"), 2).cast("int").as("s"))
+      .collect().filter(_.getInt(1) % 3 == 2).map(_.getLong(0))
+    val ph = vidIds.map { id =>
+      val (f, w, h, rgb) = Multimodal.videoParams(id)
+      id -> ((rgb / 1048576) * 64L + ((w - 1) / 8) * 16L +
+        ((h - 1) / 8) * 2L + (f - 2) / 4)
+    }.toMap
+    val keeper = ph.groupBy(_._2).map { case (p, xs) => p -> xs.keys.min }
+    val sizes = ph.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    assert(out.map(_._1).toSet === vidIds.toSet)
+    out.foreach { case (id, p, k, n, keep) =>
+      assert(p === ph(id) && k === keeper(p) && n === sizes(p))
+      assert(keep === (if (id == k) 1 else 0))
+    }
+    // the coarse key is a real dedup on this corpus (49 multi-buckets)
+    assert(out.exists(_._4 > 1))
+  }
+
   test("audio resample halves the rate, decimates frames, keeps sample 0") {
     val out = Multimodal.resampledAudio(spark, Tables.documents(spark, sf))
       .toDF().cache()
