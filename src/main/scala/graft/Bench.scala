@@ -42,7 +42,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the compact line: tail-style stdout captures have
+    // truncated it (BENCH_r10 parsed as null) — the file copy makes
+    // the artifact self-contained. Path overridable for calm-window
+    // recorders that keep multiple runs.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench/bench_last.json")
+    try {
+      new java.io.File(outFile).getParentFile.mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     graft.operators.Dedup.releaseShingleCaches(spark)
     graft.operators.Ann.releaseTrainedModels(spark)
     spark.stop()

@@ -68,13 +68,31 @@ object ScaleStress {
     *  - d_repeated_spans: rotation changes every token, so window
     *    hashes are cross-copy disjoint — window count, hash groups,
     *    and the h-join all grow exactly N×.
-    *  - d_semantic_dedup is deliberately NOT in the family: embedding
-    *    copies are NOT rotated (plain re-keyed vectors), so at N×
-    *    every vector has N−1 exact semantic duplicates in its cell —
-    *    the within-cell pair volume grows N² BY CONSTRUCTION (the
-    *    same artifact class that keeps prefix Jaccard out). Organic
-    *    growth instead grows kCells with the corpus, holding per-cell
-    *    volume constant.
+    *  - a_knn_ivfpq: coarse/PQ training and residual encoding are
+    *    projections + K·dims-group aggregates over N× rows; the probe
+    *    join scans probes/kCells of the N× corpus per query — linear
+    *    at fixed query count.
+    *  - d_semantic_dedup (via the kCells-scaled runner): embedding
+    *    copies are cyclically DIM-SHIFTED per copy (norm- and
+    *    within-copy-cosine-preserving, cross-copy decorrelated — the
+    *    vector analogue of letter rotation), and the runner applies
+    *    the operator's own documented scale rule kCells ∝ corpus, so
+    *    per-cell pair volume stays constant and total within-cell
+    *    work grows N×. (A plain-copy corpus at fixed kCells would
+    *    grow Σ|cell|² quadratically BY CONSTRUCTION — identical
+    *    vectors land in identical cells at any K.)
+    *  - d_containment_pairs (via the raised-guard runner): the same
+    *    df-cap caveat as the minhash rows applies DOUBLY — rotation
+    *    holds per-shingle df constant while n_docs grows, so the cap
+    *    re-admits boilerplate and the prefix workload Σ prefix_df·df
+    *    grows super-linearly by construction; the runner raises the
+    *    fanout guard (the 1× default would fail closed on the
+    *    heavier synthetic workload) and its ratio is an UPPER bound
+    *    on engine scaling, decomposed in BASELINE.md §Scaling.
+    *  - q_column_profile: one Expand-free agg pass (K columns × a
+    *    one-row funnel) + a (col, value)-group distinct pass whose
+    *    group count grows with re-keyed orderkeys — both
+    *    partial-aggregating, both linear.
     *  - d_simhash: 60-bit signatures differ across copies (rotation
     *    changes tokens), so pigeonhole bands pair within copies only.
     *  - p3_stream_ingest: fixed batch COUNT (each of the 4 batches is
@@ -90,10 +108,12 @@ object ScaleStress {
     *  - t_pii_redact: zero-shuffle codegen projection over N× rows —
     *    the pure-scan control for the shuffle-family members.
     */
-  val Queries: Seq[String] = Seq("a_kmeans_train_iter10", "d_contamination",
-    "d_dedup_clusters", "d_line_dedup", "d_minhash_lsh", "d_repeated_spans",
+  val Queries: Seq[String] = Seq("a_kmeans_train_iter10", "a_knn_ivfpq",
+    "d_contamination", "d_containment_pairs", "d_dedup_clusters",
+    "d_line_dedup", "d_minhash_lsh", "d_repeated_spans", "d_semantic_dedup",
     "d_simhash", "p3_stream_ingest", "p_chunk_overlap", "p_curated_corpus",
-    "p_global_shuffle", "p_pack_sequences", "t_pii_redact")
+    "p_global_shuffle", "p_pack_sequences", "q_column_profile",
+    "t_pii_redact")
 
   /** Locale-independent 2-decimal formatter: every number printed here
     * is machine-parsed (per-rep stderr lines by the calm-window
@@ -137,11 +157,31 @@ object ScaleStress {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     require(emb.agg(max("vec_id")).head.getLong(0) < 1000000000L,
       "ScaleStress: source vec_id collides with the 1e9 re-key stride")
+    // per-copy cyclic DIM SHIFT — the embedding analogue of the letter
+    // rotation: norms and all within-copy cosines are exactly
+    // preserved (every copy reproduces the original's similarity
+    // structure) while cross-copy cosines decorrelate, so pairwise
+    // vector work scales linearly by construction. 64 dims admit 64
+    // distinct shifts; the factor<=26 guard above is stricter.
     (0 until factor).map { i =>
+      val shift = i % graft.operators.Ann.Dims
+      val shifted =
+        if (shift == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), shift + 1, graft.operators.Ann.Dims - shift),
+          slice(col("embedding"), 1, shift))
       emb.select((col("vec_id") + lit(i * 1000000000L)).as("vec_id"),
-        col("embedding"), col("label"))
+        shifted.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // lineitem for the profiler row: re-keyed copies (orderkey stride
+    // keeps keys distinct, so key-column distinct counts grow N× and
+    // value-column distincts stay constant — both real profile shapes)
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until factor).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
   }
 
   /** P3 batch-count stress: the continuous dedup ingest
@@ -177,9 +217,32 @@ object ScaleStress {
   val StreamRunners: Map[String, (SparkSession, String) => Unit] =
     Map("p3_stream_ingest" -> p3StreamIngest _)
 
-  private def timeQuery(spark: SparkSession, name: String, dir: String): Double = {
+  /** Factor-aware runners overriding the SparkEntry form:
+    *  - d_semantic_dedup applies its own documented scale rule
+    *    kCells ∝ corpus (fixed kCells at N× grows Σ|cell|²
+    *    quadratically no matter the engine);
+    *  - d_containment_pairs raises the fanout guard — the synthetic
+    *    corpus' weakened df cap makes the prefix workload
+    *    super-linear by construction (see family notes) and the run
+    *    measures it rather than failing closed.
+    */
+  val ScaledRunners: Map[String, (SparkSession, String, Int) => Unit] = Map(
+    "d_semantic_dedup" -> ((s: SparkSession, dir: String, factor: Int) =>
+      graft.operators.Ann.semanticDedup(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          SparkEntry.SemDedupCosBp, kCells = 32 * factor)
+        .write.mode("overwrite").format("noop").save()),
+    "d_containment_pairs" -> ((s: SparkSession, dir: String, factor: Int) =>
+      graft.operators.Dedup.containmentPairs(
+          s.read.parquet(s"$dir/documents.parquet"),
+          SparkEntry.ContainBp, maxCandidatePairs = 1L << 40)
+        .write.mode("overwrite").format("noop").save()))
+
+  private def timeQuery(spark: SparkSession, name: String, dir: String,
+      factor: Int): Double = {
     val t0 = System.nanoTime()
     if (StreamRunners.contains(name)) StreamRunners(name)(spark, dir)
+    else if (ScaledRunners.contains(name)) ScaledRunners(name)(spark, dir, factor)
     else SparkEntry.queries(name)(spark, dir)
       .write.mode("overwrite").format("noop").save()
     (System.nanoTime() - t0) / 1e9
@@ -224,7 +287,7 @@ object ScaleStress {
     // fresh dedup caches per rep: within a rep the queries share the
     // cache exactly like a Bench run (d_dedup_clusters pays the fill,
     // d_minhash_lsh and p_curated_corpus reuse it)
-    def runScale(tag: String, dir: String): Map[String, Double] = {
+    def runScale(tag: String, dir: String, f: Int): Map[String, Double] = {
       // Untimed warmup pass per scale (mirrors Bench's untimed warmup):
       // the first execution of each plan pays whole-stage-codegen
       // compilation and JIT tiering that no steady-state run repays —
@@ -235,13 +298,13 @@ object ScaleStress {
       // excluded from medians and the gate (the "rep N" regex).
       graft.operators.Dedup.releaseShingleCaches(spark)
       graft.operators.Ann.releaseTrainedModels(spark)
-      val wm = queries.map(q => q -> timeQuery(spark, q, dir))
+      val wm = queries.map(q => q -> timeQuery(spark, q, dir, f))
       System.err.println(s"[scalestress] $tag warmup (untimed): " + wm
         .map { case (q, t) => s"$q=${fmtD(t)}" }.mkString(" "))
       val all = (1 to reps).map { r =>
         graft.operators.Dedup.releaseShingleCaches(spark)
         graft.operators.Ann.releaseTrainedModels(spark)
-        val m = queries.map(q => q -> timeQuery(spark, q, dir)).toMap
+        val m = queries.map(q => q -> timeQuery(spark, q, dir, f)).toMap
         // per-rep line: lets the recording protocol spot a throttle
         // window hitting a single rep (this host swings episodically)
         System.err.println(s"[scalestress] $tag rep $r: " + queries
@@ -250,8 +313,8 @@ object ScaleStress {
       }
       queries.map(q => q -> median(all.map(_(q)))).toMap
     }
-    val base = runScale("1x", src)
-    val big = runScale(s"${factor}x", out)
+    val base = runScale("1x", src, 1)
+    val big = runScale(s"${factor}x", out, factor)
     graft.operators.Dedup.releaseShingleCaches(spark)
     graft.operators.Ann.releaseTrainedModels(spark)
 

@@ -338,6 +338,21 @@ object SparkEntry {
       Dedup.minhashLsh(Tables.documents(s, dir), NgramJaccardBp)
         .orderBy("doc_a", "doc_b")),
 
+    // D2 at PRODUCTION band geometry (16 bands × 8 rows = 128
+    // hashes): same verified-pair semantics as d_minhash_lsh, with
+    // the steep S-curve real deployments run — P(candidate) at s=0.5
+    // drops from ~68% (4×2) to ~6%, so the verify-join fanout from
+    // the fat mid-similarity band shrinks ~11×, while s≥0.8 pairs
+    // stay ~95% admitted and true near-dups certain (GeometrySpec
+    // pins the measured curve against 1−(1−s^r)^b for both
+    // geometries). The found pair set is accordingly SMALLER than
+    // d_minhash_lsh's near the 0.5 threshold — that recall trade is
+    // the point, and the oracle mirrors it exactly
+    "d_minhash_lsh_prod" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), NgramJaccardBp,
+        bands = Dedup.ProdBands, rows = Dedup.ProdRows)
+        .orderBy("doc_a", "doc_b")),
+
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), SimhashMaxHamming)
         .orderBy("doc_a", "doc_b")),
@@ -412,6 +427,15 @@ object SparkEntry {
     "a_knn_ivfpq" -> ((s, dir) =>
       Ann.knnIvfPq(Tables.embeddings(s, dir), KnnQueries, 5, probes = 2)
         .orderBy("q_id", "rnk")),
+
+    // A-family quality gate: recall@RecallK of every approximate
+    // method vs brute-force ground truth, integer basis points — the
+    // rows ARE the recall table (engine-equivalence per method is
+    // proved by the individual gates; this measures how good each
+    // approximation is)
+    "a_ann_recall" -> ((s, dir) =>
+      Ann.annRecall(Tables.embeddings(s, dir), KnnQueries, RecallK)
+        .orderBy("method")),
 
     "t_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), 20)
@@ -580,6 +604,14 @@ object SparkEntry {
       Analytics.columnProfile(Tables.lineitem(s, dir))
         .orderBy("col_name")),
 
+    // Q24's 100 TB default: approx distincts (HLL) fused into the ONE
+    // count/min/max scan — no unpivot, no distinct shuffle. Rows-only
+    // gate (HLL estimates are engine-specific); the error bound vs
+    // the exact profile is spec-pinned (AnalyticsProfileSpec)
+    "q_column_profile_approx" -> ((s, dir) =>
+      Analytics.columnProfileApprox(Tables.lineitem(s, dir))
+        .orderBy("col_name")),
+
     "a_kmeans_train" -> ((s, dir) =>
       Ann.kmeansTrain(Tables.embeddings(s, dir), k = 8, iterations = 2)
         .orderBy("cluster")),
@@ -687,6 +719,10 @@ object SparkEntry {
     */
   val SpanW = 8
   val KnnQueries = 10
+  /** Result depth for the a_ann_recall quality gate (recall@10 — the
+    * figure ANN papers and users quote first).
+    */
+  val RecallK = 10
   /** Line-dedup window width (tokens) and the C4-style boilerplate
     * occurrence cap (> cap ⇒ dropped everywhere).
     */
@@ -1126,6 +1162,224 @@ object SparkEntry {
        |  FROM pairs p JOIN sz x ON x.doc_id = p.doc_a JOIN sz y ON y.doc_id = p.doc_b
        |) WHERE jacc_bp >= $NgramJaccardBp ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- parameterized ANN oracles (k = result depth) — the gated
+  // per-method entries instantiate them at their headline k, and the
+  // a_ann_recall oracle re-instantiates every one at RecallK so the
+  // recall table measures exactly the SQL the gates run ----
+
+  private def annBruteforceSql(k: Int): String =
+    s"""WITH $EmbCte,
+       |scored AS (
+       |  SELECT q2.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         ${sqlCosBp("q2.v", "c.v", "q2.norm2", "c.norm2")} AS cos_bp,
+       |         (list_sum(list_transform(range(1,65), i -> q2.v[i::INT]*c.v[i::INT])))::DOUBLE
+       |           / (sqrt(q2.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+       |  FROM qn q2 JOIN qn c ON c.vec_id <> q2.vec_id
+       |  WHERE q2.vec_id < $KnnQueries
+       |)
+       |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
+       |  SELECT q_id, neighbor_id, cos_bp,
+       |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+
+  private def annLshSql(k: Int): String =
+    s"""WITH $EmbCte,
+       |qq AS (SELECT qn.vec_id, qn.v, qn.norm2, bk.bucket
+       |       FROM qn JOIN bk ON qn.vec_id = bk.vec_id),
+       |scored AS (
+       |  SELECT q2.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         ${sqlCosBp("q2.v", "c.v", "q2.norm2", "c.norm2")} AS cos_bp,
+       |         (list_sum(list_transform(range(1,65), i -> q2.v[i::INT]*c.v[i::INT])))::DOUBLE
+       |           / (sqrt(q2.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+       |  FROM qq q2 JOIN qq c ON c.bucket = q2.bucket AND c.vec_id <> q2.vec_id
+       |  WHERE q2.vec_id < $KnnQueries
+       |)
+       |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
+       |  SELECT q_id, neighbor_id, cos_bp,
+       |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+
+  private def annIvfTrainedSql(k: Int): String = {
+    val (ctes, _, cent) = kmeansCtes(k = 8, iterations = 2)
+    s"""$ctes,
+       |rankedc AS (
+       |  SELECT qn.vec_id, qn.v, qn.norm2, c.c_id,
+       |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+       |      (CASE WHEN c.cn2 = 0 OR qn.norm2 = 0 THEN -2.0
+       |       ELSE (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
+       |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) END) DESC, c.c_id) AS c_rn
+       |  FROM qn, $cent c
+       |),
+       |assigned AS (
+       |  SELECT vec_id, v, norm2, c_id AS cell FROM rankedc WHERE c_rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS q_id, v AS qv, norm2 AS qn2, c_id AS qcell
+       |  FROM rankedc WHERE vec_id < $KnnQueries AND c_rn <= 1
+       |),
+       |scored AS (
+       |  SELECT q2.q_id, c.vec_id AS neighbor_id,
+       |         ${sqlCosBp("q2.qv", "c.v", "q2.qn2", "c.norm2")} AS cos_bp,
+       |         (list_sum(list_transform(range(1,65), i -> q2.qv[i::INT]*c.v[i::INT])))::DOUBLE
+       |           / (sqrt(q2.qn2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+       |  FROM probes q2 JOIN assigned c
+       |    ON c.cell = q2.qcell AND c.vec_id <> q2.q_id
+       |)
+       |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
+       |  SELECT q_id, neighbor_id, cos_bp,
+       |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
+  private def annQuantizedSql(k: Int): String =
+    s"""WITH $EmbCte, $Int8Cte,
+       |scored AS (
+       |  SELECT q2.vec_id AS q_id, cdb.vec_id AS neighbor_id,
+       |         CASE WHEN q2.n2q = 0 OR cdb.n2q = 0 THEN -2.0
+       |           ELSE (list_sum(list_transform(range(1,65), i -> q2.c[i::INT]*cdb.c[i::INT])))::DOUBLE
+       |             / (sqrt(q2.n2q::DOUBLE) * sqrt(cdb.n2q::DOUBLE)) END AS qcos
+       |  FROM cqn q2 JOIN cqn cdb ON cdb.vec_id <> q2.vec_id
+       |  WHERE q2.vec_id < $KnnQueries
+       |)
+       |SELECT q_id, rnk, neighbor_id, round(qcos * 10000, 0)::BIGINT AS qcos_bp FROM (
+       |  SELECT q_id, neighbor_id, qcos,
+       |         (row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, neighbor_id))::INT AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+
+  private def annPqSql(k: Int): String = {
+    val (ctes, asgs, cents) = pqCtes(k = Ann.PqK, iterations = 2)
+    val qds = (0 until 4).map { s =>
+      s"""qd$s AS (
+         |  SELECT t.vec_id AS q_id, c.c_id,
+         |         (t.norm2 - 2*list_sum(list_transform(range(1,17),
+         |             j -> t.v[j::INT]*c.cv[j::INT])) + c.cn2)::BIGINT AS d
+         |  FROM sub$s t, ${cents(s)} c WHERE t.vec_id < $KnnQueries
+         |)"""
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> round(x*1000)::BIGINT) AS v
+       |  FROM embeddings
+       |),
+       |$ctes,
+       |codes AS (
+       |  SELECT a0.vec_id, a0.cluster AS c0, a1.cluster AS c1,
+       |         a2.cluster AS c2, a3.cluster AS c3
+       |  FROM ${asgs(0)} a0
+       |  JOIN ${asgs(1)} a1 ON a1.vec_id = a0.vec_id
+       |  JOIN ${asgs(2)} a2 ON a2.vec_id = a0.vec_id
+       |  JOIN ${asgs(3)} a3 ON a3.vec_id = a0.vec_id
+       |),
+       |$qds,
+       |scored AS (
+       |  SELECT q0.q_id, x.vec_id, (q0.d + q1.d + q2.d + q3.d)::BIGINT AS est_d
+       |  FROM codes x
+       |  JOIN qd0 q0 ON q0.c_id = x.c0
+       |  JOIN qd1 q1 ON q1.c_id = x.c1 AND q1.q_id = q0.q_id
+       |  JOIN qd2 q2 ON q2.c_id = x.c2 AND q2.q_id = q0.q_id
+       |  JOIN qd3 q3 ON q3.c_id = x.c3 AND q3.q_id = q0.q_id
+       |  WHERE x.vec_id <> q0.q_id
+       |)
+       |SELECT q_id, rnk, neighbor_id, est_d FROM (
+       |  SELECT q_id, vec_id AS neighbor_id, est_d,
+       |         (row_number() OVER (PARTITION BY q_id ORDER BY est_d, vec_id))::INT AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
+  private def annIvfPqSql(k: Int): String = {
+    val (kctes, kasg, kcent) = kmeansCtes(k = 8, iterations = 2)
+    val (pctes, pasgs, pcents) = pqCtes(k = Ann.PqK, iterations = 2, src = "res")
+    val qds = (0 until 4).map { s =>
+      val off = s * 16
+      s"""qd$s AS (
+         |  SELECT p.q_id, p.cell, c.c_id,
+         |         (list_sum(list_transform(range(1,17),
+         |             j -> p.qres[(j + $off)::INT]*p.qres[(j + $off)::INT]))
+         |          - 2*list_sum(list_transform(range(1,17),
+         |             j -> p.qres[(j + $off)::INT]*c.cv[j::INT]))
+         |          + c.cn2)::BIGINT AS d
+         |  FROM probed p, ${pcents(s)} c
+         |)"""
+    }.mkString(",\n")
+    s"""$kctes,
+       |res AS (
+       |  SELECT a.vec_id, list_transform(range(1,65), j -> a.v[j::INT] - c.cv[j::INT]) AS v
+       |  FROM $kasg a JOIN $kcent c ON a.cluster = c.c_id
+       |),
+       |cellof AS (SELECT vec_id, cluster AS cell FROM $kasg),
+       |$pctes,
+       |codes AS (
+       |  SELECT a0.vec_id, co.cell, a0.cluster AS c0, a1.cluster AS c1,
+       |         a2.cluster AS c2, a3.cluster AS c3
+       |  FROM ${pasgs(0)} a0
+       |  JOIN ${pasgs(1)} a1 ON a1.vec_id = a0.vec_id
+       |  JOIN ${pasgs(2)} a2 ON a2.vec_id = a0.vec_id
+       |  JOIN ${pasgs(3)} a3 ON a3.vec_id = a0.vec_id
+       |  JOIN cellof co ON co.vec_id = a0.vec_id
+       |),
+       |qcells AS (
+       |  SELECT qn.vec_id AS q_id, c.c_id AS cell,
+       |         row_number() OVER (PARTITION BY qn.vec_id
+       |           ORDER BY (qn.norm2 - 2*list_sum(list_transform(range(1,65),
+       |             j -> qn.v[j::INT]*c.cv[j::INT])) + c.cn2), c.c_id) AS crn,
+       |         list_transform(range(1,65), j -> qn.v[j::INT] - c.cv[j::INT]) AS qres
+       |  FROM qn, $kcent c WHERE qn.vec_id < $KnnQueries
+       |),
+       |probed AS (SELECT q_id, cell, qres FROM qcells WHERE crn <= 2),
+       |$qds,
+       |scored AS (
+       |  SELECT q0.q_id, x.vec_id, (q0.d + q1.d + q2.d + q3.d)::BIGINT AS est_d
+       |  FROM codes x
+       |  JOIN qd0 q0 ON q0.c_id = x.c0 AND q0.cell = x.cell
+       |  JOIN qd1 q1 ON q1.c_id = x.c1 AND q1.q_id = q0.q_id AND q1.cell = q0.cell
+       |  JOIN qd2 q2 ON q2.c_id = x.c2 AND q2.q_id = q0.q_id AND q2.cell = q0.cell
+       |  JOIN qd3 q3 ON q3.c_id = x.c3 AND q3.q_id = q0.q_id AND q3.cell = q0.cell
+       |  WHERE x.vec_id <> q0.q_id
+       |)
+       |SELECT q_id, rnk, neighbor_id, est_d FROM (
+       |  SELECT q_id, vec_id AS neighbor_id, est_d,
+       |         (row_number() OVER (PARTITION BY q_id ORDER BY est_d, vec_id))::INT AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Recall@k table: each per-method oracle chain (at depth k) nests
+    * as a locally-scoped derived table; hits join the brute-force
+    * truth on (q_id, neighbor_id); recall is integer basis points
+    * over the queries·k ground-truth slots.
+    */
+  private def annRecallSql(k: Int): String = {
+    val denom = KnnQueries * k
+    val subs = Seq(
+      "knn_lsh" -> annLshSql(k),
+      "knn_ivf_trained" -> annIvfTrainedSql(k),
+      "knn_quantized" -> annQuantizedSql(k),
+      "knn_pq" -> annPqSql(k),
+      "knn_ivfpq" -> annIvfPqSql(k))
+    val ctes = subs.zipWithIndex.map { case ((_, sql), i) =>
+      s"r$i AS (SELECT q_id, neighbor_id FROM (\n$sql\n) t$i)"
+    }.mkString(",\n")
+    val arms = subs.zipWithIndex.map { case ((m, _), i) =>
+      s"""SELECT '$m' AS method,
+         |  (SELECT count(*) FROM r$i)::BIGINT AS n_retrieved,
+         |  (SELECT count(*) FROM r$i JOIN truth USING (q_id, neighbor_id))::BIGINT AS n_hits"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH truth AS (SELECT q_id, neighbor_id FROM (
+       |${annBruteforceSql(k)}
+       |) tt),
+       |$ctes,
+       |m AS (
+       |$arms
+       |)
+       |SELECT method, n_retrieved, n_hits,
+       |       (n_hits * 10000 // $denom)::BIGINT AS recall_bp
+       |FROM m ORDER BY method""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -1177,6 +1431,44 @@ object SparkEntry {
          |  GROUP BY 1, 2
          |)
          |$JaccTail""".stripMargin,
+
+    // production geometry: 64-hash param family (first 8 = the legacy
+    // literals, 8+ LCG-extended — generated from the SAME Scala Seq
+    // the Spark side uses) and the shared band-key combiner text from
+    // Dedup.bandKeyExpr, so neither side can drift
+    "d_minhash_lsh_prod" -> {
+      val rows = Dedup.ProdRows
+      val params = Dedup.hashParams(Dedup.ProdBands * rows).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      val mhs = (0 until rows)
+        .map(r => s"min(CASE WHEN hash_id % $rows = $r THEN minhash END)")
+      s"""WITH $NormCte, $ShCte,
+         |params(hash_id, ha, hb) AS (VALUES $params),
+         |sig AS (
+         |  SELECT doc_id, hash_id,
+         |         min((ha * (h % 1048576) + hb) % 1048573) AS minhash
+         |  FROM sh, params GROUP BY doc_id, hash_id
+         |),
+         |banded AS (
+         |  SELECT doc_id, (hash_id // $rows)::INT AS band,
+         |         (${Dedup.bandKeyExpr(mhs)})::BIGINT AS band_key
+         |  FROM sig GROUP BY doc_id, (hash_id // $rows)::INT
+         |),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+         |),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+         |  FROM cands c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+         |  GROUP BY 1, 2
+         |)
+         |$JaccTail""".stripMargin
+    },
 
     "d_simhash" ->
       s"""WITH $NormCte, $TokCte,
@@ -1281,39 +1573,9 @@ object SparkEntry {
          |ORDER BY a.vec_id""".stripMargin
     },
 
-    "a_knn_bruteforce" ->
-      s"""WITH $EmbCte,
-         |scored AS (
-         |  SELECT q2.vec_id AS q_id, c.vec_id AS neighbor_id,
-         |         ${sqlCosBp("q2.v", "c.v", "q2.norm2", "c.norm2")} AS cos_bp,
-         |         (list_sum(list_transform(range(1,65), i -> q2.v[i::INT]*c.v[i::INT])))::DOUBLE
-         |           / (sqrt(q2.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
-         |  FROM qn q2 JOIN qn c ON c.vec_id <> q2.vec_id
-         |  WHERE q2.vec_id < $KnnQueries
-         |)
-         |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
-         |  SELECT q_id, neighbor_id, cos_bp,
-         |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
-         |  FROM scored
-         |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "a_knn_bruteforce" -> annBruteforceSql(5),
 
-    "a_knn_lsh" ->
-      s"""WITH $EmbCte,
-         |qq AS (SELECT qn.vec_id, qn.v, qn.norm2, bk.bucket
-         |       FROM qn JOIN bk ON qn.vec_id = bk.vec_id),
-         |scored AS (
-         |  SELECT q2.vec_id AS q_id, c.vec_id AS neighbor_id,
-         |         ${sqlCosBp("q2.v", "c.v", "q2.norm2", "c.norm2")} AS cos_bp,
-         |         (list_sum(list_transform(range(1,65), i -> q2.v[i::INT]*c.v[i::INT])))::DOUBLE
-         |           / (sqrt(q2.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
-         |  FROM qq q2 JOIN qq c ON c.bucket = q2.bucket AND c.vec_id <> q2.vec_id
-         |  WHERE q2.vec_id < $KnnQueries
-         |)
-         |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
-         |  SELECT q_id, neighbor_id, cos_bp,
-         |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
-         |  FROM scored
-         |) WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    "a_knn_lsh" -> annLshSql(3),
 
     "a_knn_ivf" ->
       s"""WITH $EmbCte,
@@ -1377,38 +1639,7 @@ object SparkEntry {
 
     // trained-IVF: the unrolled k-means chain supplies the centroid
     // CTE; cell assignment/probing then mirror the stride-IVF oracle
-    "a_knn_ivf_trained" -> {
-      val (ctes, _, cent) = kmeansCtes(k = 8, iterations = 2)
-      s"""$ctes,
-         |rankedc AS (
-         |  SELECT qn.vec_id, qn.v, qn.norm2, c.c_id,
-         |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
-         |      (CASE WHEN c.cn2 = 0 OR qn.norm2 = 0 THEN -2.0
-         |       ELSE (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
-         |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) END) DESC, c.c_id) AS c_rn
-         |  FROM qn, $cent c
-         |),
-         |assigned AS (
-         |  SELECT vec_id, v, norm2, c_id AS cell FROM rankedc WHERE c_rn = 1
-         |),
-         |probes AS (
-         |  SELECT vec_id AS q_id, v AS qv, norm2 AS qn2, c_id AS qcell
-         |  FROM rankedc WHERE vec_id < $KnnQueries AND c_rn <= 1
-         |),
-         |scored AS (
-         |  SELECT q2.q_id, c.vec_id AS neighbor_id,
-         |         ${sqlCosBp("q2.qv", "c.v", "q2.qn2", "c.norm2")} AS cos_bp,
-         |         (list_sum(list_transform(range(1,65), i -> q2.qv[i::INT]*c.v[i::INT])))::DOUBLE
-         |           / (sqrt(q2.qn2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
-         |  FROM probes q2 JOIN assigned c
-         |    ON c.cell = q2.qcell AND c.vec_id <> q2.q_id
-         |)
-         |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
-         |  SELECT q_id, neighbor_id, cos_bp,
-         |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
-         |  FROM scored
-         |) WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
-    },
+    "a_knn_ivf_trained" -> annIvfTrainedSql(3),
 
     "a_int8_quantize" ->
       s"""WITH $EmbCte, $Int8Cte
@@ -1420,21 +1651,7 @@ object SparkEntry {
          |             * (c[i::INT]*maxabs - v[i::INT]*127))))::BIGINT AS err127_2
          |FROM cqn ORDER BY vec_id""".stripMargin,
 
-    "a_knn_quantized" ->
-      s"""WITH $EmbCte, $Int8Cte,
-         |scored AS (
-         |  SELECT q2.vec_id AS q_id, cdb.vec_id AS neighbor_id,
-         |         CASE WHEN q2.n2q = 0 OR cdb.n2q = 0 THEN -2.0
-         |           ELSE (list_sum(list_transform(range(1,65), i -> q2.c[i::INT]*cdb.c[i::INT])))::DOUBLE
-         |             / (sqrt(q2.n2q::DOUBLE) * sqrt(cdb.n2q::DOUBLE)) END AS qcos
-         |  FROM cqn q2 JOIN cqn cdb ON cdb.vec_id <> q2.vec_id
-         |  WHERE q2.vec_id < $KnnQueries
-         |)
-         |SELECT q_id, rnk, neighbor_id, round(qcos * 10000, 0)::BIGINT AS qcos_bp FROM (
-         |  SELECT q_id, neighbor_id, qcos,
-         |         (row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, neighbor_id))::INT AS rnk
-         |  FROM scored
-         |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "a_knn_quantized" -> annQuantizedSql(5),
 
     // PQ codes: 4 independent 16-dim k-means chains; recon_err is the
     // exact integer sum of per-subspace assignment distances
@@ -1457,104 +1674,18 @@ object SparkEntry {
 
     // ADC: per-query distance tables against each final codebook,
     // pair distance = 4 c_id equi-join lookups (never a 64-dim dot)
-    "a_knn_pq" -> {
-      val (ctes, asgs, cents) = pqCtes(k = Ann.PqK, iterations = 2)
-      val qds = (0 until 4).map { s =>
-        s"""qd$s AS (
-           |  SELECT t.vec_id AS q_id, c.c_id,
-           |         (t.norm2 - 2*list_sum(list_transform(range(1,17),
-           |             j -> t.v[j::INT]*c.cv[j::INT])) + c.cn2)::BIGINT AS d
-           |  FROM sub$s t, ${cents(s)} c WHERE t.vec_id < $KnnQueries
-           |)"""
-      }.mkString(",\n")
-      s"""WITH q AS (
-         |  SELECT vec_id, list_transform(embedding, x -> round(x*1000)::BIGINT) AS v
-         |  FROM embeddings
-         |),
-         |$ctes,
-         |codes AS (
-         |  SELECT a0.vec_id, a0.cluster AS c0, a1.cluster AS c1,
-         |         a2.cluster AS c2, a3.cluster AS c3
-         |  FROM ${asgs(0)} a0
-         |  JOIN ${asgs(1)} a1 ON a1.vec_id = a0.vec_id
-         |  JOIN ${asgs(2)} a2 ON a2.vec_id = a0.vec_id
-         |  JOIN ${asgs(3)} a3 ON a3.vec_id = a0.vec_id
-         |),
-         |$qds,
-         |scored AS (
-         |  SELECT q0.q_id, x.vec_id, (q0.d + q1.d + q2.d + q3.d)::BIGINT AS est_d
-         |  FROM codes x
-         |  JOIN qd0 q0 ON q0.c_id = x.c0
-         |  JOIN qd1 q1 ON q1.c_id = x.c1 AND q1.q_id = q0.q_id
-         |  JOIN qd2 q2 ON q2.c_id = x.c2 AND q2.q_id = q0.q_id
-         |  JOIN qd3 q3 ON q3.c_id = x.c3 AND q3.q_id = q0.q_id
-         |  WHERE x.vec_id <> q0.q_id
-         |)
-         |SELECT q_id, rnk, neighbor_id, est_d FROM (
-         |  SELECT q_id, vec_id AS neighbor_id, est_d,
-         |         (row_number() OVER (PARTITION BY q_id ORDER BY est_d, vec_id))::INT AS rnk
-         |  FROM scored
-         |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
-    },
+    "a_knn_pq" -> annPqSql(5),
 
     // IVFADC: coarse k-means chain -> residuals -> PQ chains trained on
     // the residuals (src = "res") -> per-(query, probed-cell) ADC
-    "a_knn_ivfpq" -> {
-      val (kctes, kasg, kcent) = kmeansCtes(k = 8, iterations = 2)
-      val (pctes, pasgs, pcents) = pqCtes(k = Ann.PqK, iterations = 2, src = "res")
-      val qds = (0 until 4).map { s =>
-        val off = s * 16
-        s"""qd$s AS (
-           |  SELECT p.q_id, p.cell, c.c_id,
-           |         (list_sum(list_transform(range(1,17),
-           |             j -> p.qres[(j + $off)::INT]*p.qres[(j + $off)::INT]))
-           |          - 2*list_sum(list_transform(range(1,17),
-           |             j -> p.qres[(j + $off)::INT]*c.cv[j::INT]))
-           |          + c.cn2)::BIGINT AS d
-           |  FROM probed p, ${pcents(s)} c
-           |)"""
-      }.mkString(",\n")
-      s"""$kctes,
-         |res AS (
-         |  SELECT a.vec_id, list_transform(range(1,65), j -> a.v[j::INT] - c.cv[j::INT]) AS v
-         |  FROM $kasg a JOIN $kcent c ON a.cluster = c.c_id
-         |),
-         |cellof AS (SELECT vec_id, cluster AS cell FROM $kasg),
-         |$pctes,
-         |codes AS (
-         |  SELECT a0.vec_id, co.cell, a0.cluster AS c0, a1.cluster AS c1,
-         |         a2.cluster AS c2, a3.cluster AS c3
-         |  FROM ${pasgs(0)} a0
-         |  JOIN ${pasgs(1)} a1 ON a1.vec_id = a0.vec_id
-         |  JOIN ${pasgs(2)} a2 ON a2.vec_id = a0.vec_id
-         |  JOIN ${pasgs(3)} a3 ON a3.vec_id = a0.vec_id
-         |  JOIN cellof co ON co.vec_id = a0.vec_id
-         |),
-         |qcells AS (
-         |  SELECT qn.vec_id AS q_id, c.c_id AS cell,
-         |         row_number() OVER (PARTITION BY qn.vec_id
-         |           ORDER BY (qn.norm2 - 2*list_sum(list_transform(range(1,65),
-         |             j -> qn.v[j::INT]*c.cv[j::INT])) + c.cn2), c.c_id) AS crn,
-         |         list_transform(range(1,65), j -> qn.v[j::INT] - c.cv[j::INT]) AS qres
-         |  FROM qn, $kcent c WHERE qn.vec_id < $KnnQueries
-         |),
-         |probed AS (SELECT q_id, cell, qres FROM qcells WHERE crn <= 2),
-         |$qds,
-         |scored AS (
-         |  SELECT q0.q_id, x.vec_id, (q0.d + q1.d + q2.d + q3.d)::BIGINT AS est_d
-         |  FROM codes x
-         |  JOIN qd0 q0 ON q0.c_id = x.c0 AND q0.cell = x.cell
-         |  JOIN qd1 q1 ON q1.c_id = x.c1 AND q1.q_id = q0.q_id AND q1.cell = q0.cell
-         |  JOIN qd2 q2 ON q2.c_id = x.c2 AND q2.q_id = q0.q_id AND q2.cell = q0.cell
-         |  JOIN qd3 q3 ON q3.c_id = x.c3 AND q3.q_id = q0.q_id AND q3.cell = q0.cell
-         |  WHERE x.vec_id <> q0.q_id
-         |)
-         |SELECT q_id, rnk, neighbor_id, est_d FROM (
-         |  SELECT q_id, vec_id AS neighbor_id, est_d,
-         |         (row_number() OVER (PARTITION BY q_id ORDER BY est_d, vec_id))::INT AS rnk
-         |  FROM scored
-         |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
-    },
+    "a_knn_ivfpq" -> annIvfPqSql(5),
+
+    // Recall@RecallK of every approximate ANN method vs brute-force
+    // ground truth — each method's k=RecallK oracle chain embedded as
+    // a locally-scoped subquery (DuckDB nests WITH inside derived
+    // tables), so the recall table reuses the SAME per-method SQL the
+    // individual gates run
+    "a_ann_recall" -> annRecallSql(RecallK),
 
     "t_top_tokens" ->
       s"""WITH $NormCte, $TokCte
@@ -2735,15 +2866,20 @@ object SparkEntry {
 
     // one UNION ALL stanza per lineitem column, same aggregates as the
     // single-pass Spark profile
+    // float/double min/max render through DECIMAL(38,6) on both sides
+    // (engine-native double->string notation diverges past 1e7; see
+    // Analytics.columnProfile scaladoc for the value-range assumption)
     "q_column_profile" -> {
+      val doubles = Set("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate")
       cols.map { c =>
+        val mm = if (doubles(c)) s"::DECIMAL(38,6)::VARCHAR" else "::VARCHAR"
         s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
            |  (count(*) - count($c))::BIGINT AS n_null,
            |  count(DISTINCT $c::VARCHAR)::BIGINT AS n_distinct,
-           |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
+           |  min($c)$mm AS min_s, max($c)$mm AS max_s
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },

@@ -361,21 +361,40 @@ object Analytics {
     * through one partition — measured 20 s vs ~2 s on a 600k-row
     * table. Distinctness is counted on the string image (injective
     * for every type here; the oracle casts identically).
+    *
+    * Robustness/portability: user column names are referenced only
+    * backtick-quoted (ANALYZE tooling meets user schemas — a column
+    * named with spaces, quotes, or backticks must profile, not parse
+    * as something else), per-column intermediates use POSITIONAL
+    * aliases (`nn_0`…) so hostile names never enter generated SQL
+    * text, and float/double min/max render through a fixed-scale
+    * `decimal(38,6)` — Spark's Java `Double.toString` flips to
+    * scientific notation at 1e7 where other engines (the DuckDB
+    * oracle included) don't, so engine-native rendering diverges on
+    * extreme values. Assumption: |min/max| < 10^32 for float columns
+    * (the decimal cast overflows to null past it) and 6 fractional
+    * digits identify the boundary — the operational ANALYZE trade.
     */
   def columnProfile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val cs = if (cols.nonEmpty) cols else df.columns.toSeq
-    val aggs = cs.flatMap { c =>
-      Seq(count(col(c)).as(s"nn_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))
+    val aggs = cs.zipWithIndex.flatMap { case (c, i) =>
+      val cc = col(bq(c))
+      Seq(count(cc).as(s"nn_$i"),
+        renderS(df, c, min(cc)).as(s"mn_$i"),
+        renderS(df, c, max(cc)).as(s"mx_$i"))
     } :+ count(lit(1)).as("n_rows")
+    val stackArgs = lit(cs.size) +: cs.indices.flatMap(i =>
+      Seq(lit(cs(i)), col(s"nn_$i"), col(s"mn_$i"), col(s"mx_$i")))
     val basic = df.agg(aggs.head, aggs.tail: _*)
-      .selectExpr("n_rows",
-        s"stack(${cs.size}, ${cs.map(c => s"'$c', nn_$c, mn_$c, mx_$c").mkString(", ")})" +
-          " AS (col_name, n_non_null, min_s, max_s)")
-    val pairs = df.selectExpr(
-      s"stack(${cs.size}, ${cs.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")})" +
-        " AS (col_name, v)")
+      .select(col("n_rows"), stack(stackArgs: _*))
+      .toDF("n_rows", "col_name", "n_non_null", "min_s", "max_s")
+    // distinctness stays on the engine-native string image: each
+    // engine only needs its own image to be injective (the count is
+    // what crosses engines, not the strings)
+    val pairs = df.select(
+        stack((lit(cs.size) +: cs.flatMap(c =>
+          Seq(lit(c), col(bq(c)).cast("string")))): _*))
+      .toDF("col_name", "v")
     val nd = pairs.filter(col("v").isNotNull)
       .select("col_name", "v").distinct()
       .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
@@ -384,5 +403,57 @@ object Analytics {
         (col("n_rows") - col("n_non_null")).as("n_null"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("min_s"), col("max_s"))
+  }
+
+  /** Backtick-quote an identifier for the parsed paths (`col`/SQL):
+    * embedded backticks double, everything else passes through.
+    */
+  private def bq(c: String): String = "`" + c.replace("`", "``") + "`"
+
+  /** Portable string rendering for profile min/max — see
+    * [[columnProfile]]'s scaladoc.
+    */
+  private def renderS(df: DataFrame, c: String,
+      x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DoubleType
+         | org.apache.spark.sql.types.FloatType =>
+        x.cast("decimal(38,6)").cast("string")
+      case _ => x.cast("string")
+    }
+
+  /** The 100 TB default form of [[columnProfile]]: identical output
+    * shape with `n_distinct_approx` (HyperLogLog++,
+    * `approx_count_distinct` at `rsd` relative error) instead of the
+    * exact distinct count — computed in the SAME single global
+    * aggregate as count/min/max, so the whole profile is ONE scan
+    * with a metadata-sized funnel (one HLL sketch per column per
+    * partition). The exact form's unpivot+distinct pass is the one
+    * profiler stage whose shuffle grows with corpus CARDINALITY —
+    * fine for audits, wrong as the default at a trillion rows; this
+    * twin is the operational default, with [[columnProfile]] as its
+    * audit. Gated rows-only (HLL estimates are engine-specific);
+    * the error bound vs the exact profile is spec-pinned.
+    */
+  def columnProfileApprox(df: DataFrame, cols: Seq[String] = Nil,
+      rsd: Double = 0.05): DataFrame = {
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    val aggs = cs.zipWithIndex.flatMap { case (c, i) =>
+      val cc = col(bq(c))
+      Seq(count(cc).as(s"nn_$i"),
+        approx_count_distinct(cc, rsd).as(s"nd_$i"),
+        renderS(df, c, min(cc)).as(s"mn_$i"),
+        renderS(df, c, max(cc)).as(s"mx_$i"))
+    } :+ count(lit(1)).as("n_rows")
+    val stackArgs = lit(cs.size) +: cs.indices.flatMap(i =>
+      Seq(lit(cs(i)), col(s"nn_$i"), col(s"nd_$i"), col(s"mn_$i"),
+        col(s"mx_$i")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), stack(stackArgs: _*))
+      .toDF("n_rows", "col_name", "n_non_null", "n_distinct_approx",
+        "min_s", "max_s")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_non_null")).as("n_null"),
+        col("n_distinct_approx"), col("min_s"), col("max_s"))
   }
 }

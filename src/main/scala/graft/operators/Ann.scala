@@ -344,8 +344,17 @@ object Ann {
     * fingerprint inline-relation rows like the dedup cache registry,
     * so two in-memory corpora with one schema cannot collide.
     */
-  private val centroidMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int), Seq[(Long, Seq[Long], Long)]]()
+  /** Per-session entry bound for the centroid memo. Entries keyed by a
+    * `localCheckpoint` frame (fresh LogicalRDD id per call — e.g. the
+    * IVFADC residual frame) can never hit again after that call, so an
+    * unbounded map is a slow leak in a long-lived service session; the
+    * LRU bound caps it at a few KB of stale state while every
+    * live-corpus key stays resident (the whole ANN family over one
+    * corpus touches well under 32 distinct (frame, k, iters) keys).
+    */
+  @volatile var centroidMemoBound: Int = 32
+  private val centroidMemo = scala.collection.mutable.LinkedHashMap.empty[
+    (SparkSession, String, Int, Int), Seq[(Long, Seq[Long], Long)]]
 
   /** One keying function for every plan-keyed registry: see
     * [[Dedup.corpusKey]] for the elided-identity fingerprints
@@ -359,21 +368,37 @@ object Ann {
   /** Drop every trained model memoized for `spark` (call when a
     * session's ANN work is done; mirrors Dedup.releaseShingleCaches).
     */
-  def releaseTrainedModels(spark: SparkSession): Unit = {
-    val it = centroidMemo.keySet().iterator()
-    while (it.hasNext) if (it.next()._1 == spark) it.remove()
-  }
+  def releaseTrainedModels(spark: SparkSession): Unit =
+    centroidMemo.synchronized {
+      centroidMemo.keys.filter(_._1 == spark).toSeq
+        .foreach(centroidMemo.remove)
+    }
 
   /** The training loop alone: Lloyd-iterate from the first-k seeds and
     * return the final driver-held centroids `(c_id, components, norm²)`
     * (shared by [[kmeansTrain]] and [[kmeansProfile]]), memoized per
-    * (session, input frame, k, iterations).
+    * (session, input frame, k, iterations) with an LRU bound of
+    * [[centroidMemoBound]] entries per session. Training runs OUTSIDE
+    * the memo lock (it is `iterations` Spark jobs); two concurrent
+    * same-key callers may both train — deterministic arithmetic makes
+    * the duplicate invisible, and the window is parameter-rare.
     */
   def kmeansCentroids(q: DataFrame, k: Int,
       iterations: Int): Seq[(Long, Seq[Long], Long)] = {
     val fk = frameKey(q)
-    centroidMemo.computeIfAbsent((fk._1, fk._2, k, iterations),
-      _ => kmeansCentroidsUncached(q, k, iterations))
+    val key = (fk._1, fk._2, k, iterations)
+    val hit = centroidMemo.synchronized {
+      centroidMemo.remove(key).map { v => centroidMemo.put(key, v); v }
+    }
+    hit.getOrElse {
+      val v = kmeansCentroidsUncached(q, k, iterations)
+      centroidMemo.synchronized {
+        centroidMemo.put(key, v)
+        val mine = centroidMemo.keys.filter(_._1 == key._1).toSeq
+        mine.dropRight(centroidMemoBound).foreach(centroidMemo.remove)
+      }
+      v
+    }
   }
 
   /** The un-memoized training loop (exposed for specs that must
@@ -701,6 +726,46 @@ object Ann {
       .join(dropped.withColumn("is_dropped", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         col("is_dropped").isNull.cast("long").as("kept"))
+  }
+
+  /** Recall@k of every approximate ANN method against the
+    * [[knnBruteForce]] exact top-k ground truth — the quality number a
+    * user choosing an index reads BEFORE wall time (engine-equivalence
+    * gates prove Spark≡oracle on the same approximation; this measures
+    * how good the approximation is). One row per method:
+    * `n_retrieved` (≤ queries·k — LSH buckets can run dry),
+    * `n_hits` = |retrieved ∩ true top-k|, and
+    * `recall_bp = n_hits · 10⁴ div (queries·k)` — integer-exact, so
+    * the oracle matches bit-for-bit.
+    *
+    * Scale: ground truth and every method result are (queries·k)-row
+    * tables; the joins are metadata-scale. The corpus-side cost is the
+    * five method pipelines themselves (each already bounded — see
+    * their docs), and trained state (coarse cells, codebooks) is
+    * shared across methods via the centroid memo, so the recall sweep
+    * trains each model once, not five times.
+    */
+  def annRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    // localCheckpoint: the truth table is read once per method; as a
+    // lazy plan each union arm would re-run the brute-force scan
+    val truth = knnBruteForce(embeddings, numQueries, k)
+      .select("q_id", "neighbor_id").localCheckpoint()
+    val denom = numQueries.toLong * k
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "knn_lsh" -> knnLsh(embeddings, numQueries, k),
+      "knn_ivf_trained" -> knnIvfTrained(embeddings, numQueries, k),
+      "knn_quantized" -> knnQuantized(embeddings, numQueries, k),
+      "knn_pq" -> knnPq(embeddings, numQueries, k),
+      "knn_ivfpq" -> knnIvfPq(embeddings, numQueries, k, probes = 2))
+    methods.map { case (m, res) =>
+      res.select("q_id", "neighbor_id")
+        .join(truth.withColumn("hit", lit(1L)),
+          Seq("q_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_retrieved"),
+          coalesce(sum("hit"), lit(0L)).as("n_hits"))
+        .select(lit(m).as("method"), col("n_retrieved"), col("n_hits"),
+          expr(s"n_hits * 10000 div $denom").as("recall_bp"))
+    }.reduce(_ unionByName _)
   }
 
   /** Embedding near-dup pairs: LSH-bucket blocking + exact cosine

@@ -17,12 +17,45 @@ import graft.functions.Portable._
 object Dedup {
   /** Character-shingle width shared by the ngram/minhash operators. */
   val ShingleK = 8
-  /** MinHash signature size / band layout: 8 hashes = 4 bands × 2 rows. */
-  val MinHashK = 8
+  /** Default MinHash band layout: 4 bands × 2 rows = 8 hashes — the
+    * fast correctness-scale geometry ([[MinHashBands]] ×
+    * [[MinHashRows]]; P(candidate) = 1−(1−s^rows)^bands, so 4×2 admits
+    * ~68% of s=0.5 pairs to the verify join). Production geometry at
+    * web scale is wider and steeper — see [[ProdBands]]/[[ProdRows]]
+    * (16×4: s=0.5 admits 6.5%, s=0.8 still ≥ 99.97%); every minhash
+    * operator takes (bands, rows) so deployments pick their S-curve.
+    */
+  val MinHashBands = 4
+  val MinHashRows = 2
+  val MinHashK = MinHashBands * MinHashRows
+  /** Production band geometry: 16 bands × 8 rows = 128 hashes — the
+    * standard web-scale layout. The 50%-candidate threshold
+    * s* = (1−0.5^(1/b))^(1/r) rises to ≈ 0.67 and the curve steepens
+    * sharply: merely-half-similar pairs drop from the default's ~68%
+    * admission to ~6% (an ~11× cut in the verify-join fanout the fat
+    * mid-similarity band generates at 100 TB), while s=0.8 pairs stay
+    * ~95% admitted and true near-duplicates (s ≥ 0.9) essentially
+    * certain. GeometrySpec pins these numbers against the measured
+    * curve.
+    */
+  val ProdBands = 16
+  val ProdRows = 8
   val MinHashPrime = 1048573L // largest prime < 2^20
   /** Deterministic (a, b) hash params; odd multipliers below 2^20. */
   val HashA: Seq[Long] = Seq(952211L, 370259L, 768389L, 113111L, 597269L, 286871L, 851423L, 104729L)
   val HashB: Seq[Long] = Seq(37199L, 915583L, 68477L, 331777L, 749341L, 55411L, 426389L, 711871L)
+
+  /** The first `n` (a, b) minhash params: indices 0–7 are the legacy
+    * literal contract values (the durable streaming band index stores
+    * keys derived from them — they can never change); 8+ extend the
+    * family by a fixed LCG (odd `a` below 2^20, as the literals are).
+    */
+  def hashParams(n: Int): Seq[(Long, Long)] =
+    (0 until n).map { i =>
+      if (i < HashA.size) (HashA(i), HashB(i))
+      else (((1103515245L * i + 12345L) % 1048576L) | 1L,
+        (1103515245L * (i + 64L) + 12345L) % 1048576L)
+    }
 
   /** Exact dedup: group identical content by md5; keep the lowest id. */
   def exact(docs: DataFrame): DataFrame =
@@ -391,33 +424,52 @@ object Dedup {
     * table by K before aggregating).
     * Output: (doc_id, mh0..mh7).
     */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
+  def minhashSignatures(sh: DataFrame,
+      numHashes: Int = MinHashK): DataFrame = {
     val withH = sh.withColumn("h20", col("h") % 1048576L)
-    val mins = (0 until MinHashK).map { i =>
-      min((lit(HashA(i)) * col("h20") + lit(HashB(i))) % MinHashPrime).as(s"mh$i")
+    val mins = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h20") + lit(b)) % MinHashPrime).as(s"mh$i")
     }
     withH.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** Banded minhash signatures: wide (mh0..mh7) → long (doc_id, band,
-    * band_key). The band-key arithmetic is a cross-component CONTRACT
-    * — the streaming near-dup ingest stores these keys in a DURABLE
-    * index that later batches and lineages probe — so it lives in
-    * exactly one place.
+  /** Band-key combiner over one band's row minhashes (as SQL-expression
+    * text, shared by the Spark `selectExpr` and the Scala-generated
+    * oracle SQL so the two engines cannot drift): 2 rows use the
+    * legacy INJECTIVE packing `mh_even * 1048583 + mh_odd` — a
+    * cross-component CONTRACT (the streaming near-dup ingest stores
+    * these keys in a DURABLE index that later batches probe, and each
+    * key must stay < 2^41 for the index's `key*4 + band` packing) —
+    * while wider bands hash-fold `(acc*1048583 + mh) % (2^31−1)` per
+    * row, because packing r ≥ 4 values of 2^20 overflows an i64.
+    * Fold collisions (~2^−31/pair) only ADD candidates; the exact
+    * Jaccard verify eats them, and both engines fold identically.
     */
-  def bandedSignatures(signatures: DataFrame): DataFrame = {
-    val stackExpr = (0 until MinHashK / 2)
-      .map(b => s"$b, mh${2 * b} * 1048583 + mh${2 * b + 1}")
-      .mkString(", ")
+  def bandKeyExpr(mhs: Seq[String]): String =
+    if (mhs.size == 2) s"${mhs(0)} * 1048583 + ${mhs(1)}"
+    else mhs.foldLeft("0")((acc, m) =>
+      s"(($acc) * 1048583 + $m) % 2147483647")
+
+  /** Banded minhash signatures: wide (mh0..mh{b·r−1}) → long (doc_id,
+    * band, band_key); band `b` spans rows mh(b·r)..mh(b·r+r−1). The
+    * default geometry's key arithmetic is the durable-index contract
+    * — see [[bandKeyExpr]].
+    */
+  def bandedSignatures(signatures: DataFrame, bands: Int = MinHashBands,
+      rows: Int = MinHashRows): DataFrame = {
+    val stackExpr = (0 until bands).map { b =>
+      s"$b, ${bandKeyExpr((0 until rows).map(r => s"mh${b * rows + r}"))}"
+    }.mkString(", ")
     signatures.selectExpr("doc_id",
-      s"stack(${MinHashK / 2}, $stackExpr) AS (band, band_key)")
+      s"stack($bands, $stackExpr) AS (band, band_key)")
   }
 
-  /** LSH candidate pairs from banded minhash signatures (4 bands × 2):
+  /** LSH candidate pairs from banded minhash signatures:
     * wide signature → stack to (band, band_key) → self equi-join.
     */
-  def lshCandidates(signatures: DataFrame): DataFrame = {
-    val banded = bandedSignatures(signatures)
+  def lshCandidates(signatures: DataFrame, bands: Int = MinHashBands,
+      rows: Int = MinHashRows): DataFrame = {
+    val banded = bandedSignatures(signatures, bands, rows)
     val x = banded.as("x"); val y = banded.as("y")
     x.join(y, col("x.band") === col("y.band")
         && col("x.band_key") === col("y.band_key")
@@ -437,12 +489,14 @@ object Dedup {
     * sign→band→join→verify pipeline per consumer was the single
     * largest repeated cost in a dedup session.
     */
-  def minhashLsh(docs: DataFrame, minJaccardBp: Long): DataFrame = {
+  def minhashLsh(docs: DataFrame, minJaccardBp: Long,
+      bands: Int = MinHashBands, rows: Int = MinHashRows): DataFrame = {
     val ck = corpusKey(docs)
-    val key = (ck._1, ck._2, minJaccardBp)
+    val key = (ck._1, ck._2 + s"|lsh b=$bands r=$rows", minJaccardBp)
     pairCache.getOrElseUpdate(key)({
       val sh = cappedShingleHashes(docs)
-      val cands = lshCandidates(minhashSignatures(sh))
+      val cands = lshCandidates(minhashSignatures(sh, bands * rows),
+        bands, rows)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val inter = cands
         .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -835,9 +889,21 @@ object Dedup {
   def qualityKeeper(docs: DataFrame, minJaccardBp: Long): DataFrame = {
     val labels = dedupClusters(docs, minJaccardBp).select("doc_id", "cluster_id")
     val q = graft.functions.TextAnalysis.qualityScore(docs).select("doc_id", "score")
+    // fail-CLOSED guard on the packed-key bounds (same style as the
+    // fanout guards): an id ≥ 2^40 or a score outside [0, 100] would
+    // silently alias the election key and elect the wrong keeper — a
+    // row-level raise_error inside the projection costs one codegen
+    // branch, no extra pass over the corpus
+    val pack = (lit(100L) - col("score")) * lit(1099511627776L) + col("doc_id")
     val keyed = labels.join(q, Seq("doc_id"))
       .withColumn("ek",
-        (lit(100L) - col("score")) * lit(1099511627776L) + col("doc_id"))
+        when(col("doc_id") < 0 || col("doc_id") >= 1099511627776L,
+          raise_error(concat(lit("qualityKeeper: doc_id outside packed "
+            + "range [0, 2^40): "), col("doc_id").cast("string"))))
+          .when(col("score") < 0 || col("score") > 100,
+            raise_error(concat(lit("qualityKeeper: score outside [0, 100]: "),
+              col("score").cast("string"))))
+          .otherwise(pack))
     val best = keyed.groupBy("cluster_id").agg(min("ek").as("best_ek"))
       .withColumn("keeper_id", pmod(col("best_ek"), lit(1099511627776L)))
       .select("cluster_id", "keeper_id")

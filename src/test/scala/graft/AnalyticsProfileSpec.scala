@@ -20,9 +20,55 @@ class AnalyticsProfileSpec extends SparkSuite {
         r.getString(4), r.getString(5)))).toMap
     assert(out("id") === ((4L, 0L, 4L, "1", "4")))
     assert(out("s") === ((4L, 1L, 2L, "a", "b")))
-    assert(out("v") === ((4L, 1L, 2L, "-1.0", "2.5")))
+    // double min/max render through DECIMAL(38,6) — fixed notation on
+    // every engine, where native double->string flips to scientific
+    assert(out("v") === ((4L, 1L, 2L, "-1.000000", "2.500000")))
     // explicit column subset profiles only those columns
     assert(Analytics.columnProfile(df, Seq("id")).collect().length === 1)
+  }
+
+  test("columnProfile: hostile column names profile, never parse") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0, "x"), (2L, 7.5, "y"))
+      .toDF("weird col", "qu'o\"te", "back`tick.dot")
+    val out = Analytics.columnProfile(df).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out.keySet === Set("weird col", "qu'o\"te", "back`tick.dot"))
+    assert(out("weird col") === 2L) // distinct values survived intact
+    // large doubles stay in fixed notation (Spark-native rendering
+    // would write 1.23E8 here)
+    val big = Seq((123000000.5, 1L)).toDF("v", "id")
+    val bigOut = Analytics.columnProfile(big, Seq("v")).collect()(0)
+    assert(bigOut.getString(4) === "123000000.500000")
+  }
+
+  test("columnProfileApprox: one scan, HLL within rsd of exact") {
+    val df = graft.sources.Tables.lineitem(spark, sf)
+    val approx = Analytics.columnProfileApprox(df)
+    val p = approx.queryExecution.executedPlan.toString
+    // the whole profile is ONE scan + one global agg: no unpivot pass,
+    // no distinct shuffle, no Expand
+    assert(p.split("FileScan").length - 1 === 1, p.take(2500))
+    assert(!p.contains("Expand"), p.take(2500))
+    val exact = Analytics.columnProfile(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    val rows = approx.collect()
+    assert(rows.length === exact.size)
+    rows.foreach { r =>
+      val c = r.getString(0)
+      val (exNull, exDist, exMin, exMax) = exact(c)
+      // HLL++ at rsd=0.05; generous 4-sigma-ish envelope plus
+      // small-count slack keeps this deterministic-data check tight
+      // but honest
+      assert(math.abs(r.getLong(3) - exDist)
+          <= math.max(4L, (0.2 * exDist).toLong),
+        s"col=$c approx=${r.getLong(3)} exact=$exDist")
+      // everything except the distinct estimate agrees EXACTLY
+      assert(r.getLong(2) === exNull, s"col=$c n_null")
+      assert(r.getString(4) === exMin, s"col=$c min_s")
+      assert(r.getString(5) === exMax, s"col=$c max_s")
+    }
   }
 
   test("columnProfile: two parallel hash-agg passes, no sort-agg funnel") {

@@ -160,6 +160,24 @@ class DedupAnnSpec extends SparkSuite {
       "quality election must pick the clean high-id member")
   }
 
+  test("qualityKeeper: out-of-range doc_id fails CLOSED, never aliases") {
+    // a doc_id at 2^40 would alias the packed election key (mod-2^40
+    // wrap) and silently elect a wrong keeper — the guard must raise
+    import spark.implicits._
+    val big = 1L << 40
+    val d = Seq((big, "alpha beta gamma delta epsilon zeta eta theta"),
+        (big + 1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3L, "some completely different unrelated text about rivers"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val e = intercept[Exception] {
+      Dedup.qualityKeeper(d, 3000L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("packed range")), msgs(e).mkString(" | "))
+  }
+
   test("sample split is deterministic, content-independent, and near the ratios") {
     val a = TextAnalysis.sampleSplit(docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSet
