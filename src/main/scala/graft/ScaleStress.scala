@@ -81,14 +81,18 @@ object ScaleStress {
     *    work grows N×. (A plain-copy corpus at fixed kCells would
     *    grow Σ|cell|² quadratically BY CONSTRUCTION — identical
     *    vectors land in identical cells at any K.)
-    *  - d_containment_pairs (via the raised-guard runner): the same
-    *    df-cap caveat as the minhash rows applies DOUBLY — rotation
-    *    holds per-shingle df constant while n_docs grows, so the cap
-    *    re-admits boilerplate and the prefix workload Σ prefix_df·df
-    *    grows super-linearly by construction; the runner raises the
-    *    fanout guard (the 1× default would fail closed on the
-    *    heavier synthetic workload) and its ratio is an UPPER bound
-    *    on engine scaling, decomposed in BASELINE.md §Scaling.
+    *  - d_containment_pairs is deliberately NOT in the family — it
+    *    inherits d_ngram_jaccard's exclusion (both are prefix-filter
+    *    candidate machines whose workload is df-distribution-shaped):
+    *    rotation holds per-shingle df constant while n_docs grows, so
+    *    the corpus-relative cap re-admits boilerplate and the prefix
+    *    workload Σ prefix_df·df grows ~60× at factor 10, not 10×. An
+    *    r11 attempt with the fanout guard raised MEASURED the
+    *    consequence — the 10× run was OOM-killed at 102 GB RSS
+    *    (BASELINE.md §Scaling) — which is the guard's argument, not a
+    *    scaling datum: on organic growth df scales with the corpus,
+    *    the cap ratio is invariant, and production keeps the guard at
+    *    its default so this workload fails closed, never OOM.
     *  - q_column_profile: one Expand-free agg pass (K columns × a
     *    one-row funnel) + a (col, value)-group distinct pass whose
     *    group count grows with re-keyed orderkeys — both
@@ -109,11 +113,10 @@ object ScaleStress {
     *    the pure-scan control for the shuffle-family members.
     */
   val Queries: Seq[String] = Seq("a_kmeans_train_iter10", "a_knn_ivfpq",
-    "d_contamination", "d_containment_pairs", "d_dedup_clusters",
-    "d_line_dedup", "d_minhash_lsh", "d_repeated_spans", "d_semantic_dedup",
-    "d_simhash", "p3_stream_ingest", "p_chunk_overlap", "p_curated_corpus",
-    "p_global_shuffle", "p_pack_sequences", "q_column_profile",
-    "t_pii_redact")
+    "d_contamination", "d_dedup_clusters", "d_line_dedup", "d_minhash_lsh",
+    "d_repeated_spans", "d_semantic_dedup", "d_simhash", "p3_stream_ingest",
+    "p_chunk_overlap", "p_curated_corpus", "p_global_shuffle",
+    "p_pack_sequences", "q_column_profile", "t_pii_redact")
 
   /** Locale-independent 2-decimal formatter: every number printed here
     * is machine-parsed (per-rep stderr lines by the calm-window
@@ -218,24 +221,15 @@ object ScaleStress {
     Map("p3_stream_ingest" -> p3StreamIngest _)
 
   /** Factor-aware runners overriding the SparkEntry form:
-    *  - d_semantic_dedup applies its own documented scale rule
-    *    kCells ∝ corpus (fixed kCells at N× grows Σ|cell|²
-    *    quadratically no matter the engine);
-    *  - d_containment_pairs raises the fanout guard — the synthetic
-    *    corpus' weakened df cap makes the prefix workload
-    *    super-linear by construction (see family notes) and the run
-    *    measures it rather than failing closed.
+    * d_semantic_dedup applies its own documented scale rule
+    * kCells ∝ corpus (fixed kCells at N× grows Σ|cell|² quadratically
+    * no matter the engine).
     */
   val ScaledRunners: Map[String, (SparkSession, String, Int) => Unit] = Map(
     "d_semantic_dedup" -> ((s: SparkSession, dir: String, factor: Int) =>
       graft.operators.Ann.semanticDedup(
           s.read.parquet(s"$dir/embeddings.parquet"),
           SparkEntry.SemDedupCosBp, kCells = 32 * factor)
-        .write.mode("overwrite").format("noop").save()),
-    "d_containment_pairs" -> ((s: SparkSession, dir: String, factor: Int) =>
-      graft.operators.Dedup.containmentPairs(
-          s.read.parquet(s"$dir/documents.parquet"),
-          SparkEntry.ContainBp, maxCandidatePairs = 1L << 40)
         .write.mode("overwrite").format("noop").save()))
 
   private def timeQuery(spark: SparkSession, name: String, dir: String,

@@ -117,6 +117,11 @@ object SparkEntry {
     "q18_large_orders" -> Analytics.largeOrders _,
     "q22_idle_rich" -> Analytics.idleRichCustomers _,
     "q_value_quantiles" -> Analytics.valueQuantiles _,
+    // Q14's 100 TB default: sketch quantiles in ONE partial-agg pass
+    // (rows-only gate — sketch estimates are engine-specific; the
+    // rank-error bound vs the exact form is spec-pinned)
+    "q_value_quantiles_approx" ->
+      ((s: SparkSession, dir: String) => Analytics.valueQuantilesApprox(s, dir)),
     "q_grouping_sets" -> Analytics.groupingSetsActivity _,
 
     // salted join == plain join (skew spreading is result-identity)

@@ -311,6 +311,28 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** The 100 TB default form of [[valueQuantiles]]: KLL-style sketch
+    * quantiles (`percentile_approx`, rank error ≤ n/accuracy) fused
+    * into ONE partial-aggregating pass — no range repartition, no
+    * per-range sort, the funnel is one sketch per group per partition.
+    * The exact form's repartitionByRange + local rank machinery is the
+    * audit; this is what runs routinely at corpus scale (rows-only
+    * gate — sketch contents are engine-specific; the rank-error bound
+    * vs the exact quantiles is spec-pinned in AnalyticsProfileSpec).
+    */
+  def valueQuantilesApprox(s: SparkSession, dir: String,
+      accuracy: Int = 1000): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        cents(expr(s"percentile_approx(value, 0.5, $accuracy)"))
+          .as("p50_c_approx"),
+        cents(expr(s"percentile_approx(value, 0.9, $accuracy)"))
+          .as("p90_c_approx"),
+        cents(min("value")).as("vmin_cents"),
+        cents(max("value")).as("vmax_cents"))
+      .orderBy("event_type")
+
   /** Grouping sets: totals by event type, by partition, and overall —
     * one shuffle via the native GROUPING SETS plan (not a union of
     * three aggregations).

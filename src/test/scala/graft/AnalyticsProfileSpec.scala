@@ -71,6 +71,36 @@ class AnalyticsProfileSpec extends SparkSuite {
     }
   }
 
+  test("valueQuantilesApprox: one sketch pass, rank error within bound") {
+    val approx = Analytics.valueQuantilesApprox(spark, sf)
+    val p = approx.queryExecution.executedPlan.toString
+    // the exact form's machinery must be absent — sketches partial-
+    // aggregate map-side and the only exchanges are the one hash
+    // exchange feeding the final aggregate plus the 5-row output sort
+    // (no data-wide range repartition, no rank windows)
+    assert(p.contains("partial_percentile_approx"), p.take(2500))
+    assert(!p.contains("window") && !p.contains("row_number"), p.take(2500))
+    assert("Exchange ".r.findAllIn(p).size <= 2, p.take(2500))
+    // percentile_approx guarantees rank error <= n/accuracy; verify
+    // each reported quantile's true rank against the sorted group
+    val byType = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    approx.collect().foreach { r =>
+      val vs = byType(r.getString(0))
+      val n = vs.length
+      for ((c, q) <- Seq((r.getLong(1), 0.5), (r.getLong(2), 0.9))) {
+        // cents-rounded value back to the value domain (±0.005 slack)
+        val rank = vs.count(_ <= c / 100.0 + 0.005)
+        assert(math.abs(rank - q * n) <= n / 1000.0 + 2,
+          s"${r.getString(0)} q=$q rank=$rank target=${q * n} n=$n")
+      }
+      // min/max are exact aggregates, identical to the exact form
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(1) <= r.getLong(4))
+    }
+  }
+
   test("columnProfile: two parallel hash-agg passes, no sort-agg funnel") {
     val df = graft.sources.Tables.lineitem(spark, sf)
     val p = Analytics.columnProfile(df)

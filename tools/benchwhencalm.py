@@ -31,9 +31,11 @@ PROBE_TIMEOUT = 300          # calm probe ~95 s (+ the untimed warmup pass
                              # would still blow this
 PROBE_DEDUP_MAX = 16.0       # calm warm median ~8-12 s
 PROBE_KMEANS_MAX = 9.0       # calm warm median ~5-7 s
-MAX_SANE_TOTAL = 155.0       # calm 80-query suite was ~110-120 s; r10 adds
-                             # 8 queries (PQ/int8 ANN, KMV, repeated spans,
-                             # semantic dedup, curation audit) ~+15-25 s calm
+MAX_SANE_TOTAL = 185.0       # calm r10 anchor was 143.1 s / 97 queries; r11
+                             # adds a_ann_recall (~6 ANN pipelines, trained
+                             # state memo-shared), d_minhash_lsh_prod (128-
+                             # hash signatures), q_column_profile_approx
+                             # ~+20-30 s calm
 COOLDOWN = 240
 SF = calmbench.SF
 OUT = calmbench.OUT
