@@ -442,6 +442,14 @@ object SparkEntry {
       Ann.annRecall(Tables.embeddings(s, dir), KnnQueries, RecallK)
         .orderBy("method")),
 
+    // the knob-response twin: each lossy method's accuracy knob turned
+    // one step (4-plane LSH, probe-2 IVF, 4-bit PQ, probe-4 IVFADC) —
+    // together the two recall tables are a measured curve showing
+    // recall RISES with the documented scan/byte knobs
+    "a_ann_recall_tuned" -> ((s, dir) =>
+      Ann.annRecallTuned(Tables.embeddings(s, dir), KnnQueries, RecallK)
+        .orderBy("method")),
+
     "t_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), 20)
         .orderBy(col("n_occurrences").desc, col("tok"))),
@@ -1114,9 +1122,11 @@ object SparkEntry {
       (0 until 4).map(s => s"pcent$s$iterations"))
   }
 
-  /** Quantized embeddings + hyperplane buckets (mirrors Ann.bucketed). */
-  private val EmbCte =
-    """q AS (
+  /** Quantized embeddings + hyperplane buckets (mirrors Ann.bucketed;
+    * `planes` is the LSH accuracy knob — fewer planes = wider buckets).
+    */
+  private def embCte(planes: Int): String =
+    s"""q AS (
       |  SELECT vec_id, list_transform(embedding, x -> round(x*1000)::BIGINT) AS v
       |  FROM embeddings
       |),
@@ -1132,9 +1142,11 @@ object SparkEntry {
       |    SELECT vec_id, p,
       |           (list_sum(list_transform(range(1, 65),
       |             i -> v[i::INT] * (((1103515245 * (p*64 + (i-1)) + 12345) % 2001) - 1000))))::BIGINT AS dot
-      |    FROM q, range(0, 8) r(p)
+      |    FROM q, range(0, $planes) r(p)
       |  ) GROUP BY vec_id
       |)""".stripMargin
+
+  private val EmbCte = embCte(Ann.NumPlanes)
 
   /** Int8 codes from the milli-quantized vectors (mirrors
     * Ann.int8Codes): per-vector max-abs scale onto [-127,127], HALF_UP
@@ -1188,8 +1200,8 @@ object SparkEntry {
        |  FROM scored
        |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 
-  private def annLshSql(k: Int): String =
-    s"""WITH $EmbCte,
+  private def annLshSql(k: Int, planes: Int = Ann.NumPlanes): String =
+    s"""WITH ${embCte(planes)},
        |qq AS (SELECT qn.vec_id, qn.v, qn.norm2, bk.bucket
        |       FROM qn JOIN bk ON qn.vec_id = bk.vec_id),
        |scored AS (
@@ -1206,7 +1218,7 @@ object SparkEntry {
        |  FROM scored
        |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 
-  private def annIvfTrainedSql(k: Int): String = {
+  private def annIvfTrainedSql(k: Int, probes: Int = 1): String = {
     val (ctes, _, cent) = kmeansCtes(k = 8, iterations = 2)
     s"""$ctes,
        |rankedc AS (
@@ -1222,7 +1234,7 @@ object SparkEntry {
        |),
        |probes AS (
        |  SELECT vec_id AS q_id, v AS qv, norm2 AS qn2, c_id AS qcell
-       |  FROM rankedc WHERE vec_id < $KnnQueries AND c_rn <= 1
+       |  FROM rankedc WHERE vec_id < $KnnQueries AND c_rn <= $probes
        |),
        |scored AS (
        |  SELECT q2.q_id, c.vec_id AS neighbor_id,
@@ -1255,8 +1267,8 @@ object SparkEntry {
        |  FROM scored
        |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 
-  private def annPqSql(k: Int): String = {
-    val (ctes, asgs, cents) = pqCtes(k = Ann.PqK, iterations = 2)
+  private def annPqSql(k: Int, pqK: Int = Ann.PqK): String = {
+    val (ctes, asgs, cents) = pqCtes(k = pqK, iterations = 2)
     val qds = (0 until 4).map { s =>
       s"""qd$s AS (
          |  SELECT t.vec_id AS q_id, c.c_id,
@@ -1295,9 +1307,10 @@ object SparkEntry {
        |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
-  private def annIvfPqSql(k: Int): String = {
+  private def annIvfPqSql(k: Int, pqK: Int = Ann.PqK,
+      probes: Int = 2): String = {
     val (kctes, kasg, kcent) = kmeansCtes(k = 8, iterations = 2)
-    val (pctes, pasgs, pcents) = pqCtes(k = Ann.PqK, iterations = 2, src = "res")
+    val (pctes, pasgs, pcents) = pqCtes(k = pqK, iterations = 2, src = "res")
     val qds = (0 until 4).map { s =>
       val off = s * 16
       s"""qd$s AS (
@@ -1334,7 +1347,7 @@ object SparkEntry {
        |         list_transform(range(1,65), j -> qn.v[j::INT] - c.cv[j::INT]) AS qres
        |  FROM qn, $kcent c WHERE qn.vec_id < $KnnQueries
        |),
-       |probed AS (SELECT q_id, cell, qres FROM qcells WHERE crn <= 2),
+       |probed AS (SELECT q_id, cell, qres FROM qcells WHERE crn <= $probes),
        |$qds,
        |scored AS (
        |  SELECT q0.q_id, x.vec_id, (q0.d + q1.d + q2.d + q3.d)::BIGINT AS est_d
@@ -1365,6 +1378,37 @@ object SparkEntry {
       "knn_quantized" -> annQuantizedSql(k),
       "knn_pq" -> annPqSql(k),
       "knn_ivfpq" -> annIvfPqSql(k))
+    val ctes = subs.zipWithIndex.map { case ((_, sql), i) =>
+      s"r$i AS (SELECT q_id, neighbor_id FROM (\n$sql\n) t$i)"
+    }.mkString(",\n")
+    val arms = subs.zipWithIndex.map { case ((m, _), i) =>
+      s"""SELECT '$m' AS method,
+         |  (SELECT count(*) FROM r$i)::BIGINT AS n_retrieved,
+         |  (SELECT count(*) FROM r$i JOIN truth USING (q_id, neighbor_id))::BIGINT AS n_hits"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH truth AS (SELECT q_id, neighbor_id FROM (
+       |${annBruteforceSql(k)}
+       |) tt),
+       |$ctes,
+       |m AS (
+       |$arms
+       |)
+       |SELECT method, n_retrieved, n_hits,
+       |       (n_hits * 10000 // $denom)::BIGINT AS recall_bp
+       |FROM m ORDER BY method""".stripMargin
+  }
+
+  /** The knob-response twin of [[annRecallSql]]: same join/aggregate
+    * spine over the TUNED per-method chains (4-plane LSH, probe-2
+    * IVF, 4-bit PQ, probe-4 IVFADC with 4-bit codebooks).
+    */
+  private def annRecallTunedSql(k: Int): String = {
+    val denom = KnnQueries * k
+    val subs = Seq(
+      "knn_lsh_4planes" -> annLshSql(k, planes = 4),
+      "knn_ivf_probe2" -> annIvfTrainedSql(k, probes = 2),
+      "knn_pq_4bit" -> annPqSql(k, pqK = 16),
+      "knn_ivfpq_p4_4bit" -> annIvfPqSql(k, pqK = 16, probes = 4))
     val ctes = subs.zipWithIndex.map { case ((_, sql), i) =>
       s"r$i AS (SELECT q_id, neighbor_id FROM (\n$sql\n) t$i)"
     }.mkString(",\n")
@@ -1691,6 +1735,8 @@ object SparkEntry {
     // tables), so the recall table reuses the SAME per-method SQL the
     // individual gates run
     "a_ann_recall" -> annRecallSql(RecallK),
+
+    "a_ann_recall_tuned" -> annRecallTunedSql(RecallK),
 
     "t_top_tokens" ->
       s"""WITH $NormCte, $TokCte

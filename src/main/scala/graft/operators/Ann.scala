@@ -59,9 +59,9 @@ object Ann {
     * vector; at corpus scale that shuffle, not the arithmetic, was the
     * cost.
     */
-  def bucketed(embeddings: DataFrame): DataFrame =
+  def bucketed(embeddings: DataFrame, planes: Int = NumPlanes): DataFrame =
     quantized(embeddings)
-      .withColumn("bucket", VecOps.hyperplaneBucket(col("v"), NumPlanes))
+      .withColumn("bucket", VecOps.hyperplaneBucket(col("v"), planes))
 
   /** Brute-force exact top-k cosine neighbors for query vecs. */
   def knnBruteForce(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
@@ -80,8 +80,9 @@ object Ann {
   /** LSH-bucketed approximate top-k: candidates share the query's
     * hyperplane bucket; exact cosine rerank within the bucket.
     */
-  def knnLsh(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
-    val b = bucketed(embeddings)
+  def knnLsh(embeddings: DataFrame, numQueries: Int, k: Int,
+      planes: Int = NumPlanes): DataFrame = {
+    val b = bucketed(embeddings, planes)
     val queries = b.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm2").as("qn2"), col("bucket").as("qbucket"))
@@ -757,6 +758,40 @@ object Ann {
       "knn_quantized" -> knnQuantized(embeddings, numQueries, k),
       "knn_pq" -> knnPq(embeddings, numQueries, k),
       "knn_ivfpq" -> knnIvfPq(embeddings, numQueries, k, probes = 2))
+    methods.map { case (m, res) =>
+      res.select("q_id", "neighbor_id")
+        .join(truth.withColumn("hit", lit(1L)),
+          Seq("q_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_retrieved"),
+          coalesce(sum("hit"), lit(0L)).as("n_hits"))
+        .select(lit(m).as("method"), col("n_retrieved"), col("n_hits"),
+          expr(s"n_hits * 10000 div $denom").as("recall_bp"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The knob-response twin of [[annRecall]]: the same recall@k
+    * measurement with each lossy method's accuracy knob turned one
+    * step — 4 hyperplanes instead of 8 (16 buckets: each candidate
+    * pool is 1/16 of the corpus instead of 1/256), probe-2 IVF
+    * (the cell-boundary recovery knob), 4-bit PQ codebooks
+    * (pqK 8 → 16), and probe-4 IVFADC with the 4-bit codebooks.
+    * Together with [[annRecall]] the two gated tables turn the recall
+    * snapshot into a measured curve: recall must RISE with each knob,
+    * and the knob costs are exactly the documented scan/byte bounds
+    * (more planes ↔ smaller candidate pools, probes ↔ cells scanned,
+    * code bits ↔ bytes per vector).
+    */
+  def annRecallTuned(embeddings: DataFrame, numQueries: Int,
+      k: Int): DataFrame = {
+    val truth = knnBruteForce(embeddings, numQueries, k)
+      .select("q_id", "neighbor_id").localCheckpoint()
+    val denom = numQueries.toLong * k
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "knn_lsh_4planes" -> knnLsh(embeddings, numQueries, k, planes = 4),
+      "knn_ivf_probe2" -> knnIvfTrained(embeddings, numQueries, k, probes = 2),
+      "knn_pq_4bit" -> knnPq(embeddings, numQueries, k, pqK = 16),
+      "knn_ivfpq_p4_4bit" ->
+        knnIvfPq(embeddings, numQueries, k, pqK = 16, probes = 4))
     methods.map { case (m, res) =>
       res.select("q_id", "neighbor_id")
         .join(truth.withColumn("hit", lit(1L)),
