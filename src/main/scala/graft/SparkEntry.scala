@@ -544,6 +544,19 @@ object SparkEntry {
       Curation.packSequences(Tables.documents(s, dir), budget = 256, shards = 8)
         .orderBy("shard", "seq_id")),
 
+    // P10: packing-efficiency audit — per-shard budget utilization,
+    // overflow count, largest sequence (the report an operator reads
+    // before shipping shards to trainers)
+    "p_pack_audit" -> ((s, dir) =>
+      Curation.packAudit(Tables.documents(s, dir), budget = 256, shards = 8)
+        .orderBy("shard")),
+
+    // P11: curriculum schedule — quality-banded phases with a
+    // deterministic funnel-free within-phase order from (seed, doc_id)
+    "p_curriculum" -> ((s, dir) =>
+      Curation.curriculumSchedule(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     "t_mixture_resample" -> ((s, dir) =>
       Curation.mixtureResample(Tables.documents(s, dir)).orderBy("lang")),
 
@@ -2695,6 +2708,64 @@ object SparkEntry {
          |SELECT shard, ((cum - n_tok) // 256)::BIGINT AS seq_id,
          |       count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
          |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
+
+    "p_pack_audit" ->
+      s"""WITH $NormCte,
+         |d AS (
+         |  SELECT doc_id, len(string_split(t, ' '))::BIGINT AS n_tok,
+         |         (${sqlH20("doc_id::VARCHAR")} % 8)::BIGINT AS shard,
+         |         ${sqlH60("t")} AS ord_h
+         |  FROM norm
+         |),
+         |c AS (
+         |  SELECT shard, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY shard ORDER BY ord_h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d
+         |),
+         |seqs AS (
+         |  SELECT shard, ((cum - n_tok) // 256)::BIGINT AS seq_id,
+         |         count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+         |  FROM c GROUP BY shard, seq_id
+         |)
+         |SELECT shard, count(*)::BIGINT AS n_seqs, sum(n_docs)::BIGINT AS n_docs,
+         |       sum(n_tokens)::BIGINT AS n_tokens,
+         |       ((sum(n_tokens) * 10000) // (count(*) * 256))::BIGINT AS fill_bp,
+         |       sum(CASE WHEN n_tokens > 256 THEN 1 ELSE 0 END)::BIGINT AS n_over,
+         |       max(n_tokens)::BIGINT AS max_seq_tokens
+         |FROM seqs GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "p_curriculum" ->
+      s"""WITH $NormCte,
+         |m AS (
+         |  SELECT doc_id,
+         |    len(string_split(t, ' '))::BIGINT AS wc,
+         |    length(replace(t, ' ', ''))::BIGINT AS letters,
+         |    len(list_filter(string_split(t, ' '),
+         |      x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::BIGINT AS sw_hits,
+         |    length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::BIGINT AS alpha_len,
+         |    length(text)::BIGINT AS text_len
+         |  FROM norm
+         |),
+         |scored AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN wc BETWEEN 20 AND 1000 THEN 25 ELSE 0 END
+         |     + CASE WHEN (letters * 10 // wc) BETWEEN 30 AND 100 THEN 25 ELSE 0 END
+         |     + CASE WHEN sw_hits * 100 >= wc * 5 THEN 25 ELSE 0 END
+         |     + CASE WHEN alpha_len * 100 >= text_len * 60 THEN 25 ELSE 0 END)::INT AS score
+         |  FROM m
+         |),
+         |ph AS (
+         |  SELECT doc_id, score,
+         |         (CASE WHEN score >= 75 THEN 0 WHEN score >= 50 THEN 1
+         |               ELSE 2 END)::INT AS phase,
+         |         ${sqlH60("'curr1:' || doc_id::VARCHAR")} AS ck
+         |  FROM scored
+         |)
+         |SELECT doc_id, score, phase,
+         |       row_number() OVER (PARTITION BY phase ORDER BY ck, doc_id)::BIGINT
+         |         AS phase_ord
+         |FROM ph ORDER BY doc_id""".stripMargin,
 
     "t_mixture_resample" ->
       s"""WITH $NormCte, $MixCtes,

@@ -58,6 +58,75 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
   }
 
+  /** Packing-efficiency audit — the quality report a pipeline reads
+    * after [[packSequences]] before shipping shards to trainers: per
+    * shard, sequence/doc/token counts, budget utilization in integer
+    * basis points (`n_tokens · 10⁴ div (n_seqs · budget)`), the count
+    * of sequences whose token sum exceeds the budget (docs assigned by
+    * START position can overflow their sequence — the concat-then-
+    * chunk trade), and the largest sequence. Wasted budget means lost
+    * training throughput; silent overflow means truncation downstream
+    * — both are numbers an operator must SEE, not assume.
+    *
+    * Scale: one partial-aggregating rollup of the sequence manifest
+    * (corpus-tokens/budget rows) down to `shards` rows — the manifest
+    * itself is the two-level prefix-sum output, no new corpus pass.
+    */
+  def packAudit(docs: DataFrame, budget: Int = 256,
+      shards: Int = 8, blockBits: Int = 5): DataFrame =
+    packSequences(docs, budget, shards, blockBits)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(when(col("n_tokens") > budget, 1L).otherwise(0L)).as("n_over"),
+        max("n_tokens").as("max_seq_tokens"))
+      .withColumn("fill_bp",
+        expr(s"n_tokens * 10000 div (n_seqs * ${budget.toLong})"))
+      .select("shard", "n_seqs", "n_docs", "n_tokens", "fill_bp",
+        "n_over", "max_seq_tokens")
+
+  /** Curriculum schedule — quality-annealed training order (the
+    * curriculum-learning staple: present cleaner data first, noisier
+    * later): each document gets a PHASE from its integer quality score
+    * (`boundaries` are descending score thresholds; phase 0 = score ≥
+    * boundaries(0), …, last phase = below all) and a deterministic
+    * position WITHIN its phase from a seeded id-hash — so the full
+    * training order is (phase, phase_ord), reproducible from
+    * (seed, doc_id) alone across retries and engines.
+    *
+    * Scale: the quality score is a per-doc projection; the within-
+    * phase ordinal uses the same two-level prefix-sum as
+    * [[globalShuffle]] (hash's top `blockBits` bits → ordered blocks,
+    * window-local ranks, broadcast block offsets), so no phase ever
+    * funnels through a single reducer — a plain
+    * `row_number() over (partition by phase)` would put the whole
+    * phase-0 corpus on one task at 100 TB.
+    */
+  def curriculumSchedule(docs: DataFrame, seed: String = "curr1",
+      boundaries: Seq[Int] = Seq(75, 50), blockBits: Int = 5): DataFrame = {
+    val q = graft.functions.TextAnalysis.qualityScore(docs)
+      .select("doc_id", "score")
+    val phase = boundaries.zipWithIndex.foldRight(
+      lit(boundaries.size): org.apache.spark.sql.Column) {
+      case ((b, i), e) => when(col("score") >= b, lit(i)).otherwise(e)
+    }
+    val d = q.withColumn("phase", phase.cast("int"))
+      .withColumn("ck",
+        hexHash60(concat(lit(seed + ":"), col("doc_id").cast("string"))))
+      .withColumn("blk", shiftright(col("ck"), 60 - blockBits))
+    val local = Window.partitionBy("phase", "blk").orderBy("ck", "doc_id")
+    val offsets = d.groupBy("phase", "blk").agg(count(lit(1)).as("blk_n"))
+      .withColumn("offset", coalesce(
+        sum("blk_n").over(Window.partitionBy("phase").orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("phase", "blk", "offset")
+    d.withColumn("local_rn", row_number().over(local).cast("long"))
+      .join(broadcast(offsets), Seq("phase", "blk"))
+      .select(col("doc_id"), col("score"), col("phase"),
+        (col("local_rn") + col("offset")).as("phase_ord"))
+  }
+
   /** Default target language mixture, in basis points of the budget. */
   val DefaultShares: Seq[(String, Long)] =
     Seq("en" -> 3000L, "es" -> 2000L, "fr" -> 2000L, "de" -> 1500L, "zh" -> 1500L)

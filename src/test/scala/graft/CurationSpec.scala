@@ -49,6 +49,48 @@ class CurationSpec extends SparkSuite {
     assert(out.getLong(1) === totTok)
   }
 
+  test("packAudit rolls up the sequence manifest exactly") {
+    val seqs = Curation.packSequences(docs, budget = 256, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val audit = Curation.packAudit(docs, budget = 256, shards = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    seqs.groupBy(_._1).foreach { case (shard, ss) =>
+      val (nSeqs, nDocs, nTok, fillBp, nOver, maxTok) = audit(shard)
+      assert(nSeqs === ss.length.toLong)
+      assert(nDocs === ss.map(_._2).sum)
+      assert(nTok === ss.map(_._3).sum)
+      assert(fillBp === nTok * 10000 / (nSeqs * 256))
+      assert(nOver === ss.count(_._3 > 256).toLong)
+      assert(maxTok === ss.map(_._3).max)
+    }
+    // the report must be actionable: utilization near-full on this
+    // corpus (docs far smaller than the budget => little edge waste)
+    assert(audit.values.forall(a => a._4 > 9000 && a._4 <= 12000))
+  }
+
+  test("curriculumSchedule: phases band by score, ordinals are a permutation") {
+    val q = TextAnalysis.qualityScore(docs).select("doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Curation.curriculumSchedule(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.length === q.size)
+    out.foreach { case (id, score, phase, _) =>
+      assert(score === q(id))
+      assert(phase === (if (score >= 75) 0 else if (score >= 50) 1 else 2))
+    }
+    // within each phase the ordinals are exactly 1..n (a permutation —
+    // the two-level prefix sum must not skip or duplicate positions)
+    out.groupBy(_._3).foreach { case (_, ms) =>
+      assert(ms.map(_._4).sorted.toSeq === (1L to ms.length).toSeq)
+    }
+    // deterministic under reshuffling
+    val again = Curation.curriculumSchedule(docs.orderBy(rand(7))).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(again === out.toSet)
+  }
+
   test("mixtureResample matches a driver-side recount of the hash election") {
     val total = docs.count()
     val shares = Curation.DefaultShares.toMap
