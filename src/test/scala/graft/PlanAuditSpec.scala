@@ -400,6 +400,55 @@ class PlanAuditSpec extends SparkSuite {
     assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
   }
 
+  test("production-geometry LSH: one signature shuffle, equi band join") {
+    // audit the un-cached pipeline (the gated query's result is served
+    // from the pair cache): 128 minhash aggs must still be ONE
+    // groupBy(doc_id) pass with map-side partials (no K-way row
+    // explosion), and candidates an equi self-join — never a cartesian
+    val spark0 = spark
+    import spark0.implicits._
+    val sh = (0L until 200L).map(i => (i % 20, i * 7919)).toDF("doc_id", "h")
+    val df = graft.operators.Dedup.lshCandidates(
+      graft.operators.Dedup.minhashSignatures(sh,
+        graft.operators.Dedup.ProdBands * graft.operators.Dedup.ProdRows),
+      graft.operators.Dedup.ProdBands, graft.operators.Dedup.ProdRows)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("partial_min"), p.take(2000))
+  }
+
+  test("ann recall: no cartesian; truth meets each method as a broadcast") {
+    val p = plan(SparkEntry.queries("a_ann_recall")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the (queries*k)-row truth table must meet each method result as
+    // a broadcast (AQE may still upgrade the initial plan's remaining
+    // exchanges at runtime; a cartesian would never appear)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("curriculum: windows are block-local, offsets broadcast — no phase funnel") {
+    val df = graft.operators.Curation.curriculumSchedule(
+      graft.sources.Tables.documents(spark, sf))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the rank window must be keyed by (phase, blk) — a window
+    // partitioned by phase alone would put a whole phase on one task
+    val rankWindows = p.linesIterator.filter(l =>
+      l.contains("row_number()") && l.contains("windowspecdefinition")).toSeq
+    assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("blk")),
+      rankWindows.mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000)) // block offsets
+  }
+
+  test("pack audit: rollup partial-aggregates; no scan beyond the pack chain") {
+    val p = plan(SparkEntry.queries("p_pack_audit")(spark, sf))
+    assert(p.contains("partial_"), p.take(2000))
+    // the pack chain itself reads docs twice (data pass + the tiny
+    // block-offsets branch); the audit rollup must add ZERO scans
+    assert(p.split("FileScan").length - 1 === 2, p.take(2500))
+  }
+
   test("q1 shape stays in whole-stage codegen") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
     val p = df.queryExecution.explainString(

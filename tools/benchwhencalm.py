@@ -31,11 +31,11 @@ PROBE_TIMEOUT = 300          # calm probe ~95 s (+ the untimed warmup pass
                              # would still blow this
 PROBE_DEDUP_MAX = 16.0       # calm warm median ~8-12 s
 PROBE_KMEANS_MAX = 9.0       # calm warm median ~5-7 s
-MAX_SANE_TOTAL = 185.0       # calm r10 anchor was 143.1 s / 97 queries; r11
-                             # adds a_ann_recall (~6 ANN pipelines, trained
-                             # state memo-shared), d_minhash_lsh_prod (128-
-                             # hash signatures), q_column_profile_approx
-                             # ~+20-30 s calm
+MAX_SANE_TOTAL = 195.0       # calm r11 anchor: 164.7 s / 103 queries; the
+                             # three queries added after that window
+                             # (a_ann_recall_tuned ~10 s, p_pack_audit,
+                             # p_curriculum ~1 s each) put the calm full
+                             # surface near ~178 s
 COOLDOWN = 240
 SF = calmbench.SF
 OUT = calmbench.OUT
