@@ -493,6 +493,12 @@ object SparkEntry {
       Dedup.dedupClusters(Tables.documents(s, dir), NgramJaccardBp)
         .orderBy("doc_id")),
 
+    // D16: per-source dedup observability — which sources produce the
+    // near-duplicates (a high dup_bp source is re-crawling a mirror)
+    "d_dedup_report" -> ((s, dir) =>
+      Dedup.dedupReport(Tables.documents(s, dir), NgramJaccardBp)
+        .orderBy("source")),
+
     "x_multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, Tables.documents(s, dir)).toDF()
         .select("doc_id", "media_type", "width", "height", "pixel_rgb", "frames")
@@ -1877,6 +1883,21 @@ object SparkEntry {
          |       (CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)::INT AS keep
          |FROM (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "d_dedup_report" ->
+      s"""WITH RECURSIVE $NormCte, $ShCte,
+         |$ClusterCtes,
+         |lbl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+         |cs AS (SELECT cluster_id, count(*)::BIGINT AS cluster_n
+         |       FROM lbl GROUP BY cluster_id)
+         |SELECT d.source, count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN cs.cluster_n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+         |       sum(CASE WHEN lbl.doc_id <> lbl.cluster_id THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+         |       ((sum(CASE WHEN cs.cluster_n > 1 THEN 1 ELSE 0 END) * 10000)
+         |         // count(*))::BIGINT AS dup_bp
+         |FROM lbl JOIN cs ON cs.cluster_id = lbl.cluster_id
+         |JOIN documents d ON d.doc_id = lbl.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "p_curated_corpus" ->
       s"""WITH RECURSIVE $NormCte, $ShCte,

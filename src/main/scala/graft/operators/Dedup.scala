@@ -912,6 +912,32 @@ object Dedup {
       .select("doc_id", "cluster_id", "score", "keeper_id", "keep")
   }
 
+  /** Per-source dedup observability — the report a crawl operator
+    * reads after any dedup pass (WHICH sources produce the
+    * duplicates): per `source` stratum, document count, documents
+    * living in a near-dup cluster of size ≥ 2 (`n_dup_docs`),
+    * documents the keeper election would drop (`n_dropped`), and the
+    * duplicated share in integer basis points. A source with a high
+    * `dup_bp` is re-crawling its own mirror — the operational signal
+    * this table exists for.
+    *
+    * Scale: cluster labels are the [[dedupClusters]] output; cluster
+    * sizes come from one partial-aggregating `groupBy(cluster_id)`
+    * (graph-scale); the per-source rollup is one `groupBy(source)`
+    * over a projection — strata count is domain-bounded.
+    */
+  def dedupReport(docs: DataFrame, minJaccardBp: Long): DataFrame = {
+    val labels = dedupClusters(docs, minJaccardBp)
+    val csize = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
+    labels.join(csize, Seq("cluster_id"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_n") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("keep") === 0, 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("dup_bp", expr("n_dup_docs * 10000 div n_docs"))
+  }
+
   private def jaccardFilter(inter: DataFrame, sizes: DataFrame,
       minJaccardBp: Long): DataFrame =
     inter

@@ -160,6 +160,28 @@ class DedupAnnSpec extends SparkSuite {
       "quality election must pick the clean high-id member")
   }
 
+  test("dedupReport: per-source rollup matches a driver-side recount") {
+    val labels = Dedup.dedupClusters(docs, 5000L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Int]("keep")))).toMap
+    val bySource = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val clusterSizes = labels.values.groupBy(_._1).map { case (c, ms) => c -> ms.size }
+    val ref = bySource.groupBy(_._2).map { case (src, ds) =>
+      val ids = ds.map(_._1)
+      val nDup = ids.count(id => clusterSizes(labels(id)._1) > 1)
+      src -> ((ids.length.toLong, nDup.toLong,
+        ids.count(id => labels(id)._2 == 0).toLong,
+        nDup.toLong * 10000 / ids.length))
+    }
+    val got = Dedup.dedupReport(docs, 5000L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got === ref)
+    // observability sanity: the synthetic corpus HAS duplicated mass
+    assert(got.values.map(_._2).sum > 0)
+  }
+
   test("qualityKeeper: out-of-range doc_id fails CLOSED, never aliases") {
     // a doc_id at 2^40 would alias the packed election key (mod-2^40
     // wrap) and silently elect a wrong keeper — the guard must raise
