@@ -433,6 +433,26 @@ object SparkEntry {
       Ann.knnIvfPq(Tables.embeddings(s, dir), KnnQueries, 5, probes = 2)
         .orderBy("q_id", "rnk")),
 
+    // A8/A9 refine stage (IVFADC-R, Jégou et al. 2011 §VI): ADC ranks
+    // a k·refine shortlist from the 12-bit codes (unchanged scan
+    // bound), then the shortlist's full-precision vectors rerank it by
+    // exact cosine — the standard remedy for PQ reconstruction noise,
+    // measured lifting IVFADC to int8-class recall (a_ann_recall_tuned)
+    "a_knn_pq_rerank" -> ((s, dir) =>
+      Ann.knnPqRefined(Tables.embeddings(s, dir), KnnQueries, 5)
+        .orderBy("q_id", "rnk")),
+
+    "a_knn_ivfpq_rerank" -> ((s, dir) =>
+      Ann.knnIvfPqRefined(Tables.embeddings(s, dir), KnnQueries, 5)
+        .orderBy("q_id", "rnk")),
+
+    // A11: cell-balance observability for the trained IVF family —
+    // the number the 1/kCells probe bound rests on (a hot cell
+    // silently degrades scan bound and recall)
+    "a_cell_balance" -> ((s, dir) =>
+      Ann.cellBalance(Tables.embeddings(s, dir))
+        .orderBy("cell")),
+
     // A-family quality gate: recall@RecallK of every approximate
     // method vs brute-force ground truth, integer basis points — the
     // rows ARE the recall table (engine-equivalence per method is
@@ -1384,6 +1404,65 @@ object SparkEntry {
        |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** IVFADC-R refine oracle (mirrors Ann.rerankExact): the nested ADC
+    * oracle chain at depth k·refine is the shortlist; the shortlist's
+    * full-precision milli-quantized vectors rerank it by exact cosine
+    * to k (bit-identical doubles: integer dot / product of identical
+    * sqrt doubles, same as the brute-force oracle).
+    */
+  private def annRerankSql(adcSql: String, k: Int): String =
+    s"""WITH short AS (SELECT q_id, neighbor_id FROM (
+       |$adcSql
+       |) s),
+       |q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> round(x*1000)::BIGINT) AS v
+       |  FROM embeddings
+       |),
+       |qn AS (
+       |  SELECT vec_id, v, (list_sum(list_transform(v, x -> x*x)))::BIGINT AS norm2
+       |  FROM q
+       |),
+       |scored AS (
+       |  SELECT sh.q_id, sh.neighbor_id,
+       |         ${sqlCosBp("a.v", "b.v", "a.norm2", "b.norm2")} AS cos_bp,
+       |         (list_sum(list_transform(range(1,65), i -> a.v[i::INT]*b.v[i::INT])))::DOUBLE
+       |           / (sqrt(a.norm2::DOUBLE) * sqrt(b.norm2::DOUBLE)) AS cos
+       |  FROM short sh
+       |  JOIN qn a ON a.vec_id = sh.q_id
+       |  JOIN qn b ON b.vec_id = sh.neighbor_id
+       |)
+       |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
+       |  SELECT q_id, neighbor_id, cos_bp,
+       |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+
+  /** Cell-population balance over the trained cosine cell assignment
+    * (mirrors Ann.cellBalance; same assignment CTE shape as the
+    * knnIvfTrained oracle, aggregated to kCells rows).
+    */
+  private def cellBalanceSql(kCells: Int = 8): String = {
+    val (ctes, _, cent) = kmeansCtes(k = kCells, iterations = 2)
+    s"""$ctes,
+       |rankedc AS (
+       |  SELECT qn.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+       |      (CASE WHEN c.cn2 = 0 OR qn.norm2 = 0 THEN -2.0
+       |       ELSE (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
+       |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) END) DESC, c.c_id) AS c_rn
+       |  FROM qn, $cent c
+       |),
+       |pop AS (
+       |  SELECT c_id AS cell, count(*)::BIGINT AS n_vecs
+       |  FROM rankedc WHERE c_rn = 1 GROUP BY c_id
+       |),
+       |tot AS (SELECT sum(n_vecs)::BIGINT AS n_total FROM pop)
+       |SELECT cell, n_vecs,
+       |       ((n_vecs * 10000) // t.n_total)::BIGINT AS share_bp,
+       |       ((n_vecs * $kCells * 10000) // t.n_total)::BIGINT AS ratio_even_bp
+       |FROM pop CROSS JOIN tot t ORDER BY cell""".stripMargin
+  }
+
   /** Recall@k table: each per-method oracle chain (at depth k) nests
     * as a locally-scoped derived table; hits join the brute-force
     * truth on (q_id, neighbor_id); recall is integer basis points
@@ -1427,7 +1506,9 @@ object SparkEntry {
       "knn_lsh_4planes" -> annLshSql(k, planes = 4),
       "knn_ivf_probe2" -> annIvfTrainedSql(k, probes = 2),
       "knn_pq_4bit" -> annPqSql(k, pqK = 16),
-      "knn_ivfpq_p4_4bit" -> annIvfPqSql(k, pqK = 16, probes = 4))
+      "knn_ivfpq_p4_4bit" -> annIvfPqSql(k, pqK = 16, probes = 4),
+      "knn_pq_rerank" -> annRerankSql(annPqSql(k * 10), k),
+      "knn_ivfpq_rerank" -> annRerankSql(annIvfPqSql(k * 10), k))
     val ctes = subs.zipWithIndex.map { case ((_, sql), i) =>
       s"r$i AS (SELECT q_id, neighbor_id FROM (\n$sql\n) t$i)"
     }.mkString(",\n")
@@ -1747,6 +1828,9 @@ object SparkEntry {
     // IVFADC: coarse k-means chain -> residuals -> PQ chains trained on
     // the residuals (src = "res") -> per-(query, probed-cell) ADC
     "a_knn_ivfpq" -> annIvfPqSql(5),
+    "a_knn_pq_rerank" -> annRerankSql(annPqSql(50), 5),
+    "a_knn_ivfpq_rerank" -> annRerankSql(annIvfPqSql(50), 5),
+    "a_cell_balance" -> cellBalanceSql(),
 
     // Recall@RecallK of every approximate ANN method vs brute-force
     // ground truth — each method's k=RecallK oracle chain embedded as

@@ -353,9 +353,24 @@ object Ann {
     * live-corpus key stays resident (the whole ANN family over one
     * corpus touches well under 32 distinct (frame, k, iters) keys).
     */
-  @volatile var centroidMemoBound: Int = 32
+  private[this] var _centroidMemoBound: Int = 32
+  def centroidMemoBound: Int = _centroidMemoBound
+  /** Validated setter: a bound below 1 would silently disable the memo
+    * (every put immediately evicted) — reject it.
+    */
+  def centroidMemoBound_=(n: Int): Unit = {
+    require(n >= 1, s"centroidMemoBound must be >= 1, got $n")
+    _centroidMemoBound = n
+  }
   private val centroidMemo = scala.collection.mutable.LinkedHashMap.empty[
     (SparkSession, String, Int, Int), Seq[(Long, Seq[Long], Long)]]
+  /** Per-key training latches: concurrent same-key callers serialize on
+    * the key's latch so the corpus-scale training job runs ONCE and the
+    * second caller reads the memo (compute-once); distinct keys still
+    * train concurrently. Latches are dropped with their memo entries.
+    */
+  private val trainLatch = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, String, Int, Int), Object]
 
   /** One keying function for every plan-keyed registry: see
     * [[Dedup.corpusKey]] for the elided-identity fingerprints
@@ -372,7 +387,7 @@ object Ann {
   def releaseTrainedModels(spark: SparkSession): Unit =
     centroidMemo.synchronized {
       centroidMemo.keys.filter(_._1 == spark).toSeq
-        .foreach(centroidMemo.remove)
+        .foreach { k => centroidMemo.remove(k); trainLatch.remove(k) }
     }
 
   /** The training loop alone: Lloyd-iterate from the first-k seeds and
@@ -380,25 +395,29 @@ object Ann {
     * (shared by [[kmeansTrain]] and [[kmeansProfile]]), memoized per
     * (session, input frame, k, iterations) with an LRU bound of
     * [[centroidMemoBound]] entries per session. Training runs OUTSIDE
-    * the memo lock (it is `iterations` Spark jobs); two concurrent
-    * same-key callers may both train — deterministic arithmetic makes
-    * the duplicate invisible, and the window is parameter-rare.
+    * the memo lock (it is `iterations` Spark jobs) but UNDER the key's
+    * own latch, so two concurrent same-key callers train once and
+    * distinct keys never block each other.
     */
   def kmeansCentroids(q: DataFrame, k: Int,
       iterations: Int): Seq[(Long, Seq[Long], Long)] = {
     val fk = frameKey(q)
     val key = (fk._1, fk._2, k, iterations)
-    val hit = centroidMemo.synchronized {
-      centroidMemo.remove(key).map { v => centroidMemo.put(key, v); v }
-    }
-    hit.getOrElse {
-      val v = kmeansCentroidsUncached(q, k, iterations)
-      centroidMemo.synchronized {
-        centroidMemo.put(key, v)
-        val mine = centroidMemo.keys.filter(_._1 == key._1).toSeq
-        mine.dropRight(centroidMemoBound).foreach(centroidMemo.remove)
+    trainLatch.getOrElseUpdate(key, new Object).synchronized {
+      val hit = centroidMemo.synchronized {
+        centroidMemo.remove(key).map { v => centroidMemo.put(key, v); v }
       }
-      v
+      hit.getOrElse {
+        val v = kmeansCentroidsUncached(q, k, iterations)
+        centroidMemo.synchronized {
+          centroidMemo.put(key, v)
+          val mine = centroidMemo.keys.filter(_._1 == key._1).toSeq
+          mine.dropRight(centroidMemoBound).foreach { k0 =>
+            centroidMemo.remove(k0); trainLatch.remove(k0)
+          }
+        }
+        v
+      }
     }
   }
 
@@ -672,6 +691,95 @@ object Ann {
         col("est_d"))
   }
 
+  /** Exact-cosine rerank of an ANN shortlist — the refine stage of
+    * IVFADC-R (Jégou et al. 2011 §VI): the lossy index (PQ/IVFADC)
+    * RANKS a k·refine shortlist from codes alone, then the shortlist's
+    * FULL-PRECISION vectors rerank it to k by exact cosine. The ADC
+    * scan bound is unchanged (codes only, same probed cells); the
+    * rerank touches `queries·k·refine` full vectors — request-scale,
+    * fetched by one broadcast equi-join against the corpus, never a
+    * second corpus ranking. Measured here (a_ann_recall_tuned): the
+    * refine stage lifts IVFADC from 24% to int8-class recall@10 that
+    * no amount of code bits could buy on this margin-thin corpus.
+    *
+    * `shortlist` is any (q_id, neighbor_id) frame; the plan is two
+    * broadcast joins into ONE corpus scan each (vector fetch for
+    * candidates, vector fetch for the ≤ numQueries query rows — the
+    * `vec_id < numQueries` filter is pushed to the scan) and a window
+    * over the shortlist rows.
+    */
+  def rerankExact(embeddings: DataFrame, shortlist: DataFrame,
+      numQueries: Int, k: Int): DataFrame = {
+    val q = quantized(embeddings)
+    val cand = q.join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"), col("v"), col("norm2"))
+    val qv = q.filter(col("vec_id") < numQueries)
+      .join(broadcast(shortlist.select("q_id").distinct()),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    val scored = cand.join(broadcast(qv), Seq("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("norm2")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
+  }
+
+  /** [[knnPq]] with the IVFADC-R refine stage: ADC ranks k·refine
+    * candidates from the 12-bit codes, [[rerankExact]] reranks them by
+    * exact cosine to k.
+    */
+  def knnPqRefined(embeddings: DataFrame, numQueries: Int, k: Int,
+      refine: Int = 10, pqK: Int = PqK, iterations: Int = 2): DataFrame =
+    rerankExact(embeddings,
+      knnPq(embeddings, numQueries, k * refine, pqK, iterations)
+        .select("q_id", "neighbor_id"),
+      numQueries, k)
+
+  /** [[knnIvfPq]] with the IVFADC-R refine stage (Jégou et al. 2011
+    * §VI): same probed cells, same code scan, k·refine ADC shortlist,
+    * exact-cosine rerank to k.
+    */
+  def knnIvfPqRefined(embeddings: DataFrame, numQueries: Int, k: Int,
+      refine: Int = 10, kCells: Int = 8, pqK: Int = PqK,
+      iterations: Int = 2, probes: Int = 2): DataFrame =
+    rerankExact(embeddings,
+      knnIvfPq(embeddings, numQueries, k * refine, kCells, pqK,
+        iterations, probes).select("q_id", "neighbor_id"),
+      numQueries, k)
+
+  /** Cell-population balance of the trained IVF assignment — the
+    * observability number the probe bound rests on (a hot cell
+    * degrades both the 1/kCells scan bound and recall; D16 closed the
+    * same gap for dedup). Per cell: population, integer corpus share,
+    * and the ratio to a perfectly even spread (10000 bp = exactly
+    * corpus/kCells). One partial-aggregated groupBy over the same
+    * zero-shuffle assignment projection as [[knnIvfTrained]] — the
+    * funnel is kCells rows.
+    */
+  def cellBalance(embeddings: DataFrame, kCells: Int = 8,
+      iterations: Int = 2): DataFrame = {
+    val q = quantized(embeddings)
+    val cent = kmeansCentroids(q.select("vec_id", "v", "norm2"), kCells, iterations)
+    val cellScores = cent.map { case (cId, cv, cn2) =>
+      struct(when(col("norm2") === 0 || lit(cn2) === 0, lit(2.0))
+        .otherwise(lit(-1.0) *
+          cosine(typedLit(cv), col("v"), lit(cn2), col("norm2")))
+        .as("nc"), lit(cId).as("c_id"))
+    }
+    // the corpus total rides in as a broadcast scalar (every vector
+    // lands in exactly one cell, so count(*) IS the population sum) —
+    // no global window funnel, same pattern as the dedup df cap
+    val nTot = broadcast(q.agg(count(lit(1)).as("n_total")))
+    q.withColumn("cell", array_min(array(cellScores: _*)).getField("c_id"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(nTot)
+      .select(col("cell"), col("n_vecs"),
+        expr("n_vecs * 10000 div n_total").as("share_bp"),
+        expr(s"n_vecs * $kCells * 10000 div n_total").as("ratio_even_bp"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * corpus embeddings with trained k-means, then within each cluster
     * drop every vector that has a SMALLER-id near-duplicate at
@@ -746,18 +854,17 @@ object Ann {
     * shared across methods via the centroid memo, so the recall sweep
     * trains each model once, not five times.
     */
-  def annRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
-    // localCheckpoint: the truth table is read once per method; as a
-    // lazy plan each union arm would re-run the brute-force scan
+  /** The shared recall-table spine of [[annRecall]] and
+    * [[annRecallTuned]]: brute-force ground truth (localCheckpointed —
+    * read once per method; as a lazy plan each union arm would re-run
+    * the brute-force scan), per-method left join on the
+    * (queries·k)-row truth, integer basis-point recall.
+    */
+  private def recallTable(embeddings: DataFrame, numQueries: Int, k: Int,
+      methods: Seq[(String, DataFrame)]): DataFrame = {
     val truth = knnBruteForce(embeddings, numQueries, k)
       .select("q_id", "neighbor_id").localCheckpoint()
     val denom = numQueries.toLong * k
-    val methods: Seq[(String, DataFrame)] = Seq(
-      "knn_lsh" -> knnLsh(embeddings, numQueries, k),
-      "knn_ivf_trained" -> knnIvfTrained(embeddings, numQueries, k),
-      "knn_quantized" -> knnQuantized(embeddings, numQueries, k),
-      "knn_pq" -> knnPq(embeddings, numQueries, k),
-      "knn_ivfpq" -> knnIvfPq(embeddings, numQueries, k, probes = 2))
     methods.map { case (m, res) =>
       res.select("q_id", "neighbor_id")
         .join(truth.withColumn("hit", lit(1L)),
@@ -769,39 +876,39 @@ object Ann {
     }.reduce(_ unionByName _)
   }
 
+  def annRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame =
+    recallTable(embeddings, numQueries, k, Seq(
+      "knn_lsh" -> knnLsh(embeddings, numQueries, k),
+      "knn_ivf_trained" -> knnIvfTrained(embeddings, numQueries, k),
+      "knn_quantized" -> knnQuantized(embeddings, numQueries, k),
+      "knn_pq" -> knnPq(embeddings, numQueries, k),
+      "knn_ivfpq" -> knnIvfPq(embeddings, numQueries, k, probes = 2)))
+
   /** The knob-response twin of [[annRecall]]: the same recall@k
     * measurement with each lossy method's accuracy knob turned one
     * step — 4 hyperplanes instead of 8 (16 buckets: each candidate
     * pool is 1/16 of the corpus instead of 1/256), probe-2 IVF
     * (the cell-boundary recovery knob), 4-bit PQ codebooks
-    * (pqK 8 → 16), and probe-4 IVFADC with the 4-bit codebooks.
+    * (pqK 8 → 16), probe-4 IVFADC with the 4-bit codebooks, and the
+    * two IVFADC-R refine rows ([[knnPqRefined]]/[[knnIvfPqRefined]] —
+    * the ADC shortlist reranked by exact cosine, the knob that
+    * actually fixes the PQ family on this margin-thin corpus).
     * Together with [[annRecall]] the two gated tables turn the recall
     * snapshot into a measured curve: recall must RISE with each knob,
     * and the knob costs are exactly the documented scan/byte bounds
     * (more planes ↔ smaller candidate pools, probes ↔ cells scanned,
-    * code bits ↔ bytes per vector).
+    * code bits ↔ bytes per vector, refine ↔ shortlist vectors fetched).
     */
   def annRecallTuned(embeddings: DataFrame, numQueries: Int,
-      k: Int): DataFrame = {
-    val truth = knnBruteForce(embeddings, numQueries, k)
-      .select("q_id", "neighbor_id").localCheckpoint()
-    val denom = numQueries.toLong * k
-    val methods: Seq[(String, DataFrame)] = Seq(
+      k: Int): DataFrame =
+    recallTable(embeddings, numQueries, k, Seq(
       "knn_lsh_4planes" -> knnLsh(embeddings, numQueries, k, planes = 4),
       "knn_ivf_probe2" -> knnIvfTrained(embeddings, numQueries, k, probes = 2),
       "knn_pq_4bit" -> knnPq(embeddings, numQueries, k, pqK = 16),
       "knn_ivfpq_p4_4bit" ->
-        knnIvfPq(embeddings, numQueries, k, pqK = 16, probes = 4))
-    methods.map { case (m, res) =>
-      res.select("q_id", "neighbor_id")
-        .join(truth.withColumn("hit", lit(1L)),
-          Seq("q_id", "neighbor_id"), "left")
-        .agg(count(lit(1)).as("n_retrieved"),
-          coalesce(sum("hit"), lit(0L)).as("n_hits"))
-        .select(lit(m).as("method"), col("n_retrieved"), col("n_hits"),
-          expr(s"n_hits * 10000 div $denom").as("recall_bp"))
-    }.reduce(_ unionByName _)
-  }
+        knnIvfPq(embeddings, numQueries, k, pqK = 16, probes = 4),
+      "knn_pq_rerank" -> knnPqRefined(embeddings, numQueries, k),
+      "knn_ivfpq_rerank" -> knnIvfPqRefined(embeddings, numQueries, k)))
 
   /** Embedding near-dup pairs: LSH-bucket blocking + exact cosine
     * verify — the scale path for pairwise similarity (no O(n²) join).

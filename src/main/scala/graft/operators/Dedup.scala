@@ -22,7 +22,7 @@ object Dedup {
     * [[MinHashRows]]; P(candidate) = 1−(1−s^rows)^bands, so 4×2 admits
     * ~68% of s=0.5 pairs to the verify join). Production geometry at
     * web scale is wider and steeper — see [[ProdBands]]/[[ProdRows]]
-    * (16×4: s=0.5 admits 6.5%, s=0.8 still ≥ 99.97%); every minhash
+    * (16×8: s=0.5 admits ~6%, s=0.8 still ~95%); every minhash
     * operator takes (bands, rows) so deployments pick their S-curve.
     */
   val MinHashBands = 4

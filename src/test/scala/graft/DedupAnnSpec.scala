@@ -705,4 +705,38 @@ class DedupAnnSpec extends SparkSuite {
     assert(out.view.mapValues(_._2).toMap ===
       Map(0L -> 1L, 1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
   }
+
+  test("IVFADC-R rerank: full-corpus shortlist reproduces brute force exactly") {
+    // refine large enough that the ADC shortlist is the whole corpus:
+    // with no candidate lost to the lossy ranking, the exact-cosine
+    // rerank must BE the brute-force top-k, bit for bit
+    val brute = Ann.knnBruteForce(emb, 3, 5).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val refined = Ann.knnPqRefined(emb, 3, 5, refine = 100).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(refined.sorted === brute.sorted)
+  }
+
+  test("IVFADC-R rerank: never below the unrefined ADC ranking's recall") {
+    val truth = Ann.knnBruteForce(emb, 5, 10)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.select("q_id", "neighbor_id").collect()
+        .count(r => truth((r.getLong(0), r.getLong(1))))
+    val adc = hits(Ann.knnIvfPq(emb, 5, 10, probes = 2))
+    val rr = hits(Ann.knnIvfPqRefined(emb, 5, 10, probes = 2))
+    assert(rr >= adc)
+  }
+
+  test("cell balance: populations cover the corpus, exact integer shares") {
+    val out = Ann.cellBalance(emb).collect()
+    val n = emb.count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === n)
+    out.foreach { r =>
+      assert(r.getAs[Long]("share_bp") === r.getAs[Long]("n_vecs") * 10000 / n)
+      assert(r.getAs[Long]("ratio_even_bp") ===
+        r.getAs[Long]("n_vecs") * out.length * 10000 / n)
+    }
+  }
 }
