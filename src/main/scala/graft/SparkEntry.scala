@@ -664,6 +664,17 @@ object SparkEntry {
       Analytics.columnProfileApprox(Tables.lineitem(s, dir))
         .orderBy("col_name")),
 
+    // the approx twins' HARD gates: in-engine error-bound audits
+    // emitting oracle-hashable verdict rows (the bound crosses
+    // engines; the sketch never does) — the two 100 TB defaults now
+    // have red-able correctness gates, not just rows-only checks
+    "q_value_quantiles_audit" -> ((s, dir) =>
+      Analytics.valueQuantilesAudit(s, dir).orderBy("event_type", "q")),
+
+    "q_column_profile_audit" -> ((s, dir) =>
+      Analytics.columnProfileAudit(Tables.lineitem(s, dir))
+        .orderBy("col_name")),
+
     "a_kmeans_train" -> ((s, dir) =>
       Ann.kmeansTrain(Tables.embeddings(s, dir), k = 8, iterations = 2)
         .orderBy("cluster")),
@@ -3096,6 +3107,30 @@ object SparkEntry {
     // float/double min/max render through DECIMAL(38,6) on both sides
     // (engine-native double->string notation diverges past 1e7; see
     // Analytics.columnProfile scaladoc for the value-range assumption)
+    // the audit gates: everything but the measured flag is exact and
+    // oracle-computable; the oracle asserts within_bound = 1, so a
+    // sketch that violates its bound hash-mismatches the gate
+    "q_value_quantiles_audit" ->
+      """SELECT event_type, q, n_grp,
+        |       (2 * n_grp // 1000 + 1)::BIGINT AS rank_budget,
+        |       1::BIGINT AS within_bound
+        |FROM (SELECT event_type, count(*)::BIGINT AS n_grp
+        |      FROM events GROUP BY 1)
+        |CROSS JOIN (VALUES ('p50'), ('p90')) v(q)
+        |ORDER BY event_type, q""".stripMargin,
+
+    "q_column_profile_audit" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  count(DISTINCT $c::VARCHAR)::BIGINT AS n_distinct_exact,
+           |  2000::BIGINT AS bound_bp, 1::BIGINT AS within_bound
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
     "q_column_profile" -> {
       val doubles = Set("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

@@ -333,6 +333,44 @@ object Analytics {
         cents(max("value")).as("vmax_cents"))
       .orderBy("event_type")
 
+  /** Hard audit gate for [[valueQuantilesApprox]] (the documented
+    * 100 TB default): the sketch contract is rank error ≤ n/accuracy,
+    * and this query MEASURES it in-engine — per (group, quantile) the
+    * approx value's occupied rank interval [cnt_lt, cnt_le) must
+    * intersect target ± budget, with budget = 2n/accuracy + 1 (twice
+    * the sketch bound plus one, absorbing the cent-image tie widening
+    * and the target-rank convention) — and emits a row the oracle CAN
+    * hash: (group, quantile, n, budget, within_bound). The oracle
+    * derives n and the budget exactly and asserts within_bound = 1,
+    * so a sketch violating its bound flips the flag and reddens the
+    * gate; the sketch value itself (engine-specific) never crosses
+    * engines. One corpus scan: the 10-row approx table broadcasts
+    * into a partial-aggregated count pass.
+    */
+  def valueQuantilesAudit(s: SparkSession, dir: String,
+      accuracy: Int = 1000): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), cents(col("value")).as("vc"))
+    val approx = valueQuantilesApprox(s, dir, accuracy)
+      .select(col("event_type"),
+        explode(map(
+          lit("p50"), struct(col("p50_c_approx").as("ac"), lit(5L).as("pt")),
+          lit("p90"), struct(col("p90_c_approx").as("ac"), lit(9L).as("pt")))))
+      .select(col("event_type"), col("key").as("q"),
+        col("value.ac").as("ac"), col("value.pt").as("pt"))
+    ev.join(broadcast(approx), Seq("event_type"))
+      .groupBy("event_type", "q", "ac", "pt")
+      .agg(count(lit(1)).as("n_grp"),
+        sum(when(col("vc") < col("ac"), 1L).otherwise(0L)).as("cnt_lt"),
+        sum(when(col("vc") <= col("ac"), 1L).otherwise(0L)).as("cnt_le"))
+      .withColumn("rank_budget", expr(s"2 * n_grp div $accuracy + 1"))
+      .withColumn("target", expr("pt * n_grp div 10"))
+      .select(col("event_type"), col("q"), col("n_grp"), col("rank_budget"),
+        (col("cnt_lt") <= col("target") + col("rank_budget") &&
+          col("cnt_le") >= col("target") - col("rank_budget"))
+          .cast("long").as("within_bound"))
+  }
+
   /** Grouping sets: totals by event type, by partition, and overall —
     * one shuffle via the native GROUPING SETS plan (not a union of
     * three aggregations).
@@ -477,5 +515,39 @@ object Analytics {
       .select(col("col_name"), col("n_rows"),
         (col("n_rows") - col("n_non_null")).as("n_null"),
         col("n_distinct_approx"), col("min_s"), col("max_s"))
+  }
+
+  /** Hard audit gate for [[columnProfileApprox]]: HLL++ at `rsd` has
+    * standard error rsd, and the audit asserts each column's approx
+    * distinct count lands within `sigmas`·rsd of the exact count
+    * (4σ at rsd 0.05 = 20%; approx_count_distinct is deterministic,
+    * so the flag is stable, and the bound is wide enough that a green
+    * run stays green while a broken sketch — off by 2× — reddens it).
+    * Emits (col_name, n_distinct_exact, bound_bp, within_bound):
+    * everything except the flag is oracle-computable exactly, and the
+    * oracle asserts the flag — the bound crosses engines, the sketch
+    * never does. Cost: the approx side is [[columnProfileApprox]]'s
+    * one scan; the exact side is [[columnProfile]]'s unpivot+distinct
+    * pass (this is the AUDIT, run on samples/cadence, not the default).
+    */
+  def columnProfileAudit(df: DataFrame, cols: Seq[String] = Nil,
+      rsd: Double = 0.05, sigmas: Int = 4): DataFrame = {
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    val boundBp = math.round(sigmas * rsd * 10000)
+    val approx = columnProfileApprox(df, cs, rsd)
+      .select(col("col_name"), col("n_distinct_approx"))
+    val pairs = df.select(
+        stack((lit(cs.size) +: cs.flatMap(c =>
+          Seq(lit(c), col(bq(c)).cast("string")))): _*))
+      .toDF("col_name", "v")
+    val exact = pairs.filter(col("v").isNotNull)
+      .select("col_name", "v").distinct()
+      .groupBy("col_name").agg(count(lit(1)).as("n_distinct_exact"))
+    exact.join(approx, Seq("col_name"))
+      .select(col("col_name"), col("n_distinct_exact"),
+        lit(boundBp).as("bound_bp"),
+        (abs(col("n_distinct_approx") - col("n_distinct_exact")) * 10000
+          <= col("n_distinct_exact") * boundBp)
+          .cast("long").as("within_bound"))
   }
 }

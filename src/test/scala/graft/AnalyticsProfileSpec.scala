@@ -117,4 +117,22 @@ class AnalyticsProfileSpec extends SparkSuite {
     assert(!p.contains("Expand"), p.take(2500))
     assert(p.contains("HashAggregate"), p.take(2500))
   }
+
+  test("audit gates: measured flags are green, and every field but the flag is exact") {
+    val prof = Analytics.columnProfileAudit(
+      graft.sources.Tables.lineitem(spark, sf)).collect()
+    assert(prof.nonEmpty)
+    prof.foreach { r =>
+      assert(r.getAs[Long]("within_bound") === 1L, r.toString)
+      assert(r.getAs[Long]("bound_bp") === 2000L)
+    }
+    val qa = Analytics.valueQuantilesAudit(spark, sf).collect()
+    assert(qa.length === 10) // 5 event types x 2 quantiles
+    qa.foreach { r =>
+      assert(r.getAs[Long]("within_bound") === 1L, r.toString)
+      // budget is derived from n alone: 2n/accuracy + 1
+      assert(r.getAs[Long]("rank_budget") ===
+        2 * r.getAs[Long]("n_grp") / 1000 + 1)
+    }
+  }
 }
