@@ -72,8 +72,9 @@ object StreamingCuration {
       .start()
 
   /** P8: continuous NEAR-dup ingest — the streaming form of the
-    * minhash/LSH family. Each micro-batch computes the same 4-band ×
-    * 2-row minhash signatures as [[graft.operators.Dedup.minhashLsh]],
+    * minhash/LSH family. Each micro-batch computes the same banded
+    * minhash signatures as [[graft.operators.Dedup.minhashLsh]] under
+    * the index's pinned (bands, rows) geometry,
     * drops every document with ANY band bucket already ingested (probe
     * of a durable band-key index), elects within-batch representatives
     * (a doc survives iff it is the min doc_id in EVERY of its batch
@@ -122,9 +123,26 @@ object StreamingCuration {
     * groupBy over the BATCH; the index probe is batch-bands ⋈ index
     * (8 bytes per band per accepted doc ever, key-partitioned); the
     * election two batch-local aggregations. Never corpus × corpus.
+    *
+    * GEOMETRY IS PART OF THE DURABLE INDEX CONTRACT: band keys from
+    * different (bands, rows) layouts are incomparable longs, so a
+    * probe under the wrong geometry silently admits every duplicate
+    * (no collisions) — worse than failing. The first ingest stamps
+    * the index root with a `geometry` manifest (atomic tmp+rename,
+    * same discipline as [[StreamingAnn.saveModel]]); every later
+    * lineage — whatever its default — must match it or the call
+    * REFUSES before any batch runs. New indexes default to the
+    * production 16×8 S-curve (the 4×2 correctness geometry admits
+    * ~67% of s=0.5 pairs, and this operator drops WITHOUT verify —
+    * at scale that is silent loss of mid-similarity non-duplicates).
+    * A pre-manifest legacy index must be stamped once by calling with
+    * its original geometry explicitly.
     */
   def nearDupIngest(docs: DataFrame, index: FsKeyIndex, corpusDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      bands: Int = graft.operators.Dedup.ProdBands,
+      rows: Int = graft.operators.Dedup.ProdRows): StreamingQuery = {
+    ensureGeometry(index.root, bands, rows)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -132,11 +150,14 @@ object StreamingCuration {
         val sh = Dedup.shingleTable(batch)
           .select(col("doc_id"), hexHash60(col("s")).as("h"))
         // ikey packs (band_key, band) into one indexable long:
-        // band_key < 2^41, so << 2 bits for the 4 band ids is safe.
-        // The banding itself is Dedup's — band keys are the durable
-        // index contract and must match the batch operators bit-for-bit
-        val banded = Dedup.bandedSignatures(Dedup.minhashSignatures(sh))
-          .withColumn("ikey", col("band_key") * 4 + col("band"))
+        // r=2 band keys are < 2^41 (injective packing) and wider bands
+        // hash-fold below 2^31, so band_key*bands + band stays well
+        // inside a long for any sane geometry. The banding itself is
+        // Dedup's — band keys are the durable index contract and must
+        // match the batch operators bit-for-bit
+        val banded = Dedup.bandedSignatures(
+            Dedup.minhashSignatures(sh, bands * rows), bands, rows)
+          .withColumn("ikey", col("band_key") * bands + col("band"))
           .localCheckpoint() // read 3× below; must not re-plan after add
         val indexHit = banded
           .join(index.keys().withColumnRenamed("k", "ikey"), Seq("ikey"))
@@ -178,4 +199,31 @@ object StreamingCuration {
           .select(col("ikey").as("k")))
       }
       .start()
+  }
+
+  /** Stamp-or-verify the band-key index's geometry manifest (see
+    * [[nearDupIngest]]): absent → write `bands=B rows=R` atomically;
+    * present → require an exact match, else refuse the probe.
+    */
+  private[streaming] def ensureGeometry(indexRoot: String, bands: Int,
+      rows: Int): Unit = {
+    val expect = s"bands=$bands rows=$rows"
+    val p = java.nio.file.Paths.get(indexRoot, "geometry")
+    if (java.nio.file.Files.exists(p)) {
+      val body = java.nio.file.Files.readString(p).trim
+      if (body != expect)
+        throw new IllegalStateException(
+          s"band-key index at $indexRoot was built with '$body'; refusing " +
+            s"to probe it with '$expect' — band keys from different " +
+            "geometries are incomparable, and a mismatched probe would " +
+            "silently admit every duplicate")
+    } else {
+      java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = java.nio.file.Paths.get(indexRoot,
+        s"geometry.tmp-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.writeString(tmp, expect)
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 }

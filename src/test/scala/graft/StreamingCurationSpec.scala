@@ -167,4 +167,40 @@ class StreamingCurationSpec extends SparkSuite {
     assert(corpus(s"$root/corpus") === Set((1L, "alpha", 1L), (2L, "beta", 1L)))
     assert(FsKeyIndex(spark, s"$root/index").keys().count() === 2)
   }
+
+  test("near-dup index geometry is versioned: mismatched probe refuses") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-neardup-geom")
+    val idx = FsKeyIndex(spark, s"$root/bands")
+    // first lineage stamps the manifest with the 16x8 default
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCuration.nearDupIngest(
+      input.toDS().toDF("doc_id", "text"), idx,
+      s"$root/corpus", s"$root/ckpt")
+    try {
+      input.addData(1L -> ("a long enough document to band " * 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/bands/geometry")).trim
+      === "bands=16 rows=8")
+    // a later lineage under the legacy 4x2 geometry must refuse BEFORE
+    // any batch runs - its band keys would never collide with the
+    // index's and every duplicate would silently pass
+    val input2 = MemoryStream[(Long, String)]
+    val e = intercept[IllegalStateException] {
+      StreamingCuration.nearDupIngest(
+        input2.toDS().toDF("doc_id", "text"), FsKeyIndex(spark, s"$root/bands"),
+        s"$root/corpus2", s"$root/ckpt2", bands = 4, rows = 2)
+    }
+    assert(e.getMessage.contains("bands=16 rows=8"))
+    // matching geometry (even explicit) still probes fine
+    val input3 = MemoryStream[(Long, String)]
+    val q3 = StreamingCuration.nearDupIngest(
+      input3.toDS().toDF("doc_id", "text"), FsKeyIndex(spark, s"$root/bands"),
+      s"$root/corpus3", s"$root/ckpt3", bands = 16, rows = 8)
+    q3.stop()
+  }
 }
