@@ -49,10 +49,13 @@ object Bench {
     // truncated it (BENCH_r10 parsed as null) — the file copy makes
     // the artifact self-contained. Path overridable for calm-window
     // recorders that keep multiple runs.
+    // default is RELATIVE to the working tree (an absolute default
+    // wrote outside the repo for any other checkout location)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench/bench_last.json")
+      new java.io.File("bench/bench_last.json").getPath)
     try {
-      new java.io.File(outFile).getParentFile.mkdirs()
+      Option(new java.io.File(outFile).getAbsoluteFile.getParentFile)
+        .foreach(_.mkdirs())
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -53,13 +55,22 @@ object StreamingAnn {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Load a persisted model; an empty or unparseable file yields None
+    * (treated as "no model" — the next non-empty batch retrains and
+    * atomically replaces it) instead of poisoning every later batch
+    * with a parse crash.
+    */
   def loadModel(path: String): Option[Seq[(Long, Seq[Long], Long)]] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) None
-    else Some(java.nio.file.Files.readString(p).split("\n").toSeq.map { l =>
-      val Array(c, v, n2) = l.split("\\|")
-      (c.toLong, v.split(",").toSeq.map(_.toLong), n2.toLong)
-    })
+    else {
+      val body = java.nio.file.Files.readString(p)
+      if (body.trim.isEmpty) None
+      else try Some(body.trim.split("\n").toSeq.map { l =>
+        val Array(c, v, n2) = l.split("\\|")
+        (c.toLong, v.split(",").toSeq.map(_.toLong), n2.toLong)
+      }) catch { case _: MatchError | _: NumberFormatException => None }
+    }
   }
 
   /** Milli-quantized (vec_id, v, norm2) projection of an embedding
@@ -89,23 +100,178 @@ object StreamingAnn {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val qb = quantize(batch)
-        val cent = loadModel(modelPath).getOrElse {
-          val c = Ann.kmeansCentroidsUncached(
-            qb.select("vec_id", "v", "norm2"), kCells, iterations)
-          saveModel(modelPath, c)
-          c
+        // an EMPTY batch must neither train (a zero-row training set
+        // would durably persist a degenerate model that poisons every
+        // later batch) nor write (no partitions to own): no-op until
+        // data arrives — the first NON-empty batch trains the model
+        if (!qb.isEmpty) {
+          val cent = loadModel(modelPath).getOrElse {
+            val c = Ann.kmeansCentroidsUncached(
+              qb.select("vec_id", "v", "norm2"), kCells, iterations)
+            saveModel(modelPath, c)
+            c
+          }
+          Ann.kmeansAssign(qb, cent)
+            .select(col("vec_id"), col("v"), col("norm2"),
+              col("cluster").as("cell"))
+            .withColumn("ingest_batch", lit(batchId))
+            .write
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("cell", "ingest_batch")
+            .parquet(indexDir)
         }
-        Ann.kmeansAssign(qb, cent)
-          .select(col("vec_id"), col("v"), col("norm2"),
-            col("cluster").as("cell"))
-          .withColumn("ingest_batch", lit(batchId))
-          .write
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite")
-          .partitionBy("cell", "ingest_batch")
-          .parquet(indexDir)
       }
       .start()
+
+  /** Compact aged index leaves: a long-lived ingest accumulates one
+    * parquet leaf per (cell, ingest_batch) without bound, and
+    * [[queryIndex]] reads every leaf of a probed cell — the one scale
+    * defect of the streaming index. This merges every AGED leaf
+    * (everything except the newest batch, which may still be the
+    * replay target of an in-flight epoch) into ONE compacted leaf per
+    * cell — the [[graft.sources.FsSegmentStore.compactLeveled]]
+    * single-read/single-write discipline: one read over the consumed
+    * leaves, one partitioned write, previous compacted leaves
+    * re-consumed (leveled re-compaction), so steady-state leaves per
+    * cell = 1 compacted + the uncompacted tail.
+    *
+    * Crash-safe via a two-phase manifest (the FsKeyIndex.compact
+    * write-then-swap idea, adapted to partition-dir granularity):
+    *  - `intent` manifest (atomic rename) BEFORE the merged write: a
+    *    crash mid-write rolls BACK — [[recoverIndex]] deletes the
+    *    (possibly partial) compacted output, inputs untouched;
+    *  - flipped to `committed` AFTER the write: a crash mid-delete
+    *    rolls FORWARD — recoverIndex finishes deleting the consumed
+    *    leaves. At every instant exactly one complete copy of every
+    *    row is reachable once recovery runs. The output id is
+    *    deterministic in the consumed set (−(max consumed batch + 2)),
+    *    so a re-run after any crash converges; the merge dedups on
+    *    vec_id, so even the no-manifest window (output committed,
+    *    crash before the intent→committed flip is impossible — the
+    *    flip is after the write — but a torn Spark commit) re-merges
+    *    idempotently.
+    *
+    * Single-writer contract (as [[FsKeyIndex.compact]]): run between
+    * batches from the ingest owner; [[queryIndex]] runs [[recoverIndex]]
+    * on entry, so a query after a crashed compaction sees the
+    * recovered index. Local/posix-rename filesystems (same assumption
+    * as the model artifact).
+    *
+    * Returns the compacted leaf's ingest_batch id, or None if fewer
+    * than `minBatches` aged leaves existed (no-op).
+    */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      minBatches: Int = 4): Option[Long] =
+    compactIndexImpl(spark, indexDir, minBatches, crashPoint = 0)
+
+  /** Test seam: crashPoint 1 = stop after the intent manifest (before
+    * the merged write), 2 = stop after the committed flip (before the
+    * consumed-leaf deletes). Production path is crashPoint = 0.
+    */
+  private[graft] def compactIndexImpl(spark: SparkSession, indexDir: String,
+      minBatches: Int, crashPoint: Int): Option[Long] = {
+    recoverIndex(indexDir)
+    val leaves = listLeaves(indexDir)
+    if (leaves.isEmpty) return None
+    val newest = leaves.map(_._2).max
+    val aged = leaves.filter(_._2 != newest)
+    val agedIds = aged.map(_._2).distinct
+    if (agedIds.size < minBatches || !agedIds.exists(_ >= 0)) return None
+    val outId = -(agedIds.filter(_ >= 0).max + 2)
+    val inputs = aged.map { case (c, b) =>
+      s"$indexDir/cell=$c/ingest_batch=$b" }
+    val merged = spark.read.option("basePath", indexDir)
+      .parquet(inputs: _*)
+      .select("vec_id", "v", "norm2", "cell")
+      .dropDuplicates("vec_id")
+      .withColumn("ingest_batch", lit(outId))
+    // materialize BEFORE the overwrite: the merged frame reads the
+    // same root it writes into; checkpointing severs that read (and a
+    // torn write can then never observe its own partial output)
+    val mat = merged.localCheckpoint()
+    writeManifest(indexDir, "intent", outId, aged)
+    if (crashPoint == 1) return Some(outId)
+    mat.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("cell", "ingest_batch")
+      .parquet(indexDir)
+    writeManifest(indexDir, "committed", outId, aged)
+    if (crashPoint == 2) return Some(outId)
+    aged.foreach { case (c, b) =>
+      deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$b"))
+    }
+    java.nio.file.Files.deleteIfExists(manifestPath(indexDir))
+    Some(outId)
+  }
+
+  /** Complete (or roll back) an interrupted [[compactIndex]]: an
+    * `intent` manifest deletes the partial compacted output; a
+    * `committed` one finishes deleting the consumed leaves. Idempotent
+    * and cheap (existence checks) — run on every query/compact entry.
+    */
+  def recoverIndex(indexDir: String): Unit = {
+    val p = manifestPath(indexDir)
+    if (!java.nio.file.Files.exists(p)) return
+    val lines = java.nio.file.Files.readAllLines(p)
+    val state = lines.get(0)
+    val outId = lines.get(1).toLong
+    val consumed = (2 until lines.size).map { i =>
+      val Array(c, b) = lines.get(i).split(",")
+      (c.toLong, b.toLong)
+    }
+    if (state == "committed")
+      consumed.foreach { case (c, b) =>
+        deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$b"))
+      }
+    else
+      consumed.map(_._1).distinct.foreach { c =>
+        deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$outId"))
+      }
+    java.nio.file.Files.delete(p)
+  }
+
+  /** Distinct (cell, ingest_batch) leaves from the partition directory
+    * names — pure metadata, no file scan.
+    */
+  private[graft] def listLeaves(indexDir: String): Seq[(Long, Long)] = {
+    def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    val root = java.nio.file.Paths.get(indexDir)
+    if (!java.nio.file.Files.exists(root)) return Seq.empty
+    for {
+      cd <- ls(root)
+      cn = cd.getFileName.toString if cn.startsWith("cell=")
+      bd <- ls(cd)
+      bn = bd.getFileName.toString if bn.startsWith("ingest_batch=")
+    } yield (cn.stripPrefix("cell=").toLong,
+      bn.stripPrefix("ingest_batch=").toLong)
+  }
+
+  private def manifestPath(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "_compaction")
+
+  private def writeManifest(indexDir: String, state: String, outId: Long,
+      consumed: Seq[(Long, Long)]): Unit = {
+    val tmp = java.nio.file.Paths.get(indexDir,
+      s"_compaction.tmp-${java.util.UUID.randomUUID()}")
+    val body = (Seq(state, outId.toString) ++
+      consumed.map { case (c, b) => s"$c,$b" }).mkString("\n")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, manifestPath(indexDir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().forEachRemaining(java.nio.file.Files.delete(_))
+      finally s.close()
+    }
 
   /** Top-k cosine query over the accumulated index: ranks cells for
     * each query against the frozen model DRIVER-side (the query set
@@ -118,6 +284,7 @@ object StreamingAnn {
   def queryIndex(spark: SparkSession, indexDir: String, modelPath: String,
       queries: DataFrame, k: Int, probes: Int = 1): DataFrame = {
     import spark.implicits._
+    recoverIndex(indexDir) // finish any interrupted compaction first
     val cent = loadModel(modelPath).getOrElse(
       throw new IllegalStateException(s"no trained model at $modelPath"))
     val qRows = quantize(queries).collect().map(r =>

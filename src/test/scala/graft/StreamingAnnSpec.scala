@@ -99,4 +99,134 @@ class StreamingAnnSpec extends SparkSuite {
     } finally q2.stop()
     assert(spark.read.parquet(s"$root/index").collect().toSet === before)
   }
+
+  test("index compaction: query-equal, leaf bound, idempotent no-op re-run") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-compact")
+    val rows = embRows
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.ivfIngest(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt")
+    try {
+      (0 until 5).foreach { b =>
+        input.addData(rows.filter(_._1 % 5 == b).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val queries = rows.filter(_._1 < 5).toSeq.toDF("vec_id", "embedding")
+    def snap() = StreamingAnn.queryIndex(spark, s"$root/index",
+      s"$root/model.txt", queries, k = 3, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val before = snap()
+    val leavesBefore = StreamingAnn.listLeaves(s"$root/index")
+    assert(leavesBefore.map(_._2).distinct.size === 5)
+    val out = StreamingAnn.compactIndex(spark, s"$root/index", minBatches = 2)
+    assert(out.nonEmpty)
+    // every cell now holds at most (1 compacted + the newest batch)
+    val after = StreamingAnn.listLeaves(s"$root/index")
+    after.groupBy(_._1).foreach { case (c, ls) =>
+      assert(ls.size <= 2, s"cell $c leaves: $ls")
+      assert(ls.map(_._2).forall(b => b == out.get || b == 4))
+    }
+    // same rows, same query results
+    assert(spark.read.parquet(s"$root/index").select("vec_id")
+      .distinct().count() === rows.length.toLong)
+    assert(snap() === before)
+    // re-run: only the compacted leaf is aged -> no-op
+    assert(StreamingAnn.compactIndex(spark, s"$root/index",
+      minBatches = 1).isEmpty)
+    // another ingest epoch then a second compaction folds the previous
+    // compacted leaf in (leveled re-compaction)
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingAnn.ivfIngest(
+      input2.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt2")
+    try {
+      input2.addData(rows.filter(_._1 % 5 == 0).toSeq: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out2 = StreamingAnn.compactIndex(spark, s"$root/index", minBatches = 2)
+    assert(out2.nonEmpty && out2 != out)
+    assert(snap() === before)
+  }
+
+  test("index compaction: crash windows roll back (intent) and forward (committed)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-crash")
+    val rows = embRows
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.ivfIngest(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt")
+    try {
+      (0 until 4).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val queries = rows.filter(_._1 < 5).toSeq.toDF("vec_id", "embedding")
+    def snap() = StreamingAnn.queryIndex(spark, s"$root/index",
+      s"$root/model.txt", queries, k = 3, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val before = snap()
+    val leavesBefore = StreamingAnn.listLeaves(s"$root/index").toSet
+    // crash right after the intent manifest: nothing written yet -> the
+    // next query entry rolls the compaction BACK, index unchanged
+    StreamingAnn.compactIndexImpl(spark, s"$root/index", 2, crashPoint = 1)
+    assert(snap() === before) // queryIndex ran recoverIndex
+    assert(StreamingAnn.listLeaves(s"$root/index").toSet === leavesBefore)
+    // crash after the committed flip: output durable, consumed leaves
+    // still present -> the next query entry rolls FORWARD (deletes them)
+    val out = StreamingAnn.compactIndexImpl(spark, s"$root/index", 2,
+      crashPoint = 2)
+    assert(out.nonEmpty)
+    assert(snap() === before)
+    val after = StreamingAnn.listLeaves(s"$root/index")
+    assert(after.map(_._2).distinct.toSet === Set(out.get, 3L))
+    assert(spark.read.parquet(s"$root/index").select("vec_id")
+      .distinct().count() === rows.length.toLong)
+  }
+
+  test("empty first batch trains nothing; unparseable model reads as None") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-empty")
+    val rows = embRows
+    // the filter empties batch 0 AFTER it fires: the guard must skip
+    // training and persist no model
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.ivfIngest(
+      input.toDS().toDF("vec_id", "embedding").filter(col("vec_id") < 0),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt")
+    try {
+      input.addData(rows.take(20).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(StreamingAnn.loadModel(s"$root/model.txt").isEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/index")))
+    // the first NON-empty batch (a fresh lineage) trains and persists
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingAnn.ivfIngest(
+      input2.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt2")
+    try {
+      input2.addData(rows.take(20).toSeq: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(StreamingAnn.loadModel(s"$root/model.txt").nonEmpty)
+    // torn/garbage artifacts read as None, never crash the stream
+    val torn = s"$root/torn.txt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(torn), "")
+    assert(StreamingAnn.loadModel(torn).isEmpty)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(torn), "not|a,valid|model|line")
+    assert(StreamingAnn.loadModel(torn).isEmpty)
+  }
 }
