@@ -97,6 +97,13 @@ object ScaleStress {
     *    one-row funnel) + a (col, value)-group distinct pass whose
     *    group count grows with re-keyed orderkeys — both
     *    partial-aggregating, both linear.
+    *  - q_column_profile_audit: the profile's exact distinct pass PLUS
+    *    the one-scan HLL pass — the audit's cost class is the exact
+    *    profile's; the verdict join is K rows.
+    *  - a_knn_ivfpq_rerank: the IVFADC chain (trained state
+    *    parameter-scale, probe-bounded code scan) + a rerank join
+    *    whose build side is queries·k·refine rows — request-scale,
+    *    factor-invariant; the corpus-side cost is the same ADC scan.
     *  - d_simhash: 60-bit signatures differ across copies (rotation
     *    changes tokens), so pigeonhole bands pair within copies only.
     *  - p3_stream_ingest: fixed batch COUNT (each of the 4 batches is
@@ -113,10 +120,12 @@ object ScaleStress {
     *    the pure-scan control for the shuffle-family members.
     */
   val Queries: Seq[String] = Seq("a_kmeans_train_iter10", "a_knn_ivfpq",
+    "a_knn_ivfpq_rerank",
     "d_contamination", "d_dedup_clusters", "d_line_dedup", "d_minhash_lsh",
     "d_repeated_spans", "d_semantic_dedup", "d_simhash", "p3_stream_ingest",
     "p_chunk_overlap", "p_curated_corpus", "p_global_shuffle",
-    "p_pack_sequences", "q_column_profile", "t_pii_redact")
+    "p_pack_sequences", "q_column_profile", "q_column_profile_audit",
+    "t_pii_redact")
 
   /** Locale-independent 2-decimal formatter: every number printed here
     * is machine-parsed (per-rep stderr lines by the calm-window

@@ -31,11 +31,11 @@ PROBE_TIMEOUT = 300          # calm probe ~95 s (+ the untimed warmup pass
                              # would still blow this
 PROBE_DEDUP_MAX = 16.0       # calm warm median ~8-12 s
 PROBE_KMEANS_MAX = 9.0       # calm warm median ~5-7 s
-MAX_SANE_TOTAL = 195.0       # calm r11 anchor: 164.7 s / 103 queries; the
-                             # three queries added after that window
-                             # (a_ann_recall_tuned ~10 s, p_pack_audit,
-                             # p_curriculum ~1 s each) put the calm full
-                             # surface near ~178 s
+MAX_SANE_TOTAL = 215.0       # calm r11 anchor: 162.3 s / 106 queries; the
+                             # five r12 queries (two reranks ~2-4 s,
+                             # cell balance ~0.5 s, two audits ~5 s) plus
+                             # the two extra a_ann_recall_tuned arms put
+                             # the calm full surface near ~185-195 s
 COOLDOWN = 240
 SF = calmbench.SF
 OUT = calmbench.OUT
