@@ -455,4 +455,35 @@ class PlanAuditSpec extends SparkSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(p.contains("WholeStageCodegen"), p.take(2000))
   }
+
+  test("IVFADC-R rerank: shortlist-scale broadcasts, no cartesian, no corpus re-rank") {
+    // the refine stage must not add a second corpus-scale ranking:
+    // the shortlist (queries*k*refine rows) and the query-vector fetch
+    // broadcast into the corpus scan - every join is a BroadcastHashJoin
+    // and nothing plans a cartesian
+    val df = SparkEntry.queries("a_knn_ivfpq_rerank")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+  }
+
+  test("cell balance: one partial-agg groupBy funnel, no window, no cartesian") {
+    val df = SparkEntry.queries("a_cell_balance")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(!p.contains("Window"), p.take(2500))
+    // partial aggregation before the exchange: the funnel is kCells rows
+    assert(p.contains("HashAggregate"), p.take(2500))
+  }
+
+  test("profile audit: approx side stays a single scan fused aggregate") {
+    // the audit may not degrade the approx twin's one-scan property:
+    // the HLL pass plans no Expand (the multi-distinct rewrite) and no
+    // per-column jobs
+    val df = SparkEntry.queries("q_column_profile_audit")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Expand"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
 }
