@@ -139,24 +139,43 @@ object StreamingAnn {
     * Crash-safe via a two-phase manifest (the FsKeyIndex.compact
     * write-then-swap idea, adapted to partition-dir granularity):
     *  - `intent` manifest (atomic rename) BEFORE the merged write: a
-    *    crash mid-write rolls BACK — [[recoverIndex]] deletes the
-    *    (possibly partial) compacted output, inputs untouched;
+    *    crash mid-write (or post-write, pre-flip) rolls BACK —
+    *    [[recoverIndex]] deletes the compacted output, inputs
+    *    untouched;
     *  - flipped to `committed` AFTER the write: a crash mid-delete
     *    rolls FORWARD — recoverIndex finishes deleting the consumed
     *    leaves. At every instant exactly one complete copy of every
-    *    row is reachable once recovery runs. The output id is
-    *    deterministic in the consumed set (−(max consumed batch + 2)),
-    *    so a re-run after any crash converges; the merge dedups on
-    *    vec_id, so even the no-manifest window (output committed,
-    *    crash before the intent→committed flip is impossible — the
-    *    flip is after the write — but a torn Spark commit) re-merges
-    *    idempotently.
+    *    row is reachable. The output id is deterministic in the
+    *    consumed set (−(max consumed batch + 2)), so a re-run after
+    *    any crash converges; the survivor election is deterministic,
+    *    so a re-merge after rollback rebuilds the same leaf.
     *
-    * Single-writer contract (as [[FsKeyIndex.compact]]): run between
-    * batches from the ingest owner; [[queryIndex]] runs [[recoverIndex]]
-    * on entry, so a query after a crashed compaction sees the
-    * recovered index. Local/posix-rename filesystems (same assumption
-    * as the model artifact).
+    * Survivor semantics: if a vec_id appears in several consumed
+    * leaves (a fresh-checkpoint replay lineage can re-deliver earlier
+    * data as its own batch 0), the merge keeps the NEWEST copy —
+    * max effective batch per vec_id, where a compacted leaf's
+    * effective batch is the max raw batch it consumed (−outId − 2),
+    * raw beating compacted on a tie (a post-compaction replay
+    * re-materializes the newer delivery). Deterministic, never an
+    * arbitrary dropDuplicates pick.
+    *
+    * Recovery is OWNER-ONLY: it runs on [[compactIndex]] entry, never
+    * from the read path — [[queryIndex]] treats the manifest as a
+    * pure VISIBILITY FILTER (under `intent` it excludes the output
+    * partitions; under `committed` it excludes the consumed leaves),
+    * so a reader racing the compactor can never delete the output the
+    * compactor is about to commit (a destructive reader could
+    * otherwise erase the merged leaf in the write→flip window and the
+    * compactor's consumed-leaf deletes would then lose those rows).
+    *
+    * Single-writer contract (as [[FsKeyIndex.compact]]): one
+    * compaction at a time, run between batches from the ingest owner;
+    * concurrent READERS are safe at any point before the final
+    * consumed-leaf deletes (a reader that listed a consumed leaf just
+    * as the owner deletes it can still hit the inherent
+    * list-then-read race — run compaction between query waves, or set
+    * `spark.sql.files.ignoreMissingFiles`). Local/posix-rename
+    * filesystems (same assumption as the model artifact).
     *
     * Returns the compacted leaf's ingest_batch id, or None if fewer
     * than `minBatches` aged leaves existed (no-op).
@@ -166,8 +185,10 @@ object StreamingAnn {
     compactIndexImpl(spark, indexDir, minBatches, crashPoint = 0)
 
   /** Test seam: crashPoint 1 = stop after the intent manifest (before
-    * the merged write), 2 = stop after the committed flip (before the
-    * consumed-leaf deletes). Production path is crashPoint = 0.
+    * the merged write), 2 = stop after the merged write (before the
+    * committed flip — the reader-race window), 3 = stop after the
+    * committed flip (before the consumed-leaf deletes). Production
+    * path is crashPoint = 0.
     */
   private[graft] def compactIndexImpl(spark: SparkSession, indexDir: String,
       minBatches: Int, crashPoint: Int): Option[Long] = {
@@ -181,10 +202,20 @@ object StreamingAnn {
     val outId = -(agedIds.filter(_ >= 0).max + 2)
     val inputs = aged.map { case (c, b) =>
       s"$indexDir/cell=$c/ingest_batch=$b" }
+    // newest-wins survivor per vec_id (see scaladoc): effective batch
+    // maps a compacted leaf back to the max raw batch it consumed;
+    // raw beats compacted on an effective tie (raw id is larger)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("eff").desc, col("src_batch").desc)
     val merged = spark.read.option("basePath", indexDir)
       .parquet(inputs: _*)
+      .withColumn("src_batch", col("ingest_batch").cast("long"))
+      .withColumn("eff", when(col("src_batch") < 0,
+        -col("src_batch") - 2).otherwise(col("src_batch")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
       .select("vec_id", "v", "norm2", "cell")
-      .dropDuplicates("vec_id")
       .withColumn("ingest_batch", lit(outId))
     // materialize BEFORE the overwrite: the merged frame reads the
     // same root it writes into; checkpointing severs that read (and a
@@ -197,8 +228,9 @@ object StreamingAnn {
       .mode("overwrite")
       .partitionBy("cell", "ingest_batch")
       .parquet(indexDir)
-    writeManifest(indexDir, "committed", outId, aged)
     if (crashPoint == 2) return Some(outId)
+    writeManifest(indexDir, "committed", outId, aged)
+    if (crashPoint == 3) return Some(outId)
     aged.foreach { case (c, b) =>
       deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$b"))
     }
@@ -207,29 +239,47 @@ object StreamingAnn {
   }
 
   /** Complete (or roll back) an interrupted [[compactIndex]]: an
-    * `intent` manifest deletes the partial compacted output; a
-    * `committed` one finishes deleting the consumed leaves. Idempotent
-    * and cheap (existence checks) — run on every query/compact entry.
+    * `intent` manifest deletes the compacted output (rollback); a
+    * `committed` one finishes deleting the consumed leaves (roll
+    * forward). OWNER-ONLY — runs on [[compactIndex]] entry, never from
+    * the read path ([[queryIndex]] filters on the manifest instead of
+    * acting on it). Idempotent, and tolerant of a concurrent recovery
+    * (deleteIfExists / per-entry NoSuchFile tolerance), so a stray
+    * second owner entry degrades to a no-op rather than a spurious
+    * failure.
     */
-  def recoverIndex(indexDir: String): Unit = {
-    val p = manifestPath(indexDir)
-    if (!java.nio.file.Files.exists(p)) return
-    val lines = java.nio.file.Files.readAllLines(p)
-    val state = lines.get(0)
-    val outId = lines.get(1).toLong
-    val consumed = (2 until lines.size).map { i =>
-      val Array(c, b) = lines.get(i).split(",")
-      (c.toLong, b.toLong)
+  def recoverIndex(indexDir: String): Unit =
+    readManifest(indexDir).foreach { case (state, outId, consumed) =>
+      if (state == "committed")
+        consumed.foreach { case (c, b) =>
+          deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$b"))
+        }
+      else
+        consumed.map(_._1).distinct.foreach { c =>
+          deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$outId"))
+        }
+      java.nio.file.Files.deleteIfExists(manifestPath(indexDir))
     }
-    if (state == "committed")
-      consumed.foreach { case (c, b) =>
-        deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$b"))
+
+  /** Parse the two-phase compaction manifest: (state, outId, consumed
+    * (cell, batch) leaves), or None when absent — including the window
+    * where a concurrent owner deletes it between our existence check
+    * and the read (atomic rename means a present manifest is never
+    * torn).
+    */
+  private[graft] def readManifest(
+      indexDir: String): Option[(String, Long, Seq[(Long, Long)])] = {
+    val p = manifestPath(indexDir)
+    try {
+      val lines = java.nio.file.Files.readAllLines(p)
+      val consumed = (2 until lines.size).map { i =>
+        val Array(c, b) = lines.get(i).split(",")
+        (c.toLong, b.toLong)
       }
-    else
-      consumed.map(_._1).distinct.foreach { c =>
-        deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$outId"))
-      }
-    java.nio.file.Files.delete(p)
+      Some((lines.get(0), lines.get(1).toLong, consumed.toSeq))
+    } catch {
+      case _: java.nio.file.NoSuchFileException => None
+    }
   }
 
   /** Distinct (cell, ingest_batch) leaves from the partition directory
@@ -267,9 +317,18 @@ object StreamingAnn {
 
   private def deleteDir(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
+      // tolerate a concurrent recoverer deleting entries mid-walk: the
+      // goal state (dir gone) is shared, so per-entry NoSuchFile is a
+      // success, not a failure
+      val s = try java.nio.file.Files.walk(p) catch {
+        case _: java.nio.file.NoSuchFileException => return
+      }
       try s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().forEachRemaining(java.nio.file.Files.delete(_))
+        .iterator().forEachRemaining { q =>
+          try java.nio.file.Files.delete(q) catch {
+            case _: java.nio.file.NoSuchFileException => ()
+          }
+        }
       finally s.close()
     }
 
@@ -280,11 +339,27 @@ object StreamingAnn {
     * parquet PartitionFilter, so the 1/kCells scan bound is enforced
     * by the storage layout. Exact cosine rerank within the probed
     * cells, same tie-break as [[Ann.knnIvfTrained]].
+    *
+    * NON-DESTRUCTIVE under a crashed or in-flight compaction: the
+    * two-phase manifest is a visibility filter, not a recovery
+    * trigger — under `intent` the (possibly mid-write) compacted
+    * output is excluded and the intact consumed leaves are read;
+    * under `committed` the consumed leaves are excluded and the
+    * durable output is read. Either way exactly one complete copy of
+    * every row is visible, and the reader never deletes anything
+    * (owner-only recovery — see [[recoverIndex]]). Both exclusions
+    * are `ingest_batch` predicates, so they prune at the partition
+    * level like the cell filter.
     */
   def queryIndex(spark: SparkSession, indexDir: String, modelPath: String,
       queries: DataFrame, k: Int, probes: Int = 1): DataFrame = {
     import spark.implicits._
-    recoverIndex(indexDir) // finish any interrupted compaction first
+    val visibility = readManifest(indexDir).map {
+      case ("committed", _, consumed) =>
+        val consumedIds = consumed.map(_._2).distinct
+        !col("ingest_batch").isin(consumedIds: _*)
+      case (_, outId, _) => col("ingest_batch") =!= outId
+    }
     val cent = loadModel(modelPath).getOrElse(
       throw new IllegalStateException(s"no trained model at $modelPath"))
     val qRows = quantize(queries).collect().map(r =>
@@ -297,8 +372,9 @@ object StreamingAnn {
     }.toSeq
     val probeDf = probeRows.toDF("q_id", "qcell", "qv", "qn2")
     val cells = probeRows.map(_._2).distinct
-    val idx = spark.read.parquet(indexDir)
+    val idx0 = spark.read.parquet(indexDir)
       .filter(col("cell").isin(cells: _*))
+    val idx = visibility.fold(idx0)(idx0.filter)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     idx.join(broadcast(probeDf),

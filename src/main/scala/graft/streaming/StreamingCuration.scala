@@ -135,8 +135,11 @@ object StreamingCuration {
     * production 16×8 S-curve (the 4×2 correctness geometry admits
     * ~67% of s=0.5 pairs, and this operator drops WITHOUT verify —
     * at scale that is silent loss of mid-similarity non-duplicates).
-    * A pre-manifest legacy index must be stamped once by calling with
-    * its original geometry explicitly.
+    * A pre-manifest legacy (non-empty, manifest-less) index is NEVER
+    * auto-stamped — the ingest refuses and demands a one-time explicit
+    * [[stampGeometry]] with the geometry it was built with, because a
+    * silent default stamp would probe old keys under a new geometry
+    * and admit every duplicate.
     */
   def nearDupIngest(docs: DataFrame, index: FsKeyIndex, corpusDir: String,
       checkpointDir: String,
@@ -202,8 +205,16 @@ object StreamingCuration {
   }
 
   /** Stamp-or-verify the band-key index's geometry manifest (see
-    * [[nearDupIngest]]): absent → write `bands=B rows=R` atomically;
-    * present → require an exact match, else refuse the probe.
+    * [[nearDupIngest]]): present → require an exact match, else refuse
+    * the probe; absent → auto-stamp `bands=B rows=R` atomically ONLY
+    * when the index is genuinely fresh (no key log yet). A NON-empty
+    * index with no manifest is a pre-manifest legacy index — silently
+    * stamping it with the caller's (likely new-default) geometry would
+    * then probe its old-geometry keys with incomparable new-geometry
+    * keys: zero collisions, every duplicate admitted, the exact
+    * failure the manifest exists to prevent. Those must be stamped
+    * once, explicitly, via [[stampGeometry]] with their ORIGINAL
+    * geometry.
     */
   private[streaming] def ensureGeometry(indexRoot: String, bands: Int,
       rows: Int): Unit = {
@@ -217,13 +228,52 @@ object StreamingCuration {
             s"to probe it with '$expect' — band keys from different " +
             "geometries are incomparable, and a mismatched probe would " +
             "silently admit every duplicate")
-    } else {
-      java.nio.file.Files.createDirectories(p.getParent)
-      val tmp = java.nio.file.Paths.get(indexRoot,
-        s"geometry.tmp-${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.writeString(tmp, expect)
-      java.nio.file.Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else if (hasKeys(indexRoot))
+      throw new IllegalStateException(
+        s"band-key index at $indexRoot holds keys but no geometry " +
+          s"manifest (pre-manifest legacy index); refusing to assume " +
+          s"'$expect' — probing legacy keys under a guessed geometry " +
+          "yields zero collisions and silently admits every duplicate. " +
+          "Stamp it once with StreamingCuration.stampGeometry(root, " +
+          "bands, rows) using the geometry it was BUILT with.")
+    else writeGeometry(indexRoot, expect)
+
+  }
+
+  /** One-time explicit geometry stamp for a pre-manifest legacy index
+    * (see [[ensureGeometry]]). Refuses to overwrite a conflicting
+    * existing manifest — re-stamping with the same geometry is a no-op.
+    */
+  def stampGeometry(indexRoot: String, bands: Int, rows: Int): Unit = {
+    val expect = s"bands=$bands rows=$rows"
+    val p = java.nio.file.Paths.get(indexRoot, "geometry")
+    if (java.nio.file.Files.exists(p)) {
+      val body = java.nio.file.Files.readString(p).trim
+      if (body != expect)
+        throw new IllegalStateException(
+          s"band-key index at $indexRoot is already stamped '$body'; " +
+            s"refusing to re-stamp it '$expect' — geometry is immutable " +
+            "for the life of the index (rebuild to change it)")
+    } else writeGeometry(indexRoot, expect)
+  }
+
+  /** Does the index root hold (or recoverably hold) a key log? Covers
+    * the mid-compact states where `keys/` is momentarily renamed aside
+    * ([[graft.sources.FsKeyIndex.compact]]'s swap window / crash
+    * remnants).
+    */
+  private def hasKeys(indexRoot: String): Boolean =
+    Seq("keys", "keys_compact", "keys_old").exists { d =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(indexRoot, d))
     }
+
+  private def writeGeometry(indexRoot: String, body: String): Unit = {
+    val p = java.nio.file.Paths.get(indexRoot, "geometry")
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = java.nio.file.Paths.get(indexRoot,
+      s"geometry.tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }

@@ -175,21 +175,85 @@ class StreamingAnnSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     val before = snap()
     val leavesBefore = StreamingAnn.listLeaves(s"$root/index").toSet
-    // crash right after the intent manifest: nothing written yet -> the
-    // next query entry rolls the compaction BACK, index unchanged
+    val manifest = java.nio.file.Paths.get(s"$root/index/_compaction")
+    // crash right after the intent manifest: nothing written yet — a
+    // QUERY sees the pre-compaction index (the intent manifest is a
+    // visibility filter) and deletes NOTHING (owner-only recovery)
     StreamingAnn.compactIndexImpl(spark, s"$root/index", 2, crashPoint = 1)
-    assert(snap() === before) // queryIndex ran recoverIndex
+    assert(snap() === before)
+    assert(java.nio.file.Files.exists(manifest),
+      "a reader must never consume the compaction manifest")
     assert(StreamingAnn.listLeaves(s"$root/index").toSet === leavesBefore)
-    // crash after the committed flip: output durable, consumed leaves
-    // still present -> the next query entry rolls FORWARD (deletes them)
+    // crash after the merged write, before the committed flip (the
+    // reader-race window): the output leaves exist but are intent-
+    // hidden — a query reads the intact consumed leaves and must not
+    // touch the output the compactor believes it is about to commit
+    val out1 = StreamingAnn.compactIndexImpl(spark, s"$root/index", 2,
+      crashPoint = 2) // its entry rolled the crashed intent back first
+    assert(out1.nonEmpty)
+    assert(snap() === before)
+    assert(java.nio.file.Files.exists(manifest))
+    assert(StreamingAnn.listLeaves(s"$root/index")
+      .exists(_._2 === out1.get),
+      "the reader deleted the compactor's written-but-unflipped output")
+    // crash after the committed flip: output durable + consumed leaves
+    // still present — a query excludes the consumed leaves (no double
+    // counting) and still deletes nothing; the OWNER's next entry
+    // rolls forward
     val out = StreamingAnn.compactIndexImpl(spark, s"$root/index", 2,
-      crashPoint = 2)
+      crashPoint = 3) // entry recovery rolled the intent crash back
     assert(out.nonEmpty)
+    assert(snap() === before)
+    assert(java.nio.file.Files.exists(manifest))
+    StreamingAnn.recoverIndex(s"$root/index") // owner-side roll forward
+    assert(!java.nio.file.Files.exists(manifest))
     assert(snap() === before)
     val after = StreamingAnn.listLeaves(s"$root/index")
     assert(after.map(_._2).distinct.toSet === Set(out.get, 3L))
     assert(spark.read.parquet(s"$root/index").select("vec_id")
       .distinct().count() === rows.length.toLong)
+    // concurrent-recovery tolerance: a second recover on the already-
+    // recovered index is a clean no-op
+    StreamingAnn.recoverIndex(s"$root/index")
+    assert(snap() === before)
+  }
+
+  test("compaction survivor is deterministic newest-wins per vec_id") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmpDir("st-ann-survivor")
+    val dims = 4
+    // hand-build an index with one vec_id duplicated across leaves
+    // with DIFFERENT payloads: batch 0 says v=(1,0,0,0), batch 1
+    // re-ingests vec 7 as v=(0,2,0,0) — newest-wins must keep batch 1
+    def leaf(batch: Long, rows: Seq[(Long, Seq[Long])]): Unit =
+      rows.toDF("vec_id", "v")
+        .withColumn("norm2", graft.functions.VecOps.intDot(col("v"), col("v")))
+        .withColumn("cell", lit(0L))
+        .withColumn("ingest_batch", lit(batch))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy("cell", "ingest_batch")
+        .parquet(s"$root/index")
+    leaf(0L, Seq((7L, Seq(1000L, 0L, 0L, 0L)), (8L, Seq(0L, 0L, 1000L, 0L))))
+    leaf(1L, Seq((7L, Seq(0L, 2000L, 0L, 0L)), (9L, Seq(0L, 0L, 0L, 1000L))))
+    leaf(2L, Seq((10L, Seq(500L, 500L, 0L, 0L)))) // newest: not compacted
+    val out = StreamingAnn.compactIndex(spark, s"$root/index", minBatches = 2)
+    assert(out.nonEmpty)
+    val got = spark.read.parquet(s"$root/index")
+      .filter(col("vec_id") === 7L)
+      .select("v").collect()
+    assert(got.length === 1)
+    assert(got.head.getSeq[Long](0) === Seq(0L, 2000L, 0L, 0L))
+    // a replayed batch 1 after compaction (raw leaf reappears next to
+    // the compacted leaf whose effective batch ties it): raw wins
+    leaf(1L, Seq((7L, Seq(0L, 0L, 3000L, 0L))))
+    leaf(3L, Seq((11L, Seq(1L, 1L, 1L, 1L)))) // newest guard leaf
+    val out2 = StreamingAnn.compactIndex(spark, s"$root/index", minBatches = 2)
+    assert(out2.nonEmpty)
+    val got2 = spark.read.parquet(s"$root/index")
+      .filter(col("vec_id") === 7L).select("v").collect()
+    assert(got2.length === 1)
+    assert(got2.head.getSeq[Long](0) === Seq(0L, 0L, 3000L, 0L))
   }
 
   test("empty first batch trains nothing; unparseable model reads as None") {

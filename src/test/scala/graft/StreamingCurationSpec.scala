@@ -203,4 +203,58 @@ class StreamingCurationSpec extends SparkSuite {
       s"$root/corpus3", s"$root/ckpt3", bands = 16, rows = 8)
     q3.stop()
   }
+
+  test("legacy manifest-less index is never auto-stamped; explicit stamp works") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-neardup-legacy")
+    // fabricate a pre-manifest legacy index: a key log with NO
+    // geometry file (what a pre-versioning lineage left behind)
+    val idx = FsKeyIndex(spark, s"$root/bands")
+    idx.add(Seq(42L, 43L).toDF("k"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/bands/geometry"))
+    // a default-parameter ingest would stamp 16x8 and probe legacy
+    // 4x2-derived keys with 16x8 keys — zero collisions, every
+    // duplicate admitted: it must REFUSE instead
+    val input = MemoryStream[(Long, String)]
+    val e = intercept[IllegalStateException] {
+      StreamingCuration.nearDupIngest(
+        input.toDS().toDF("doc_id", "text"),
+        FsKeyIndex(spark, s"$root/bands"), s"$root/corpus", s"$root/ckpt")
+    }
+    assert(e.getMessage.contains("stampGeometry"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/bands/geometry")),
+      "the refused call must not have stamped anything")
+    // the operator's remedy: one explicit stamp with the geometry the
+    // index was BUILT with, after which that geometry probes fine
+    StreamingCuration.stampGeometry(s"$root/bands", 4, 2)
+    StreamingCuration.stampGeometry(s"$root/bands", 4, 2) // idempotent
+    val e2 = intercept[IllegalStateException] {
+      StreamingCuration.stampGeometry(s"$root/bands", 16, 8)
+    }
+    assert(e2.getMessage.contains("bands=4 rows=2"))
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = StreamingCuration.nearDupIngest(
+      input2.toDS().toDF("doc_id", "text"),
+      FsKeyIndex(spark, s"$root/bands"), s"$root/corpus", s"$root/ckpt",
+      bands = 4, rows = 2)
+    try {
+      input2.addData(5L -> ("a long enough document to band " * 4))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$root/corpus").count() === 1L)
+    // a genuinely FRESH index (no key log) still auto-stamps its
+    // caller's geometry — only legacy data blocks the default path
+    val input3 = MemoryStream[(Long, String)]
+    val q3 = StreamingCuration.nearDupIngest(
+      input3.toDS().toDF("doc_id", "text"),
+      FsKeyIndex(spark, s"$root/fresh"), s"$root/corpusF", s"$root/ckptF")
+    q3.stop()
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/fresh/geometry")).trim
+      === "bands=16 rows=8")
+  }
 }
