@@ -446,6 +446,14 @@ object SparkEntry {
       Ann.knnIvfPqRefined(Tables.embeddings(s, dir), KnnQueries, 5)
         .orderBy("q_id", "rnk")),
 
+    // A12: IVF-SQ8 — trained coarse cells storing int8 codes (the
+    // FAISS IVF,SQ8 shape): the shippable default on margin-thin
+    // corpora, pairing the IVF scan bound with the one compression
+    // whose noise is measured sub-margin (int8 98% vs PQ 27% recall)
+    "a_knn_ivfsq" -> ((s, dir) =>
+      Ann.knnIvfSq(Tables.embeddings(s, dir), KnnQueries, 5)
+        .orderBy("q_id", "rnk")),
+
     // A11: cell-balance observability for the trained IVF family —
     // the number the 1/kCells probe bound rests on (a hot cell
     // silently degrades scan bound and recall)
@@ -1301,6 +1309,49 @@ object SparkEntry {
        |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** IVF-SQ8 oracle (mirrors Ann.knnIvfSq): trained-cell assignment and
+    * query cell ranking on the full-precision milli vectors (the
+    * knnIvfTrained chain), candidate scoring by scale-free quantized
+    * cosine over the int8 codes (the knnQuantized arithmetic) within
+    * the probed cells.
+    */
+  private def annIvfSqSql(k: Int, probes: Int = 2): String = {
+    val (ctes, _, cent) = kmeansCtes(k = 8, iterations = 2)
+    s"""$ctes,
+       |$Int8Cte,
+       |rankedc AS (
+       |  SELECT qn.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+       |      (CASE WHEN c.cn2 = 0 OR qn.norm2 = 0 THEN -2.0
+       |       ELSE (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
+       |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) END) DESC, c.c_id) AS c_rn
+       |  FROM qn, $cent c
+       |),
+       |assigned AS (
+       |  SELECT r.vec_id, cdb.c, cdb.n2q, r.c_id AS cell
+       |  FROM rankedc r JOIN cqn cdb ON cdb.vec_id = r.vec_id
+       |  WHERE r.c_rn = 1
+       |),
+       |probesq AS (
+       |  SELECT r.vec_id AS q_id, cq2.c AS qc, cq2.n2q AS qn2q, r.c_id AS qcell
+       |  FROM rankedc r JOIN cqn cq2 ON cq2.vec_id = r.vec_id
+       |  WHERE r.vec_id < $KnnQueries AND r.c_rn <= $probes
+       |),
+       |scored AS (
+       |  SELECT q2.q_id, cdb.vec_id AS neighbor_id,
+       |         CASE WHEN q2.qn2q = 0 OR cdb.n2q = 0 THEN -2.0
+       |           ELSE (list_sum(list_transform(range(1,65), i -> q2.qc[i::INT]*cdb.c[i::INT])))::DOUBLE
+       |             / (sqrt(q2.qn2q::DOUBLE) * sqrt(cdb.n2q::DOUBLE)) END AS qcos
+       |  FROM probesq q2 JOIN assigned cdb
+       |    ON cdb.cell = q2.qcell AND cdb.vec_id <> q2.q_id
+       |)
+       |SELECT q_id, rnk, neighbor_id, round(qcos * 10000, 0)::BIGINT AS qcos_bp FROM (
+       |  SELECT q_id, neighbor_id, qcos,
+       |         (row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, neighbor_id))::INT AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
   private def annQuantizedSql(k: Int): String =
     s"""WITH $EmbCte, $Int8Cte,
        |scored AS (
@@ -1486,7 +1537,8 @@ object SparkEntry {
       "knn_ivf_trained" -> annIvfTrainedSql(k),
       "knn_quantized" -> annQuantizedSql(k),
       "knn_pq" -> annPqSql(k),
-      "knn_ivfpq" -> annIvfPqSql(k))
+      "knn_ivfpq" -> annIvfPqSql(k),
+      "knn_ivfsq" -> annIvfSqSql(k))
     val ctes = subs.zipWithIndex.map { case ((_, sql), i) =>
       s"r$i AS (SELECT q_id, neighbor_id FROM (\n$sql\n) t$i)"
     }.mkString(",\n")
@@ -1841,6 +1893,7 @@ object SparkEntry {
     "a_knn_ivfpq" -> annIvfPqSql(5),
     "a_knn_pq_rerank" -> annRerankSql(annPqSql(50), 5),
     "a_knn_ivfpq_rerank" -> annRerankSql(annIvfPqSql(50), 5),
+    "a_knn_ivfsq" -> annIvfSqSql(5),
     "a_cell_balance" -> cellBalanceSql(),
 
     // Recall@RecallK of every approximate ANN method vs brute-force

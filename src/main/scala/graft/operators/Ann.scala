@@ -281,6 +281,71 @@ object Ann {
         round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
   }
 
+  /** IVF-SQ8 — trained coarse cells × int8 scalar-quantized codes
+    * (the FAISS `IVF,SQ8` index shape): the composition that is
+    * actually SHIPPABLE as a default on this corpus family, because it
+    * pairs the two measured-good halves of the ladder — the trained
+    * IVF scan bound (probes/kCells of the corpus per query) with int8
+    * codes whose quantization noise is BELOW the corpus' rank margins
+    * (98% recall@10 at full scan vs PQ's 27%, a_ann_recall). Cell
+    * assignment happens at ingest on the full-precision vectors (the
+    * same zero-shuffle literal-argmax projection as
+    * [[knnIvfTrained]]); what each cell STORES is the 4×-compressed
+    * int8 codes + one scale per vector ([[int8Codes]] layout), and the
+    * probe scan scores candidates by scale-free quantized cosine —
+    * exact integer code dots, never a full-precision fetch. Expected
+    * recall is therefore the probe-coverage ceiling itself (int8 rank
+    * noise is sub-margin), at 1/4 the scan bytes of [[knnIvfTrained]].
+    *
+    * Scale: identical shape to [[knnIvfTrained]] — trained state is
+    * K·dims driver literals, corpus ops are one codegen projection
+    * (cell + codes) and one per-cell equi-join against the broadcast
+    * query probes; the shuffle key is the cell id.
+    */
+  def knnIvfSq(embeddings: DataFrame, numQueries: Int, k: Int,
+      kCells: Int = 8, iterations: Int = 2, probes: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = quantized(embeddings)
+    val cent = kmeansCentroids(q.select("vec_id", "v", "norm2"), kCells, iterations)
+    val cellScores = cent.map { case (cId, cv, cn2) =>
+      struct(when(col("norm2") === 0 || lit(cn2) === 0, lit(2.0))
+        .otherwise(lit(-1.0) *
+          cosine(typedLit(cv), col("v"), lit(cn2), col("norm2")))
+        .as("nc"), lit(cId).as("c_id"))
+    }
+    def codesOf(df: DataFrame): DataFrame = df
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("c", transform(col("v"),
+        x => when(col("maxabs") === 0, lit(0L))
+          .otherwise(round((x * 127).cast("double") / col("maxabs"), 0)
+            .cast("long"))))
+      .withColumn("n2q", VecOps.intDot(col("c"), col("c")))
+    val coded = codesOf(q
+        .withColumn("cell", array_min(array(cellScores: _*)).getField("c_id")))
+      .select("vec_id", "cell", "c", "n2q")
+    val centDf = cent.toDF("c_id", "cv", "cn2")
+    val qw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val queries = codesOf(q.filter(col("vec_id") < numQueries))
+      .crossJoin(broadcast(centDf))
+      .withColumn("c_cos", cosine(col("cv"), col("v"), col("cn2"), col("norm2")))
+      .withColumn("c_rn", row_number().over(qw))
+      .filter(col("c_rn") <= probes)
+      .select(col("vec_id").as("q_id"), col("c").as("qc"),
+        col("n2q").as("qn2q"), col("c_id").as("qcell"))
+    val scored = coded.join(broadcast(queries),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("qcos",
+        when(col("qn2q") === 0 || col("n2q") === 0, lit(-2.0))
+          .otherwise(VecOps.intDot(col("qc"), col("c")).cast("double")
+            / (sqrt(col("qn2q").cast("double")) * sqrt(col("n2q").cast("double")))))
+    val rw = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("qcos") * 10000, 0).cast("long").as("qcos_bp"))
+  }
+
   /** Lloyd's k-means over quantized embeddings, the training loop that
     * produces IVF centroids (knnIvf's fixed-stride centroids are the
     * no-training baseline; this is the real thing). Fully portable:
@@ -882,7 +947,8 @@ object Ann {
       "knn_ivf_trained" -> knnIvfTrained(embeddings, numQueries, k),
       "knn_quantized" -> knnQuantized(embeddings, numQueries, k),
       "knn_pq" -> knnPq(embeddings, numQueries, k),
-      "knn_ivfpq" -> knnIvfPq(embeddings, numQueries, k, probes = 2)))
+      "knn_ivfpq" -> knnIvfPq(embeddings, numQueries, k, probes = 2),
+      "knn_ivfsq" -> knnIvfSq(embeddings, numQueries, k)))
 
   /** The knob-response twin of [[annRecall]]: the same recall@k
     * measurement with each lossy method's accuracy knob turned one

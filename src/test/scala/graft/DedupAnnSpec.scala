@@ -469,6 +469,28 @@ class DedupAnnSpec extends SparkSuite {
       s"int8 top-5 agreement below 70%: ${(exact intersect quant).size}/${exact.size}")
   }
 
+  test("IVF-SQ8: probe-all equals the quantized full scan; probes only bound candidates") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    // probing every cell makes the candidate set the whole corpus and
+    // the scoring identical to knnQuantized: results must be EQUAL
+    // (same quantized-cosine doubles, same tie-break)
+    val full = rows(Ann.knnQuantized(emb, 5, 4))
+    val all = rows(Ann.knnIvfSq(emb, 5, 4, probes = 8))
+    assert(all === full)
+    // default probe-2: cell bounding may shrink the candidate set but
+    // must never alter a score — every returned pair carries exactly
+    // the full scan's quantized cosine
+    val fullScores = Ann.knnQuantized(emb, 5, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val p2 = Ann.knnIvfSq(emb, 5, 4).collect()
+    assert(p2.nonEmpty)
+    p2.foreach { r =>
+      assert(fullScores((r.getLong(0), r.getLong(2))) === r.getLong(3),
+        s"q=${r.getLong(0)} n=${r.getLong(2)}")
+    }
+  }
+
   test("prefix-filtered ngram Jaccard equals the exhaustive pair set") {
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select("doc_a", "doc_b", "inter", "union_sh", "jacc_bp")

@@ -233,6 +233,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(cents.size === 8)
   }
 
+  test("IVF-SQ8: corpus never cartesians; one projection makes cell AND codes") {
+    // same audit as trained IVF — plus: the corpus side must carry the
+    // int8 codes out of the SAME zero-shuffle projection that assigns
+    // the cell (no second corpus pass, no full-precision vector in the
+    // candidate join)
+    val df = SparkEntry.queries("a_knn_ivfsq")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 4, s"$exchanges exchanges:\n${p.take(2500)}")
+  }
+
   test("repeated spans: no cartesian, no window; stats partial-aggregate") {
     // window generation must be a projection (transform over the token
     // array) and occurrence stats a groupBy chain — a Window over the
