@@ -358,6 +358,14 @@ object SparkEntry {
         bands = Dedup.ProdBands, rows = Dedup.ProdRows)
         .orderBy("doc_a", "doc_b")),
 
+    // D17: band-bucket balance observability — the dedup twin of
+    // a_cell_balance: Σ C(|bucket|,2) per band IS the verify-join
+    // workload, and a hot bucket is the silent all-pairs failure mode
+    // of the "never all-pairs" guarantee
+    "d_bucket_balance" -> ((s, dir) =>
+      Dedup.bucketBalance(Tables.documents(s, dir))
+        .orderBy("band")),
+
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), SimhashMaxHamming)
         .orderBy("doc_a", "doc_b")),
@@ -1643,6 +1651,40 @@ object SparkEntry {
          |  GROUP BY 1, 2
          |)
          |$JaccTail""".stripMargin,
+
+    // D17 bucket balance at the production geometry: the banded CTE is
+    // the d_minhash_lsh_prod chain verbatim (shared hashParams +
+    // bandKeyExpr generators), aggregated to per-band bucket stats
+    // instead of joined — cand_pairs is the exact Σ n·(n−1) div 2 the
+    // candidate join would face
+    "d_bucket_balance" -> {
+      val rows = Dedup.ProdRows
+      val params = Dedup.hashParams(Dedup.ProdBands * rows).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      val mhs = (0 until rows)
+        .map(r => s"min(CASE WHEN hash_id % $rows = $r THEN minhash END)")
+      s"""WITH $NormCte, $ShCte,
+         |params(hash_id, ha, hb) AS (VALUES $params),
+         |sig AS (
+         |  SELECT doc_id, hash_id,
+         |         min((ha * (h % 1048576) + hb) % 1048573) AS minhash
+         |  FROM sh, params GROUP BY doc_id, hash_id
+         |),
+         |banded AS (
+         |  SELECT doc_id, (hash_id // $rows)::INT AS band,
+         |         (${Dedup.bandKeyExpr(mhs)})::BIGINT AS band_key
+         |  FROM sig GROUP BY doc_id, (hash_id // $rows)::INT
+         |),
+         |bkt AS (
+         |  SELECT band, band_key, count(*)::BIGINT AS n
+         |  FROM banded GROUP BY band, band_key
+         |)
+         |SELECT band, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_buckets,
+         |       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+         |       max(n)::BIGINT AS max_bucket,
+         |       (sum(n * (n - 1)) // 2)::BIGINT AS cand_pairs
+         |FROM bkt GROUP BY band ORDER BY band""".stripMargin
+    },
 
     // production geometry: 64-hash param family (first 8 = the legacy
     // literals, 8+ LCG-extended — generated from the SAME Scala Seq

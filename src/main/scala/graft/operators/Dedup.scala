@@ -478,6 +478,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Band-bucket balance of the LSH layout — the observability number
+    * the whole minhash scale story rests on: the candidate join's
+    * workload IS Σ C(|bucket|, 2) over the band buckets, so one hot
+    * bucket (a boilerplate-heavy shingle population collapsing many
+    * docs onto one band key) quietly turns the "never all-pairs"
+    * guarantee into an all-pairs join inside that bucket. This is the
+    * dedup twin of the IVF cell-balance report ([[Ann.cellBalance]],
+    * A11): per band — docs banded, distinct buckets, singleton buckets
+    * (no candidates at all), the largest bucket, and the EXACT
+    * candidate pair volume `Σ n·(n−1) div 2` the verify stage would
+    * face. Defaults to the production 16×8 geometry.
+    *
+    * Scale: one partial-aggregating `groupBy(band, band_key)` over the
+    * banded signatures, then a `bands`-row rollup — bucket-scale, never
+    * pair-scale (the report costs less than the join it predicts).
+    */
+  def bucketBalance(docs: DataFrame, bands: Int = ProdBands,
+      rows: Int = ProdRows): DataFrame = {
+    val sh = cappedShingleHashes(docs)
+    val banded = bandedSignatures(minhashSignatures(sh, bands * rows),
+      bands, rows)
+    banded.groupBy("band", "band_key").agg(count(lit(1)).as("n"))
+      .groupBy("band")
+      .agg(sum("n").as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        max("n").as("max_bucket"),
+        expr("sum(n * (n - 1)) div 2").as("cand_pairs"))
+  }
+
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
     * candidate join → exact-Jaccard verify.
     *

@@ -491,6 +491,35 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("bucket balance: per-band stats match a driver recount; cand_pairs is the join fanout") {
+    val bands = 4; val rows = 2
+    val banded = Dedup.bandedSignatures(
+      Dedup.minhashSignatures(Dedup.cappedShingleHashes(docs), bands * rows),
+      bands, rows)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(banded.nonEmpty)
+    val byBand = banded.groupBy(_._1).map { case (b, xs) =>
+      val counts = xs.groupBy(_._2).map(_._2.size.toLong).toSeq
+      b -> ((counts.sum, counts.size.toLong, counts.count(_ == 1L).toLong,
+        counts.max, counts.map(n => n * (n - 1) / 2).sum))
+    }
+    val got = Dedup.bucketBalance(docs, bands, rows).collect()
+    assert(got.length === byBand.size)
+    got.foreach { r =>
+      val (nDocs, nBuckets, nSingle, maxB, cand) = byBand(r.getAs[Int]("band"))
+      assert(r.getAs[Long]("n_docs") === nDocs)
+      assert(r.getAs[Long]("n_buckets") === nBuckets)
+      assert(r.getAs[Long]("n_singletons") === nSingle)
+      assert(r.getAs[Long]("max_bucket") === maxB)
+      assert(r.getAs[Long]("cand_pairs") === cand)
+    }
+    // cand_pairs predicts the REAL per-band candidate join: recount the
+    // equi-join fanout (before the cross-band distinct) and compare
+    val joinFanout = banded.groupBy(identity).map(_._2.size.toLong)
+      .map(n => n * (n - 1) / 2).sum
+    assert(got.map(_.getAs[Long]("cand_pairs")).sum === joinFanout)
+  }
+
   test("prefix-filtered ngram Jaccard equals the exhaustive pair set") {
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select("doc_a", "doc_b", "inter", "union_sh", "jacc_bp")
