@@ -496,6 +496,13 @@ object SparkEntry {
     "t_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // T16: per-source quality report card — composition (P9), dup
+    // share (D16), and now QUALITY close the per-source observability
+    // trio: which sources to downweight, decided before any doc drops
+    "t_source_quality" -> ((s, dir) =>
+      TextAnalysis.sourceQuality(Tables.documents(s, dir))
+        .orderBy("source")),
+
     "t_quality_score" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -1996,6 +2003,34 @@ object SparkEntry {
          |       d.lang AS actual_lang, coalesce(b.n_hits, 0)::BIGINT AS marker_hits
          |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "t_source_quality" ->
+      s"""WITH $NormCte,
+         |m AS (
+         |  SELECT doc_id,
+         |    len(string_split(t, ' '))::BIGINT AS wc,
+         |    length(replace(t, ' ', ''))::BIGINT AS letters,
+         |    len(list_filter(string_split(t, ' '),
+         |      x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::BIGINT AS sw_hits,
+         |    length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::BIGINT AS alpha_len,
+         |    length(text)::BIGINT AS text_len
+         |  FROM norm
+         |),
+         |scored AS (
+         |  SELECT d.source, m.wc,
+         |    (CASE WHEN m.wc BETWEEN 20 AND 1000 THEN 25 ELSE 0 END
+         |     + CASE WHEN (m.letters * 10 // m.wc) BETWEEN 30 AND 100 THEN 25 ELSE 0 END
+         |     + CASE WHEN m.sw_hits * 100 >= m.wc * 5 THEN 25 ELSE 0 END
+         |     + CASE WHEN m.alpha_len * 100 >= m.text_len * 60 THEN 25 ELSE 0 END)::INT AS score
+         |  FROM m JOIN documents d ON d.doc_id = m.doc_id
+         |)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |       (sum(score) * 100 // count(*))::BIGINT AS mean_score_x100,
+         |       sum(CASE WHEN score = 100 THEN 1 ELSE 0 END)::BIGINT AS n_full,
+         |       sum(CASE WHEN score = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+         |       (sum(CASE WHEN score >= 50 THEN 1 ELSE 0 END) * 10000 // count(*))::BIGINT AS share_ge50_bp,
+         |       (sum(wc) // count(*))::BIGINT AS mean_wc
+         |FROM scored GROUP BY source ORDER BY source""".stripMargin,
 
     "t_quality_score" ->
       s"""WITH $NormCte,

@@ -53,19 +53,26 @@ object TextAnalysis {
     * length, stopword ratio, and alpha ratio. Ratios are int/int
     * divisions — bit-identical across engines.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame =
+    withQuality(docs).select("doc_id", "wc", "sw_hits", "avg_wlen_x10", "score")
+
+  /** The shared scoring projection behind [[qualityScore]] and
+    * [[sourceQuality]]: every input column plus the gate inputs and the
+    * score — one zero-shuffle pass, so per-source rollups don't pay a
+    * doc_id re-join against the scored table.
+    */
+  private def withQuality(docs: DataFrame): DataFrame = {
     val sw = Stopwords
     val norm = normText(col("text"))
     val toks = split(norm, " ")
-    val wc = size(toks).cast("long")
-    val alphaLen = length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
-    docs.select(
-        col("doc_id"), col("n_chars"),
-        wc.as("wc"),
-        (length(regexp_replace(norm, " ", "")).cast("long")).as("letters"),
-        size(filter(toks, t => t.isInCollection(sw))).cast("long").as("sw_hits"),
-        alphaLen.as("alpha_len"),
-        length(col("text")).cast("long").as("text_len"))
+    docs
+      .withColumn("wc", size(toks).cast("long"))
+      .withColumn("letters", length(regexp_replace(norm, " ", "")).cast("long"))
+      .withColumn("sw_hits",
+        size(filter(toks, t => t.isInCollection(sw))).cast("long"))
+      .withColumn("alpha_len",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long"))
+      .withColumn("text_len", length(col("text")).cast("long"))
       .withColumn("avg_wlen_x10", expr("(letters * 10) div wc"))
       .withColumn("score",
         (when(col("wc").between(20, 1000), 25).otherwise(0)
@@ -73,8 +80,29 @@ object TextAnalysis {
           + when(col("sw_hits") * 100 >= col("wc") * 5, 25).otherwise(0)
           + when(col("alpha_len") * 100 >= col("text_len") * 60, 25).otherwise(0)
         ).cast("int"))
-      .select("doc_id", "wc", "sw_hits", "avg_wlen_x10", "score")
   }
+
+  /** Per-source quality report card — the third leg of the per-source
+    * observability trio (P9 measures composition, D16 measures
+    * duplication, this measures QUALITY): which sources a curation run
+    * should downweight, before any doc is dropped. Per source: doc
+    * count, mean score ×100 (integer), full-score and zero-score doc
+    * counts, the share clearing the curation gate (score ≥ 50, the P1
+    * threshold family) in basis points, and mean word count. All
+    * integer arithmetic over ONE partial-aggregating groupBy of the
+    * shared scoring projection — source strata are domain-bounded, the
+    * funnel is |sources| rows.
+    */
+  def sourceQuality(docs: DataFrame): DataFrame =
+    withQuality(docs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(score) * 100 div count(1)").as("mean_score_x100"),
+        sum(when(col("score") === 100, 1L).otherwise(0L)).as("n_full"),
+        sum(when(col("score") === 0, 1L).otherwise(0L)).as("n_zero"),
+        expr("sum(CASE WHEN score >= 50 THEN 1 ELSE 0 END) * 10000 div count(1)")
+          .as("share_ge50_bp"),
+        expr("sum(wc) div count(1)").as("mean_wc"))
 
   /** Token counting: whitespace tokens + BPE-ish regex subword tokens. */
   /** GPT-2-shaped pre-tokenizer pattern (RE2-safe, shared verbatim

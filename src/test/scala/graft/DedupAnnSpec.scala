@@ -609,6 +609,39 @@ class DedupAnnSpec extends SparkSuite {
     assert(out.filter(col("score") > 100 || col("score") < 0).count() === 0)
   }
 
+  test("source quality report matches a driver recount over the scored docs") {
+    val scores = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "score", "wc").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = srcOf.groupBy(_._2).map { case (src, ds) =>
+      val xs = ds.keys.toSeq.map(scores)
+      val n = xs.size.toLong
+      src -> ((n,
+        xs.map(_._1.toLong).sum * 100 / n,
+        xs.count(_._1 == 100).toLong,
+        xs.count(_._1 == 0).toLong,
+        xs.count(_._1 >= 50).toLong * 10000 / n,
+        xs.map(_._2).sum / n))
+    }
+    val got = TextAnalysis.sourceQuality(docs).collect()
+    assert(got.length === bySrc.size)
+    got.foreach { r =>
+      val exp = bySrc(r.getAs[String]("source"))
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("mean_score_x100"),
+        r.getAs[Long]("n_full"), r.getAs[Long]("n_zero"),
+        r.getAs[Long]("share_ge50_bp"), r.getAs[Long]("mean_wc")) === exp,
+        r.getAs[String]("source"))
+    }
+    // one partial-aggregating groupBy, no doc_id re-join: the rollup
+    // must plan zero joins and carry a partial aggregate
+    val p = TextAnalysis.sourceQuality(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.contains("partial_"), p.take(1500))
+  }
+
   test("lineDedup: C4 boilerplate cap + Dolma keep-first, exact reassembly hash") {
     val spark0 = spark
     import spark0.implicits._
