@@ -1586,7 +1586,8 @@ object SparkEntry {
       "knn_pq_4bit" -> annPqSql(k, pqK = 16),
       "knn_ivfpq_p4_4bit" -> annIvfPqSql(k, pqK = 16, probes = 4),
       "knn_pq_rerank" -> annRerankSql(annPqSql(k * 10), k),
-      "knn_ivfpq_rerank" -> annRerankSql(annIvfPqSql(k * 10), k))
+      "knn_ivfpq_rerank" -> annRerankSql(annIvfPqSql(k * 10), k),
+      "knn_ivfsq_p4" -> annIvfSqSql(k, probes = 4))
     val ctes = subs.zipWithIndex.map { case ((_, sql), i) =>
       s"r$i AS (SELECT q_id, neighbor_id FROM (\n$sql\n) t$i)"
     }.mkString(",\n")

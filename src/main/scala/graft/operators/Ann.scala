@@ -974,7 +974,8 @@ object Ann {
       "knn_ivfpq_p4_4bit" ->
         knnIvfPq(embeddings, numQueries, k, pqK = 16, probes = 4),
       "knn_pq_rerank" -> knnPqRefined(embeddings, numQueries, k),
-      "knn_ivfpq_rerank" -> knnIvfPqRefined(embeddings, numQueries, k)))
+      "knn_ivfpq_rerank" -> knnIvfPqRefined(embeddings, numQueries, k),
+      "knn_ivfsq_p4" -> knnIvfSq(embeddings, numQueries, k, probes = 4)))
 
   /** Embedding near-dup pairs: LSH-bucket blocking + exact cosine
     * verify — the scale path for pairwise similarity (no O(n²) join).
