@@ -104,6 +104,14 @@ object ScaleStress {
     *    parameter-scale, probe-bounded code scan) + a rerank join
     *    whose build side is queries·k·refine rows — request-scale,
     *    factor-invariant; the corpus-side cost is the same ADC scan.
+    *  - a_knn_ivfsq: the trained-IVF chain with the corpus side scanned
+    *    as int8 codes — assignment+coding is one projection over N×
+    *    rows, the probe join's candidate side grows N× at kCells=const
+    *    (cells grow N×; the scan bound probes/kCells is scale-free).
+    *  - d_bucket_balance: banded-signature rollup at 16×8 — the
+    *    groupBy(band, band_key) partial-aggregates; rotation makes each
+    *    copy's shingle population distinct, so buckets grow in COUNT
+    *    (N× keys), not in size — workload N× by construction.
     *  - d_simhash: 60-bit signatures differ across copies (rotation
     *    changes tokens), so pigeonhole bands pair within copies only.
     *  - p3_stream_ingest: fixed batch COUNT (each of the 4 batches is
@@ -120,7 +128,7 @@ object ScaleStress {
     *    the pure-scan control for the shuffle-family members.
     */
   val Queries: Seq[String] = Seq("a_kmeans_train_iter10", "a_knn_ivfpq",
-    "a_knn_ivfpq_rerank",
+    "a_knn_ivfpq_rerank", "a_knn_ivfsq", "d_bucket_balance",
     "d_contamination", "d_dedup_clusters", "d_line_dedup", "d_minhash_lsh",
     "d_repeated_spans", "d_semantic_dedup", "d_simhash", "p3_stream_ingest",
     "p_chunk_overlap", "p_curated_corpus", "p_global_shuffle",

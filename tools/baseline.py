@@ -6,7 +6,10 @@ sf0.1 parquet tables N times (default 3) and records the median
 wall-time. Each query runs in a subprocess so a runaway query can be
 timed out without killing the sweep.
 
-Usage: python3 tools/baseline.py [sfdir] [out.json]
+Usage: python3 tools/baseline.py [sfdir] [out.json] [query ...]
+  With query names: a DELTA sweep over just those queries (new or
+  changed since the last full sweep) — merge the medians into the
+  prior full artifact when recording.
 Child: python3 tools/baseline.py --one <sfdir> <name> (internal)
 """
 import json, subprocess, sys, time, os
@@ -35,6 +38,12 @@ def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else SF
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/baseline_duckdb.json"
     oracle = json.load(open(ORACLE))
+    subset = sys.argv[3:]
+    if subset:
+        missing = [q for q in subset if q not in oracle]
+        if missing:
+            sys.exit(f"unknown queries: {missing}")
+        oracle = {q: oracle[q] for q in subset}
     results = {}
     for name in sorted(oracle):
         times = []
