@@ -124,6 +124,118 @@ object StreamingAnn {
       }
       .start()
 
+  /** ST8 — the SQ8-coded streaming index (the streaming form of the
+    * batch IVF-SQ8 operator, [[Ann.knnIvfSq]]): identical train-once /
+    * frozen-model / idempotent-partition contract as [[ivfIngest]],
+    * but each cell STORES int8 codes (`cb`: array<tinyint>, one byte
+    * per component in parquet — 4× smaller index than the
+    * full-precision layout) plus the integer code self-dot. Queries
+    * score by scale-free quantized cosine over the codes; the recall
+    * cost is measured sub-margin (int8 noise ≪ the corpus' rank
+    * margins — 98–100% at full scan, AT the probe ceiling under IVF,
+    * BASELINE §ANN quality), which is exactly why this layout ships
+    * where the PQ family's margins can't. The tradeoff is explicit:
+    * no full-precision vectors live in the index, so there is no
+    * rerank stage to buy back losses — use [[ivfIngest]] when the
+    * corpus' margins demand one.
+    *
+    * Training still runs on the full-precision first batch (the coarse
+    * quantizer sees milli-quantized vectors, same as batch IVF-SQ8 —
+    * assignment happens before compression); [[compactIndex]] is
+    * layout-agnostic and serves both index kinds.
+    */
+  def ivfIngestSq(emb: DataFrame, modelPath: String, indexDir: String,
+      checkpointDir: String, kCells: Int = 8,
+      iterations: Int = 2): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qb = quantize(batch)
+        if (!qb.isEmpty) {
+          val cent = loadModel(modelPath).getOrElse {
+            val c = Ann.kmeansCentroidsUncached(
+              qb.select("vec_id", "v", "norm2"), kCells, iterations)
+            saveModel(modelPath, c)
+            c
+          }
+          Ann.kmeansAssign(qb, cent)
+            .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+            .withColumn("cb", transform(col("v"),
+              x => when(col("maxabs") === 0, lit(0L))
+                .otherwise(round((x * 127).cast("double") / col("maxabs"), 0)
+                  .cast("long")).cast("byte")))
+            .withColumn("n2q", VecOps.intDot(
+              transform(col("cb"), _.cast("long")),
+              transform(col("cb"), _.cast("long"))))
+            .select(col("vec_id"), col("cb"), col("n2q"),
+              col("cluster").as("cell"))
+            .withColumn("ingest_batch", lit(batchId))
+            .write
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("cell", "ingest_batch")
+            .parquet(indexDir)
+        }
+      }
+      .start()
+
+  /** Top-k quantized-cosine query over an [[ivfIngestSq]] index: same
+    * driver-side cell ranking (full-precision query vs the frozen
+    * model) and same probed-cell PartitionFilters as [[queryIndex]],
+    * but candidates are scored by exact integer code dots over the
+    * stored int8 codes — the query is int8-coded with the same
+    * per-vector max-abs rule, so cosine's scale invariance makes the
+    * per-vector scales cancel. Same manifest visibility filter; never
+    * destructive.
+    */
+  def queryIndexSq(spark: SparkSession, indexDir: String, modelPath: String,
+      queries: DataFrame, k: Int, probes: Int = 1): DataFrame = {
+    import spark.implicits._
+    val visibility = readManifest(indexDir).map {
+      case ("committed", _, consumed) =>
+        val consumedIds = consumed.map(_._2).distinct
+        !col("ingest_batch").isin(consumedIds: _*)
+      case (_, outId, _) => col("ingest_batch") =!= outId
+    }
+    val cent = loadModel(modelPath).getOrElse(
+      throw new IllegalStateException(s"no trained model at $modelPath"))
+    val qRows = quantize(queries).collect().map(r =>
+      (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val probeRows = qRows.flatMap { case (qId, qv, qn2) =>
+      cent.map { case (cId, cv, cn2) =>
+        val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+        (qn2 - 2L * dot + cn2, cId)
+      }.sorted.take(probes).map { case (_, cId) =>
+        // int8-code the query driver-side (request-scale math);
+        // HALF_UP to match the engine's `round` on negative halves
+        // (math.round would round -2.5 to -2, Spark rounds it to -3)
+        val maxabs = qv.map(math.abs).max
+        val qc = if (maxabs == 0) qv.map(_ => 0L)
+          else qv.map(x => BigDecimal(x * 127.0 / maxabs)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        (qId, cId, qc, qc.map(c => c * c).sum)
+      }
+    }.toSeq
+    val probeDf = probeRows.toDF("q_id", "qcell", "qc", "qn2q")
+    val cells = probeRows.map(_._2).distinct
+    val idx0 = spark.read.parquet(indexDir)
+      .filter(col("cell").isin(cells: _*))
+    val idx = visibility.fold(idx0)(idx0.filter)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("qcos").desc, col("vec_id"))
+    idx.join(broadcast(probeDf),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("c64", transform(col("cb"), _.cast("long")))
+      .withColumn("qcos",
+        when(col("qn2q") === 0 || col("n2q") === 0, lit(-2.0))
+          .otherwise(VecOps.intDot(col("qc"), col("c64")).cast("double")
+            / (sqrt(col("qn2q").cast("double")) * sqrt(col("n2q").cast("double")))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("qcos") * 10000, 0).cast("long").as("qcos_bp"))
+  }
+
   /** Compact aged index leaves: a long-lived ingest accumulates one
     * parquet leaf per (cell, ingest_batch) without bound, and
     * [[queryIndex]] reads every leaf of a probed cell — the one scale
@@ -208,6 +320,9 @@ object StreamingAnn {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id")
       .orderBy(col("eff").desc, col("src_batch").desc)
+    // schema-agnostic: preserve whatever payload columns the index
+    // layout carries (full-precision v/norm2 or SQ8 cb/n2q) — only the
+    // bookkeeping columns are rewritten
     val merged = spark.read.option("basePath", indexDir)
       .parquet(inputs: _*)
       .withColumn("src_batch", col("ingest_batch").cast("long"))
@@ -215,7 +330,7 @@ object StreamingAnn {
         -col("src_batch") - 2).otherwise(col("src_batch")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select("vec_id", "v", "norm2", "cell")
+      .drop("rn", "eff", "src_batch", "ingest_batch")
       .withColumn("ingest_batch", lit(outId))
     // materialize BEFORE the overwrite: the merged frame reads the
     // same root it writes into; checkpointing severs that read (and a

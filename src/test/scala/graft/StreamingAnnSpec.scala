@@ -256,6 +256,65 @@ class StreamingAnnSpec extends SparkSuite {
     assert(got2.head.getSeq[Long](0) === Seq(0L, 0L, 3000L, 0L))
   }
 
+  test("SQ8 index: byte codes on disk, frozen-model queries, layout-agnostic compaction") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-sq")
+    val rows = embRows
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.ivfIngestSq(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt")
+    try {
+      (0 until 4).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.count() === rows.length.toLong)
+    // codes really are bytes on disk (the 4x layout claim), and every
+    // code is a valid int8 quantization level
+    assert(idx.schema("cb").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.ByteType,
+      idx.schema.treeString)
+    assert(idx.select(explode(col("cb")).as("c"))
+      .filter(abs(col("c")) > 127).count() === 0L)
+    // pruned probe-2 query: PartitionFilters on cell, and every result
+    // carries exactly the score a probe-ALL (full corpus) scan gives
+    // that pair — cell bounding changes candidates, never scores
+    val queries = rows.filter(_._1 < 5).toSeq.toDF("vec_id", "embedding")
+    val res = StreamingAnn.queryIndexSq(spark, s"$root/index",
+      s"$root/model.txt", queries, k = 3, probes = 2)
+    val p = res.queryExecution.executedPlan.toString
+    assert(p.linesIterator.find(_.contains("PartitionFilters"))
+      .exists(_.contains("cell")), p.take(2500))
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val allScores = StreamingAnn.queryIndexSq(spark, s"$root/index",
+      s"$root/model.txt", queries, k = Int.MaxValue, probes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    got.foreach { case (qid, nid, cos) =>
+      assert(allScores((qid, nid)) === cos, s"q=$qid n=$nid")
+    }
+    // compaction is layout-agnostic: same results, bounded leaves
+    def snap() = StreamingAnn.queryIndexSq(spark, s"$root/index",
+      s"$root/model.txt", queries, k = 3, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val before = snap()
+    val out = StreamingAnn.compactIndex(spark, s"$root/index", minBatches = 2)
+    assert(out.nonEmpty)
+    assert(snap() === before)
+    val after = StreamingAnn.listLeaves(s"$root/index")
+    assert(after.map(_._2).distinct.toSet === Set(out.get, 3L))
+    assert(spark.read.parquet(s"$root/index")
+      .schema("cb").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.ByteType)
+  }
+
   test("empty first batch trains nothing; unparseable model reads as None") {
     val spark0 = spark
     import spark0.implicits._
