@@ -205,6 +205,15 @@ class StreamingAnnSpec extends SparkSuite {
     assert(out.nonEmpty)
     assert(snap() === before)
     assert(java.nio.file.Files.exists(manifest))
+    // the visibility filter is a PARTITION predicate: the consumed
+    // leaves must be excluded by PartitionFilters (pruned at listing),
+    // not by a row-level scan filter
+    val visPlan = StreamingAnn.queryIndex(spark, s"$root/index",
+      s"$root/model.txt", queries, k = 3, probes = 2)
+      .queryExecution.executedPlan.toString
+    val pf = visPlan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("ingest_batch") && l.contains("cell")),
+      visPlan.take(2500))
     StreamingAnn.recoverIndex(s"$root/index") // owner-side roll forward
     assert(!java.nio.file.Files.exists(manifest))
     assert(snap() === before)
