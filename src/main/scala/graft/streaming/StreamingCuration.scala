@@ -204,6 +204,50 @@ object StreamingCuration {
       .start()
   }
 
+  /** Residual-duplication audit of a [[nearDupIngest]] corpus — the
+    * measured size of the over-drop design's ONE admission channel:
+    * two documents at Jaccard ≥ threshold whose signatures never
+    * shared a band bucket at the ingest geometry (the S-curve miss,
+    * P = (1−s^r)^b per pair) are BOTH kept, silently, because the
+    * ingest has no verify stage. This batch job runs the VERIFIED
+    * batch pipeline over the accumulated kept corpus and reports the
+    * residue: kept docs, verified residual pairs among them, docs
+    * involved, and the involved share in basis points.
+    *
+    * The audit's candidate stage deliberately does NOT reuse the
+    * index's geometry: the same (bands, rows) reproduces the same
+    * S-curve and is therefore blind to exactly the pairs the ingest
+    * missed. It runs a HIGH-RECALL geometry instead — many narrow
+    * bands (default 64×2 over the same 128-hash family:
+    * P(candidate) ≥ 1−(1−s²)^64, ≈ 1 − 10⁻⁶ at s = 0.44) — and exact
+    * Jaccard verification does the filtering, so the report counts
+    * true pairs at the threshold, not collisions. Run it on the
+    * maintenance cadence, like index compaction; a rising residual_bp
+    * is the signal to widen the ingest geometry or schedule a batch
+    * re-dedup pass.
+    *
+    * Scale: the batch LSH chain over the kept corpus — df-capped
+    * shingles, band-bucket equi-joins, never all-pairs (narrow bands
+    * admit more candidates than 16×8; that cost is the audit's recall,
+    * bounded by the same bucket-join shape — [[graft.operators.Dedup
+    * .bucketBalance]] at (auditBands, auditRows) prices it before the
+    * run); the report is one row (the two count frames broadcast).
+    */
+  def nearDupAudit(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, minJaccardBp: Long,
+      auditBands: Int = 64, auditRows: Int = 2): DataFrame = {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(corpusDir).select("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, minJaccardBp, auditBands, auditRows)
+    val involved = pairs.select(col("doc_a").as("d"))
+      .unionByName(pairs.select(col("doc_b").as("d"))).distinct()
+    pairs.agg(count(lit(1)).as("residual_pairs"))
+      .crossJoin(broadcast(involved.agg(count(lit(1)).as("docs_in_pairs"))))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("n_docs"), col("residual_pairs"), col("docs_in_pairs"),
+        expr("docs_in_pairs * 10000 div n_docs").as("residual_bp"))
+  }
+
   /** Stamp-or-verify the band-key index's geometry manifest (see
     * [[nearDupIngest]]): present → require an exact match, else refuse
     * the probe; absent → auto-stamp `bands=B rows=R` atomically ONLY

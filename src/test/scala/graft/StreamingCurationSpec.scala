@@ -204,6 +204,69 @@ class StreamingCurationSpec extends SparkSuite {
     q3.stop()
   }
 
+  test("near-dup audit measures the S-curve misses the ingest admits") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-neardup-audit")
+    val idx = FsKeyIndex(spark, s"$root/bands")
+    val base = ("alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu ") * 4
+    // last third of the tokens changed: the mid-similarity region
+    // where the 16x8 S-curve usually does NOT collide (admits the doc)
+    // while the verified batch pipeline still finds the pair at a low
+    // threshold
+    val variant = ("alpha beta gamma delta epsilon zeta eta theta " +
+      "omega psi chi rho ") * 4
+    // the audit's df cap is corpus-relative (df·20 ≤ n_docs): pad the
+    // corpus with unrelated filler docs so the base/variant shared
+    // shingles (df = 2) survive the cap, as they would in any real
+    // corpus
+    val filler = (10L until 70L).map(i =>
+      i -> (s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h " * 6))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCuration.nearDupIngest(
+      input.toDS().toDF("doc_id", "text"), idx, s"$root/corpus",
+      s"$root/ckpt")
+    try {
+      input.addData(1L -> base)
+      input.addData(filler: _*)
+      q.processAllAvailable()
+      // exact copy drops (every bucket collides); the variant is
+      // admitted (its banded signature misses doc 1's buckets)
+      input.addData(2L -> base, 3L -> variant)
+      q.processAllAvailable()
+    } finally q.stop()
+    val keptDocs = spark.read.parquet(s"$root/corpus")
+      .select("doc_id", "text")
+    val kept = keptDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (Set(1L, 3L) ++ filler.map(_._1)),
+      s"expected the exact copy dropped and the variant admitted: $kept")
+    val nKept = kept.size.toLong
+    val audit = StreamingCuration.nearDupAudit(
+      spark, s"$root/corpus", 2000L).collect()
+    assert(audit.length === 1)
+    val a = audit.head
+    // the audit IS the verified batch pipeline (at the high-recall
+    // 64x2 candidate geometry) over the kept corpus: its counts must
+    // equal a direct run
+    val direct = graft.operators.Dedup.minhashLsh(keptDocs, 2000L, 64, 2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.getAs[Long]("n_docs") === nKept)
+    assert(a.getAs[Long]("residual_pairs") === direct.size.toLong)
+    // the admitted variant is a real verified near-dup of doc 1 (true
+    // shingle Jaccard ≈ 0.44): the residue the over-drop design is
+    // documented to admit, invisible to a 16x8 re-run (the same
+    // S-curve that missed it at ingest — the reason the audit runs
+    // narrow bands) and surfaced here
+    assert(graft.operators.Dedup.minhashLsh(keptDocs, 2000L, 16, 8)
+      .count() === 0L, "16x8 would have been blind to the miss")
+    assert(direct.contains((1L, 3L)), direct.toString)
+    assert(a.getAs[Long]("docs_in_pairs") === 2L)
+    assert(a.getAs[Long]("residual_bp") === 2L * 10000 / nKept)
+  }
+
   test("legacy manifest-less index is never auto-stamped; explicit stamp works") {
     val spark0 = spark
     import spark0.implicits._
