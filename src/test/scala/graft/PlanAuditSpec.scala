@@ -246,6 +246,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges <= 4, s"$exchanges exchanges:\n${p.take(2500)}")
   }
 
+  test("bucket balance: aggregate chain, never the pair join it prices") {
+    // the report must cost less than the join it predicts: signature →
+    // groupBy(band, band_key) → bands-row rollup. The df-cap build
+    // inside the shingle stage joins on the shingle hash (shared with
+    // every minhash consumer); what must NOT appear is a self-join on
+    // the band key — that would mean the report degenerated into the
+    // candidate join itself
+    val p = plan(SparkEntry.queries("d_bucket_balance")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("band_key")), p.take(2500))
+    assert(p.contains("partial_"), p.take(2000))
+  }
+
   test("repeated spans: no cartesian, no window; stats partial-aggregate") {
     // window generation must be a projection (transform over the token
     // array) and occurrence stats a groupBy chain — a Window over the
