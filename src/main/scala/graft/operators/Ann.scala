@@ -110,13 +110,23 @@ object Ann {
     * quantized cosine is simply the cosine of the code vectors.
     */
   def int8Codes(embeddings: DataFrame): DataFrame =
-    quantized(embeddings)
-      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
-      .withColumn("c", transform(col("v"),
-        x => when(col("maxabs") === 0, lit(0L))
-          .otherwise(round((x * 127).cast("double") / col("maxabs"), 0)
-            .cast("long"))))
-      .withColumn("n2q", VecOps.intDot(col("c"), col("c")))
+    withInt8Cols(quantized(embeddings))
+
+  /** THE single statement of the int8 code rule — append (maxabs, c,
+    * n2q) to any frame with a milli-quantized `v`. Every consumer
+    * (batch int8 ANN, IVF-SQ8, the SQ8 streaming index) derives its
+    * codes from this one expression; the driver-side query coder in
+    * [[graft.streaming.StreamingAnn.queryIndexSq]] mirrors it in
+    * Scala (HALF_UP), and index/query agreement rests on the two
+    * staying bit-identical.
+    */
+  private[graft] def withInt8Cols(df: DataFrame): DataFrame = df
+    .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+    .withColumn("c", transform(col("v"),
+      x => when(col("maxabs") === 0, lit(0L))
+        .otherwise(round((x * 127).cast("double") / col("maxabs"), 0)
+          .cast("long"))))
+    .withColumn("n2q", VecOps.intDot(col("c"), col("c")))
 
   /** Per-vector quantization audit: saturation count (|c|=127), code
     * L1 mass, and the EXACT integer round-trip error
@@ -266,7 +276,13 @@ object Ann {
     val qw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
     val queries = q.filter(col("vec_id") < numQueries)
       .crossJoin(broadcast(centDf))
-      .withColumn("c_cos", cosine(col("cv"), col("v"), col("cn2"), col("norm2")))
+      // zero-norm guard matching the oracle rankedc CASE arm: -2.0
+      // ranks a degenerate (all-zero) centroid LAST in both engines; a
+      // raw 0/0 NaN would sort FIRST under Spark's desc and consume a
+      // probe slot the oracle never spends
+      .withColumn("c_cos",
+        when(col("norm2") === 0 || col("cn2") === 0, lit(-2.0))
+          .otherwise(cosine(col("cv"), col("v"), col("cn2"), col("norm2"))))
       .withColumn("c_rn", row_number().over(qw))
       .filter(col("c_rn") <= probes)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -314,21 +330,20 @@ object Ann {
           cosine(typedLit(cv), col("v"), lit(cn2), col("norm2")))
         .as("nc"), lit(cId).as("c_id"))
     }
-    def codesOf(df: DataFrame): DataFrame = df
-      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
-      .withColumn("c", transform(col("v"),
-        x => when(col("maxabs") === 0, lit(0L))
-          .otherwise(round((x * 127).cast("double") / col("maxabs"), 0)
-            .cast("long"))))
-      .withColumn("n2q", VecOps.intDot(col("c"), col("c")))
-    val coded = codesOf(q
+    val coded = withInt8Cols(q
         .withColumn("cell", array_min(array(cellScores: _*)).getField("c_id")))
       .select("vec_id", "cell", "c", "n2q")
     val centDf = cent.toDF("c_id", "cv", "cn2")
     val qw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
-    val queries = codesOf(q.filter(col("vec_id") < numQueries))
+    val queries = withInt8Cols(q.filter(col("vec_id") < numQueries))
       .crossJoin(broadcast(centDf))
-      .withColumn("c_cos", cosine(col("cv"), col("v"), col("cn2"), col("norm2")))
+      // zero-norm guard matching the oracle's CASE arm (-2.0 ranks the
+      // degenerate cell LAST): a zero centroid would otherwise produce
+      // a NaN that sorts FIRST under desc — opposite corners between
+      // the engines
+      .withColumn("c_cos",
+        when(col("norm2") === 0 || col("cn2") === 0, lit(-2.0))
+          .otherwise(cosine(col("cv"), col("v"), col("cn2"), col("norm2"))))
       .withColumn("c_rn", row_number().over(qw))
       .filter(col("c_rn") <= probes)
       .select(col("vec_id").as("q_id"), col("c").as("qc"),

@@ -188,12 +188,29 @@ object Dedup {
     * so both registries collide — or don't — identically.
     */
   private[operators] def corpusKey(docs: DataFrame): (SparkSession, String) = {
-    val plan = docs.queryExecution.logical.canonicalized
+    // ANALYZED, not logical: a bare `spark.read.parquet(dir)` logical
+    // plan in Spark 4 is an UnresolvedDataSource whose text names
+    // neither the path nor the files — logical-plan keys would collide
+    // across DIFFERENT directories of the same schema
+    val plan = docs.queryExecution.analyzed.canonicalized
     val fp = plan.collect {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         "L" + l.data.hashCode
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         "R" + r.rdd.id
+      // file-based relations canonicalize to schema ONLY ("Relation
+      // [cols] parquet" — no path, no snapshot): fingerprint the
+      // current file listing (full paths + bytes), so a DIFFERENT
+      // directory is a different corpus and a GROWN directory (a
+      // streaming corpus between maintenance audits, a recompacted
+      // index) is a fresh cache entry. Metadata-only, no data scan.
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            "F" + scala.util.hashing.MurmurHash3
+              .arrayHash(fs.location.inputFiles.sorted) + ":" + fs.sizeInBytes
+          case other => "X" + other.getClass.getName
+        }
     }
     (docs.sparkSession, plan.toString + fp.mkString("[", ",", "]"))
   }

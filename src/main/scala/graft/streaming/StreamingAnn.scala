@@ -82,6 +82,34 @@ object StreamingAnn {
         transform(col("embedding"), x => round(x * 1000, 0).cast("long")).as("v"))
       .withColumn("norm2", VecOps.intDot(col("v"), col("v")))
 
+  /** Load the frozen model, or train it on this (first non-empty)
+    * batch and persist it atomically — the one train-or-load statement
+    * both ingest flavors share.
+    */
+  private def trainOrLoad(modelPath: String, qb: DataFrame, kCells: Int,
+      iterations: Int): Seq[(Long, Seq[Long], Long)] =
+    loadModel(modelPath).getOrElse {
+      val c = Ann.kmeansCentroidsUncached(
+        qb.select("vec_id", "v", "norm2"), kCells, iterations)
+      saveModel(modelPath, c)
+      c
+    }
+
+  /** The manifest-to-visibility mapping both query flavors share (see
+    * [[queryIndex]]): under `intent` exclude the output partitions,
+    * under `committed` exclude the consumed leaves — both
+    * partition-pruning `ingest_batch` predicates; None when no
+    * compaction is in flight.
+    */
+  private def visibilityFilter(
+      indexDir: String): Option[org.apache.spark.sql.Column] =
+    readManifest(indexDir).map {
+      case ("committed", _, consumed) =>
+        val consumedIds = consumed.map(_._2).distinct
+        !col("ingest_batch").isin(consumedIds: _*)
+      case (_, outId, _) => col("ingest_batch") =!= outId
+    }
+
   /** Start the index ingest: `emb` is a streaming frame with at least
     * (vec_id: long, embedding: array<float>). The first batch trains
     * and persists the model at `modelPath` (skipped if one already
@@ -99,18 +127,20 @@ object StreamingAnn {
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the ingest IS the owner context (compaction runs between
+        // batches from it): finish any crashed compaction BEFORE
+        // writing, or a fresh checkpoint lineage re-using a consumed
+        // batch id would write rows into directories a lingering
+        // 'committed' manifest hides from queries and the eventual
+        // roll-forward deletes
+        recoverIndex(indexDir)
         val qb = quantize(batch)
         // an EMPTY batch must neither train (a zero-row training set
         // would durably persist a degenerate model that poisons every
         // later batch) nor write (no partitions to own): no-op until
         // data arrives — the first NON-empty batch trains the model
         if (!qb.isEmpty) {
-          val cent = loadModel(modelPath).getOrElse {
-            val c = Ann.kmeansCentroidsUncached(
-              qb.select("vec_id", "v", "norm2"), kCells, iterations)
-            saveModel(modelPath, c)
-            c
-          }
+          val cent = trainOrLoad(modelPath, qb, kCells, iterations)
           Ann.kmeansAssign(qb, cent)
             .select(col("vec_id"), col("v"), col("norm2"),
               col("cluster").as("cell"))
@@ -150,23 +180,14 @@ object StreamingAnn {
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        recoverIndex(indexDir) // owner context — see ivfIngest
         val qb = quantize(batch)
         if (!qb.isEmpty) {
-          val cent = loadModel(modelPath).getOrElse {
-            val c = Ann.kmeansCentroidsUncached(
-              qb.select("vec_id", "v", "norm2"), kCells, iterations)
-            saveModel(modelPath, c)
-            c
-          }
-          Ann.kmeansAssign(qb, cent)
-            .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
-            .withColumn("cb", transform(col("v"),
-              x => when(col("maxabs") === 0, lit(0L))
-                .otherwise(round((x * 127).cast("double") / col("maxabs"), 0)
-                  .cast("long")).cast("byte")))
-            .withColumn("n2q", VecOps.intDot(
-              transform(col("cb"), _.cast("long")),
-              transform(col("cb"), _.cast("long"))))
+          val cent = trainOrLoad(modelPath, qb, kCells, iterations)
+          // codes from THE int8 rule (Ann.withInt8Cols), narrowed to
+          // bytes for the 4× on-disk layout
+          Ann.withInt8Cols(Ann.kmeansAssign(qb, cent))
+            .withColumn("cb", transform(col("c"), _.cast("byte")))
             .select(col("vec_id"), col("cb"), col("n2q"),
               col("cluster").as("cell"))
             .withColumn("ingest_batch", lit(batchId))
@@ -191,12 +212,7 @@ object StreamingAnn {
   def queryIndexSq(spark: SparkSession, indexDir: String, modelPath: String,
       queries: DataFrame, k: Int, probes: Int = 1): DataFrame = {
     import spark.implicits._
-    val visibility = readManifest(indexDir).map {
-      case ("committed", _, consumed) =>
-        val consumedIds = consumed.map(_._2).distinct
-        !col("ingest_batch").isin(consumedIds: _*)
-      case (_, outId, _) => col("ingest_batch") =!= outId
-    }
+    val visibility = visibilityFilter(indexDir)
     val cent = loadModel(modelPath).getOrElse(
       throw new IllegalStateException(s"no trained model at $modelPath"))
     val qRows = quantize(queries).collect().map(r =>
@@ -283,11 +299,18 @@ object StreamingAnn {
     * Single-writer contract (as [[FsKeyIndex.compact]]): one
     * compaction at a time, run between batches from the ingest owner;
     * concurrent READERS are safe at any point before the final
-    * consumed-leaf deletes (a reader that listed a consumed leaf just
-    * as the owner deletes it can still hit the inherent
-    * list-then-read race — run compaction between query waves, or set
-    * `spark.sql.files.ignoreMissingFiles`). Local/posix-rename
-    * filesystems (same assumption as the model artifact).
+    * consumed-leaf deletes. The deletes themselves are the one
+    * inherent race window: a reader's visibility filter is a SNAPSHOT
+    * of the manifest at plan-build, and its file listing happens at
+    * execution — a compaction that runs to completion in between
+    * deletes consumed leaves the stale filter still expects (failed
+    * scan; or, under `spark.sql.files.ignoreMissingFiles`, silently
+    * partial results). Plain parquet directories have no snapshot
+    * isolation to close this; the operational contract is the fix —
+    * run compaction between query waves, from the ingest owner, like
+    * every other maintenance pass in this repo.
+    * Local/posix-rename filesystems (same assumption as the model
+    * artifact).
     *
     * Returns the compacted leaf's ingest_batch id, or None if fewer
     * than `minBatches` aged leaves existed (no-op).
@@ -469,12 +492,7 @@ object StreamingAnn {
   def queryIndex(spark: SparkSession, indexDir: String, modelPath: String,
       queries: DataFrame, k: Int, probes: Int = 1): DataFrame = {
     import spark.implicits._
-    val visibility = readManifest(indexDir).map {
-      case ("committed", _, consumed) =>
-        val consumedIds = consumed.map(_._2).distinct
-        !col("ingest_batch").isin(consumedIds: _*)
-      case (_, outId, _) => col("ingest_batch") =!= outId
-    }
+    val visibility = visibilityFilter(indexDir)
     val cent = loadModel(modelPath).getOrElse(
       throw new IllegalStateException(s"no trained model at $modelPath"))
     val qRows = quantize(queries).collect().map(r =>

@@ -390,6 +390,38 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("plan-keyed caches fingerprint the file snapshot: a grown directory is a new corpus") {
+    import spark.implicits._
+    val dir = tmpDir("cache-growth") + "/corpus"
+    // ≥ 20 distinct docs so df=1 shingles survive the corpus-relative
+    // df cap (df·20 ≤ n_docs)
+    (0L until 25L).map(i => i -> s"w${i}a w${i}b w${i}c w${i}d w${i}e " * 4)
+      .toDF("doc_id", "text").write.parquet(dir)
+    val a = Dedup.cappedShingleHashes(spark.read.parquet(dir))
+    assert(a.select("doc_id").distinct().count() === 25L)
+    // the directory grows (a streaming corpus between maintenance
+    // audits): the same path re-read must be a DIFFERENT cache entry,
+    // or every audit after the first reports a stale snapshot
+    (25L until 30L).map(i => i -> s"w${i}a w${i}b w${i}c w${i}d w${i}e " * 4)
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val b = Dedup.cappedShingleHashes(spark.read.parquet(dir))
+    assert(!(b eq a),
+      "grown directory served from the stale plan-keyed cache entry")
+    assert(b.select("doc_id").distinct().count() === 30L)
+    // a DIFFERENT directory with the same schema must also be a
+    // distinct entry: Spark 4's canonicalized file relation prints
+    // schema only (no path), so without the file fingerprint two
+    // corpora would collide outright
+    val dir2 = tmpDir("cache-growth-2") + "/corpus"
+    (0L until 21L).map(i => i -> s"z${i}a z${i}b z${i}c z${i}d z${i}e " * 4)
+      .toDF("doc_id", "text").write.parquet(dir2)
+    val c = Dedup.cappedShingleHashes(spark.read.parquet(dir2))
+    assert(!(c eq b) && !(c eq a),
+      "distinct directories collided in the plan-keyed cache")
+    assert(c.select("doc_id").distinct().count() === 21L)
+    Dedup.releaseShingleCaches(spark)
+  }
+
   test("dedup cache registry: a second corpus evicts the first at the bound") {
     import spark.implicits._
     val old = Dedup.cacheBound

@@ -265,6 +265,55 @@ class StreamingAnnSpec extends SparkSuite {
     assert(got2.head.getSeq[Long](0) === Seq(0L, 0L, 3000L, 0L))
   }
 
+  test("crashed committed manifest + fresh lineage: ingest recovers before writing") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-lineage")
+    val rows = embRows
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.ivfIngest(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt")
+    try {
+      (0 until 4).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // crash after the committed flip, deletes pending: batches 0-2 are
+    // on the manifest's consumed list (their copies live in the
+    // compacted output) while their directories still exist
+    val out = StreamingAnn.compactIndexImpl(spark, s"$root/index", 2,
+      crashPoint = 3)
+    assert(out.nonEmpty)
+    val manifest = java.nio.file.Paths.get(s"$root/index/_compaction")
+    assert(java.nio.file.Files.exists(manifest))
+    // a FRESH checkpoint lineage restarts batch ids at 0 — a consumed
+    // id. Without owner recovery at ingest entry its rows would land
+    // in a directory the manifest hides from every query and the
+    // eventual roll-forward deletes
+    val fresh = rows.map { case (id, e) => (id + 10000L, e) }.take(20)
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingAnn.ivfIngest(
+      input2.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt-fresh")
+    try {
+      input2.addData(fresh: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // the ingest ran recovery first: manifest consumed, old rows in
+    // the compacted leaf, and the fresh delivery fully visible
+    assert(!java.nio.file.Files.exists(manifest))
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.count() === rows.length.toLong + fresh.length)
+    val queries = fresh.take(3).toSeq.toDF("vec_id", "embedding")
+    val res = StreamingAnn.queryIndex(spark, s"$root/index",
+      s"$root/model.txt", queries, k = 5, probes = 8).collect()
+    assert(res.map(_.getLong(2)).exists(_ >= 10000L),
+      "fresh-lineage rows invisible to queries")
+  }
+
   test("SQ8 index: byte codes on disk, frozen-model queries, layout-agnostic compaction") {
     val spark0 = spark
     import spark0.implicits._
