@@ -420,6 +420,43 @@ object StreamingAnn {
     }
   }
 
+  /** Operational stats of an on-disk index (either layout): per cell —
+    * leaf count (the compaction-cadence signal: ST7's one scale defect
+    * is unbounded leaf accumulation), row count, and corpus share in
+    * basis points (the on-disk twin of the batch cell-balance report
+    * [[Ann.cellBalance]] — a hot cell degrades the probe bound of
+    * every query against this index). Honors the same manifest
+    * visibility rules as the query paths, so stats during/after a
+    * crashed compaction describe exactly what queries see. Leaf counts
+    * from directory metadata; row counts one column-pruned scan.
+    */
+  def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
+    import spark.implicits._
+    val visibility = visibilityFilter(indexDir)
+    val leaves = listLeaves(indexDir)
+    val visible = visibility match {
+      case None => leaves
+      case Some(_) => readManifest(indexDir) match {
+        case Some(("committed", _, consumed)) =>
+          val ids = consumed.map(_._2).toSet
+          leaves.filterNot { case (_, b) => ids.contains(b) }
+        case Some((_, outId, _)) => leaves.filter(_._2 != outId)
+        case None => leaves
+      }
+    }
+    val leafCounts = visible.groupBy(_._1)
+      .map { case (c, ls) => (c, ls.size.toLong) }.toSeq
+      .toDF("cell", "n_leaves")
+    val idx0 = spark.read.parquet(indexDir)
+    val idx = visibility.fold(idx0)(idx0.filter)
+    val nTot = broadcast(idx.agg(count(lit(1)).as("n_total")))
+    idx.groupBy("cell").agg(count(lit(1)).as("n_rows"))
+      .join(broadcast(leafCounts), Seq("cell"))
+      .crossJoin(nTot)
+      .select(col("cell").cast("long").as("cell"), col("n_leaves"),
+        col("n_rows"), expr("n_rows * 10000 div n_total").as("share_bp"))
+  }
+
   /** Distinct (cell, ingest_batch) leaves from the partition directory
     * names — pure metadata, no file scan.
     */

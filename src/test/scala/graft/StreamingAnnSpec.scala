@@ -373,6 +373,47 @@ class StreamingAnnSpec extends SparkSuite {
       .elementType === org.apache.spark.sql.types.ByteType)
   }
 
+  test("index stats: leaf/row/share per cell, manifest-consistent with queries") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-stats")
+    val rows = embRows
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.ivfIngest(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt")
+    try {
+      (0 until 3).foreach { b =>
+        input.addData(rows.filter(_._1 % 3 == b).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val stats = StreamingAnn.indexStats(spark, s"$root/index").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // recount from the raw leaves
+    val leaves = StreamingAnn.listLeaves(s"$root/index")
+    val idx = spark.read.parquet(s"$root/index")
+    val rowsPerCell = idx.groupBy("cell").count().collect()
+      .map(r => (r.get(0).toString.toLong, r.getLong(1))).toMap
+    assert(stats.keySet === rowsPerCell.keySet)
+    stats.foreach { case (c, (nl, nr, bp)) =>
+      assert(nl === leaves.count(_._1 == c).toLong, s"cell $c leaves")
+      assert(nr === rowsPerCell(c), s"cell $c rows")
+      assert(bp === nr * 10000 / rows.length, s"cell $c share")
+    }
+    // under a crashed 'committed' manifest the stats must describe the
+    // QUERY-visible index (consumed leaves excluded, no double count)
+    val out = StreamingAnn.compactIndexImpl(spark, s"$root/index", 2,
+      crashPoint = 3)
+    assert(out.nonEmpty)
+    val statsAfter = StreamingAnn.indexStats(spark, s"$root/index").collect()
+    assert(statsAfter.map(_.getLong(2)).sum === rows.length.toLong,
+      "stats double-counted consumed leaves under the committed manifest")
+    StreamingAnn.recoverIndex(s"$root/index")
+  }
+
   test("empty first batch trains nothing; unparseable model reads as None") {
     val spark0 = spark
     import spark0.implicits._
