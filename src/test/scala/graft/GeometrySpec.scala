@@ -55,7 +55,8 @@ class GeometrySpec extends SparkSuite {
     rows.toDF("doc_id", "h").cache()
   }
 
-  private def measured(bands: Int, rows: Int): Map[Int, Double] = {
+  private def measured(bands: Int, rows: Int,
+      maxUnplanted: Int = 5): Map[Int, Double] = {
     val sig = Dedup.minhashSignatures(ladder, bands * rows)
     val cands = Dedup.lshCandidates(sig, bands, rows)
       // planted pairs only (cross-pair candidates would be hash
@@ -70,7 +71,7 @@ class GeometrySpec extends SparkSuite {
     // a few cross-pair coincidences are legitimate minhash behavior
     // (P ≈ J(accidental h20 overlap) per hash); systematic leakage
     // is not
-    assert(all - byLevel.values.sum <= 5,
+    assert(all - byLevel.values.sum <= maxUnplanted,
       s"${all - byLevel.values.sum} unplanted cross-pair candidates " +
         s"at $bands x $rows")
     Levels.indices.map(li =>
@@ -107,6 +108,24 @@ class GeometrySpec extends SparkSuite {
       f"prod geometry admitted $prod50%.3f of s=0.5 pairs vs default $def50%.3f")
     // ...while true near-dups stay essentially certain candidates
     assert(prod95 > 0.95 && def95 > 0.95)
+  }
+
+  test("audit geometry 64x2: near-total recall across the mid band") {
+    // nearDupAudit's claim — narrow bands + exact verify see the pairs
+    // the 16x8 ingest S-curve misses — rests on 64x2 admitting
+    // essentially EVERY pair from mid similarity up (analytic
+    // 1-(1-s^2)^64: 0.997 at s=0.3, ~1 above). Measure it on the same
+    // ladder. 64 two-row bands give each cross pair 16x the accident
+    // chances of 4x2, so the unplanted bound scales with bands (the
+    // accidents are per-band 20-bit coincidences, not leakage)
+    val m = measured(64, 2, maxUnplanted = 80)
+    Levels.foreach { bp =>
+      val exp = analytic(bp, 64, 2)
+      info(f"geometry 64x2 s=${bp / 10000.0}%.2f: measured ${m(bp)}%.3f analytic $exp%.3f")
+    }
+    assert(m(3000) > 0.95, f"s=0.30 recall ${m(3000)}%.3f")
+    assert(m(5000) > 0.99, f"s=0.50 recall ${m(5000)}%.3f")
+    assert(m(8000) > 0.99 && m(9500) > 0.99)
   }
 
   test("hash family: entries 0-7 are the legacy literals, 8+ in range") {
