@@ -110,6 +110,32 @@ object StreamingAnn {
       case (_, outId, _) => col("ingest_batch") =!= outId
     }
 
+  /** Newest-wins election over the JOINED candidate rows, shared by
+    * both query flavors: a vec_id can be visible in several leaves at
+    * once — a replay (or a fresh-lineage re-ingest) re-materializes a
+    * leaf whose rows the compacted output already holds — and without
+    * this election a query would return the same neighbor twice (and,
+    * if the vector was re-ingested with changed values, rank the stale
+    * copy). Per (query, candidate): keep the copy with the max
+    * effective batch (compacted leaves map back to the max raw id they
+    * consumed), raw beating compacted on ties — EXACTLY the
+    * [[compactIndex]] survivor rule, applied at read time. Runs on the
+    * post-join candidate table (request-scale: queries × probed-cell
+    * rows), never the corpus-side scan.
+    */
+  private def newestPerCandidate(joined: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id", "vec_id")
+      .orderBy(col("eff").desc, col("src_b").desc)
+    joined
+      .withColumn("src_b", col("ingest_batch").cast("long"))
+      .withColumn("eff", when(col("src_b") < 0,
+        -col("src_b") - 2).otherwise(col("src_b")))
+      .withColumn("copy_rn", row_number().over(w))
+      .filter(col("copy_rn") === 1)
+      .drop("src_b", "eff", "copy_rn")
+  }
+
   /** Start the index ingest: `emb` is a streaming frame with at least
     * (vec_id: long, embedding: array<float>). The first batch trains
     * and persists the model at `modelPath` (skipped if one already
@@ -239,8 +265,8 @@ object StreamingAnn {
     val idx = visibility.fold(idx0)(idx0.filter)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("qcos").desc, col("vec_id"))
-    idx.join(broadcast(probeDf),
-        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+    newestPerCandidate(idx.join(broadcast(probeDf),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id")))
       .withColumn("c64", transform(col("cb"), _.cast("long")))
       .withColumn("qcos",
         when(col("qn2q") === 0 || col("n2q") === 0, lit(-2.0))
@@ -449,8 +475,12 @@ object StreamingAnn {
       .toDF("cell", "n_leaves")
     val idx0 = spark.read.parquet(indexDir)
     val idx = visibility.fold(idx0)(idx0.filter)
-    val nTot = broadcast(idx.agg(count(lit(1)).as("n_total")))
-    idx.groupBy("cell").agg(count(lit(1)).as("n_rows"))
+    // distinct vec_ids: a replayed leaf can transiently duplicate rows
+    // the compacted output holds — queries elect one copy
+    // (newestPerCandidate), so the stats count what queries count
+    val nTot = broadcast(idx.agg(
+      countDistinct(col("vec_id")).as("n_total")))
+    idx.groupBy("cell").agg(countDistinct(col("vec_id")).as("n_rows"))
       .join(broadcast(leafCounts), Seq("cell"))
       .crossJoin(nTot)
       .select(col("cell").cast("long").as("cell"), col("n_leaves"),
@@ -547,8 +577,8 @@ object StreamingAnn {
     val idx = visibility.fold(idx0)(idx0.filter)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    idx.join(broadcast(probeDf),
-        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+    newestPerCandidate(idx.join(broadcast(probeDf),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id")))
       .withColumn("cos", Ann.cosine(col("qv"), col("v"),
         col("qn2"), col("norm2")))
       .withColumn("rnk", row_number().over(w))

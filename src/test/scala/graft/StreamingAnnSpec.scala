@@ -414,6 +414,144 @@ class StreamingAnnSpec extends SparkSuite {
     StreamingAnn.recoverIndex(s"$root/index")
   }
 
+  test("replayed leaf after compaction: queries elect one copy, results unchanged") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-dupleaf")
+    val rows = embRows
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.ivfIngest(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt")
+    try {
+      (0 until 5).foreach { b =>
+        input.addData(rows.filter(_._1 % 5 == b).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val queries = rows.filter(_._1 < 5).toSeq.toDF("vec_id", "embedding")
+    def snap() = StreamingAnn.queryIndex(spark, s"$root/index",
+      s"$root/model.txt", queries, k = 3, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val before = snap()
+    assert(StreamingAnn.compactIndex(spark, s"$root/index",
+      minBatches = 2).nonEmpty)
+    assert(snap() === before)
+    // a fresh lineage re-delivers batch-2's data as ITS batch 0: the
+    // compacted output already holds those vectors, so the index now
+    // physically duplicates them
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingAnn.ivfIngest(
+      input2.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt-redeliver")
+    try {
+      input2.addData(rows.filter(_._1 % 5 == 2).toSeq: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.count() > idx.select("vec_id").distinct().count(),
+      "expected physical duplicate copies after the re-delivery")
+    // queries elect one copy per candidate (newest-wins): identical
+    // results, and no neighbor ever appears twice however deep k goes
+    assert(snap() === before)
+    val deep = StreamingAnn.queryIndex(spark, s"$root/index",
+      s"$root/model.txt", queries, k = Int.MaxValue, probes = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(deep.length === deep.distinct.length,
+      "a duplicated candidate surfaced twice in one query's ranking")
+  }
+
+  test("randomized model check: visibility invariant across ingest/replay/crash/recovery") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmpDir("st-ann-model")
+    val dims = 4
+    val rnd = new scala.util.Random(42)
+    val NVecs = 12
+    // payload encodes (vec, delivering batch): a replay of batch b
+    // rewrites b's ORIGINAL payload (deterministic assignment under a
+    // frozen model), so the newest-visible copy of vec must always
+    // decode to the max batch that delivered it
+    def payload(vec: Long, b: Long): Seq[Long] =
+      Seq(vec * 1000L, b * 1000L, 0L, 0L)
+    def writeLeaf(b: Long, vecs: Seq[Long]): Unit =
+      vecs.map(v => (v, payload(v, b)))
+        .toDF("vec_id", "v")
+        .withColumn("norm2", graft.functions.VecOps.intDot(col("v"), col("v")))
+        .withColumn("cell", col("vec_id") % 2) // fixed 2-cell "model"
+        .withColumn("ingest_batch", lit(b))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy("cell", "ingest_batch")
+        .parquet(s"$root/index")
+    // the reader's view, exactly as the query paths build it: manifest
+    // as a visibility filter (never recovery), then the newest-wins
+    // election the candidate join applies — several copies of a vec
+    // may be physically visible (a replay re-materializes a leaf the
+    // compacted output already holds); the elected copy is max
+    // (effective batch, raw batch)
+    def visibleRows(): Map[Long, Long] = {
+      val vis = StreamingAnn.readManifest(s"$root/index").map {
+        case ("committed", _, consumed) =>
+          val ids = consumed.map(_._2).distinct
+          !col("ingest_batch").isin(ids: _*)
+        case (_, outId, _) => col("ingest_batch") =!= outId
+      }
+      val idx0 = spark.read.parquet(s"$root/index")
+      val idx = vis.fold(idx0)(idx0.filter)
+      val rows = idx.select(col("vec_id"), col("v"),
+          col("ingest_batch").cast("long").as("src_b")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)(1) / 1000L, r.getLong(2)))
+      rows.groupBy(_._1).map { case (v, copies) =>
+        val elected = copies.maxBy { case (_, _, src) =>
+          (if (src < 0) -src - 2 else src, src)
+        }
+        v -> elected._2
+      }
+    }
+    val delivered = scala.collection.mutable.Map.empty[Long, Long] // vec -> max batch
+    val batchContents = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    var nextBatch = 0L
+    def expect(): Unit = {
+      if (delivered.isEmpty) return // nothing ingested yet — no dir
+      val vis = visibleRows()
+      assert(vis.keySet === delivered.keySet.toSet)
+      delivered.foreach { case (v, b) =>
+        assert(vis(v) === b, s"vec $v visible from batch ${vis(v)}, newest $b")
+      }
+    }
+    (0 until 40).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 => // new batch (owner entry: recover first)
+          StreamingAnn.recoverIndex(s"$root/index")
+          val vecs = (0 until NVecs).filter(_ => rnd.nextBoolean())
+            .map(_.toLong)
+          if (vecs.nonEmpty) {
+            writeLeaf(nextBatch, vecs)
+            batchContents(nextBatch) = vecs
+            vecs.foreach(v => delivered(v) = math.max(delivered.getOrElse(v, -1L), nextBatch))
+            nextBatch += 1
+          }
+        case 1 => // replay of a random earlier batch (owner entry)
+          if (batchContents.nonEmpty) {
+            StreamingAnn.recoverIndex(s"$root/index")
+            val b = batchContents.keys.toSeq(rnd.nextInt(batchContents.size))
+            writeLeaf(b, batchContents(b)) // idempotent rewrite
+            // re-delivery may re-materialize a compacted-away leaf:
+            // the raw copy beats the compacted on an effective tie
+            // (newest-wins), so the model is unchanged
+          }
+        case 2 => // compaction, possibly crashing at any seam
+          val cp = rnd.nextInt(4) // 0 = clean, 1..3 = crash seams
+          StreamingAnn.compactIndexImpl(spark, s"$root/index",
+            minBatches = 2, crashPoint = cp)
+        case 3 => // owner recovery
+          StreamingAnn.recoverIndex(s"$root/index")
+      }
+      expect() // the reader invariant must hold after EVERY op
+    }
+  }
+
   test("empty first batch trains nothing; unparseable model reads as None") {
     val spark0 = spark
     import spark0.implicits._
