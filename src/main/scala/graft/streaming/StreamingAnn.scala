@@ -114,14 +114,23 @@ object StreamingAnn {
     * both query flavors: a vec_id can be visible in several leaves at
     * once — a replay (or a fresh-lineage re-ingest) re-materializes a
     * leaf whose rows the compacted output already holds — and without
-    * this election a query would return the same neighbor twice (and,
-    * if the vector was re-ingested with changed values, rank the stale
-    * copy). Per (query, candidate): keep the copy with the max
-    * effective batch (compacted leaves map back to the max raw id they
-    * consumed), raw beating compacted on ties — EXACTLY the
-    * [[compactIndex]] survivor rule, applied at read time. Runs on the
-    * post-join candidate table (request-scale: queries × probed-cell
-    * rows), never the corpus-side scan.
+    * this election a query would return the same neighbor twice. Per
+    * (query, candidate): keep the copy with the max effective batch
+    * (compacted leaves map back to the max raw id they consumed), raw
+    * beating compacted on ties — EXACTLY the [[compactIndex]] survivor
+    * rule, applied at read time. Runs on the post-join candidate table
+    * (request-scale: queries × probed-cell rows), never the
+    * corpus-side scan.
+    *
+    * Ordering caveat, shared with the compaction rule: "newest" is
+    * batch-id order, which is monotonic only WITHIN a checkpoint
+    * lineage. The index contract covers byte-identical re-deliveries
+    * (deterministic assignment under the frozen model), where any
+    * elected copy is correct; re-ingesting a vec_id with CHANGED
+    * values from a fresh lineage (small batch ids) is outside the
+    * contract — its copies lose the election to a compacted leaf with
+    * a larger effective id. An updatable store needs an explicit
+    * version column, not delivery order.
     */
   private def newestPerCandidate(joined: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -244,19 +253,18 @@ object StreamingAnn {
     val qRows = quantize(queries).collect().map(r =>
       (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
     val probeRows = qRows.flatMap { case (qId, qv, qn2) =>
+      // int8-code the query ONCE (probe-invariant, request-scale
+      // math); HALF_UP to match the engine's `round` on negative
+      // halves (math.round would round -2.5 to -2, Spark rounds to -3)
+      val maxabs = qv.map(math.abs).max
+      val qc = if (maxabs == 0) qv.map(_ => 0L)
+        else qv.map(x => BigDecimal(x * 127.0 / maxabs)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val qn2q = qc.map(c => c * c).sum
       cent.map { case (cId, cv, cn2) =>
         val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
         (qn2 - 2L * dot + cn2, cId)
-      }.sorted.take(probes).map { case (_, cId) =>
-        // int8-code the query driver-side (request-scale math);
-        // HALF_UP to match the engine's `round` on negative halves
-        // (math.round would round -2.5 to -2, Spark rounds it to -3)
-        val maxabs = qv.map(math.abs).max
-        val qc = if (maxabs == 0) qv.map(_ => 0L)
-          else qv.map(x => BigDecimal(x * 127.0 / maxabs)
-            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
-        (qId, cId, qc, qc.map(c => c * c).sum)
-      }
+      }.sorted.take(probes).map { case (_, cId) => (qId, cId, qc, qn2q) }
     }.toSeq
     val probeDf = probeRows.toDF("q_id", "qcell", "qc", "qn2q")
     val cells = probeRows.map(_._2).distinct
@@ -458,17 +466,23 @@ object StreamingAnn {
     */
   def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
     import spark.implicits._
-    val visibility = visibilityFilter(indexDir)
+    // ONE manifest snapshot drives both the leaf-level and the
+    // row-level exclusion: two reads could straddle an owner recovery
+    // and describe two different index states in one stats row
+    val manifest = readManifest(indexDir)
+    val visibility = manifest.map {
+      case ("committed", _, consumed) =>
+        val consumedIds = consumed.map(_._2).distinct
+        !col("ingest_batch").isin(consumedIds: _*)
+      case (_, outId, _) => col("ingest_batch") =!= outId
+    }
     val leaves = listLeaves(indexDir)
-    val visible = visibility match {
+    val visible = manifest match {
+      case Some(("committed", _, consumed)) =>
+        val ids = consumed.map(_._2).toSet
+        leaves.filterNot { case (_, b) => ids.contains(b) }
+      case Some((_, outId, _)) => leaves.filter(_._2 != outId)
       case None => leaves
-      case Some(_) => readManifest(indexDir) match {
-        case Some(("committed", _, consumed)) =>
-          val ids = consumed.map(_._2).toSet
-          leaves.filterNot { case (_, b) => ids.contains(b) }
-        case Some((_, outId, _)) => leaves.filter(_._2 != outId)
-        case None => leaves
-      }
     }
     val leafCounts = visible.groupBy(_._1)
       .map { case (c, ls) => (c, ls.size.toLong) }.toSeq
@@ -579,8 +593,12 @@ object StreamingAnn {
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     newestPerCandidate(idx.join(broadcast(probeDf),
         col("cell") === col("qcell") && col("vec_id") =!= col("q_id")))
-      .withColumn("cos", Ann.cosine(col("qv"), col("v"),
-        col("qn2"), col("norm2")))
+      // zero-norm sentinel (as queryIndexSq and knnQuantized): a raw
+      // 0/0 is NaN — ANSI crash at the cast, or rank-1 under desc
+      .withColumn("cos",
+        when(col("qn2") === 0 || col("norm2") === 0, lit(-2.0))
+          .otherwise(Ann.cosine(col("qv"), col("v"),
+            col("qn2"), col("norm2"))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),

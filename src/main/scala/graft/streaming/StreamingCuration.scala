@@ -231,7 +231,17 @@ object StreamingCuration {
     * admit more candidates than 16×8; that cost is the audit's recall,
     * bounded by the same bucket-join shape — [[graft.operators.Dedup
     * .bucketBalance]] at (auditBands, auditRows) prices it before the
-    * run); the report is one row (the two count frames broadcast).
+    * run); the report is one row (the count frames broadcast).
+    *
+    * Known blind spot, carried from the batch pipeline and SIGNALED in
+    * the report: the audit's similarity universe is the df-CAPPED
+    * shingle table (the ingest's band index is uncapped), so near-dup
+    * families whose shared shingles are corpus-wide boilerplate
+    * (df·20 > n_docs) — and any corpus small enough that the cap
+    * empties the table (n_docs < ~20) — are invisible to it.
+    * `n_shingles` is that signal: a zero (or implausibly small) value
+    * next to a non-trivial n_docs means the audit measured an emptied
+    * universe, not a clean corpus.
     */
   def nearDupAudit(spark: org.apache.spark.sql.SparkSession,
       corpusDir: String, minJaccardBp: Long,
@@ -244,7 +254,10 @@ object StreamingCuration {
     pairs.agg(count(lit(1)).as("residual_pairs"))
       .crossJoin(broadcast(involved.agg(count(lit(1)).as("docs_in_pairs"))))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
-      .select(col("n_docs"), col("residual_pairs"), col("docs_in_pairs"),
+      .crossJoin(broadcast(Dedup.cappedShingleHashes(docs)
+        .agg(count(lit(1)).as("n_shingles"))))
+      .select(col("n_docs"), col("n_shingles"), col("residual_pairs"),
+        col("docs_in_pairs"),
         expr("docs_in_pairs * 10000 div n_docs").as("residual_bp"))
   }
 

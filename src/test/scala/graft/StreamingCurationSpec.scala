@@ -265,6 +265,23 @@ class StreamingCurationSpec extends SparkSuite {
     assert(direct.contains((1L, 3L)), direct.toString)
     assert(a.getAs[Long]("docs_in_pairs") === 2L)
     assert(a.getAs[Long]("residual_bp") === 2L * 10000 / nKept)
+    assert(a.getAs[Long]("n_shingles") > 0L)
+    // the blind-spot SIGNAL: on a corpus small enough that the
+    // corpus-relative df cap empties the shingle universe, the report
+    // says so (n_shingles = 0) instead of posing as a clean bill
+    val tiny = s"$root/tiny"
+    spark.createDataFrame(Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta")))
+      .toDF("doc_id", "text")
+      .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(0L))
+      .write.partitionBy("ingest_batch").parquet(tiny)
+    val blind = StreamingCuration.nearDupAudit(spark, tiny, 2000L)
+      .collect().head
+    assert(blind.getAs[Long]("n_docs") === 2L)
+    assert(blind.getAs[Long]("n_shingles") === 0L,
+      "expected the emptied-universe signal on a sub-cap corpus")
+    assert(blind.getAs[Long]("residual_pairs") === 0L)
   }
 
   test("legacy manifest-less index is never auto-stamped; explicit stamp works") {
