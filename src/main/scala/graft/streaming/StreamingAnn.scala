@@ -110,6 +110,36 @@ object StreamingAnn {
       case (_, outId, _) => col("ingest_batch") =!= outId
     }
 
+  /** Compacted-leaf id encoding. A compacted leaf's id must (a) decode
+    * to the max raw batch it consumed (the EFFECTIVE batch driving
+    * every newest-wins election) and (b) NEVER collide with any
+    * existing leaf — the two-phase protocol assumes the output
+    * namespace is disjoint from the inputs (a colliding output is
+    * deleted by its own consumed-leaf roll-forward, and an intent
+    * rollback would delete real input data). The old flat `-(maxRaw
+    * + 2)` satisfied only (a): a replay that re-materializes the last
+    * consumed raw batch makes the next compaction re-derive the SAME
+    * id as the previous generation's output — found by the randomized
+    * model check as silent data loss. Ids are now
+    * `-((maxRaw + 2) · 2^20 + gen)` with `gen` the first free slot
+    * among current leaves: eff decodes by division, uniqueness by
+    * construction, and the re-run after any crash re-derives the same
+    * id from the same leaf set. (Ids below 2^20 in magnitude decode
+    * via the legacy flat rule, so an old index keeps electing
+    * correctly.)
+    */
+  private[graft] val EffScale = 1L << 20
+  private[graft] def effOf(b: Long): Long =
+    if (b >= 0) b
+    else if (-b >= EffScale) (-b) / EffScale - 2
+    else -b - 2
+  private def effExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c >= 0, c).otherwise(
+      when(-c >= EffScale,
+        floor((lit(0L) - c).cast("double") / lit(EffScale.toDouble))
+          .cast("long") - 2)
+        .otherwise(lit(0L) - c - 2))
+
   /** Newest-wins election over the JOINED candidate rows, shared by
     * both query flavors: a vec_id can be visible in several leaves at
     * once — a replay (or a fresh-lineage re-ingest) re-materializes a
@@ -138,8 +168,7 @@ object StreamingAnn {
       .orderBy(col("eff").desc, col("src_b").desc)
     joined
       .withColumn("src_b", col("ingest_batch").cast("long"))
-      .withColumn("eff", when(col("src_b") < 0,
-        -col("src_b") - 2).otherwise(col("src_b")))
+      .withColumn("eff", effExpr(col("src_b")))
       .withColumn("copy_rn", row_number().over(w))
       .filter(col("copy_rn") === 1)
       .drop("src_b", "eff", "copy_rn")
@@ -308,9 +337,11 @@ object StreamingAnn {
     *    rolls FORWARD — recoverIndex finishes deleting the consumed
     *    leaves. At every instant exactly one complete copy of every
     *    row is reachable. The output id is deterministic in the
-    *    consumed set (−(max consumed batch + 2)), so a re-run after
-    *    any crash converges; the survivor election is deterministic,
-    *    so a re-merge after rollback rebuilds the same leaf.
+    *    current leaf set (generation-encoded — see [[EffScale]]: eff
+    *    decodes to the max consumed raw batch, uniqueness vs every
+    *    existing leaf by construction), so a re-run after any crash
+    *    converges; the survivor election is deterministic, so a
+    *    re-merge after rollback rebuilds the same leaf.
     *
     * Survivor semantics: if a vec_id appears in several consumed
     * leaves (a fresh-checkpoint replay lineage can re-deliver earlier
@@ -368,7 +399,16 @@ object StreamingAnn {
     val aged = leaves.filter(_._2 != newest)
     val agedIds = aged.map(_._2).distinct
     if (agedIds.size < minBatches || !agedIds.exists(_ >= 0)) return None
-    val outId = -(agedIds.filter(_ >= 0).max + 2)
+    // generation-encoded output id (see [[EffScale]]): eff decodes to
+    // the max consumed raw batch, and the first-free-slot scan makes
+    // the id disjoint from EVERY existing leaf — a replay that
+    // re-materializes the last consumed raw batch would otherwise make
+    // this generation's id collide with the previous one's output,
+    // which the consumed-leaf deletes then destroy (model-check-found)
+    val base = -(agedIds.filter(_ >= 0).max + 2) * EffScale
+    val existingIds = leaves.map(_._2).toSet
+    val outId = Iterator.from(0).map(g => base - g)
+      .find(id => !existingIds.contains(id)).get
     val inputs = aged.map { case (c, b) =>
       s"$indexDir/cell=$c/ingest_batch=$b" }
     // newest-wins survivor per vec_id (see scaladoc): effective batch
@@ -383,8 +423,7 @@ object StreamingAnn {
     val merged = spark.read.option("basePath", indexDir)
       .parquet(inputs: _*)
       .withColumn("src_batch", col("ingest_batch").cast("long"))
-      .withColumn("eff", when(col("src_batch") < 0,
-        -col("src_batch") - 2).otherwise(col("src_batch")))
+      .withColumn("eff", effExpr(col("src_batch")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn", "eff", "src_batch", "ingest_batch")

@@ -504,7 +504,7 @@ class StreamingAnnSpec extends SparkSuite {
         .map(r => (r.getLong(0), r.getSeq[Long](1)(1) / 1000L, r.getLong(2)))
       rows.groupBy(_._1).map { case (v, copies) =>
         val elected = copies.maxBy { case (_, _, src) =>
-          (if (src < 0) -src - 2 else src, src)
+          (StreamingAnn.effOf(src), src)
         }
         v -> elected._2
       }
@@ -520,7 +520,7 @@ class StreamingAnnSpec extends SparkSuite {
         assert(vis(v) === b, s"vec $v visible from batch ${vis(v)}, newest $b")
       }
     }
-    (0 until 40).foreach { step =>
+    (0 until 200).foreach { step =>
       rnd.nextInt(4) match {
         case 0 => // new batch (owner entry: recover first)
           StreamingAnn.recoverIndex(s"$root/index")
