@@ -227,6 +227,15 @@ class StreamingAnnSpec extends SparkSuite {
     assert(snap() === before)
   }
 
+  test("effective-batch decode: raw, generation-encoded, and legacy ids") {
+    import StreamingAnn.{effOf, EffScale}
+    assert(effOf(7L) === 7L)                    // raw batch
+    assert(effOf(-(6L * EffScale)) === 4L)      // gen 0, maxRaw 4
+    assert(effOf(-(6L * EffScale) - 5L) === 4L) // gen 5, same maxRaw
+    assert(effOf(-6L) === 4L)                   // legacy flat -(maxRaw+2)
+    assert(effOf(-2L) === 0L)                   // legacy floor case
+  }
+
   test("compaction survivor is deterministic newest-wins per vec_id") {
     val spark0 = spark
     import spark0.implicits._
