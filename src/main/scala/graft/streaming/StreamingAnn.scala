@@ -400,12 +400,18 @@ object StreamingAnn {
     val agedIds = aged.map(_._2).distinct
     if (agedIds.size < minBatches || !agedIds.exists(_ >= 0)) return None
     // generation-encoded output id (see [[EffScale]]): eff decodes to
-    // the max consumed raw batch, and the first-free-slot scan makes
-    // the id disjoint from EVERY existing leaf — a replay that
+    // the max EFFECTIVE batch among the consumed leaves — max over
+    // effOf, NOT max raw id: when the only aged raw leaves are
+    // replayed OLD batches, the consumed compacted leaf's effective
+    // batch exceeds every raw aged id, and labeling the merge with the
+    // raw max would UNDER-state its content's newness (its payloads
+    // then lose later elections to genuinely older raw replays —
+    // model-check-found, seed 7). The first-free-slot scan makes the
+    // id disjoint from EVERY existing leaf — a replay that
     // re-materializes the last consumed raw batch would otherwise make
     // this generation's id collide with the previous one's output,
     // which the consumed-leaf deletes then destroy (model-check-found)
-    val base = -(agedIds.filter(_ >= 0).max + 2) * EffScale
+    val base = -(agedIds.map(effOf).max + 2) * EffScale
     val existingIds = leaves.map(_._2).toSet
     val outId = Iterator.from(0).map(g => base - g)
       .find(id => !existingIds.contains(id)).get
