@@ -708,6 +708,14 @@ object SparkEntry {
       Ann.kmeansTrain(Tables.embeddings(s, dir), k = 8, iterations = 10)
         .orderBy("cluster")),
 
+    // Large-K variant: k·dims = 16384 exceeds the literal-inlining
+    // bound, so every assignment pass (training AND final) rides the
+    // broadcast CentroidMatrix expression — the SemDeDup-scale path
+    // (kCells ∝ corpus) gated against the same unrolled Lloyd oracle.
+    "a_kmeans_train_k256" -> ((s, dir) =>
+      Ann.kmeansTrain(Tables.embeddings(s, dir), k = 256, iterations = 2)
+        .orderBy("cluster")),
+
     "a_cluster_profile" -> ((s, dir) =>
       Ann.kmeansProfile(Tables.embeddings(s, dir), k = 8, iterations = 2)
         .orderBy("cluster")),
@@ -3306,6 +3314,7 @@ object SparkEntry {
 
     "a_kmeans_train" -> kmeansSql(k = 8, iterations = 2),
     "a_kmeans_train_iter10" -> kmeansSql(k = 8, iterations = 10),
+    "a_kmeans_train_k256" -> kmeansSql(k = 256, iterations = 2),
     "a_cluster_profile" -> kmeansProfileSql(k = 8, iterations = 2),
 
     "d_line_dedup" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.VecOps
+import graft.functions.{CentroidMatrix, CentroidOps, VecOps}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -256,20 +256,13 @@ object Ann {
     import spark.implicits._
     val q = quantized(embeddings)
     val cent = kmeansCentroids(q.select("vec_id", "v", "norm2"), kCells, iterations)
-    // zero-norm guard, matching the oracle's CASE arm: a zero-norm
-    // CENTROID must rank worst (a raw 0/0 cosine is NaN, which is
-    // GREATEST under Spark's struct-min but sorts FIRST under the
-    // oracle's ORDER BY DESC — opposite corners); a zero-norm VECTOR
-    // gets a constant so the tie-break lands it in the lowest cell id,
-    // deterministically, in both engines
-    val cellScores = cent.map { case (cId, cv, cn2) =>
-      struct(when(col("norm2") === 0 || lit(cn2) === 0, lit(2.0))
-        .otherwise(lit(-1.0) *
-          cosine(typedLit(cv), col("v"), lit(cn2), col("norm2")))
-        .as("nc"), lit(cId).as("c_id"))
-    }
-    val assigned = q
-      .withColumn("cell", array_min(array(cellScores: _*)).getField("c_id"))
+    // cellAssign carries the zero-norm guard matching the oracle's
+    // CASE arm: a zero-norm CENTROID must rank worst (a raw 0/0 cosine
+    // is NaN, which is GREATEST under Spark's struct-min but sorts
+    // FIRST under the oracle's ORDER BY DESC — opposite corners); a
+    // zero-norm VECTOR gets a constant so the tie-break lands it in
+    // the lowest cell id, deterministically, in both engines
+    val assigned = cellAssign(q, cent)
       .select("vec_id", "v", "norm2", "cell")
     val centDf = cent.map { case (c, cv, n2) => (c, cv, n2) }
       .toDF("c_id", "cv", "cn2")
@@ -324,14 +317,7 @@ object Ann {
     import spark.implicits._
     val q = quantized(embeddings)
     val cent = kmeansCentroids(q.select("vec_id", "v", "norm2"), kCells, iterations)
-    val cellScores = cent.map { case (cId, cv, cn2) =>
-      struct(when(col("norm2") === 0 || lit(cn2) === 0, lit(2.0))
-        .otherwise(lit(-1.0) *
-          cosine(typedLit(cv), col("v"), lit(cn2), col("norm2")))
-        .as("nc"), lit(cId).as("c_id"))
-    }
-    val coded = withInt8Cols(q
-        .withColumn("cell", array_min(array(cellScores: _*)).getField("c_id")))
+    val coded = withInt8Cols(cellAssign(q, cent))
       .select("vec_id", "cell", "c", "n2q")
     val centDf = cent.toDF("c_id", "cv", "cn2")
     val qw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
@@ -383,33 +369,92 @@ object Ann {
     * plan explosion at iterations=10). Deterministic seeding: the
     * first k vectors; argmin ties break on centroid id.
     */
+  /** k·dims bound above which centroid assignment switches from the
+    * inlined-literal `array_min` projection to the broadcast-matrix
+    * codegen expression ([[graft.functions.CentroidOps]]). The literal
+    * form is ideal at small k (bytes of plan, zero setup) but its
+    * expression TREE is O(k·dims) — at SemDeDup's web-scale knob
+    * (~10⁵ cells) analysis alone walks millions of literal nodes. The
+    * broadcast form's plan cost is O(1) in k (one expression holding a
+    * Broadcast handle); both are pure zero-shuffle projections and the
+    * two paths are spec-pinned bit-identical. Default 8192 terms keeps
+    * every small-k gated query on the (proven) literal plan while
+    * k ≥ 129 at dims=64 rides the broadcast matrix.
+    */
+  private[this] var _literalAssignMaxTerms: Int = 8192
+  def literalAssignMaxTerms: Int = _literalAssignMaxTerms
+  /** Validated setter (specs force one path or the other with it). */
+  def literalAssignMaxTerms_=(n: Int): Unit = {
+    require(n >= 1, s"literalAssignMaxTerms must be >= 1, got $n")
+    _literalAssignMaxTerms = n
+  }
+
   /** One k-means assignment pass over (vec_id, v, norm2) rows for
-    * driver-held centroids `(c_id, components, norm²)`: per-centroid
-    * (distance, id) structs from literal arrays + `array_min` argmin —
-    * a pure codegen projection, zero shuffle/join (public so the plan
-    * audit can pin the zero-Exchange shape).
-    *
-    * Practical bound on k: the projection inlines k·dims literal longs
-    * into one expression tree (k=8/dims=64 → 512 — trivial). Whole-stage
-    * codegen splits oversized functions and falls back gracefully, but
-    * past k·dims ≈ 10⁵ (k in the thousands at dims=64) prefer chunking
-    * the argmin into a fold over centroid batches (`array_min` over per-
-    * batch minima) or broadcasting a centroid table; driver-held
-    * centroid state itself is the standard MLlib dataflow at any k that
-    * fits driver memory.
+    * driver-held centroids `(c_id, components, norm²)`: min squared-L2,
+    * ties on the smaller centroid id — a pure codegen projection, zero
+    * shuffle/join (public so the plan audit can pin the zero-Exchange
+    * shape). Two bit-identical physical forms, auto-selected on
+    * [[literalAssignMaxTerms]]:
+    *  - k·dims ≤ bound: per-centroid (distance, id) structs from
+    *    literal arrays + `array_min` argmin (k·dims literal longs
+    *    inlined into the projection — trivial at k=8/dims=64).
+    *  - past the bound: ONE [[graft.functions.NearestCentroidL2]]
+    *    expression over a broadcast [[graft.functions.CentroidMatrix]]
+    *    — the plan stays O(1) in k, the matrix ships once per executor,
+    *    and the generated loop runs the same exact long arithmetic.
+    * Driver-held centroid state is the standard MLlib dataflow at any
+    * k that fits driver memory (10⁵ cells × 64 dims = 51 MB).
     */
   def kmeansAssign(q: DataFrame,
       cent: Seq[(Long, Seq[Long], Long)]): DataFrame = {
-    val scored = cent.map { case (cId, cv, cn2) =>
-      struct(
-        (col("norm2") - lit(2L) * VecOps.intDot(col("v"), typedLit(cv))
-          + lit(cn2)).as("d"),
-        lit(cId).as("c_id"))
+    val dims = cent.headOption.map(_._2.size).getOrElse(0)
+    if (cent.size.toLong * dims > literalAssignMaxTerms) {
+      val bc = q.sparkSession.sparkContext.broadcast(CentroidMatrix(cent))
+      q.withColumn("best", CentroidOps.nearestL2(col("v"), col("norm2"), bc))
+        .withColumn("cluster", col("best").getField("c_id"))
+        .withColumn("d", col("best").getField("d"))
+        .drop("best")
+    } else {
+      val scored = cent.map { case (cId, cv, cn2) =>
+        struct(
+          (col("norm2") - lit(2L) * VecOps.intDot(col("v"), typedLit(cv))
+            + lit(cn2)).as("d"),
+          lit(cId).as("c_id"))
+      }
+      q.withColumn("best", array_min(array(scored: _*)))
+        .withColumn("cluster", col("best").getField("c_id"))
+        .withColumn("d", col("best").getField("d"))
+        .drop("best")
     }
-    q.withColumn("best", array_min(array(scored: _*)))
-      .withColumn("cluster", col("best").getField("c_id"))
-      .withColumn("d", col("best").getField("d"))
-      .drop("best")
+  }
+
+  /** SERVING-cell assignment (max cosine with the shared zero-norm
+    * guard — degenerate vector/centroid pairs rank LAST, ties on the
+    * smaller centroid id), the one rule every trained read path uses:
+    * [[knnIvfTrained]], [[knnIvfSq]], [[cellBalance]],
+    * [[semanticDedup]], and the streaming index ingest. Adds column
+    * `cell` to `q` (which must carry `v` and `norm2`); payload columns
+    * ride through. Same literal/broadcast auto-selection as
+    * [[kmeansAssign]] — both forms bit-identical, both zero-shuffle
+    * projections — so SemDeDup's kCells ∝ corpus rule holds past the
+    * literal plan's k·dims comfort zone.
+    */
+  def cellAssign(q: DataFrame,
+      cent: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+    val dims = cent.headOption.map(_._2.size).getOrElse(0)
+    if (cent.size.toLong * dims > literalAssignMaxTerms) {
+      val bc = q.sparkSession.sparkContext.broadcast(CentroidMatrix(cent))
+      q.withColumn("cell",
+        CentroidOps.nearestCos(col("v"), col("norm2"), bc).getField("c_id"))
+    } else {
+      val cellScores = cent.map { case (cId, cv, cn2) =>
+        struct(when(col("norm2") === 0 || lit(cn2) === 0, lit(2.0))
+          .otherwise(lit(-1.0) *
+            cosine(typedLit(cv), col("v"), lit(cn2), col("norm2")))
+          .as("nc"), lit(cId).as("c_id"))
+      }
+      q.withColumn("cell", array_min(array(cellScores: _*)).getField("c_id"))
+    }
   }
 
   /** Memo of trained centroid sets per (session, input-frame plan, k,
@@ -842,17 +887,11 @@ object Ann {
       iterations: Int = 2): DataFrame = {
     val q = quantized(embeddings)
     val cent = kmeansCentroids(q.select("vec_id", "v", "norm2"), kCells, iterations)
-    val cellScores = cent.map { case (cId, cv, cn2) =>
-      struct(when(col("norm2") === 0 || lit(cn2) === 0, lit(2.0))
-        .otherwise(lit(-1.0) *
-          cosine(typedLit(cv), col("v"), lit(cn2), col("norm2")))
-        .as("nc"), lit(cId).as("c_id"))
-    }
     // the corpus total rides in as a broadcast scalar (every vector
     // lands in exactly one cell, so count(*) IS the population sum) —
     // no global window funnel, same pattern as the dedup df cap
     val nTot = broadcast(q.agg(count(lit(1)).as("n_total")))
-    q.withColumn("cell", array_min(array(cellScores: _*)).getField("c_id"))
+    cellAssign(q, cent)
       .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
       .crossJoin(nTot)
       .select(col("cell"), col("n_vecs"),
@@ -890,17 +929,11 @@ object Ann {
     val q = quantized(embeddings)
     val cent = kmeansCentroids(q.select("vec_id", "v", "norm2"), kCells, iterations)
     // Zero-norm vectors can't rank cells by cosine (0/0 — an ANSI
-    // divide-by-zero): give them a constant score so the argmin falls
-    // through to the c_id tie-break, the lowest cell id — exactly
-    // where the oracle's NaN-sorts-first ORDER BY lands them.
-    val cellScores = cent.map { case (cId, cv, cn2) =>
-      struct(when(col("norm2") === 0 || lit(cn2) === 0, lit(2.0))
-        .otherwise(lit(-1.0) *
-          cosine(typedLit(cv), col("v"), lit(cn2), col("norm2")))
-        .as("nc"), lit(cId).as("c_id"))
-    }
-    val assigned = q
-      .withColumn("cell", array_min(array(cellScores: _*)).getField("c_id"))
+    // divide-by-zero): cellAssign's guard gives them a constant score
+    // so the argmin falls through to the c_id tie-break, the lowest
+    // cell id — exactly where the oracle's NaN-sorts-first ORDER BY
+    // lands them.
+    val assigned = cellAssign(q, cent)
       .select("vec_id", "v", "norm2", "cell")
     val x = assigned.as("x"); val y = assigned.as("y")
     val dropped = x.join(y, col("x.cell") === col("y.cell")
