@@ -24,8 +24,11 @@ import graft.operators.Ann
   *    never needs a global rebuild. (Production would train on a
   *    dedicated sample; the contract is identical.)
   *  - **Per-batch assignment is a zero-shuffle projection**: the
-  *    argmin over driver-held centroid literals ([[Ann.kmeansAssign]])
-  *    — no join, no corpus shuffle, cost linear in the batch.
+  *    guarded-cosine argmax over driver-held centroids
+  *    ([[Ann.cellAssign]] — the SAME serving rule as the batch
+  *    [[Ann.knnIvfTrained]]/[[Ann.knnIvfSq]], literal or broadcast
+  *    matrix by k·dims) — no join, no corpus shuffle, cost linear in
+  *    the batch.
   *  - **The index is a cell-partitioned table**: rows land in
   *    `cell=<c>/ingest_batch=<b>` parquet partitions. Queries touch
   *    ONLY their probed cells via partition pruning — the IVF scan
@@ -94,6 +97,29 @@ object StreamingAnn {
       saveModel(modelPath, c)
       c
     }
+
+  /** Driver-side probe ranking — EXACTLY the batch query-side rule
+    * ([[Ann.knnIvfTrained]]/[[Ann.knnIvfSq]] rank cells by guarded
+    * cosine DESC, ties on the smaller cell id; the guard scores a
+    * zero-norm query/centroid pair LAST): the `probes` best cell ids
+    * for a full-precision quantized query (qv, qn2). Shared by both
+    * query flavors so the streaming index probes the same cells the
+    * batch operators probe — the recall parity contract.
+    */
+  private def rankCells(cent: Seq[(Long, Seq[Long], Long)], qv: Seq[Long],
+      qn2: Long, probes: Int): Seq[Long] =
+    cent.map { case (cId, cv, cn2) =>
+      val score =
+        if (qn2 == 0L || cn2 == 0L) 2.0
+        else {
+          val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+          // same op order as Ann.cosine(cv, v, cn2, norm2), negated —
+          // identical IEEE doubles, so the ranking can never diverge
+          -1.0 * (dot.toDouble /
+            (math.sqrt(cn2.toDouble) * math.sqrt(qn2.toDouble)))
+        }
+      (score, cId)
+    }.sorted.take(probes).map(_._2)
 
   /** The manifest-to-visibility mapping both query flavors share (see
     * [[queryIndex]]): under `intent` exclude the output partitions,
@@ -205,9 +231,13 @@ object StreamingAnn {
         // data arrives — the first NON-empty batch trains the model
         if (!qb.isEmpty) {
           val cent = trainOrLoad(modelPath, qb, kCells, iterations)
-          Ann.kmeansAssign(qb, cent)
-            .select(col("vec_id"), col("v"), col("norm2"),
-              col("cluster").as("cell"))
+          // serving cells use THE shared rule (Ann.cellAssign: max
+          // guarded cosine), so the on-disk index partitions exactly
+          // as the batch knnIvfTrained assigns — the recall ladder
+          // measured on the batch operators applies verbatim to this
+          // index (parity spec-pinned)
+          Ann.cellAssign(qb, cent)
+            .select(col("vec_id"), col("v"), col("norm2"), col("cell"))
             .withColumn("ingest_batch", lit(batchId))
             .write
             .option("partitionOverwriteMode", "dynamic")
@@ -249,11 +279,11 @@ object StreamingAnn {
         if (!qb.isEmpty) {
           val cent = trainOrLoad(modelPath, qb, kCells, iterations)
           // codes from THE int8 rule (Ann.withInt8Cols), narrowed to
-          // bytes for the 4× on-disk layout
-          Ann.withInt8Cols(Ann.kmeansAssign(qb, cent))
+          // bytes for the 4× on-disk layout; cells from THE shared
+          // serving rule (Ann.cellAssign), matching batch knnIvfSq
+          Ann.withInt8Cols(Ann.cellAssign(qb, cent))
             .withColumn("cb", transform(col("c"), _.cast("byte")))
-            .select(col("vec_id"), col("cb"), col("n2q"),
-              col("cluster").as("cell"))
+            .select(col("vec_id"), col("cb"), col("n2q"), col("cell"))
             .withColumn("ingest_batch", lit(batchId))
             .write
             .option("partitionOverwriteMode", "dynamic")
@@ -290,10 +320,7 @@ object StreamingAnn {
         else qv.map(x => BigDecimal(x * 127.0 / maxabs)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
       val qn2q = qc.map(c => c * c).sum
-      cent.map { case (cId, cv, cn2) =>
-        val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
-        (qn2 - 2L * dot + cn2, cId)
-      }.sorted.take(probes).map { case (_, cId) => (qId, cId, qc, qn2q) }
+      rankCells(cent, qv, qn2, probes).map(cId => (qId, cId, qc, qn2q))
     }.toSeq
     val probeDf = probeRows.toDF("q_id", "qcell", "qc", "qn2q")
     val cells = probeRows.map(_._2).distinct
@@ -624,10 +651,7 @@ object StreamingAnn {
     val qRows = quantize(queries).collect().map(r =>
       (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
     val probeRows = qRows.flatMap { case (qId, qv, qn2) =>
-      cent.map { case (cId, cv, cn2) =>
-        val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
-        (qn2 - 2L * dot + cn2, cId)
-      }.sorted.take(probes).map { case (_, cId) => (qId, cId, qv, qn2) }
+      rankCells(cent, qv, qn2, probes).map(cId => (qId, cId, qv, qn2))
     }.toSeq
     val probeDf = probeRows.toDF("q_id", "qcell", "qv", "qn2")
     val cells = probeRows.map(_._2).distinct

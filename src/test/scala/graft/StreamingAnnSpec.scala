@@ -50,8 +50,8 @@ class StreamingAnnSpec extends SparkSuite {
     val qAll = all.select(col("vec_id"),
         transform(col("embedding"), x => round(x * 1000, 0).cast("long")).as("v"))
       .withColumn("norm2", graft.functions.VecOps.intDot(col("v"), col("v")))
-    val refCells = Ann.kmeansAssign(qAll, refModel)
-      .select(col("vec_id"), col("cluster").as("cell"))
+    val refCells = Ann.cellAssign(qAll, refModel)
+      .select(col("vec_id"), col("cell"))
     assert(idx.select("vec_id", "cell").exceptAll(refCells).isEmpty)
 
     // queries: pruned scan, PartitionFilters on cell, results equal a
@@ -98,6 +98,52 @@ class StreamingAnnSpec extends SparkSuite {
       q2.processAllAvailable()
     } finally q2.stop()
     assert(spark.read.parquet(s"$root/index").collect().toSet === before)
+  }
+
+  test("recall parity: streaming index queries equal the batch operators bit-for-bit") {
+    // Ingest the WHOLE corpus as ONE batch: the frozen model then
+    // trains on exactly the corpus the batch operators train on, and
+    // with the same (kCells, iterations, probes) geometry the on-disk
+    // index must return the SAME rows as knnIvfTrained (full layout)
+    // and knnIvfSq (SQ8 layout) — same cells (shared Ann.cellAssign
+    // serving rule), same probes (shared guarded-cosine ranking), same
+    // scores, same tie-breaks. This pins BASELINE's measured recall
+    // ladder to the streaming index instead of inferring it.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-parity")
+    val rows = embRows
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val queries = rows.filter(_._1 < 5).toSeq.toDF("vec_id", "embedding")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.ivfIngest(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt",
+      kCells = 8, iterations = 2)
+    try { input.addData(rows.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val gotFull = snap(StreamingAnn.queryIndex(spark, s"$root/index",
+      s"$root/model.txt", queries, k = 3, probes = 2))
+    val wantFull = snap(Ann.knnIvfTrained(emb, numQueries = 5, k = 3,
+      kCells = 8, iterations = 2, probes = 2))
+    assert(gotFull === wantFull)
+
+    val inputSq = MemoryStream[(Long, Seq[Float])]
+    val qSq = StreamingAnn.ivfIngestSq(
+      inputSq.toDS().toDF("vec_id", "embedding"),
+      s"$root/model-sq.txt", s"$root/index-sq", s"$root/ckpt-sq",
+      kCells = 8, iterations = 2)
+    try { inputSq.addData(rows.toSeq: _*); qSq.processAllAvailable() }
+    finally qSq.stop()
+    val gotSq = snap(StreamingAnn.queryIndexSq(spark, s"$root/index-sq",
+      s"$root/model-sq.txt", queries, k = 3, probes = 2))
+    val wantSq = snap(Ann.knnIvfSq(emb, numQueries = 5, k = 3,
+      kCells = 8, iterations = 2, probes = 2))
+    assert(gotSq === wantSq)
   }
 
   test("index compaction: query-equal, leaf bound, idempotent no-op re-run") {
