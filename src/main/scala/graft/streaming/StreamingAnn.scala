@@ -121,20 +121,35 @@ object StreamingAnn {
       (score, cId)
     }.sorted.take(probes).map(_._2)
 
-  /** The manifest-to-visibility mapping both query flavors share (see
-    * [[queryIndex]]): under `intent` exclude the output partitions,
-    * under `committed` exclude the consumed leaves — both
-    * partition-pruning `ingest_batch` predicates; None when no
-    * compaction is in flight.
+  /** The batch ids every reader must exclude: tombstoned leaves
+    * (logically deleted — consumed by a committed compaction, kept on
+    * disk for the vacuum grace period) plus the in-flight manifest's
+    * exclusions (under `intent` the output partitions, under
+    * `committed` the consumed leaves). Manifest is read FIRST: an
+    * owner roll-forward moves exclusions from the manifest INTO the
+    * tombstone ledger, so manifest-then-ledger can only over-exclude
+    * across that move (the union still hides every consumed leaf),
+    * never under-exclude.
     */
-  private def visibilityFilter(
-      indexDir: String): Option[org.apache.spark.sql.Column] =
-    readManifest(indexDir).map {
-      case ("committed", _, consumed) =>
-        val consumedIds = consumed.map(_._2).distinct
-        !col("ingest_batch").isin(consumedIds: _*)
-      case (_, outId, _) => col("ingest_batch") =!= outId
+  private[graft] def excludedBatchIds(indexDir: String): Set[Long] = {
+    val manifest = readManifest(indexDir) match {
+      case Some(("committed", _, consumed)) => consumed.map(_._2).toSet
+      case Some((_, outId, _)) => Set(outId)
+      case None => Set.empty[Long]
     }
+    manifest ++ readTombstones(indexDir).map(_._3)
+  }
+
+  /** The visibility mapping both query flavors share (see
+    * [[queryIndex]]): one partition-pruning `ingest_batch` predicate
+    * excluding [[excludedBatchIds]]; None when nothing is excluded.
+    */
+  private[graft] def visibilityFilter(
+      indexDir: String): Option[org.apache.spark.sql.Column] = {
+    val excluded = excludedBatchIds(indexDir)
+    if (excluded.isEmpty) None
+    else Some(!col("ingest_batch").isin(excluded.toSeq.sorted: _*))
+  }
 
   /** Compacted-leaf id encoding. A compacted leaf's id must (a) decode
     * to the max raw batch it consumed (the EFFECTIVE batch driving
@@ -231,6 +246,10 @@ object StreamingAnn {
         // data arrives — the first NON-empty batch trains the model
         if (!qb.isEmpty) {
           val cent = trainOrLoad(modelPath, qb, kCells, iterations)
+          ensureLayout(indexDir, "full", cent.size, cent.head._2.size)
+          // a fresh lineage reuses batch ids an earlier compaction may
+          // have consumed: reclaim the tombstoned id before writing it
+          untombstone(indexDir, batchId)
           // serving cells use THE shared rule (Ann.cellAssign: max
           // guarded cosine), so the on-disk index partitions exactly
           // as the batch knnIvfTrained assigns — the recall ladder
@@ -278,6 +297,8 @@ object StreamingAnn {
         val qb = quantize(batch)
         if (!qb.isEmpty) {
           val cent = trainOrLoad(modelPath, qb, kCells, iterations)
+          ensureLayout(indexDir, "sq8", cent.size, cent.head._2.size)
+          untombstone(indexDir, batchId) // owner id-reuse, as ivfIngest
           // codes from THE int8 rule (Ann.withInt8Cols), narrowed to
           // bytes for the 4× on-disk layout; cells from THE shared
           // serving rule (Ann.cellAssign), matching batch knnIvfSq
@@ -306,6 +327,7 @@ object StreamingAnn {
   def queryIndexSq(spark: SparkSession, indexDir: String, modelPath: String,
       queries: DataFrame, k: Int, probes: Int = 1): DataFrame = {
     import spark.implicits._
+    requireLayout(indexDir, "sq8", "queryIndexSq")
     val visibility = visibilityFilter(indexDir)
     val cent = loadModel(modelPath).getOrElse(
       throw new IllegalStateException(s"no trained model at $modelPath"))
@@ -390,17 +412,24 @@ object StreamingAnn {
     *
     * Single-writer contract (as [[FsKeyIndex.compact]]): one
     * compaction at a time, run between batches from the ingest owner;
-    * concurrent READERS are safe at any point before the final
-    * consumed-leaf deletes. The deletes themselves are the one
-    * inherent race window: a reader's visibility filter is a SNAPSHOT
-    * of the manifest at plan-build, and its file listing happens at
-    * execution — a compaction that runs to completion in between
-    * deletes consumed leaves the stale filter still expects (failed
-    * scan; or, under `spark.sql.files.ignoreMissingFiles`, silently
-    * partial results). Plain parquet directories have no snapshot
-    * isolation to close this; the operational contract is the fix —
-    * run compaction between query waves, from the ingest owner, like
-    * every other maintenance pass in this repo.
+    * concurrent READERS are safe at EVERY point — commit never deletes
+    * the consumed leaves, it TOMBSTONES them (grace-period deletes):
+    * they stay on disk, hidden from fresh readers by the visibility
+    * filter and from future merges by the ledger, until an owner
+    * [[vacuumIndex]] pass reclaims entries at least `grace`
+    * generations old. A reader whose plan-time snapshot (visibility
+    * filter + file listing) predates the compaction therefore still
+    * finds every file it listed and returns the correct
+    * pre-compaction view — the delete race that plain parquet
+    * directories cannot otherwise close (failed scan, or silently
+    * partial under `spark.sql.files.ignoreMissingFiles`) is gone; the
+    * residual exposure is a reader spanning MORE than `grace` full
+    * compaction+vacuum cycles, which the grace knob prices explicitly.
+    * (A reader that snapshots its filter microseconds before a
+    * compaction completes and lists files after can transiently see a
+    * consumed leaf AND its compacted copy — harmless: the per-query
+    * newest-wins election and [[indexStats]]' countDistinct both
+    * collapse duplicate copies.)
     * Local/posix-rename filesystems (same assumption as the model
     * artifact).
     *
@@ -413,17 +442,28 @@ object StreamingAnn {
 
   /** Test seam: crashPoint 1 = stop after the intent manifest (before
     * the merged write), 2 = stop after the merged write (before the
-    * committed flip — the reader-race window), 3 = stop after the
-    * committed flip (before the consumed-leaf deletes). Production
-    * path is crashPoint = 0.
+    * committed flip), 3 = stop after the committed flip (before the
+    * consumed leaves are tombstoned). Production path is
+    * crashPoint = 0.
     */
   private[graft] def compactIndexImpl(spark: SparkSession, indexDir: String,
       minBatches: Int, crashPoint: Int): Option[Long] = {
     recoverIndex(indexDir)
     val leaves = listLeaves(indexDir)
     if (leaves.isEmpty) return None
-    val newest = leaves.map(_._2).max
-    val aged = leaves.filter(_._2 != newest)
+    // a populated pre-stamp dir gets the same explicit-stamp demand as
+    // the query paths (the compactor serves two on-disk layouts and
+    // must never guess which one it is merging)
+    if (readLayout(indexDir).isEmpty)
+      throw new IllegalStateException(legacyLayoutMsg(indexDir))
+    // tombstoned leaves are LOGICALLY deleted (their rows live in a
+    // compacted output): never re-consume them — merging one back in
+    // would resurrect rows a previous compaction already elected away
+    val deadIds = readTombstones(indexDir).map(_._3).toSet
+    val live = leaves.filterNot(l => deadIds.contains(l._2))
+    if (live.isEmpty) return None
+    val newest = live.map(_._2).max
+    val aged = live.filter(_._2 != newest)
     val agedIds = aged.map(_._2).distinct
     if (agedIds.size < minBatches || !agedIds.exists(_ >= 0)) return None
     // generation-encoded output id (see [[EffScale]]): eff decodes to
@@ -439,7 +479,10 @@ object StreamingAnn {
     // this generation's id collide with the previous one's output,
     // which the consumed-leaf deletes then destroy (model-check-found)
     val base = -(agedIds.map(effOf).max + 2) * EffScale
-    val existingIds = leaves.map(_._2).toSet
+    // uniqueness vs every PHYSICAL leaf and every tombstoned id: an
+    // output colliding with a tombstoned batch would be hidden by the
+    // ledger the moment it is written
+    val existingIds = leaves.map(_._2).toSet ++ deadIds
     val outId = Iterator.from(0).map(g => base - g)
       .find(id => !existingIds.contains(id)).get
     val inputs = aged.map { case (c, b) =>
@@ -475,9 +518,14 @@ object StreamingAnn {
     if (crashPoint == 2) return Some(outId)
     writeManifest(indexDir, "committed", outId, aged)
     if (crashPoint == 3) return Some(outId)
-    aged.foreach { case (c, b) =>
-      deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$b"))
-    }
+    // GRACE-PERIOD deletes: commit never removes the consumed leaves —
+    // it TOMBSTONES them (hidden from every reader by the visibility
+    // filter, excluded from future merges, physically present), so a
+    // reader whose plan/file-listing snapshot predates this compaction
+    // still finds every file it expects. [[vacuumIndex]] is the later
+    // owner pass that reclaims tombstoned leaves once their grace
+    // epoch has passed.
+    addTombstones(indexDir, aged)
     java.nio.file.Files.deleteIfExists(manifestPath(indexDir))
     Some(outId)
   }
@@ -495,14 +543,231 @@ object StreamingAnn {
   def recoverIndex(indexDir: String): Unit =
     readManifest(indexDir).foreach { case (state, outId, consumed) =>
       if (state == "committed")
-        consumed.foreach { case (c, b) =>
-          deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$b"))
-        }
+        // roll FORWARD = finish the grace-period commit: tombstone the
+        // consumed leaves (idempotent — re-runs dedupe on (cell,
+        // batch)), never delete them here
+        addTombstones(indexDir, consumed)
       else
         consumed.map(_._1).distinct.foreach { c =>
           deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$outId"))
         }
       java.nio.file.Files.deleteIfExists(manifestPath(indexDir))
+    }
+
+  /** Physically reclaim tombstoned leaves whose grace period has
+    * passed — the OWNER pass that closes the loop [[compactIndex]]
+    * leaves open on purpose (commit hides consumed leaves, it never
+    * deletes them). `grace` counts tombstone GENERATIONS: each
+    * compaction stamps its tombstones with the next counter value, and
+    * a vacuum with grace g reclaims only entries at least g
+    * generations behind the newest — so a reader can span g full
+    * compactions between planning and executing before it can ever
+    * miss a file. grace=0 reclaims everything (the old eager-delete
+    * behavior, for callers that KNOW no reader is in flight); the
+    * default 1 keeps the previous generation's leaves through the next
+    * maintenance pass. Crash-safe: directories are removed before the
+    * ledger entries, and a re-run tolerates already-gone directories
+    * (an entry pointing at a reclaimed leaf only over-excludes).
+    * Returns the number of leaves reclaimed.
+    */
+  def vacuumIndex(indexDir: String, grace: Int = 1): Int = {
+    require(grace >= 0, s"vacuum grace must be >= 0, got $grace")
+    val ts = readTombstones(indexDir)
+    if (ts.isEmpty) return 0
+    val maxStamp = ts.map(_._1).max
+    val (old, keep) = ts.partition(_._1 <= maxStamp - grace)
+    old.foreach { case (_, c, b) =>
+      deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$b"))
+    }
+    if (old.nonEmpty) writeTombstones(indexDir, keep)
+    old.size
+  }
+
+  /** Codified maintenance cadence: read the (metadata-only) visible
+    * leaf counts and compact when any cell's count exceeds
+    * `maxLeavesPerCell`, then vacuum tombstones past `vacuumGrace`
+    * generations — [[indexStats]]' compaction signal turned into the
+    * trigger, so the ST7 leaf bound is enforced mechanically instead
+    * of left to the operator. Owner-context, like every maintenance
+    * pass here (run it between ingest batches / query waves). Returns
+    * the compacted leaf id when a compaction ran.
+    */
+  def compactIfNeeded(spark: SparkSession, indexDir: String,
+      maxLeavesPerCell: Int, minBatches: Int = 2,
+      vacuumGrace: Int = 1): Option[Long] = {
+    require(maxLeavesPerCell >= 2,
+      s"maxLeavesPerCell must be >= 2 (steady state is 1 compacted leaf " +
+        s"+ the newest tail), got $maxLeavesPerCell")
+    val excluded = excludedBatchIds(indexDir)
+    val visible = listLeaves(indexDir).filterNot(l => excluded.contains(l._2))
+    val worst = visible.groupBy(_._1).valuesIterator
+      .map(_.size).maxOption.getOrElse(0)
+    val out = if (worst > maxLeavesPerCell)
+      compactIndex(spark, indexDir, minBatches) else None
+    vacuumIndex(indexDir, vacuumGrace)
+    out
+  }
+
+  /** Tombstone ledger: `(stamp, cell, batch)` lines at
+    * `_tombstones`, stamp = the generation counter ([[vacuumIndex]]'
+    * grace unit). A listed leaf is logically deleted — hidden from
+    * every reader, excluded from merges, physically present until
+    * vacuumed.
+    */
+  private[graft] def readTombstones(
+      indexDir: String): Seq[(Long, Long, Long)] =
+    try {
+      val lines = java.nio.file.Files.readAllLines(tombstonePath(indexDir))
+      (0 until lines.size).map { i =>
+        val Array(s, c, b) = lines.get(i).split(",")
+        (s.toLong, c.toLong, b.toLong)
+      }
+    } catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
+
+  private def writeTombstones(indexDir: String,
+      entries: Seq[(Long, Long, Long)]): Unit =
+    if (entries.isEmpty) {
+      java.nio.file.Files.deleteIfExists(tombstonePath(indexDir)); ()
+    } else {
+      val tmp = java.nio.file.Paths.get(indexDir,
+        s"_tombstones.tmp-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.writeString(tmp,
+        entries.map { case (s, c, b) => s"$s,$c,$b" }.mkString("\n"))
+      java.nio.file.Files.move(tmp, tombstonePath(indexDir),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
+  /** Append consumed leaves under the next generation stamp.
+    * Idempotent: a crashed roll-forward re-run dedupes on (cell,
+    * batch), keeping the original stamp.
+    */
+  private def addTombstones(indexDir: String,
+      consumed: Seq[(Long, Long)]): Unit = {
+    val existing = readTombstones(indexDir)
+    val have = existing.map { case (_, c, b) => (c, b) }.toSet
+    val fresh = consumed.filterNot(have)
+    if (fresh.nonEmpty) {
+      val stamp = (existing.map(_._1) :+ 0L).max + 1
+      writeTombstones(indexDir,
+        existing ++ fresh.map { case (c, b) => (stamp, c, b) })
+    }
+  }
+
+  /** Owner-side batch-id reuse (a FRESH checkpoint lineage restarts at
+    * batch 0, which an earlier compaction may have consumed): before
+    * the ingest writes batch `batchId`, physically drop any tombstoned
+    * leaves carrying that id and clear their ledger entries — the old
+    * hidden content must not resurrect under the new delivery's id,
+    * and the new delivery must not be hidden by a stale tombstone.
+    * Directory deletes precede the ledger rewrite (a crash between
+    * leaves the id hidden; the re-run completes).
+    */
+  private[graft] def untombstone(indexDir: String, batchId: Long): Unit = {
+    val ts = readTombstones(indexDir)
+    val (mine, keep) = ts.partition(_._3 == batchId)
+    if (mine.nonEmpty) {
+      mine.foreach { case (_, c, b) =>
+        deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$b"))
+      }
+      writeTombstones(indexDir, keep)
+    }
+  }
+
+  private def tombstonePath(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "_tombstones")
+
+  /** The index family has two on-disk layouts sharing one compactor
+    * and one directory convention — `full` (v/norm2 full-precision
+    * vectors, [[ivfIngest]]) and `sq8` (cb/n2q int8 codes,
+    * [[ivfIngestSq]]) — so every index dir carries a `_layout` stamp
+    * `{layout, kCells, dims}` written at first ingest. Readers and the
+    * compactor REFUSE a mismatched or missing stamp with a
+    * self-explanatory error instead of failing downstream on a missing
+    * column; pre-stamp (legacy) dirs are never auto-stamped — the
+    * operator verifies the layout and stamps once, explicitly (the
+    * same contract as the near-dup geometry manifest in
+    * [[StreamingCuration]]).
+    */
+  def readLayout(indexDir: String): Option[(String, Int, Int)] =
+    try {
+      val lines = java.nio.file.Files.readAllLines(layoutPath(indexDir))
+      val m = lines.asScala.map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      Some((m("layout"), m("kcells").toInt, m("dims").toInt))
+    } catch {
+      case _: java.nio.file.NoSuchFileException => None
+      case _: NoSuchElementException => None
+      case _: NumberFormatException => None
+    }
+
+  /** Explicitly stamp an index dir's layout (the legacy-dir migration
+    * path, and the write path [[ivfIngest]]/[[ivfIngestSq]] use on an
+    * empty dir). Restamping with the SAME triple is a no-op; a
+    * different triple is refused.
+    */
+  def stampIndexLayout(indexDir: String, layout: String, kCells: Int,
+      dims: Int): Unit = {
+    require(Layouts.contains(layout),
+      s"unknown index layout '$layout' (expected one of ${Layouts.mkString("|")})")
+    readLayout(indexDir).foreach { case (l, k, d) =>
+      require((l, k, d) == ((layout, kCells, dims)),
+        s"index at $indexDir is already stamped layout=$l kCells=$k dims=$d; " +
+          s"refusing to restamp as layout=$layout kCells=$kCells dims=$dims")
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
+    val tmp = java.nio.file.Paths.get(indexDir,
+      s"_layout.tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(tmp,
+      s"layout=$layout\nkcells=$kCells\ndims=$dims")
+    java.nio.file.Files.move(tmp, layoutPath(indexDir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private[graft] val Layouts = Set("full", "sq8")
+
+  private def layoutPath(indexDir: String) =
+    java.nio.file.Paths.get(indexDir, "_layout")
+
+  private def legacyLayoutMsg(indexDir: String) =
+    s"index at $indexDir predates layout stamps: verify which ingest " +
+      "wrote it and run StreamingAnn.stampIndexLayout(indexDir, " +
+      "\"full\"|\"sq8\", kCells, dims) once, explicitly — a populated " +
+      "unstamped dir is never auto-stamped"
+
+  /** Write-side stamp-or-verify (first non-empty batch). */
+  private def ensureLayout(indexDir: String, layout: String, kCells: Int,
+      dims: Int): Unit =
+    readLayout(indexDir) match {
+      case Some((l, k, d)) =>
+        if ((l, k, d) != ((layout, kCells, dims)))
+          throw new IllegalStateException(
+            s"index at $indexDir is stamped layout=$l kCells=$k dims=$d; " +
+              s"this ingest writes layout=$layout kCells=$kCells dims=$dims " +
+              "— refusing to mix layouts in one index dir")
+      case None =>
+        if (listLeaves(indexDir).nonEmpty)
+          throw new IllegalStateException(legacyLayoutMsg(indexDir))
+        else stampIndexLayout(indexDir, layout, kCells, dims)
+    }
+
+  /** Read-side flavor check: a wrong-flavor query is refused with the
+    * stamp's own description rather than a missing-column analysis
+    * error three operators deep.
+    */
+  private def requireLayout(indexDir: String, expected: String,
+      caller: String): Unit =
+    readLayout(indexDir) match {
+      case Some((l, _, _)) if l == expected => ()
+      case Some((l, k, d)) =>
+        throw new IllegalStateException(
+          s"$caller expects a '$expected' index but $indexDir is stamped " +
+            s"layout=$l (kCells=$k, dims=$d); use " +
+            s"${if (l == "sq8") "queryIndexSq" else "queryIndex"}")
+      case None =>
+        if (listLeaves(indexDir).nonEmpty)
+          throw new IllegalStateException(legacyLayoutMsg(indexDir))
     }
 
   /** Parse the two-phase compaction manifest: (state, outId, consumed
@@ -538,24 +803,16 @@ object StreamingAnn {
     */
   def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
     import spark.implicits._
-    // ONE manifest snapshot drives both the leaf-level and the
-    // row-level exclusion: two reads could straddle an owner recovery
-    // and describe two different index states in one stats row
-    val manifest = readManifest(indexDir)
-    val visibility = manifest.map {
-      case ("committed", _, consumed) =>
-        val consumedIds = consumed.map(_._2).distinct
-        !col("ingest_batch").isin(consumedIds: _*)
-      case (_, outId, _) => col("ingest_batch") =!= outId
-    }
+    // ONE exclusion snapshot (manifest + tombstone ledger) drives both
+    // the leaf-level and the row-level exclusion: two reads could
+    // straddle an owner recovery and describe two different index
+    // states in one stats row
+    val excluded = excludedBatchIds(indexDir)
+    val visibility =
+      if (excluded.isEmpty) None
+      else Some(!col("ingest_batch").isin(excluded.toSeq.sorted: _*))
     val leaves = listLeaves(indexDir)
-    val visible = manifest match {
-      case Some(("committed", _, consumed)) =>
-        val ids = consumed.map(_._2).toSet
-        leaves.filterNot { case (_, b) => ids.contains(b) }
-      case Some((_, outId, _)) => leaves.filter(_._2 != outId)
-      case None => leaves
-    }
+    val visible = leaves.filterNot { case (_, b) => excluded.contains(b) }
     val leafCounts = visible.groupBy(_._1)
       .map { case (c, ls) => (c, ls.size.toLong) }.toSeq
       .toDF("cell", "n_leaves")
@@ -645,6 +902,7 @@ object StreamingAnn {
   def queryIndex(spark: SparkSession, indexDir: String, modelPath: String,
       queries: DataFrame, k: Int, probes: Int = 1): DataFrame = {
     import spark.implicits._
+    requireLayout(indexDir, "full", "queryIndex")
     val visibility = visibilityFilter(indexDir)
     val cent = loadModel(modelPath).getOrElse(
       throw new IllegalStateException(s"no trained model at $modelPath"))

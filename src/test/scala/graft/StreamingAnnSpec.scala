@@ -171,6 +171,9 @@ class StreamingAnnSpec extends SparkSuite {
     assert(leavesBefore.map(_._2).distinct.size === 5)
     val out = StreamingAnn.compactIndex(spark, s"$root/index", minBatches = 2)
     assert(out.nonEmpty)
+    // commit TOMBSTONES the consumed leaves (grace-period deletes);
+    // the physical bound lands after the owner vacuum pass
+    assert(StreamingAnn.vacuumIndex(s"$root/index", grace = 0) > 0)
     // every cell now holds at most (1 compacted + the newest batch)
     val after = StreamingAnn.listLeaves(s"$root/index")
     after.groupBy(_._1).foreach { case (c, ls) =>
@@ -263,6 +266,10 @@ class StreamingAnnSpec extends SparkSuite {
     StreamingAnn.recoverIndex(s"$root/index") // owner-side roll forward
     assert(!java.nio.file.Files.exists(manifest))
     assert(snap() === before)
+    // roll-forward tombstones the consumed leaves (still on disk for
+    // in-flight readers); the physical shape lands after vacuum
+    assert(StreamingAnn.readTombstones(s"$root/index").nonEmpty)
+    assert(StreamingAnn.vacuumIndex(s"$root/index", grace = 0) > 0)
     val after = StreamingAnn.listLeaves(s"$root/index")
     assert(after.map(_._2).distinct.toSet === Set(out.get, 3L))
     assert(spark.read.parquet(s"$root/index").select("vec_id")
@@ -301,19 +308,24 @@ class StreamingAnnSpec extends SparkSuite {
     leaf(0L, Seq((7L, Seq(1000L, 0L, 0L, 0L)), (8L, Seq(0L, 0L, 1000L, 0L))))
     leaf(1L, Seq((7L, Seq(0L, 2000L, 0L, 0L)), (9L, Seq(0L, 0L, 0L, 1000L))))
     leaf(2L, Seq((10L, Seq(500L, 500L, 0L, 0L)))) // newest: not compacted
+    StreamingAnn.stampIndexLayout(s"$root/index", "full", 1, dims)
     val out = StreamingAnn.compactIndex(spark, s"$root/index", minBatches = 2)
     assert(out.nonEmpty)
+    // vacuum the tombstoned inputs so the raw read sees one copy
+    StreamingAnn.vacuumIndex(s"$root/index", grace = 0)
     val got = spark.read.parquet(s"$root/index")
       .filter(col("vec_id") === 7L)
       .select("v").collect()
     assert(got.length === 1)
     assert(got.head.getSeq[Long](0) === Seq(0L, 2000L, 0L, 0L))
-    // a replayed batch 1 after compaction (raw leaf reappears next to
-    // the compacted leaf whose effective batch ties it): raw wins
+    // a replayed batch 1 after compaction+vacuum (raw leaf reappears
+    // next to the compacted leaf whose effective batch ties it): raw
+    // wins the election
     leaf(1L, Seq((7L, Seq(0L, 0L, 3000L, 0L))))
     leaf(3L, Seq((11L, Seq(1L, 1L, 1L, 1L)))) // newest guard leaf
     val out2 = StreamingAnn.compactIndex(spark, s"$root/index", minBatches = 2)
     assert(out2.nonEmpty)
+    StreamingAnn.vacuumIndex(s"$root/index", grace = 0)
     val got2 = spark.read.parquet(s"$root/index")
       .filter(col("vec_id") === 7L).select("v").collect()
     assert(got2.length === 1)
@@ -357,9 +369,11 @@ class StreamingAnnSpec extends SparkSuite {
       input2.addData(fresh: _*)
       q2.processAllAvailable()
     } finally q2.stop()
-    // the ingest ran recovery first: manifest consumed, old rows in
-    // the compacted leaf, and the fresh delivery fully visible
+    // the ingest ran recovery first (consumed leaves tombstoned, its
+    // own reused batch id reclaimed); vacuum settles the physical
+    // shape: old rows in the compacted leaf, fresh delivery visible
     assert(!java.nio.file.Files.exists(manifest))
+    StreamingAnn.vacuumIndex(s"$root/index", grace = 0)
     val idx = spark.read.parquet(s"$root/index")
     assert(idx.count() === rows.length.toLong + fresh.length)
     val queries = fresh.take(3).toSeq.toDF("vec_id", "embedding")
@@ -421,6 +435,7 @@ class StreamingAnnSpec extends SparkSuite {
     val out = StreamingAnn.compactIndex(spark, s"$root/index", minBatches = 2)
     assert(out.nonEmpty)
     assert(snap() === before)
+    StreamingAnn.vacuumIndex(s"$root/index", grace = 0)
     val after = StreamingAnn.listLeaves(s"$root/index")
     assert(after.map(_._2).distinct.toSet === Set(out.get, 3L))
     assert(spark.read.parquet(s"$root/index")
@@ -466,7 +481,175 @@ class StreamingAnnSpec extends SparkSuite {
     val statsAfter = StreamingAnn.indexStats(spark, s"$root/index").collect()
     assert(statsAfter.map(_.getLong(2)).sum === rows.length.toLong,
       "stats double-counted consumed leaves under the committed manifest")
+    // after roll-forward the exclusion moves into the tombstone
+    // ledger; stats must keep describing the query-visible index, and
+    // vacuum must not change what they describe
     StreamingAnn.recoverIndex(s"$root/index")
+    assert(StreamingAnn.indexStats(spark, s"$root/index").collect()
+      .map(_.getLong(2)).sum === rows.length.toLong,
+      "stats double-counted tombstoned leaves after roll-forward")
+    StreamingAnn.vacuumIndex(s"$root/index", grace = 0)
+    assert(StreamingAnn.indexStats(spark, s"$root/index").collect()
+      .map(_.getLong(2)).sum === rows.length.toLong)
+  }
+
+  test("compaction delete-race closed: a reader planned pre-compaction survives") {
+    // THE round-13 documented residual race, now closed by grace-period
+    // deletes: a reader's visibility filter and file listing are a
+    // plan-time snapshot; a compaction running to COMPLETION before the
+    // reader executes used to delete the consumed leaves that snapshot
+    // still expects (failed scan, or silently partial results under
+    // ignoreMissingFiles). Tombstoning keeps them on disk, so the
+    // planned reader returns the correct pre-compaction view.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-race")
+    val rows = embRows
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.ivfIngest(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt")
+    try {
+      (0 until 4).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val queries = rows.filter(_._1 < 5).toSeq.toDF("vec_id", "embedding")
+    def fresh() = StreamingAnn.queryIndex(spark, s"$root/index",
+      s"$root/model.txt", queries, k = 3, probes = 2)
+    def toSet(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val before = toSet(fresh().collect())
+    // plan NOW (visibility snapshot + eager file listing), execute LATER
+    val planned = fresh()
+    val out = StreamingAnn.compactIndex(spark, s"$root/index", minBatches = 2)
+    assert(out.nonEmpty)
+    // the consumed leaves are tombstoned, NOT deleted — still on disk
+    val consumedIds = StreamingAnn.readTombstones(s"$root/index")
+      .map(_._3).toSet
+    assert(consumedIds === Set(0L, 1L, 2L))
+    assert(StreamingAnn.listLeaves(s"$root/index")
+      .exists(l => consumedIds.contains(l._2)),
+      "tombstoned leaves were physically deleted at commit")
+    // the pre-compaction reader executes against intact files and
+    // returns the correct pre-compaction view
+    assert(toSet(planned.collect()) === before,
+      "a reader planned before the compaction lost rows")
+    // fresh readers see the post-compaction view — same results
+    assert(toSet(fresh().collect()) === before)
+    // the owner vacuum reclaims the grace-period leaves; readers
+    // planned AFTER it still agree, and the leaf bound holds
+    assert(StreamingAnn.vacuumIndex(s"$root/index", grace = 0) > 0)
+    assert(toSet(fresh().collect()) === before)
+    StreamingAnn.listLeaves(s"$root/index").groupBy(_._1).foreach {
+      case (c, ls) => assert(ls.size <= 2, s"cell $c leaves: $ls")
+    }
+  }
+
+  test("layout stamps: wrong-flavor queries refused; legacy dirs demand an explicit stamp") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-layout")
+    val rows = embRows
+    // a stamped FULL index (written by ivfIngest)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.ivfIngest(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt")
+    try { input.addData(rows.take(30).toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    assert(StreamingAnn.readLayout(s"$root/index")
+      .exists { case (l, k, d) => l == "full" && k == 8 && d == 64 })
+    val queries = rows.filter(_._1 < 3).toSeq.toDF("vec_id", "embedding")
+    // wrong flavor: refused with the stamp's own description
+    val e1 = intercept[IllegalStateException] {
+      StreamingAnn.queryIndexSq(spark, s"$root/index",
+        s"$root/model.txt", queries, k = 3)
+    }
+    assert(e1.getMessage.contains("layout=full"), e1.getMessage)
+    assert(e1.getMessage.contains("queryIndex"), e1.getMessage)
+    // a LEGACY dir (leaves, no stamp): queries, compaction, and ingest
+    // all demand the explicit stamp
+    val legacy = s"$root/legacy"
+    rows.take(10).toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x * 1000, 0).cast("long")).as("v"))
+      .withColumn("norm2", graft.functions.VecOps.intDot(col("v"), col("v")))
+      .withColumn("cell", lit(0L)).withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").partitionBy("cell", "ingest_batch")
+      .parquet(legacy)
+    val e2 = intercept[IllegalStateException] {
+      StreamingAnn.queryIndex(spark, legacy, s"$root/model.txt", queries, k = 3)
+    }
+    assert(e2.getMessage.contains("stampIndexLayout"), e2.getMessage)
+    val e3 = intercept[IllegalStateException] {
+      StreamingAnn.compactIndex(spark, legacy, minBatches = 1)
+    }
+    assert(e3.getMessage.contains("stampIndexLayout"), e3.getMessage)
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingAnn.ivfIngest(
+      input2.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", legacy, s"$root/ckpt-legacy")
+    val e4 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { input2.addData(rows.take(5).toSeq: _*); q2.processAllAvailable() }
+      finally q2.stop()
+    }
+    assert(e4.getMessage.contains("stampIndexLayout"), e4.getMessage)
+    // the explicit stamp rehabilitates the dir for its real layout
+    StreamingAnn.stampIndexLayout(legacy, "full", 8, 64)
+    assert(StreamingAnn.queryIndex(spark, legacy, s"$root/model.txt",
+      queries, k = 3, probes = 8).collect().nonEmpty)
+    // restamping with a DIFFERENT layout is refused
+    val e5 = intercept[IllegalArgumentException] {
+      StreamingAnn.stampIndexLayout(legacy, "sq8", 8, 64)
+    }
+    assert(e5.getMessage.contains("already stamped"), e5.getMessage)
+  }
+
+  test("compactIfNeeded: indexStats' leaf signal drives the compaction cadence") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-auto")
+    val rows = embRows
+    val bound = 3
+    def visibleLeafMax(): Int = {
+      val excluded = StreamingAnn.readTombstones(s"$root/index")
+        .map(_._3).toSet
+      StreamingAnn.listLeaves(s"$root/index")
+        .filterNot(l => excluded.contains(l._2))
+        .groupBy(_._1).valuesIterator.map(_.size).maxOption.getOrElse(0)
+    }
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.ivfIngest(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt")
+    var compactions = 0
+    var noops = 0
+    try {
+      (0 until 8).foreach { b =>
+        input.addData(rows.filter(_._1 % 8 == b).toSeq: _*)
+        q.processAllAvailable()
+        val out = StreamingAnn.compactIfNeeded(spark, s"$root/index",
+          maxLeavesPerCell = bound, minBatches = 2, vacuumGrace = 0)
+        if (out.nonEmpty) compactions += 1 else noops += 1
+        // the policy holds the visible leaf bound after every epoch
+        assert(visibleLeafMax() <= bound,
+          s"epoch $b: ${visibleLeafMax()} leaves in the worst cell")
+      }
+    } finally q.stop()
+    assert(compactions >= 1, "the bound was never exceeded — weak test")
+    assert(noops >= 1, "every epoch compacted — the trigger is not a trigger")
+    // results intact through the whole maintenance cadence
+    val queries = rows.filter(_._1 < 5).toSeq.toDF("vec_id", "embedding")
+    val res = StreamingAnn.queryIndex(spark, s"$root/index",
+      s"$root/model.txt", queries, k = 3, probes = 8).collect()
+    assert(res.nonEmpty)
+    assert(spark.read.parquet(s"$root/index")
+      .select("vec_id").distinct().count() === rows.length.toLong)
   }
 
   test("replayed leaf after compaction: queries elect one copy, results unchanged") {
@@ -530,7 +713,8 @@ class StreamingAnnSpec extends SparkSuite {
     // decode to the max batch that delivered it
     def payload(vec: Long, b: Long): Seq[Long] =
       Seq(vec * 1000L, b * 1000L, 0L, 0L)
-    def writeLeaf(b: Long, vecs: Seq[Long]): Unit =
+    var stamped = false
+    def writeLeaf(b: Long, vecs: Seq[Long]): Unit = {
       vecs.map(v => (v, payload(v, b)))
         .toDF("vec_id", "v")
         .withColumn("norm2", graft.functions.VecOps.intDot(col("v"), col("v")))
@@ -539,19 +723,20 @@ class StreamingAnnSpec extends SparkSuite {
         .write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").partitionBy("cell", "ingest_batch")
         .parquet(s"$root/index")
-    // the reader's view, exactly as the query paths build it: manifest
-    // as a visibility filter (never recovery), then the newest-wins
-    // election the candidate join applies — several copies of a vec
-    // may be physically visible (a replay re-materializes a leaf the
-    // compacted output already holds); the elected copy is max
-    // (effective batch, raw batch)
-    def visibleRows(): Map[Long, Long] = {
-      val vis = StreamingAnn.readManifest(s"$root/index").map {
-        case ("committed", _, consumed) =>
-          val ids = consumed.map(_._2).distinct
-          !col("ingest_batch").isin(ids: _*)
-        case (_, outId, _) => col("ingest_batch") =!= outId
+      // hand-built index: explicit stamp (compaction refuses unstamped)
+      if (!stamped) {
+        StreamingAnn.stampIndexLayout(s"$root/index", "full", 2, dims)
+        stamped = true
       }
+    }
+    // the reader's view, exactly as the query paths build it: the REAL
+    // visibility filter (manifest + tombstone ledger, never recovery),
+    // then the newest-wins election the candidate join applies —
+    // several copies of a vec may be physically visible (a replay
+    // re-materializes a leaf the compacted output already holds); the
+    // elected copy is max (effective batch, raw batch)
+    def visibleRows(): Map[Long, Long] = {
+      val vis = StreamingAnn.visibilityFilter(s"$root/index")
       val idx0 = spark.read.parquet(s"$root/index")
       val idx = vis.fold(idx0)(idx0.filter)
       val rows = idx.select(col("vec_id"), col("v"),
@@ -576,12 +761,15 @@ class StreamingAnnSpec extends SparkSuite {
       }
     }
     (0 until 200).foreach { step =>
-      rnd.nextInt(4) match {
+      rnd.nextInt(5) match {
         case 0 => // new batch (owner entry: recover first)
           StreamingAnn.recoverIndex(s"$root/index")
           val vecs = (0 until NVecs).filter(_ => rnd.nextBoolean())
             .map(_.toLong)
           if (vecs.nonEmpty) {
+            // owner id-reuse discipline, as the ingests: a new batch id
+            // may collide with a tombstoned one after a lineage reset
+            StreamingAnn.untombstone(s"$root/index", nextBatch)
             writeLeaf(nextBatch, vecs)
             batchContents(nextBatch) = vecs
             vecs.foreach(v => delivered(v) = math.max(delivered.getOrElse(v, -1L), nextBatch))
@@ -592,9 +780,10 @@ class StreamingAnnSpec extends SparkSuite {
             StreamingAnn.recoverIndex(s"$root/index")
             val b = batchContents.keys.toSeq(rnd.nextInt(batchContents.size))
             writeLeaf(b, batchContents(b)) // idempotent rewrite
-            // re-delivery may re-materialize a compacted-away leaf:
-            // the raw copy beats the compacted on an effective tie
-            // (newest-wins), so the model is unchanged
+            // re-delivery may re-materialize a compacted-away leaf —
+            // tombstoned (hidden, compacted copy serves) or, post-
+            // vacuum, visible (raw beats compacted on an effective
+            // tie): either way the elected payload is unchanged
           }
         case 2 => // compaction, possibly crashing at any seam
           val cp = rnd.nextInt(4) // 0 = clean, 1..3 = crash seams
@@ -602,6 +791,8 @@ class StreamingAnnSpec extends SparkSuite {
             minBatches = 2, crashPoint = cp)
         case 3 => // owner recovery
           StreamingAnn.recoverIndex(s"$root/index")
+        case 4 => // vacuum at a random grace (0 = eager reclaim)
+          StreamingAnn.vacuumIndex(s"$root/index", grace = rnd.nextInt(3))
       }
       expect() // the reader invariant must hold after EVERY op
     }
