@@ -34,6 +34,12 @@ object ScaleStress {
     * construction (cross-copy shingle/vector disjointness):
     *  - a_kmeans_train_iter10: assignment is a projection over N× rows;
     *    centroid update aggregates to K·dims groups at any scale.
+    *  - a_kmeans_train_k256: the same linear argument on the LARGE-K
+    *    path (k=256 · dims=64 = 16384 terms > the literal bound, so
+    *    every assignment pass rides the broadcast CentroidMatrix
+    *    expression): K is constant in the factor, the matrix is one
+    *    ~128 KB broadcast, assignment is a projection over N× rows and
+    *    the update aggregates to 256·64 groups at any scale.
     *  - d_contamination: benchmark set (doc_id % 50) grows N× but stays
     *    a broadcast/semi-join side; candidate pairs stay within-copy.
     *  - d_dedup_clusters: VERIFIED pair graph and cluster count grow
@@ -127,7 +133,8 @@ object ScaleStress {
     *  - t_pii_redact: zero-shuffle codegen projection over N× rows —
     *    the pure-scan control for the shuffle-family members.
     */
-  val Queries: Seq[String] = Seq("a_kmeans_train_iter10", "a_knn_ivfpq",
+  val Queries: Seq[String] = Seq("a_kmeans_train_iter10",
+    "a_kmeans_train_k256", "a_knn_ivfpq",
     "a_knn_ivfpq_rerank", "a_knn_ivfsq", "d_bucket_balance",
     "d_contamination", "d_dedup_clusters", "d_line_dedup", "d_minhash_lsh",
     "d_repeated_spans", "d_semantic_dedup", "d_simhash", "p3_stream_ingest",

@@ -31,13 +31,15 @@ PROBE_TIMEOUT = 300          # calm probe ~95 s (+ the untimed warmup pass
                              # would still blow this
 PROBE_DEDUP_MAX = 16.0       # calm warm median ~8-12 s
 PROBE_KMEANS_MAX = 9.0       # calm warm median ~5-7 s
-MAX_SANE_TOTAL = 230.0       # calm r11 anchor: 162.3 s / 106 queries; the
+MAX_SANE_TOTAL = 240.0       # calm r11 anchor: 162.3 s / 106 queries; the
                              # five r12 queries (two reranks ~2-4 s,
                              # cell balance ~0.5 s, two audits ~5 s), the
                              # three r13 queries (ivfsq ~2 s, bucket
-                             # balance ~2-3 s, source quality ~1 s), and
-                             # the three extra recall-table arms put the
-                             # calm full 115-query surface near ~195-210 s
+                             # balance ~2-3 s, source quality ~1 s), the
+                             # three extra recall-table arms, and the r14
+                             # a_kmeans_train_k256 row (~2-4 s: broadcast-
+                             # path training over 5k vectors) put the
+                             # calm full 116-query surface near ~200-215 s
 COOLDOWN = 240
 SF = calmbench.SF
 OUT = calmbench.OUT
