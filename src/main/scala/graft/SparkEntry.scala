@@ -390,6 +390,16 @@ object SparkEntry {
       Ann.semanticDedup(Tables.embeddings(s, dir), SemDedupCosBp,
         kCells = 32).orderBy("vec_id")),
 
+    // Large-K twin: 256 cells x 64 dims exceeds the literal-inlining
+    // bound, so the SERVING assignment (guarded-cosine argmax) rides
+    // the broadcast CentroidMatrix expression — the SemDeDup read
+    // path gated end-to-end at the K regime its own kCells ∝ corpus
+    // rule prescribes (a_kmeans_train_k256 gates the L2 training
+    // twin; this gates nearestCos).
+    "d_semantic_dedup_k256" -> ((s, dir) =>
+      Ann.semanticDedup(Tables.embeddings(s, dir), SemDedupCosBp,
+        kCells = 256).orderBy("vec_id")),
+
     "a_knn_bruteforce" -> ((s, dir) =>
       Ann.knnBruteForce(Tables.embeddings(s, dir), KnnQueries, 5)
         .orderBy("q_id", "rnk")),
@@ -1099,6 +1109,40 @@ object SparkEntry {
        |    ORDER BY n DESC, label) AS rn FROM cl
        |) c ON c.cluster = t.cluster AND c.rn = 1
        |ORDER BY t.cluster""".stripMargin
+  }
+
+  /** SemDeDup oracle parameterized by kCells (the k=32 default and
+    * the k=256 large-K twin share this text, so the two gates cannot
+    * drift): unrolled Lloyd chain -> guarded-cosine cell assignment
+    * (the trained-IVF serving rule) -> keep-first within cells.
+    */
+  private def semanticDedupSql(kCells: Int): String = {
+    val (ctes, _, cent) = kmeansCtes(k = kCells, iterations = 2)
+    s"""$ctes,
+       |rankedc AS (
+       |  SELECT qn.vec_id, qn.v, qn.norm2, c.c_id,
+       |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+       |      (CASE WHEN c.cn2 = 0 OR qn.norm2 = 0 THEN -2.0
+       |       ELSE (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
+       |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) END) DESC, c.c_id) AS c_rn
+       |  FROM qn, $cent c
+       |),
+       |cells AS (
+       |  SELECT vec_id, v, norm2, c_id AS cell FROM rankedc WHERE c_rn = 1
+       |),
+       |dropped AS (
+       |  SELECT DISTINCT x.vec_id
+       |  FROM cells x JOIN cells y
+       |    ON y.cell = x.cell AND y.vec_id < x.vec_id
+       |  WHERE round((CASE WHEN x.norm2 = 0 OR y.norm2 = 0 THEN -2.0
+       |    ELSE (list_sum(list_transform(range(1,65), i -> x.v[i::INT]*y.v[i::INT])))::DOUBLE
+       |      / (sqrt(x.norm2::DOUBLE)*sqrt(y.norm2::DOUBLE)) END) * 10000)::BIGINT
+       |    >= $SemDedupCosBp
+       |)
+       |SELECT a.vec_id, a.cell,
+       |  (CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
+       |FROM cells a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+       |ORDER BY a.vec_id""".stripMargin
   }
 
   /** The shared unrolled Lloyd chain: returns (CTE block, final
@@ -1814,34 +1858,11 @@ object SparkEntry {
     // SemDeDup: the unrolled k-means chain supplies the trained
     // centroids; cell assignment mirrors the trained-IVF oracle, then
     // keep-first = no smaller-id within-cell neighbor at cos >= tau
-    "d_semantic_dedup" -> {
-      val (ctes, _, cent) = kmeansCtes(k = 32, iterations = 2)
-      s"""$ctes,
-         |rankedc AS (
-         |  SELECT qn.vec_id, qn.v, qn.norm2, c.c_id,
-         |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
-         |      (CASE WHEN c.cn2 = 0 OR qn.norm2 = 0 THEN -2.0
-         |       ELSE (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
-         |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) END) DESC, c.c_id) AS c_rn
-         |  FROM qn, $cent c
-         |),
-         |cells AS (
-         |  SELECT vec_id, v, norm2, c_id AS cell FROM rankedc WHERE c_rn = 1
-         |),
-         |dropped AS (
-         |  SELECT DISTINCT x.vec_id
-         |  FROM cells x JOIN cells y
-         |    ON y.cell = x.cell AND y.vec_id < x.vec_id
-         |  WHERE round((CASE WHEN x.norm2 = 0 OR y.norm2 = 0 THEN -2.0
-         |    ELSE (list_sum(list_transform(range(1,65), i -> x.v[i::INT]*y.v[i::INT])))::DOUBLE
-         |      / (sqrt(x.norm2::DOUBLE)*sqrt(y.norm2::DOUBLE)) END) * 10000)::BIGINT
-         |    >= $SemDedupCosBp
-         |)
-         |SELECT a.vec_id, a.cell,
-         |  (CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
-         |FROM cells a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
-         |ORDER BY a.vec_id""".stripMargin
-    },
+    "d_semantic_dedup" -> semanticDedupSql(kCells = 32),
+
+    // Same chain at the large-K regime (the Spark side's broadcast
+    // serving-assignment path) — SQL identical but for k
+    "d_semantic_dedup_k256" -> semanticDedupSql(kCells = 256),
 
     "a_knn_bruteforce" -> annBruteforceSql(5),
 

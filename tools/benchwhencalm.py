@@ -31,15 +31,19 @@ PROBE_TIMEOUT = 300          # calm probe ~95 s (+ the untimed warmup pass
                              # would still blow this
 PROBE_DEDUP_MAX = 16.0       # calm warm median ~8-12 s
 PROBE_KMEANS_MAX = 9.0       # calm warm median ~5-7 s
-MAX_SANE_TOTAL = 240.0       # calm r11 anchor: 162.3 s / 106 queries; the
-                             # five r12 queries (two reranks ~2-4 s,
-                             # cell balance ~0.5 s, two audits ~5 s), the
-                             # three r13 queries (ivfsq ~2 s, bucket
-                             # balance ~2-3 s, source quality ~1 s), the
-                             # three extra recall-table arms, and the r14
-                             # a_kmeans_train_k256 row (~2-4 s: broadcast-
-                             # path training over 5k vectors) put the
-                             # calm full 116-query surface near ~200-215 s
+MAX_SANE_TOTAL = 285.0       # r14 recalibration: two r14 attempts with
+                             # CALM canaries AND calm probes (4.4-6.4 s
+                             # kmeans probe) benched 243/254 s — within 4%
+                             # of each other, nothing like the 2-3x
+                             # throttle swings this gate exists for. The
+                             # shift over r13's 193.7 s is the keying-cost
+                             # move r13's last commit predicted (the r13
+                             # window predates the plan-keyed cache fix —
+                             # correct per-lookup analyzed-plan + file
+                             # fingerprints now price in on every
+                             # cached-family query) plus ~15% window
+                             # warmth visible on untouched x_* rows; the
+                             # calm 116-query surface is now ~245-260 s.
 COOLDOWN = 240
 SF = calmbench.SF
 OUT = calmbench.OUT
