@@ -662,6 +662,15 @@ object StreamingAnn {
     * and the new delivery must not be hidden by a stale tombstone.
     * Directory deletes precede the ledger rewrite (a crash between
     * leaves the id hidden; the re-run completes).
+    *
+    * Residual exposure, documented: this owner-side delete is the one
+    * remaining path that removes files a reader's pre-compaction
+    * snapshot may still reference — it requires a fresh lineage
+    * REUSING a consumed batch id while that reader is in flight
+    * (grace periods cannot help: the old content must be gone before
+    * the id becomes visible again, or it would resurrect under the
+    * new delivery). Same operational class as `vacuumIndex(grace=0)`:
+    * an explicit owner action, not a background commit.
     */
   private[graft] def untombstone(indexDir: String, batchId: Long): Unit = {
     val ts = readTombstones(indexDir)

@@ -209,6 +209,22 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p.take(1500))
   }
 
+  test("large-K gated queries ride the broadcast argmin; never a cartesian") {
+    // at sf0.001 only ~50 seeds exist, so trained K < the switch bound
+    // and the gated queries would exercise the literal plan — audit at
+    // sf0.01 where K really is 256 (the gate's own scale)
+    val sf01 = "/root/testdata/sf0.01"
+    val p1 = plan(SparkEntry.queries("a_kmeans_train_k256")(spark, sf01))
+    assert(p1.contains("nearest_centroid_l2"), p1.take(2000))
+    assert(!p1.contains("CartesianProduct"), p1.take(2000))
+    val p2 = plan(SparkEntry.queries("d_semantic_dedup_k256")(spark, sf01))
+    assert(p2.contains("nearest_centroid_cos"), p2.take(2000))
+    assert(!p2.contains("CartesianProduct"), p2.take(2000))
+    // the within-cell pair join stays an equi-join on the cell key
+    assert(p2.contains("SortMergeJoin") || p2.contains("BroadcastHashJoin") ||
+      p2.contains("ShuffledHashJoin"), p2.take(2000))
+  }
+
   test("trained IVF: corpus never cartesians; probes broadcast at K=const rows") {
     // the scale fix over stride-IVF (K = n/stride): cell assignment is
     // a literal-argmax projection, so the CORPUS side may never plan a

@@ -701,11 +701,19 @@ class StreamingAnnSpec extends SparkSuite {
   }
 
   test("randomized model check: visibility invariant across ingest/replay/crash/recovery") {
+    // default one seed in the suite; hunts run many:
+    //   GRAFT_MODEL_SEEDS=0,1,2,3,4,5,6,7 sbt "testOnly ... -- -z randomized"
+    val seeds = sys.env.getOrElse("GRAFT_MODEL_SEEDS", "42")
+      .split(",").toSeq.map(_.trim.toLong)
+    seeds.foreach(runModelCheck)
+  }
+
+  private def runModelCheck(seed: Long): Unit = {
     val spark0 = spark
     import spark0.implicits._
-    val root = tmpDir("st-ann-model")
+    val root = tmpDir(s"st-ann-model-$seed")
     val dims = 4
-    val rnd = new scala.util.Random(42)
+    val rnd = new scala.util.Random(seed)
     val NVecs = 12
     // payload encodes (vec, delivering batch): a replay of batch b
     // rewrites b's ORIGINAL payload (deterministic assignment under a
@@ -755,9 +763,10 @@ class StreamingAnnSpec extends SparkSuite {
     def expect(): Unit = {
       if (delivered.isEmpty) return // nothing ingested yet — no dir
       val vis = visibleRows()
-      assert(vis.keySet === delivered.keySet.toSet)
+      assert(vis.keySet === delivered.keySet.toSet, s"seed $seed")
       delivered.foreach { case (v, b) =>
-        assert(vis(v) === b, s"vec $v visible from batch ${vis(v)}, newest $b")
+        assert(vis(v) === b,
+          s"seed $seed: vec $v visible from batch ${vis(v)}, newest $b")
       }
     }
     (0 until 200).foreach { step =>
