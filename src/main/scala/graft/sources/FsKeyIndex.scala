@@ -90,6 +90,32 @@ class FsKeyIndex(spark: SparkSession, val root: String) {
     fs.delete(new Path(backupDir), true)
     ()
   }
+
+  /** Data-file count of the append-only log — the read-amplification
+    * signal ([[add]] appends one file per written partition per batch,
+    * and every [[keys]] scan opens every log file). Metadata-only
+    * (one directory listing).
+    */
+  def logFileCount(): Int = {
+    recover()
+    if (!fs.exists(new Path(keysDir))) 0
+    else fs.listStatus(new Path(keysDir))
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+  }
+
+  /** Codified compaction cadence — the key-index analog of
+    * [[graft.streaming.StreamingAnn.compactIfNeeded]]: rewrite the log
+    * to one row per key when its data-file count exceeds
+    * `maxLogFiles`, so the per-batch `batch ⋈ keys` scan stays bounded
+    * under a long-lived ingest instead of opening one more file per
+    * batch forever. Same single-writer contract as [[compact]] (run
+    * between batches from the owner context). Returns true when a
+    * compaction ran.
+    */
+  def compactIfNeeded(maxLogFiles: Int): Boolean = {
+    require(maxLogFiles >= 1, s"maxLogFiles must be >= 1, got $maxLogFiles")
+    if (logFileCount() > maxLogFiles) { compact(); true } else false
+  }
 }
 
 object FsKeyIndex {

@@ -48,7 +48,8 @@ object StreamingCuration {
     * dedup state between them.
     */
   def dedupIngest(docs: DataFrame, index: FsKeyIndex, corpusDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      autoCompactMaxFiles: Option[Int] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -68,6 +69,12 @@ object StreamingCuration {
           .partitionBy("ingest_batch")
           .parquet(corpusDir)
         index.add(survivors.select("k"))
+        // codified index-maintenance cadence (opt-in): this is the
+        // single-writer between-batches window FsKeyIndex.compact
+        // documents — the batch's keys() scan completed at the eager
+        // localCheckpoint above, the corpus write and index add are
+        // durable, and the next batch reads keys() fresh
+        autoCompactMaxFiles.foreach(index.compactIfNeeded)
       }
       .start()
 
@@ -144,7 +151,8 @@ object StreamingCuration {
   def nearDupIngest(docs: DataFrame, index: FsKeyIndex, corpusDir: String,
       checkpointDir: String,
       bands: Int = graft.operators.Dedup.ProdBands,
-      rows: Int = graft.operators.Dedup.ProdRows): StreamingQuery = {
+      rows: Int = graft.operators.Dedup.ProdRows,
+      autoCompactMaxFiles: Option[Int] = None): StreamingQuery = {
     ensureGeometry(index.root, bands, rows)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -200,6 +208,7 @@ object StreamingCuration {
           .parquet(corpusDir)
         index.add(banded.join(survivors, Seq("doc_id"))
           .select(col("ikey").as("k")))
+        autoCompactMaxFiles.foreach(index.compactIfNeeded) // as dedupIngest
       }
       .start()
   }

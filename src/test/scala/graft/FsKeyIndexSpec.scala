@@ -62,6 +62,31 @@ class FsKeyIndexSpec extends SparkSuite {
     assert(spark.read.parquet(s"$root/keys").count() === before.size.toLong)
   }
 
+  test("compactIfNeeded: the log-file signal drives the compaction cadence") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmpDir("keyidx-auto")
+    val idx = FsKeyIndex(spark, root)
+    val bound = 6
+    var compactions = 0
+    var noops = 0
+    val allKeys = scala.collection.mutable.Set.empty[Long]
+    (1 to 8).foreach { b =>
+      val ks = Seq(b * 10L, b * 10L + 1L)
+      idx.add(ks.toDF("k"))
+      allKeys ++= ks
+      if (idx.compactIfNeeded(bound)) compactions += 1 else noops += 1
+      // the policy holds the file bound after every batch (a compact
+      // rewrites the log to at most shuffle-partition-many files)
+      assert(idx.logFileCount() <= bound,
+        s"batch $b: ${idx.logFileCount()} log files")
+      // and never loses or invents a key
+      assert(idx.keys().collect().map(_.getLong(0)).toSet === allKeys.toSet)
+    }
+    assert(compactions >= 1, "the bound was never exceeded — weak test")
+    assert(noops >= 1, "every batch compacted — the trigger is not a trigger")
+  }
+
   test("a crash between compaction's two renames is recovered, not an empty index") {
     val root = tmpDir("keyidx-crash")
     val idx = FsKeyIndex(spark, root)
