@@ -572,15 +572,19 @@ object StreamingAnn {
     */
   def vacuumIndex(indexDir: String, grace: Int = 1): Int = {
     require(grace >= 0, s"vacuum grace must be >= 0, got $grace")
-    val ts = readTombstones(indexDir)
-    if (ts.isEmpty) return 0
-    val maxStamp = ts.map(_._1).max
-    val (old, keep) = ts.partition(_._1 <= maxStamp - grace)
-    old.foreach { case (_, c, b) =>
-      deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$b"))
+    ledgerLock(indexDir).synchronized {
+      val ts = readTombstones(indexDir)
+      if (ts.isEmpty) 0
+      else {
+        val maxStamp = ts.map(_._1).max
+        val (old, keep) = ts.partition(_._1 <= maxStamp - grace)
+        old.foreach { case (_, c, b) =>
+          deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$b"))
+        }
+        if (old.nonEmpty) writeTombstones(indexDir, keep)
+        old.size
+      }
     }
-    if (old.nonEmpty) writeTombstones(indexDir, keep)
-    old.size
   }
 
   /** Codified maintenance cadence: read the (metadata-only) visible
@@ -607,6 +611,19 @@ object StreamingAnn {
     vacuumIndex(indexDir, vacuumGrace)
     out
   }
+
+  /** One monitor per index dir serializing ledger read-modify-writes
+    * (the FsKeyIndex.lockFor pattern). The cross-process contract is
+    * single-owner anyway — and every interleaving of the owner ops is
+    * idempotent by construction (adds dedupe on (cell, batch), vacuum
+    * re-runs tolerate gone dirs, a resurrected entry only
+    * over-excludes) — but in-JVM the monitor makes a stray concurrent
+    * owner a provable no-op instead of an argued one.
+    */
+  private val ledgerLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def ledgerLock(indexDir: String): Object =
+    ledgerLocks.getOrElseUpdate(indexDir, new Object)
 
   /** Tombstone ledger: `(stamp, cell, batch)` lines at
     * `_tombstones`, stamp = the generation counter ([[vacuumIndex]]'
@@ -643,16 +660,17 @@ object StreamingAnn {
     * batch), keeping the original stamp.
     */
   private def addTombstones(indexDir: String,
-      consumed: Seq[(Long, Long)]): Unit = {
-    val existing = readTombstones(indexDir)
-    val have = existing.map { case (_, c, b) => (c, b) }.toSet
-    val fresh = consumed.filterNot(have)
-    if (fresh.nonEmpty) {
-      val stamp = (existing.map(_._1) :+ 0L).max + 1
-      writeTombstones(indexDir,
-        existing ++ fresh.map { case (c, b) => (stamp, c, b) })
+      consumed: Seq[(Long, Long)]): Unit =
+    ledgerLock(indexDir).synchronized {
+      val existing = readTombstones(indexDir)
+      val have = existing.map { case (_, c, b) => (c, b) }.toSet
+      val fresh = consumed.filterNot(have)
+      if (fresh.nonEmpty) {
+        val stamp = (existing.map(_._1) :+ 0L).max + 1
+        writeTombstones(indexDir,
+          existing ++ fresh.map { case (c, b) => (stamp, c, b) })
+      }
     }
-  }
 
   /** Owner-side batch-id reuse (a FRESH checkpoint lineage restarts at
     * batch 0, which an earlier compaction may have consumed): before
@@ -672,16 +690,17 @@ object StreamingAnn {
     * new delivery). Same operational class as `vacuumIndex(grace=0)`:
     * an explicit owner action, not a background commit.
     */
-  private[graft] def untombstone(indexDir: String, batchId: Long): Unit = {
-    val ts = readTombstones(indexDir)
-    val (mine, keep) = ts.partition(_._3 == batchId)
-    if (mine.nonEmpty) {
-      mine.foreach { case (_, c, b) =>
-        deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$b"))
+  private[graft] def untombstone(indexDir: String, batchId: Long): Unit =
+    ledgerLock(indexDir).synchronized {
+      val ts = readTombstones(indexDir)
+      val (mine, keep) = ts.partition(_._3 == batchId)
+      if (mine.nonEmpty) {
+        mine.foreach { case (_, c, b) =>
+          deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$b"))
+        }
+        writeTombstones(indexDir, keep)
       }
-      writeTombstones(indexDir, keep)
     }
-  }
 
   private def tombstonePath(indexDir: String) =
     java.nio.file.Paths.get(indexDir, "_tombstones")

@@ -548,6 +548,49 @@ class StreamingAnnSpec extends SparkSuite {
     }
   }
 
+  test("vacuum grace counts tombstone generations: older generations reclaimed, newest kept") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = tmpDir("st-ann-grace")
+    val dims = 4
+    def leaf(batch: Long, vecs: Seq[Long]): Unit =
+      vecs.map(v => (v, Seq(v * 1000L, 0L, 0L, 0L)))
+        .toDF("vec_id", "v")
+        .withColumn("norm2", graft.functions.VecOps.intDot(col("v"), col("v")))
+        .withColumn("cell", lit(0L))
+        .withColumn("ingest_batch", lit(batch))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy("cell", "ingest_batch")
+        .parquet(s"$root/index")
+    leaf(0L, Seq(1L)); leaf(1L, Seq(2L)); leaf(2L, Seq(3L))
+    StreamingAnn.stampIndexLayout(s"$root/index", "full", 1, dims)
+    // generation 1: compact consumes batches 0,1 (newest 2 survives)
+    assert(StreamingAnn.compactIndex(spark, s"$root/index",
+      minBatches = 2).nonEmpty)
+    val gen1 = StreamingAnn.readTombstones(s"$root/index")
+    assert(gen1.map(_._3).toSet === Set(0L, 1L) && gen1.map(_._1).distinct === Seq(1L))
+    // generation 2: two more raw leaves, compact again
+    leaf(3L, Seq(4L)); leaf(4L, Seq(5L))
+    assert(StreamingAnn.compactIndex(spark, s"$root/index",
+      minBatches = 2).nonEmpty)
+    val gen2 = StreamingAnn.readTombstones(s"$root/index")
+    assert(gen2.map(_._1).max === 2L, gen2.toString)
+    // grace=1: generation-1 entries reclaimed (their dirs gone),
+    // generation-2 entries (the newest) survive untouched
+    val reclaimed = StreamingAnn.vacuumIndex(s"$root/index", grace = 1)
+    assert(reclaimed === gen1.size, s"reclaimed $reclaimed of ${gen1.size}")
+    val after = StreamingAnn.readTombstones(s"$root/index")
+    assert(after.map(_._1).distinct === Seq(2L))
+    val leaves = StreamingAnn.listLeaves(s"$root/index").map(_._2).toSet
+    assert(!leaves.contains(0L) && !leaves.contains(1L), leaves.toString)
+    assert(after.map(_._3).forall(leaves.contains), "gen-2 dirs must survive")
+    // grace=1 again with no new generation: the newest stays put
+    assert(StreamingAnn.vacuumIndex(s"$root/index", grace = 1) === 0)
+    // grace=0 clears the rest; ledger file gone
+    assert(StreamingAnn.vacuumIndex(s"$root/index", grace = 0) === after.size)
+    assert(StreamingAnn.readTombstones(s"$root/index").isEmpty)
+  }
+
   test("layout stamps: wrong-flavor queries refused; legacy dirs demand an explicit stamp") {
     val spark0 = spark
     import spark0.implicits._
