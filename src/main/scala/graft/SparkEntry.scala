@@ -533,6 +533,13 @@ object SparkEntry {
       TextAnalysis.quotaSample(Tables.documents(s, dir))
         .orderBy("source", "rnk")),
 
+    // T17: DSIR-shaped importance selection — target = the corpus' own
+    // 'en' stratum, integer-exact likelihood-ratio-surrogate weights
+    // over 1024 hashed unigram+bigram buckets
+    "t_dsir_select" -> ((s, dir) =>
+      TextAnalysis.dsirSelect(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // decontamination: docs with doc_id % 50 == 0 stand in for the
     // held-out benchmark set; flag training docs sharing >= 3 capped
     // shingles with any benchmark doc
@@ -2109,6 +2116,47 @@ object SparkEntry {
         |           ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id))::INT AS rnk
         |  FROM documents
         |) WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
+    // DSIR-shaped importance selection: unigram+bigram grams hashed
+    // into 1024 buckets, Laplace-smoothed integer probability-difference
+    // weights (S = 1e9), score = sum over doc grams, kept = score >= 0
+    "t_dsir_select" ->
+      s"""WITH $NormCte,
+         |toks AS (SELECT doc_id, lang, string_split(t, ' ') AS a FROM norm),
+         |grams AS (
+         |  SELECT doc_id,
+         |         (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS is_tgt,
+         |         (${sqlH60("gram")} % 1024) AS g
+         |  FROM (
+         |    SELECT doc_id, lang, unnest(list_concat(a,
+         |      list_transform(range(1, len(a)),
+         |        i -> a[i::INT] || '_' || a[(i+1)::INT]))) AS gram
+         |    FROM toks
+         |  )
+         |),
+         |dg AS (
+         |  SELECT doc_id, g, max(is_tgt) AS is_tgt, count(*)::BIGINT AS c
+         |  FROM grams GROUP BY 1, 2
+         |),
+         |cnt AS (
+         |  SELECT g, sum(c)::BIGINT AS c_raw, sum(c * is_tgt)::BIGINT AS c_tgt
+         |  FROM dg GROUP BY g
+         |),
+         |tot AS (SELECT sum(c_raw)::BIGINT AS tot_raw,
+         |               sum(c_tgt)::BIGINT AS tot_tgt FROM cnt),
+         |w AS (
+         |  SELECT g, (((c_tgt + 1) * 1000000000 // (tot_tgt + 1024))
+         |           - ((c_raw + 1) * 1000000000 // (tot_raw + 1024)))::BIGINT AS w
+         |  FROM cnt, tot
+         |),
+         |sc AS (
+         |  SELECT dg.doc_id, sum(dg.c * w.w)::BIGINT AS score
+         |  FROM dg JOIN w USING (g) GROUP BY dg.doc_id
+         |)
+         |SELECT d.doc_id, d.lang, coalesce(sc.score, 0)::BIGINT AS score,
+         |       (CASE WHEN coalesce(sc.score, 0) >= 0 THEN 1 ELSE 0 END)::BIGINT AS kept
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "d_contamination" ->
       s"""WITH $NormCte, $ShCte,

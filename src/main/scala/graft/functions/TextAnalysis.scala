@@ -171,6 +171,74 @@ object TextAnalysis {
         col("tok"), col("score"))
   }
 
+  /** T17: DSIR-shaped importance-weighted data selection (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling" — hashed n-gram importance weights): score every
+    * document by how much MORE likely its features are under a TARGET
+    * distribution than under the raw corpus, and keep the documents
+    * the target prefers. Features are the paper's hashed n-grams —
+    * unigrams + bigrams of the normalized tokens, bucketed by the
+    * shared portable 60-bit hash into `numBuckets` counts — and the
+    * per-bucket weight is an integer-exact Laplace-smoothed
+    * likelihood-ratio surrogate:
+    *
+    *   w(g) = (c_tgt(g)+1)·S div (tot_tgt+B) − (c_raw(g)+1)·S div (tot_raw+B)
+    *
+    * i.e. the (smoothed, 10⁻⁹-granular) probability DIFFERENCE rather
+    * than the paper's log ratio — `log` is not bit-portable across
+    * engines, and the difference keeps the same sign per bucket and
+    * the same keep/drop behavior at the ≥ 0 margin. A document's
+    * score is Σ over its grams (with multiplicity) of w(g); `kept` is
+    * score ≥ 0 ("at least as target-like as raw-average"). The target
+    * here is a language stratum (the corpus' own labels); production
+    * would pass any labeled exemplar set the same way.
+    *
+    * Scale: one projection explodes grams carrying an is-target flag
+    * (target membership never joins the corpus), ONE shuffle builds
+    * the (doc, bucket) count table — partial-aggregated map-side, a
+    * doc's grams are co-located by construction — from which BOTH the
+    * numBuckets-row weight table (second partial agg, bucket-scale)
+    * and the per-doc rollup derive; the weight table joins back as a
+    * BROADCAST, and identical subplans share the (doc, bucket)
+    * exchange via ReuseExchange. Nothing corpus-scale moves twice.
+    */
+  def dsirSelect(docs: DataFrame, targetLang: String = "en",
+      numBuckets: Int = 1024): DataFrame = {
+    val S = 1000000000L
+    val a = split(normText(col("text")), " ")
+    val bigrams = zip_with(
+      slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
+      (x, y) => concat(x, lit("_"), y))
+    val grams = docs.select(col("doc_id"),
+        (col("lang") === targetLang).cast("long").as("is_tgt"),
+        explode(concat(a, bigrams)).as("gram"))
+      .select(col("doc_id"), col("is_tgt"),
+        (hexHash60(col("gram")) % numBuckets).as("g"))
+    // materialize the (doc, bucket) counts ONCE: three consumers
+    // (bucket counts, totals, per-doc scores) would otherwise each
+    // re-run the gram explode + per-gram md5 — the dominant cost — as
+    // separate subplans (the shared-spine idiom of recallTable; a
+    // long-lived pipeline would .persist() the same table)
+    val dg = grams.groupBy("doc_id", "g")
+      .agg(max("is_tgt").as("is_tgt"), count(lit(1)).as("c"))
+      .localCheckpoint()
+    val counts = dg.groupBy("g")
+      .agg(sum("c").as("c_raw"), sum(expr("c * is_tgt")).as("c_tgt"))
+    val weights = broadcast(counts
+      .crossJoin(broadcast(counts.agg(sum("c_raw").as("tot_raw"),
+        sum("c_tgt").as("tot_tgt"))))
+      .select(col("g"),
+        (expr(s"(c_tgt + 1) * $S div (tot_tgt + $numBuckets)") -
+          expr(s"(c_raw + 1) * $S div (tot_raw + $numBuckets)")).as("w")))
+    val scores = dg.join(weights, Seq("g"))
+      .groupBy("doc_id").agg(sum(expr("c * w")).as("score"))
+    docs.select("doc_id", "lang")
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (coalesce(col("score"), lit(0L)) >= 0).cast("long").as("kept"))
+  }
+
   /** Per-group quota sampling: keep at most `quota` documents per
     * source, elected by content-independent hash order — the
     * per-domain cap every web-scale corpus applies, deterministic

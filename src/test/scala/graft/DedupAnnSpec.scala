@@ -629,6 +629,48 @@ class DedupAnnSpec extends SparkSuite {
     assert((p1 & brute).size < (p2 & brute).size)
   }
 
+  test("DSIR selection matches an exact driver recount; target docs outrank off-target") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two clean strata: en docs share en grams, fr docs fr grams
+    val rows = Seq(
+      (1L, "the cat and the dog of the house", "en"),
+      (2L, "the quick fox and the hen of the barn", "en"),
+      (3L, "le chat et le chien de la maison", "fr"),
+      (4L, "le renard et la poule de la ferme", "fr"))
+    val df = rows.toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.dsirSelect(df, targetLang = "en").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // exact driver replication of the operator's integer arithmetic
+    val B = 1024L
+    val S = 1000000000L
+    def norm(s: String) = s.toLowerCase
+      .replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+    def grams(s: String): Seq[Long] = {
+      val t = norm(s).split(" ", -1).toSeq
+      val all = t ++ t.zip(t.drop(1)).map { case (x, y) => s"${x}_$y" }
+      all.map(g => graft.functions.Portable.jvmHexHash60(g.getBytes("UTF-8")) % B)
+    }
+    val perDoc = rows.map { case (id, text, lang) => (id, grams(text), lang) }
+    val cRaw = perDoc.flatMap(_._2).groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+    val cTgt = perDoc.filter(_._3 == "en").flatMap(_._2)
+      .groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+    val totRaw = cRaw.values.sum
+    val totTgt = cTgt.values.sum
+    def w(g: Long) = (cTgt.getOrElse(g, 0L) + 1) * S / (totTgt + B) -
+      (cRaw(g) + 1) * S / (totRaw + B)
+    perDoc.foreach { case (id, gs, _) =>
+      val score = gs.map(w).sum
+      assert(got(id) === ((score, if (score >= 0) 1L else 0L)), s"doc $id")
+    }
+    // selection behavior: every en doc outranks every fr doc, and the
+    // en docs clear the >= 0 keep margin
+    val enMin = Seq(1L, 2L).map(got(_)._1).min
+    val frMax = Seq(3L, 4L).map(got(_)._1).max
+    assert(enMin > frMax, s"en min $enMin vs fr max $frMax")
+    assert(Seq(1L, 2L).forall(got(_)._2 === 1L))
+  }
+
   test("language id is deterministic and covers all docs") {
     val out = TextAnalysis.langId(docs)
     assert(out.count() === docs.count())

@@ -225,6 +225,15 @@ class PlanAuditSpec extends SparkSuite {
       p2.contains("ShuffledHashJoin"), p2.take(2000))
   }
 
+  test("DSIR selection: bucket weights broadcast; never a cartesian") {
+    // the weight table is numBuckets rows (1024) — it must come back
+    // to the (doc, bucket) table as a broadcast, and nothing in the
+    // chain may plan a cartesian
+    val p = plan(SparkEntry.queries("t_dsir_select")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("trained IVF: corpus never cartesians; probes broadcast at K=const rows") {
     // the scale fix over stride-IVF (K = n/stride): cell assignment is
     // a literal-argmax projection, so the CORPUS side may never plan a
