@@ -386,6 +386,14 @@ object SparkEntry {
     // so quadrupling cells quarters the work (8 cells over sf0.1's
     // 50k vectors ≈ 156M total pairs; 32 cells ≈ 39M, 4× less — the
     // PER-CELL figure is what drops 16×, 19.5M → 1.2M)
+    // D18: ExactSubstr strip — the remedy to d_repeated_spans' signal:
+    // repeated w-token spans keep their first occurrence corpus-wide,
+    // every other occurrence's token range is removed; gate proves the
+    // reassembled text hash, not just the counts
+    "d_span_strip" -> ((s, dir) =>
+      Dedup.spanStrip(Tables.documents(s, dir), SpanW)
+        .orderBy("doc_id")),
+
     "d_semantic_dedup" -> ((s, dir) =>
       Ann.semanticDedup(Tables.embeddings(s, dir), SemDedupCosBp,
         kCells = 32).orderBy("vec_id")),
@@ -924,6 +932,28 @@ object SparkEntry {
 
   private val TokCte =
     """tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm)""".stripMargin
+
+  /** w-token rolling-window CTEs (`toks` + `wins`: doc_id, pos, h with
+    * the poly hash mod 2^31−1 over 20-bit token hashes) — shared
+    * verbatim by the `d_repeated_spans` (signal) and `d_span_strip`
+    * (remedy) oracles so the two cannot drift. Assumes `norm` in scope.
+    */
+  private lazy val SpanWinsCtes =
+    s"""toks AS (
+       |  SELECT doc_id, list_transform(string_split(t, ' '),
+       |                                x -> ${H20.format("x")}) AS th
+       |  FROM norm
+       |),
+       |wins AS (
+       |  SELECT doc_id,
+       |    unnest(ps) AS pos,
+       |    unnest(list_transform(ps, p ->
+       |      list_reduce(list_prepend(0::BIGINT, list_slice(th, p+1, p+$SpanW)),
+       |        (a,b) -> (a*31+b) % 2147483647))) AS h
+       |  FROM (SELECT doc_id, th,
+       |          list_transform(generate_series(0, len(th)-$SpanW), i -> i) AS ps
+       |        FROM toks WHERE len(th) >= $SpanW)
+       |)""".stripMargin
 
   /** The curation pipeline's stage CTEs (keepers / quality / langp /
     * contam / spl — mirrors Pipelines.curatedCorpus's per-stage
@@ -1822,24 +1852,12 @@ object SparkEntry {
 
     // w-token rolling windows over 20-bit token hashes (poly hash mod
     // 2^31-1, mirrors Dedup.repeatedSpans); zipped unnests explode the
-    // per-doc position/window-hash lists
+    // per-doc position/window-hash lists. The toks/wins CTEs are shared
+    // verbatim with the d_span_strip oracle (SpanWinsCtes) so the
+    // signal row and the remedy row cannot drift.
     "d_repeated_spans" ->
       s"""WITH $NormCte,
-         |toks AS (
-         |  SELECT doc_id, list_transform(string_split(t, ' '),
-         |                                x -> ${H20.format("x")}) AS th
-         |  FROM norm
-         |),
-         |wins AS (
-         |  SELECT doc_id,
-         |    unnest(ps) AS pos,
-         |    unnest(list_transform(ps, p ->
-         |      list_reduce(list_prepend(0::BIGINT, list_slice(th, p+1, p+$SpanW)),
-         |        (a,b) -> (a*31+b) % 2147483647))) AS h
-         |  FROM (SELECT doc_id, th,
-         |          list_transform(generate_series(0, len(th)-$SpanW), i -> i) AS ps
-         |        FROM toks WHERE len(th) >= $SpanW)
-         |),
+         |$SpanWinsCtes,
          |per_doc AS (
          |  SELECT h, doc_id, count(*)::BIGINT AS n_in_doc FROM wins GROUP BY 1, 2
          |),
@@ -1860,6 +1878,53 @@ object SparkEntry {
          |  coalesce(r.n_dup_windows, 0)::BIGINT AS n_dup_windows,
          |  coalesce(r.n_xdoc_windows, 0)::BIGINT AS n_xdoc_windows
          |FROM documents d LEFT JOIN rolled r ON d.doc_id = r.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // ExactSubstr strip: shared wins CTEs -> packed-min first-occurrence
+    // election per repeated hash -> covered token ranges removed ->
+    // reassembled text hashed exactly
+    "d_span_strip" ->
+      s"""WITH $NormCte,
+         |$SpanWinsCtes,
+         |dup AS (
+         |  SELECT h, count(*)::BIGINT AS n_occ,
+         |         min(doc_id * 1048576 + pos)::BIGINT AS keeper
+         |  FROM wins GROUP BY h
+         |),
+         |marked AS (
+         |  SELECT w.doc_id, w.pos
+         |  FROM wins w JOIN dup ON w.h = dup.h
+         |  WHERE dup.n_occ > 1 AND w.doc_id * 1048576 + w.pos <> dup.keeper
+         |),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, pos + j AS p
+         |  FROM marked, generate_series(0, ${SpanW - 1}) g(j)
+         |),
+         |tokpos AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(0, len(a)-1))::BIGINT AS p,
+         |         unnest(a) AS tok
+         |  FROM (SELECT doc_id, string_split(t, ' ') AS a FROM norm)
+         |),
+         |keptt AS (
+         |  SELECT t.doc_id, t.p, t.tok
+         |  FROM tokpos t LEFT JOIN covered c
+         |    ON t.doc_id = c.doc_id AND t.p = c.p
+         |  WHERE c.doc_id IS NULL
+         |),
+         |reb AS (
+         |  SELECT doc_id, count(*)::BIGINT AS kept_tokens,
+         |         string_agg(tok, ' ' ORDER BY p) AS stripped
+         |  FROM keptt GROUP BY doc_id
+         |),
+         |nt AS (SELECT doc_id, len(string_split(t, ' '))::BIGINT AS n_toks FROM norm)
+         |SELECT d.doc_id, nt.n_toks,
+         |       coalesce(reb.kept_tokens, 0)::BIGINT AS kept_tokens,
+         |       (nt.n_toks - coalesce(reb.kept_tokens, 0))::BIGINT AS dropped_tokens,
+         |       ${sqlH60("coalesce(reb.stripped, '')")} AS stripped_hash
+         |FROM documents d
+         |JOIN nt ON d.doc_id = nt.doc_id
+         |LEFT JOIN reb ON d.doc_id = reb.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
     // SemDeDup: the unrolled k-means chain supplies the trained

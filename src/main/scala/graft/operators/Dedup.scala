@@ -901,6 +901,90 @@ object Dedup {
         coalesce(col("n_xdoc_windows"), lit(0L)).as("n_xdoc_windows"))
   }
 
+  /** D18: exact-substring span STRIP — the remedy to [[repeatedSpans]]'
+    * signal (Lee et al. 2022's ExactSubstr deduplication: verbatim
+    * spans repeated ANYWHERE in the corpus are memorization fuel, and
+    * doc-level near-dup passes never see them). Every w-token window
+    * whose rolling hash occurs more than once corpus-wide keeps its
+    * FIRST occurrence — min (doc_id, pos), packed into one integer so
+    * a single partial-agg `min` elects it bit-identically in both
+    * engines — and every OTHER occurrence's token range is removed
+    * from its document. Output per doc: token counts kept/dropped and
+    * the exact 60-bit hash of the reassembled stripped text (the same
+    * reassembly-hash discipline as [[lineDedup]] — the oracle proves
+    * the rebuilt STRING, not just the counts).
+    *
+    * Window rule shared verbatim with [[repeatedSpans]] (w-token
+    * rolling poly hash over 20-bit token hashes, stride 1), so the
+    * signal row and the remedy row cannot drift.
+    *
+    * Scale: window generation is the same pure projection as
+    * [[repeatedSpans]]; the election is one partial-agg `groupBy(h)`
+    * (window-universe scale, boilerplate spans collapse map-side); the
+    * marked ranges explode to ≤ w rows each (w = 8 — bounded fanout,
+    * never raw-text scale beyond the token table itself); the rebuild
+    * is one `groupBy(doc_id)` whose input is co-located per doc and
+    * partial-aggregates. No self-join, no window function, no
+    * cartesian.
+    */
+  def spanStrip(docs: DataFrame, w: Int = 8): DataFrame = {
+    val P = 1L << 20
+    val MaxDoc = 1L << 42
+    val base = docs.select(col("doc_id"),
+        split(normText(col("text")), " ").as("tk"))
+      .withColumn("n_toks", size(col("tk")).cast("long"))
+    val wins = base.filter(col("n_toks") >= w)
+      .withColumn("th", transform(col("tk"), t => hexHash20(t)))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), (col("n_toks") - w).cast("int")),
+        i => struct(i.cast("long").as("pos"),
+          aggregate(slice(col("th"), i + 1, lit(w)), lit(0L),
+            (acc, h) => (acc * 31L + h) % 2147483647L).as("h")))).as("wn"))
+      .select(col("doc_id"), col("wn.pos").as("pos"), col("wn.h").as("h"))
+    // fail-CLOSED packed-key guard (the qualityKeeper discipline): a
+    // doc_id ≥ 2^42 or a position ≥ 2^20 would alias the election key
+    val packed = when(col("doc_id") < 0 || col("doc_id") >= MaxDoc,
+        raise_error(concat(lit("spanStrip: doc_id outside packed range "
+          + "[0, 2^42): "), col("doc_id").cast("string"))))
+      .when(col("pos") >= P,
+        raise_error(concat(lit("spanStrip: window position outside "
+          + "packed range [0, 2^20): "), col("pos").cast("string"))))
+      .otherwise(col("doc_id") * P + col("pos"))
+    // materialize the packed window table once (three longs per
+    // window): its two consumers — the election and the marked join —
+    // would otherwise each re-run the tokenize + per-token md5 +
+    // window projection (the dominant cost; the dsirSelect/recallTable
+    // shared-spine idiom)
+    val keyed = wins.withColumn("pk", packed).localCheckpoint()
+    val dup = keyed.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"), min("pk").as("keeper"))
+    val marked = keyed.join(dup, Seq("h"))
+      .filter(col("n_occ") > 1 && col("pk") =!= col("keeper"))
+      .select("doc_id", "pos")
+    // per-doc covered-position SETS, not exploded token rows: the only
+    // shuffled table is marked-window-scale (each marked window covers
+    // ≤ w positions), and the REBUILD is then a pure projection over
+    // the original token array — no token-level shuffle, no per-doc
+    // collect_list of the corpus text (the memory shape that matters
+    // at 100 TB). Worst case per doc is |cov|·n_toks membership
+    // checks — bounded by the doc's own length squared, never by the
+    // corpus.
+    val coveredPerDoc = marked
+      .select(col("doc_id"), explode(sequence(col("pos"),
+        col("pos") + (w - 1))).as("p"))
+      .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+    val rebuilt = base.join(coveredPerDoc, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), typedLit(Seq.empty[Long])))
+      .withColumn("kept_arr", filter(col("tk"),
+        (_, i) => !array_contains(col("cov"), i.cast("long"))))
+    rebuilt.select(col("doc_id"), col("n_toks"),
+      size(col("kept_arr")).cast("long").as("kept_tokens"),
+      (col("n_toks") - size(col("kept_arr")).cast("long"))
+        .as("dropped_tokens"),
+      graft.functions.Portable.hexHash60(
+        concat_ws(" ", col("kept_arr"))).as("stripped_hash"))
+  }
+
   // ---- helpers ----
 
   /** doc_id + distinct k-shingles of the normalized text. Docs shorter

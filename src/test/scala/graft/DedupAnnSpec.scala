@@ -629,6 +629,30 @@ class DedupAnnSpec extends SparkSuite {
     assert((p1 & brute).size < (p2 & brute).size)
   }
 
+  test("spanStrip: first occurrence survives, other repeats stripped, exact reassembly") {
+    val spark0 = spark
+    import spark0.implicits._
+    def h(s: String) =
+      graft.functions.Portable.jvmHexHash60(s.getBytes("UTF-8"))
+    val df = Seq(
+      // the 8-token span's FIRST occurrence (min (doc_id, pos)) — kept
+      (1L, "a b c d e f g h"),
+      // same span at pos 2 — its range [2, 10) stripped, prefix kept
+      (2L, "zz yy a b c d e f g h"),
+      // shorter than one window — untouched
+      (3L, "a b c"),
+      // WITHIN-doc repeat: second occurrence (pos 8) stripped
+      (4L, "m n o p q r s t m n o p q r s t")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.spanStrip(df, w = 8).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((8L, 8L, 0L, h("a b c d e f g h"))))
+    assert(got(2L) === ((10L, 2L, 8L, h("zz yy"))))
+    assert(got(3L) === ((3L, 3L, 0L, h("a b c"))))
+    assert(got(4L) === ((16L, 8L, 8L, h("m n o p q r s t"))))
+  }
+
   test("DSIR selection matches an exact driver recount; target docs outrank off-target") {
     val spark0 = spark
     import spark0.implicits._

@@ -225,6 +225,19 @@ class PlanAuditSpec extends SparkSuite {
       p2.contains("ShuffledHashJoin"), p2.take(2000))
   }
 
+  test("span strip: no cartesian, no window function; election partial-aggregates") {
+    // the ExactSubstr remedy must stay in the signal row's cost class:
+    // window generation a projection, the first-occurrence election a
+    // partial-agg groupBy(h), the covered-range explode bounded by w,
+    // the rebuild a per-doc partial agg — never a window function or
+    // a cartesian over anything
+    val p = plan(SparkEntry.queries("d_span_strip")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      p.take(2000))
+  }
+
   test("DSIR selection: bucket weights broadcast; never a cartesian") {
     // the weight table is numBuckets rows (1024) — it must come back
     // to the (doc, bucket) table as a broadcast, and nothing in the
