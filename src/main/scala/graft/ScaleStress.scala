@@ -74,6 +74,12 @@ object ScaleStress {
     *  - d_repeated_spans: rotation changes every token, so window
     *    hashes are cross-copy disjoint — window count, hash groups,
     *    and the h-join all grow exactly N×.
+    *  - d_span_strip: the remedy over the same windows — election,
+    *    marked ranges, and the per-doc rebuild projection all grow
+    *    exactly N× under the same cross-copy disjointness.
+    *  - t_dsir_select: gram explode and the (doc, bucket) shuffle grow
+    *    N× (rotation shifts WHICH buckets fill, not how many grams);
+    *    the weight table is 1024 rows at any scale.
     *  - a_knn_ivfpq: coarse/PQ training and residual encoding are
     *    projections + K·dims-group aggregates over N× rows; the probe
     *    join scans probes/kCells of the N× corpus per query — linear
@@ -137,10 +143,11 @@ object ScaleStress {
     "a_kmeans_train_k256", "a_knn_ivfpq",
     "a_knn_ivfpq_rerank", "a_knn_ivfsq", "d_bucket_balance",
     "d_contamination", "d_dedup_clusters", "d_line_dedup", "d_minhash_lsh",
-    "d_repeated_spans", "d_semantic_dedup", "d_simhash", "p3_stream_ingest",
+    "d_repeated_spans", "d_semantic_dedup", "d_simhash", "d_span_strip",
+    "p3_stream_ingest",
     "p_chunk_overlap", "p_curated_corpus", "p_global_shuffle",
     "p_pack_sequences", "q_column_profile", "q_column_profile_audit",
-    "t_pii_redact")
+    "t_dsir_select", "t_pii_redact")
 
   /** Locale-independent 2-decimal formatter: every number printed here
     * is machine-parsed (per-rep stderr lines by the calm-window

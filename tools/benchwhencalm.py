@@ -31,19 +31,20 @@ PROBE_TIMEOUT = 300          # calm probe ~95 s (+ the untimed warmup pass
                              # would still blow this
 PROBE_DEDUP_MAX = 16.0       # calm warm median ~8-12 s
 PROBE_KMEANS_MAX = 9.0       # calm warm median ~5-7 s
-MAX_SANE_TOTAL = 285.0       # r14 recalibration: two r14 attempts with
+MAX_SANE_TOTAL = 300.0       # r14 recalibration: two r14 attempts with
                              # CALM canaries AND calm probes (4.4-6.4 s
                              # kmeans probe) benched 243/254 s — within 4%
                              # of each other, nothing like the 2-3x
-                             # throttle swings this gate exists for. The
-                             # shift over r13's 193.7 s is the keying-cost
-                             # move r13's last commit predicted (the r13
-                             # window predates the plan-keyed cache fix —
-                             # correct per-lookup analyzed-plan + file
-                             # fingerprints now price in on every
-                             # cached-family query) plus ~15% window
-                             # warmth visible on untouched x_* rows; the
-                             # calm 116-query surface is now ~245-260 s.
+                             # throttle swings this gate exists for; a
+                             # same-window frozen-r13-classes anchor ran
+                             # 251.4 s (the code behind r13's 193.7 s), so
+                             # the shift is the HOST WINDOW (1.30x slower
+                             # day), not the code. Calm 116-query surface
+                             # ~245-260 s; the three queries added after
+                             # the r14 sweep (d_semantic_dedup_k256 ~4.9 s
+                             # cold, t_dsir_select ~2.5 s, d_span_strip
+                             # ~3.0 s) put the full 119-query surface near
+                             # ~255-270 s on an r14-class window.
 COOLDOWN = 240
 SF = calmbench.SF
 OUT = calmbench.OUT
