@@ -2210,8 +2210,8 @@ object SparkEntry {
          |tot AS (SELECT sum(c_raw)::BIGINT AS tot_raw,
          |               sum(c_tgt)::BIGINT AS tot_tgt FROM cnt),
          |w AS (
-         |  SELECT g, (((c_tgt + 1) * 1000000000 // (tot_tgt + 1024))
-         |           - ((c_raw + 1) * 1000000000 // (tot_raw + 1024)))::BIGINT AS w
+         |  SELECT g, ((((c_tgt + 1)::HUGEINT * 1000000000) // (tot_tgt + 1024))
+         |           - (((c_raw + 1)::HUGEINT * 1000000000) // (tot_raw + 1024)))::BIGINT AS w
          |  FROM cnt, tot
          |),
          |sc AS (

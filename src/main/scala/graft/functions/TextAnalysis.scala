@@ -202,6 +202,20 @@ object TextAnalysis {
     * BROADCAST, and identical subplans share the (doc, bucket)
     * exchange via ReuseExchange. Nothing corpus-scale moves twice.
     */
+  /** The per-bucket DSIR weight over columns (c_tgt, c_raw, tot_tgt,
+    * tot_raw). The numerator (c + 1) * S is computed in
+    * DECIMAL(38,0): a Long would wrap silently past
+    * c_raw ~ 9.2e9 — certain at web scale (~4e13 grams / 1024
+    * buckets ~ 4e10 per bucket) — while the DuckDB oracle raises on
+    * BIGINT overflow. `div` truncates the decimal quotient back to
+    * BIGINT, and each quotient is <= S by construction, so the
+    * output type and every in-range value are unchanged (the oracle
+    * runs the same widening via HUGEINT).
+    */
+  private[graft] def dsirWeight(S: Long, numBuckets: Int): Column =
+    expr(s"CAST(c_tgt + 1 AS DECIMAL(38,0)) * $S div (tot_tgt + $numBuckets)") -
+      expr(s"CAST(c_raw + 1 AS DECIMAL(38,0)) * $S div (tot_raw + $numBuckets)")
+
   def dsirSelect(docs: DataFrame, targetLang: String = "en",
       numBuckets: Int = 1024): DataFrame = {
     val S = 1000000000L
@@ -224,12 +238,17 @@ object TextAnalysis {
       .localCheckpoint()
     val counts = dg.groupBy("g")
       .agg(sum("c").as("c_raw"), sum(expr("c * is_tgt")).as("c_tgt"))
+    // the numerator (c + 1) * S is computed in DECIMAL(38,0): a Long
+    // would wrap silently past c_raw ~ 9.2e9 — certain at web scale
+    // (~4e13 grams / 1024 buckets ~ 4e10 per bucket) — while the
+    // oracle engine raises on BIGINT overflow. `div` truncates the
+    // decimal quotient back to BIGINT, and the quotient is <= S by
+    // construction, so the output type and every in-range value are
+    // unchanged (the oracle runs the same widening via HUGEINT).
     val weights = broadcast(counts
       .crossJoin(broadcast(counts.agg(sum("c_raw").as("tot_raw"),
         sum("c_tgt").as("tot_tgt"))))
-      .select(col("g"),
-        (expr(s"(c_tgt + 1) * $S div (tot_tgt + $numBuckets)") -
-          expr(s"(c_raw + 1) * $S div (tot_raw + $numBuckets)")).as("w")))
+      .select(col("g"), dsirWeight(S, numBuckets).as("w")))
     val scores = dg.join(weights, Seq("g"))
       .groupBy("doc_id").agg(sum(expr("c * w")).as("score"))
     docs.select("doc_id", "lang")

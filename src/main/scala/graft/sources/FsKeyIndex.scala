@@ -78,18 +78,44 @@ class FsKeyIndex(spark: SparkSession, val root: String) {
     * every instant at least one complete copy exists and [[recover]]
     * can promote it (the old delete-then-rename had a window that lost
     * the whole index).
+    *
+    * The rewrite is coalesced to `targetFiles` output files
+    * (`<= 0` = size the count from the log's own bytes at
+    * ~128 MB/file): letting the distinct's shuffle width dictate the
+    * file count would leave up to `spark.sql.shuffle.partitions`
+    * files, which can sit ABOVE a [[compactIfNeeded]] bound forever —
+    * every subsequent batch would then re-trigger a full rewrite that
+    * never shrinks the count (correct results, pathological write
+    * amplification).
     */
-  def compact(): Unit = lock.synchronized {
+  def compact(targetFiles: Int = 0): Unit = lock.synchronized {
     recover() // reentrant: same monitor
     if (!fs.exists(new Path(keysDir))) return
+    val target =
+      if (targetFiles > 0) targetFiles
+      else math.max(1L, (logBytes() + TargetFileBytes - 1) / TargetFileBytes)
+        .min(Int.MaxValue).toInt
     fs.delete(new Path(compactDir), true)
-    keys().write.mode(SaveMode.Overwrite).parquet(compactDir)
+    keys().coalesce(target).write.mode(SaveMode.Overwrite).parquet(compactDir)
     fs.delete(new Path(backupDir), true)
     fs.rename(new Path(keysDir), new Path(backupDir))
     fs.rename(new Path(compactDir), new Path(keysDir))
     fs.delete(new Path(backupDir), true)
     ()
   }
+
+  /** ~128 MB/file when sizing a compacted rewrite from log bytes —
+    * the distinct output is never larger than the raw log, so the
+    * derived count is an upper bound on what the data needs.
+    */
+  private val TargetFileBytes = 128L * 1024 * 1024
+
+  /** Total data bytes of the append-only log (metadata-only). */
+  private def logBytes(): Long =
+    if (!fs.exists(new Path(keysDir))) 0L
+    else fs.listStatus(new Path(keysDir))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
 
   /** Data-file count of the append-only log — the read-amplification
     * signal ([[add]] appends one file per written partition per batch,
@@ -114,7 +140,21 @@ class FsKeyIndex(spark: SparkSession, val root: String) {
     */
   def compactIfNeeded(maxLogFiles: Int): Boolean = {
     require(maxLogFiles >= 1, s"maxLogFiles must be >= 1, got $maxLogFiles")
-    if (logFileCount() > maxLogFiles) { compact(); true } else false
+    if (logFileCount() > maxLogFiles) {
+      // cap the rewrite at the bound itself so the post-compaction
+      // count can never re-trigger on the very next check; below the
+      // cap, size from log bytes so a big index still gets ~128 MB
+      // files rather than one giant one
+      val sized = math.max(1L, (logBytes() + TargetFileBytes - 1) / TargetFileBytes)
+      compact(math.min(maxLogFiles.toLong, sized).toInt)
+      val after = logFileCount()
+      if (after > maxLogFiles)
+        throw new IllegalStateException(
+          s"key index at $root still has $after log files after compacting " +
+            s"to a $maxLogFiles-file bound — the bound is unreachable; " +
+            "raise maxLogFiles")
+      true
+    } else false
   }
 }
 

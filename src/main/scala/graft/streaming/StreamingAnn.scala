@@ -453,9 +453,15 @@ object StreamingAnn {
     if (leaves.isEmpty) return None
     // a populated pre-stamp dir gets the same explicit-stamp demand as
     // the query paths (the compactor serves two on-disk layouts and
-    // must never guess which one it is merging)
-    if (readLayout(indexDir).isEmpty)
-      throw new IllegalStateException(legacyLayoutMsg(indexDir))
+    // must never guess which one it is merging), and an unknown
+    // assignment rule the same refusal — compaction preserves cells,
+    // so it would launder a wrong-rule index into a fresh-looking one
+    readLayout(indexDir) match {
+      case None => throw new IllegalStateException(legacyLayoutMsg(indexDir))
+      case Some((_, _, _, r)) if r != RuleCos =>
+        throw new IllegalStateException(ruleMismatchMsg(indexDir, r))
+      case _ => ()
+    }
     // tombstoned leaves are LOGICALLY deleted (their rows live in a
     // compacted output): never re-consume them — merging one back in
     // would resurrect rows a previous compaction already elected away
@@ -709,7 +715,8 @@ object StreamingAnn {
     * and one directory convention — `full` (v/norm2 full-precision
     * vectors, [[ivfIngest]]) and `sq8` (cb/n2q int8 codes,
     * [[ivfIngestSq]]) — so every index dir carries a `_layout` stamp
-    * `{layout, kCells, dims}` written at first ingest. Readers and the
+    * `{layout, kCells, dims, rule}` written at first ingest (rule =
+    * the cell-assignment rule, [[RuleCos]]). Readers and the
     * compactor REFUSE a mismatched or missing stamp with a
     * self-explanatory error instead of failing downstream on a missing
     * column; pre-stamp (legacy) dirs are never auto-stamped — the
@@ -717,12 +724,13 @@ object StreamingAnn {
     * same contract as the near-dup geometry manifest in
     * [[StreamingCuration]]).
     */
-  def readLayout(indexDir: String): Option[(String, Int, Int)] =
+  def readLayout(indexDir: String): Option[(String, Int, Int, String)] =
     try {
       val lines = java.nio.file.Files.readAllLines(layoutPath(indexDir))
       val m = lines.asScala.map(_.split("=", 2))
         .collect { case Array(k, v) => k -> v }.toMap
-      Some((m("layout"), m("kcells").toInt, m("dims").toInt))
+      Some((m("layout"), m("kcells").toInt, m("dims").toInt,
+        m.getOrElse("rule", "")))
     } catch {
       case _: java.nio.file.NoSuchFileException => None
       case _: NoSuchElementException => None
@@ -738,22 +746,47 @@ object StreamingAnn {
       dims: Int): Unit = {
     require(Layouts.contains(layout),
       s"unknown index layout '$layout' (expected one of ${Layouts.mkString("|")})")
-    readLayout(indexDir).foreach { case (l, k, d) =>
+    readLayout(indexDir).foreach { case (l, k, d, r) =>
       require((l, k, d) == ((layout, kCells, dims)),
         s"index at $indexDir is already stamped layout=$l kCells=$k dims=$d; " +
           s"refusing to restamp as layout=$layout kCells=$kCells dims=$dims")
+      require(r.isEmpty || r == RuleCos,
+        s"index at $indexDir is stamped with unknown assignment rule '$r'")
+      // r.isEmpty: a pre-rule stamp being upgraded — the operator's
+      // explicit act of asserting the cells really are cosine-assigned
     }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
     val tmp = java.nio.file.Paths.get(indexDir,
       s"_layout.tmp-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.writeString(tmp,
-      s"layout=$layout\nkcells=$kCells\ndims=$dims")
+      s"layout=$layout\nkcells=$kCells\ndims=$dims\nrule=$RuleCos")
     java.nio.file.Files.move(tmp, layoutPath(indexDir),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
   private[graft] val Layouts = Set("full", "sq8")
+
+  /** The cell-assignment rule every current writer uses
+    * ([[Ann.cellAssign]], guarded-cosine argmax) and every reader's
+    * probe ranking assumes. The stamp records it so an index whose
+    * partitions were assigned under a DIFFERENT rule (e.g. an L2-argmin
+    * index written before the rule change) can never be served with
+    * cosine-ranked probes silently — that combination degrades recall
+    * with no error. Such an index must be RE-INGESTED, not stamped:
+    * [[stampIndexLayout]] always asserts rule=cos.
+    */
+  private[graft] val RuleCos = "cos"
+
+  private def ruleMismatchMsg(indexDir: String, rule: String) =
+    s"index at $indexDir is stamped with assignment rule " +
+      s"'${if (rule.isEmpty) "<missing>" else rule}' but every query/compaction " +
+      s"path serves rule=$RuleCos (guarded-cosine cell assignment): if the " +
+      "index was written by a guarded-cosine ingest, restamp it with " +
+      "StreamingAnn.stampIndexLayout (which asserts rule=cos); an index " +
+      "whose cells were assigned under another rule (e.g. L2 argmin) must " +
+      "be re-ingested — serving it with cosine-ranked probes would " +
+      "silently degrade recall"
 
   private def layoutPath(indexDir: String) =
     java.nio.file.Paths.get(indexDir, "_layout")
@@ -762,18 +795,25 @@ object StreamingAnn {
     s"index at $indexDir predates layout stamps: verify which ingest " +
       "wrote it and run StreamingAnn.stampIndexLayout(indexDir, " +
       "\"full\"|\"sq8\", kCells, dims) once, explicitly — a populated " +
-      "unstamped dir is never auto-stamped"
+      "unstamped dir is never auto-stamped. Stamping asserts the cells " +
+      "were assigned by the guarded-cosine rule (rule=cos); an index " +
+      "written before that rule (L2-argmin cells) must be re-ingested, " +
+      "not stamped"
 
   /** Write-side stamp-or-verify (first non-empty batch). */
   private def ensureLayout(indexDir: String, layout: String, kCells: Int,
       dims: Int): Unit =
     readLayout(indexDir) match {
-      case Some((l, k, d)) =>
+      case Some((l, k, d, r)) =>
         if ((l, k, d) != ((layout, kCells, dims)))
           throw new IllegalStateException(
             s"index at $indexDir is stamped layout=$l kCells=$k dims=$d; " +
               s"this ingest writes layout=$layout kCells=$kCells dims=$dims " +
               "— refusing to mix layouts in one index dir")
+        if (r != RuleCos)
+          // never append cosine-assigned rows into partitions whose
+          // existing assignment rule is unknown/different
+          throw new IllegalStateException(ruleMismatchMsg(indexDir, r))
       case None =>
         if (listLeaves(indexDir).nonEmpty)
           throw new IllegalStateException(legacyLayoutMsg(indexDir))
@@ -787,8 +827,10 @@ object StreamingAnn {
   private def requireLayout(indexDir: String, expected: String,
       caller: String): Unit =
     readLayout(indexDir) match {
-      case Some((l, _, _)) if l == expected => ()
-      case Some((l, k, d)) =>
+      case Some((l, _, _, r)) if l == expected && r == RuleCos => ()
+      case Some((l, _, _, r)) if l == expected =>
+        throw new IllegalStateException(ruleMismatchMsg(indexDir, r))
+      case Some((l, k, d, _)) =>
         throw new IllegalStateException(
           s"$caller expects a '$expected' index but $indexDir is stamped " +
             s"layout=$l (kCells=$k, dims=$d); use " +

@@ -695,6 +695,29 @@ class DedupAnnSpec extends SparkSuite {
     assert(Seq(1L, 2L).forall(got(_)._2 === 1L))
   }
 
+  test("DSIR weight arithmetic survives web-scale bucket counts without Long wrap") {
+    val spark0 = spark
+    import spark0.implicits._
+    // ~4e10 grams per bucket: (c_raw + 1) * 1e9 ~ 4e19 would wrap a
+    // signed Long (max ~9.2e18); the DECIMAL(38,0) path must not
+    val cRaw = 40000000000L
+    val cTgt = 30000000000L
+    val totRaw = 41000000000000L // ~4.1e13 corpus grams
+    val totTgt = 30700000000000L
+    val row = Seq((cTgt, cRaw, totTgt, totRaw))
+      .toDF("c_tgt", "c_raw", "tot_tgt", "tot_raw")
+    val got = row.select(TextAnalysis.dsirWeight(1000000000L, 1024).as("w"))
+      .head().getLong(0)
+    val B = BigInt(1024)
+    val want = ((BigInt(cTgt) + 1) * 1000000000L / (BigInt(totTgt) + B) -
+      (BigInt(cRaw) + 1) * 1000000000L / (BigInt(totRaw) + B)).toLong
+    assert(got === want)
+    // and the wrapped-Long value it would have produced is NOT what we got
+    val wrapped = ((cTgt + 1) * 1000000000L) / (totTgt + 1024L) -
+      ((cRaw + 1) * 1000000000L) / (totRaw + 1024L)
+    assert(got !== wrapped)
+  }
+
   test("language id is deterministic and covers all docs") {
     val out = TextAnalysis.langId(docs)
     assert(out.count() === docs.count())

@@ -87,6 +87,24 @@ class FsKeyIndexSpec extends SparkSuite {
     assert(noops >= 1, "every batch compacted — the trigger is not a trigger")
   }
 
+  test("compactIfNeeded: a bound below the shuffle width cannot thrash") {
+    val root = tmpDir("keyidx-thrash")
+    val idx = FsKeyIndex(spark, root)
+    // bound BELOW spark.sql.shuffle.partitions (4 in this suite): if
+    // the compacted rewrite inherited the shuffle width, the count
+    // could never fall below the bound and EVERY batch would rewrite
+    // the full log
+    val bound = 2
+    idx.add(spark.range(30).repartition(3).selectExpr("id as k"))
+    assert(idx.logFileCount() > bound, "fixture too small to trigger")
+    assert(idx.compactIfNeeded(bound), "over-bound log must compact")
+    assert(idx.logFileCount() <= bound,
+      s"post-compaction count ${idx.logFileCount()} still above bound $bound")
+    // the very next check is a no-op — the thrash regression
+    assert(!idx.compactIfNeeded(bound))
+    assert(idx.keys().collect().map(_.getLong(0)).toSet === (0L until 30L).toSet)
+  }
+
   test("a crash between compaction's two renames is recovered, not an empty index") {
     val root = tmpDir("keyidx-crash")
     val idx = FsKeyIndex(spark, root)

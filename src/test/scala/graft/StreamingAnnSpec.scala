@@ -605,7 +605,7 @@ class StreamingAnnSpec extends SparkSuite {
     try { input.addData(rows.take(30).toSeq: _*); q.processAllAvailable() }
     finally q.stop()
     assert(StreamingAnn.readLayout(s"$root/index")
-      .exists { case (l, k, d) => l == "full" && k == 8 && d == 64 })
+      .exists { case (l, k, d, r) => l == "full" && k == 8 && d == 64 && r == "cos" })
     val queries = rows.filter(_._1 < 3).toSeq.toDF("vec_id", "embedding")
     // wrong flavor: refused with the stamp's own description
     val e1 = intercept[IllegalStateException] {
@@ -650,6 +650,36 @@ class StreamingAnnSpec extends SparkSuite {
       StreamingAnn.stampIndexLayout(legacy, "sq8", 8, 64)
     }
     assert(e5.getMessage.contains("already stamped"), e5.getMessage)
+    // a PRE-RULE stamp ({layout,kcells,dims} only, written before the
+    // assignment-rule field): queries and compaction refuse — the cells
+    // may be L2-assigned, and cosine-ranked probes over them would
+    // silently degrade recall
+    val preRule = s"$root/pre-rule"
+    rows.take(10).toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x * 1000, 0).cast("long")).as("v"))
+      .withColumn("norm2", graft.functions.VecOps.intDot(col("v"), col("v")))
+      .withColumn("cell", lit(0L)).withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").partitionBy("cell", "ingest_batch")
+      .parquet(preRule)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(preRule, "_layout"),
+      "layout=full\nkcells=8\ndims=64")
+    val e6 = intercept[IllegalStateException] {
+      StreamingAnn.queryIndex(spark, preRule, s"$root/model.txt", queries, k = 3)
+    }
+    assert(e6.getMessage.contains("rule"), e6.getMessage)
+    assert(e6.getMessage.contains("re-ingested"), e6.getMessage)
+    val e7 = intercept[IllegalStateException] {
+      StreamingAnn.compactIndex(spark, preRule, minBatches = 1)
+    }
+    assert(e7.getMessage.contains("rule"), e7.getMessage)
+    // the explicit restamp (same triple) is the operator's verified
+    // upgrade path: it asserts rule=cos and the index serves again
+    StreamingAnn.stampIndexLayout(preRule, "full", 8, 64)
+    assert(StreamingAnn.readLayout(preRule).exists(_._4 == "cos"))
+    assert(StreamingAnn.queryIndex(spark, preRule, s"$root/model.txt",
+      queries, k = 3, probes = 8).collect().nonEmpty)
   }
 
   test("compactIfNeeded: indexStats' leaf signal drives the compaction cadence") {
