@@ -331,6 +331,45 @@ object SparkEntry {
         .orderBy("part_id", "seg_seq")
     }),
 
+    // SQS-shape event triage: a raw event feed with malformed bodies
+    // (missing field for seg%17==2, unknown type for seg%19==3,
+    // non-numeric part for seg%29==6) and a poison message redelivered
+    // past the bound (seg%23==4 at receive_count 7 vs maxReceives 5) —
+    // dead rows keep id + reason, good rows feed the reconcile
+    "r_store_dead_events" -> ((s, dir) => {
+      val segs = countSegments(s, dir)
+      val pid = col("part_id").cast("string")
+      val seq = col("seg_seq").cast("string")
+      val eo = col("end_offset").cast("string")
+      val raw = segs.select(
+        (col("part_id") * 100000 + col("seg_seq")).as("event_id"),
+        when(col("seg_seq") % 17 === 2,
+          concat(lit("{\"p\":"), pid, lit(",\"t\":\"created\",\"ts\":"),
+            eo, lit("}")))
+          .when(col("seg_seq") % 19 === 3,
+            concat(lit("{\"p\":"), pid, lit(",\"s\":"), seq,
+              lit(",\"t\":\"updated\",\"ts\":"), eo, lit("}")))
+          .when(col("seg_seq") % 29 === 6,
+            concat(lit("{\"p\":\"x\",\"s\":"), seq,
+              lit(",\"t\":\"created\",\"ts\":"), eo, lit("}")))
+          .otherwise(
+            concat(lit("{\"p\":"), pid, lit(",\"s\":"), seq,
+              lit(",\"t\":\"created\",\"ts\":"), eo, lit("}")))
+          .as("body"),
+        when(col("seg_seq") % 23 === 4, lit(7L))
+          .otherwise(lit(1L) + col("seg_seq") % 3).as("receive_count"))
+      // sentinel-coalesce the nullable parse columns for the exact
+      // cross-engine hash (NULL never survives a gated output)
+      StoreReconciler.triageEvents(raw, maxReceives = 5)
+        .select(col("event_id"),
+          coalesce(col("part_id"), lit(-1L)).as("part_id"),
+          coalesce(col("seg_seq"), lit(-1L)).as("seg_seq"),
+          coalesce(col("event_type"), lit("")).as("event_type"),
+          coalesce(col("event_ts"), lit(-1L)).as("event_ts"),
+          col("receive_count"), col("status"))
+        .orderBy("event_id")
+    }),
+
     // ---- LLM-training-data operators ----
     "d_exact_dedup" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy("content_hash")),
@@ -2991,6 +3030,46 @@ object SparkEntry {
          |       AND NOT coalesce(event_type = 'removed' AND event_ts > list_ts, false))
          |   OR (list_ts IS NULL AND event_type = 'created')
          |ORDER BY part_id, seg_seq""".stripMargin,
+
+    "r_store_dead_events" ->
+      s"""WITH $MsgCte, $SegCte,
+         |raw AS (
+         |  SELECT part_id * 100000 + seg_seq AS event_id,
+         |         CASE
+         |           WHEN seg_seq % 17 = 2 THEN
+         |             '{"p":' || part_id || ',"t":"created","ts":' || end_offset || '}'
+         |           WHEN seg_seq % 19 = 3 THEN
+         |             '{"p":' || part_id || ',"s":' || seg_seq || ',"t":"updated","ts":' || end_offset || '}'
+         |           WHEN seg_seq % 29 = 6 THEN
+         |             '{"p":"x","s":' || seg_seq || ',"t":"created","ts":' || end_offset || '}'
+         |           ELSE
+         |             '{"p":' || part_id || ',"s":' || seg_seq || ',"t":"created","ts":' || end_offset || '}'
+         |         END AS body,
+         |         CASE WHEN seg_seq % 23 = 4 THEN 7 ELSE 1 + seg_seq % 3 END::BIGINT AS receive_count
+         |  FROM segs
+         |),
+         |parsed AS (
+         |  SELECT event_id,
+         |         TRY_CAST(json_extract_string(body, '$$.p') AS BIGINT) AS part_id,
+         |         TRY_CAST(json_extract_string(body, '$$.s') AS BIGINT) AS seg_seq,
+         |         json_extract_string(body, '$$.t') AS event_type,
+         |         TRY_CAST(json_extract_string(body, '$$.ts') AS BIGINT) AS event_ts,
+         |         receive_count
+         |  FROM raw
+         |)
+         |SELECT event_id,
+         |       coalesce(part_id, -1)::BIGINT AS part_id,
+         |       coalesce(seg_seq, -1)::BIGINT AS seg_seq,
+         |       coalesce(event_type, '') AS event_type,
+         |       coalesce(event_ts, -1)::BIGINT AS event_ts,
+         |       receive_count,
+         |       CASE WHEN part_id IS NULL OR seg_seq IS NULL OR event_ts IS NULL
+         |              OR event_type IS NULL OR event_type NOT IN ('created', 'removed')
+         |            THEN 'malformed_dead'
+         |            WHEN receive_count >= 5 THEN 'poison_dead'
+         |            ELSE 'ok' END AS status
+         |FROM parsed
+         |ORDER BY event_id""".stripMargin,
 
     "r_replay_metrics" ->
       s"""WITH $MsgCte, $SegCte, $PresentSegCte,

@@ -345,6 +345,47 @@ object StoreReconciler {
         when(col("list_ts").isNotNull, "listed")
           .otherwise("event_created").as("origin"))
   }
+
+  /** SQS-shape event triage (reference: sqs_segment_event_source.go:
+    * 298-305 parse-failure drop, 284-288 receive-count bound, :309
+    * unknown-source skip): classify a raw segment-event feed BEFORE
+    * it reaches [[reconcile]]/[[listWithState]], so a malformed or
+    * repeatedly-failing message can neither crash the reconcile nor
+    * be silently lost.
+    *
+    * `raw`: (event_id, body, receive_count), body the JSON wire form
+    * `{"p": part, "s": seq, "t": "created"|"removed", "ts": n}`.
+    *  - `malformed_dead`: a required field absent or non-numeric, or
+    *    an unknown event type — the reference deletes these
+    *    immediately (invalid meter), regardless of receive count;
+    *  - `poison_dead`: well-formed but delivered at least
+    *    `maxReceives` times without success — the reference's
+    *    "failed too many times" delete after MessageMaxRetryCount;
+    *  - `ok`: feeds the reconcile.
+    * Nothing is silently dropped: dead rows keep their event_id and
+    * reason — the dead-letter queue of a production event source,
+    * observable and replayable. One projection, zero shuffles.
+    */
+  def triageEvents(raw: DataFrame, maxReceives: Int): DataFrame = {
+    require(maxReceives >= 1, s"maxReceives must be >= 1, got $maxReceives")
+    // try_cast, not cast: a non-numeric field must CLASSIFY the event
+    // as malformed, not crash the triage (ANSI cast raises) — the
+    // DuckDB oracle mirrors with TRY_CAST
+    val p = expr("try_cast(get_json_object(body, '$.p') AS BIGINT)")
+    val s = expr("try_cast(get_json_object(body, '$.s') AS BIGINT)")
+    val t = get_json_object(col("body"), "$.t")
+    val ts = expr("try_cast(get_json_object(body, '$.ts') AS BIGINT)")
+    val malformed = p.isNull || s.isNull || ts.isNull ||
+      t.isNull || !t.isin("created", "removed")
+    raw.select(
+      col("event_id"),
+      p.as("part_id"), s.as("seg_seq"), t.as("event_type"),
+      ts.as("event_ts"),
+      col("receive_count").cast("long").as("receive_count"),
+      when(malformed, "malformed_dead")
+        .when(col("receive_count") >= maxReceives, "poison_dead")
+        .otherwise("ok").as("status"))
+  }
 }
 
 /** Compaction planning + execution (reference: pkg/compaction/compactor.go).

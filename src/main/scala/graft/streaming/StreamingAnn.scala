@@ -146,7 +146,7 @@ object StreamingAnn {
     */
   private[graft] def visibilityFilter(
       indexDir: String): Option[org.apache.spark.sql.Column] = {
-    val excluded = excludedBatchIds(indexDir)
+    val excluded = excludedBatchIds(resolveRoot(indexDir))
     if (excluded.isEmpty) None
     else Some(!col("ingest_batch").isin(excluded.toSeq.sorted: _*))
   }
@@ -167,7 +167,11 @@ object StreamingAnn {
     * construction, and the re-run after any crash re-derives the same
     * id from the same leaf set. (Ids below 2^20 in magnitude decode
     * via the legacy flat rule, so an old index keeps electing
-    * correctly.)
+    * correctly.) Each effective slot's generation range is split:
+    * compaction outputs allocate gens from 0 upward, reuse-encoded
+    * delivery ids ([[reuseSafeBatchId]]) from [[ReuseBase]] (2^19)
+    * upward — both decode eff identically by the same division, and
+    * the two allocators can never collide.
     */
   private[graft] val EffScale = 1L << 20
   private[graft] def effOf(b: Long): Long =
@@ -237,19 +241,25 @@ object StreamingAnn {
         // writing, or a fresh checkpoint lineage re-using a consumed
         // batch id would write rows into directories a lingering
         // 'committed' manifest hides from queries and the eventual
-        // roll-forward deletes
-        recoverIndex(indexDir)
+        // roll-forward deletes. Per-batch generation resolution: a
+        // [[retrainIndex]] cutover between batches flips this stream
+        // to the new generation (and its model) with no restart
+        val root = resolveRoot(indexDir)
+        recoverIndex(root)
         val qb = quantize(batch)
         // an EMPTY batch must neither train (a zero-row training set
         // would durably persist a degenerate model that poisons every
         // later batch) nor write (no partitions to own): no-op until
         // data arrives — the first NON-empty batch trains the model
         if (!qb.isEmpty) {
-          val cent = trainOrLoad(modelPath, qb, kCells, iterations)
-          ensureLayout(indexDir, "full", cent.size, cent.head._2.size)
+          val cent = trainOrLoad(resolveModel(indexDir, modelPath), qb,
+            kCells, iterations)
+          ensureLayout(root, "full", cent.size, cent.head._2.size)
           // a fresh lineage reuses batch ids an earlier compaction may
-          // have consumed: reclaim the tombstoned id before writing it
-          untombstone(indexDir, batchId)
+          // have consumed: such a delivery lands in a fresh
+          // generation-encoded partition (never a file delete — see
+          // [[reuseSafeBatchId]]); the common path is the raw id
+          val diskId = reuseSafeBatchId(root, checkpointDir, batchId)
           // serving cells use THE shared rule (Ann.cellAssign: max
           // guarded cosine), so the on-disk index partitions exactly
           // as the batch knnIvfTrained assigns — the recall ladder
@@ -257,12 +267,12 @@ object StreamingAnn {
           // index (parity spec-pinned)
           Ann.cellAssign(qb, cent)
             .select(col("vec_id"), col("v"), col("norm2"), col("cell"))
-            .withColumn("ingest_batch", lit(batchId))
+            .withColumn("ingest_batch", lit(diskId))
             .write
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .partitionBy("cell", "ingest_batch")
-            .parquet(indexDir)
+            .parquet(root)
         }
       }
       .start()
@@ -293,24 +303,28 @@ object StreamingAnn {
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        recoverIndex(indexDir) // owner context — see ivfIngest
+        // per-batch generation resolution + owner recovery, as ivfIngest
+        val root = resolveRoot(indexDir)
+        recoverIndex(root)
         val qb = quantize(batch)
         if (!qb.isEmpty) {
-          val cent = trainOrLoad(modelPath, qb, kCells, iterations)
-          ensureLayout(indexDir, "sq8", cent.size, cent.head._2.size)
-          untombstone(indexDir, batchId) // owner id-reuse, as ivfIngest
+          val cent = trainOrLoad(resolveModel(indexDir, modelPath), qb,
+            kCells, iterations)
+          ensureLayout(root, "sq8", cent.size, cent.head._2.size)
+          // owner id-reuse, as ivfIngest: fresh path, never a delete
+          val diskId = reuseSafeBatchId(root, checkpointDir, batchId)
           // codes from THE int8 rule (Ann.withInt8Cols), narrowed to
           // bytes for the 4× on-disk layout; cells from THE shared
           // serving rule (Ann.cellAssign), matching batch knnIvfSq
           Ann.withInt8Cols(Ann.cellAssign(qb, cent))
             .withColumn("cb", transform(col("c"), _.cast("byte")))
             .select(col("vec_id"), col("cb"), col("n2q"), col("cell"))
-            .withColumn("ingest_batch", lit(batchId))
+            .withColumn("ingest_batch", lit(diskId))
             .write
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .partitionBy("cell", "ingest_batch")
-            .parquet(indexDir)
+            .parquet(root)
         }
       }
       .start()
@@ -327,10 +341,12 @@ object StreamingAnn {
   def queryIndexSq(spark: SparkSession, indexDir: String, modelPath: String,
       queries: DataFrame, k: Int, probes: Int = 1): DataFrame = {
     import spark.implicits._
-    requireLayout(indexDir, "sq8", "queryIndexSq")
-    val visibility = visibilityFilter(indexDir)
-    val cent = loadModel(modelPath).getOrElse(
-      throw new IllegalStateException(s"no trained model at $modelPath"))
+    val root = resolveRoot(indexDir) // serving generation (see retrainIndex)
+    requireLayout(root, "sq8", "queryIndexSq")
+    val visibility = visibilityFilter(root)
+    val model = resolveModel(indexDir, modelPath)
+    val cent = loadModel(model).getOrElse(
+      throw new IllegalStateException(s"no trained model at $model"))
     val qRows = quantize(queries).collect().map(r =>
       (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
     val probeRows = qRows.flatMap { case (qId, qv, qn2) =>
@@ -346,7 +362,7 @@ object StreamingAnn {
     }.toSeq
     val probeDf = probeRows.toDF("q_id", "qcell", "qc", "qn2q")
     val cells = probeRows.map(_._2).distinct
-    val idx0 = spark.read.parquet(indexDir)
+    val idx0 = spark.read.parquet(root)
       .filter(col("cell").isin(cells: _*))
     val idx = visibility.fold(idx0)(idx0.filter)
     val w = org.apache.spark.sql.expressions.Window
@@ -448,30 +464,40 @@ object StreamingAnn {
     */
   private[graft] def compactIndexImpl(spark: SparkSession, indexDir: String,
       minBatches: Int, crashPoint: Int): Option[Long] = {
-    recoverIndex(indexDir)
-    val leaves = listLeaves(indexDir)
+    val root = resolveRoot(indexDir) // serving generation
+    recoverIndex(root)
+    val leaves = listLeaves(root)
     if (leaves.isEmpty) return None
     // a populated pre-stamp dir gets the same explicit-stamp demand as
     // the query paths (the compactor serves two on-disk layouts and
     // must never guess which one it is merging), and an unknown
     // assignment rule the same refusal — compaction preserves cells,
     // so it would launder a wrong-rule index into a fresh-looking one
-    readLayout(indexDir) match {
-      case None => throw new IllegalStateException(legacyLayoutMsg(indexDir))
+    readLayout(root) match {
+      case None => throw new IllegalStateException(legacyLayoutMsg(root))
       case Some((_, _, _, r)) if r != RuleCos =>
-        throw new IllegalStateException(ruleMismatchMsg(indexDir, r))
+        throw new IllegalStateException(ruleMismatchMsg(root, r))
       case _ => ()
     }
     // tombstoned leaves are LOGICALLY deleted (their rows live in a
     // compacted output): never re-consume them — merging one back in
     // would resurrect rows a previous compaction already elected away
-    val deadIds = readTombstones(indexDir).map(_._3).toSet
+    val deadIds = readTombstones(root).map(_._3).toSet
     val live = leaves.filterNot(l => deadIds.contains(l._2))
     if (live.isEmpty) return None
-    val newest = live.map(_._2).max
+    // the replay-target exemption protects the newest DELIVERY leaf —
+    // raw or generation-encoded reuse ([[reuseSafeBatchId]]; a reuse
+    // leaf is the newest delivery of a fresh lineage even though its
+    // encoded id is negative); compacted leaves are never replay
+    // targets. Newest by (effective batch, raw-beats-encoded) — the
+    // same ordering every election uses
+    val deliveries = live.map(_._2).filter(id => id >= 0 || isReuseId(id))
+    if (deliveries.isEmpty) return None
+    val newest = deliveries.maxBy(id => (effOf(id), id))
     val aged = live.filter(_._2 != newest)
     val agedIds = aged.map(_._2).distinct
-    if (agedIds.size < minBatches || !agedIds.exists(_ >= 0)) return None
+    if (agedIds.size < minBatches ||
+      !agedIds.exists(id => id >= 0 || isReuseId(id))) return None
     // generation-encoded output id (see [[EffScale]]): eff decodes to
     // the max EFFECTIVE batch among the consumed leaves — max over
     // effOf, NOT max raw id: when the only aged raw leaves are
@@ -489,10 +515,14 @@ object StreamingAnn {
     // output colliding with a tombstoned batch would be hidden by the
     // ledger the moment it is written
     val existingIds = leaves.map(_._2).toSet ++ deadIds
-    val outId = Iterator.from(0).map(g => base - g)
-      .find(id => !existingIds.contains(id)).get
+    // generations stay below [[ReuseBase]]: the upper half of each
+    // effective slot belongs to reuse-encoded delivery ids
+    val outId = (0L until ReuseBase).iterator.map(g => base - g)
+      .find(id => !existingIds.contains(id))
+      .getOrElse(throw new IllegalStateException(
+        s"compaction generation space exhausted at $root"))
     val inputs = aged.map { case (c, b) =>
-      s"$indexDir/cell=$c/ingest_batch=$b" }
+      s"$root/cell=$c/ingest_batch=$b" }
     // newest-wins survivor per vec_id (see scaladoc): effective batch
     // maps a compacted leaf back to the max raw batch it consumed;
     // raw beats compacted on an effective tie (raw id is larger)
@@ -502,7 +532,7 @@ object StreamingAnn {
     // schema-agnostic: preserve whatever payload columns the index
     // layout carries (full-precision v/norm2 or SQ8 cb/n2q) — only the
     // bookkeeping columns are rewritten
-    val merged = spark.read.option("basePath", indexDir)
+    val merged = spark.read.option("basePath", root)
       .parquet(inputs: _*)
       .withColumn("src_batch", col("ingest_batch").cast("long"))
       .withColumn("eff", effExpr(col("src_batch")))
@@ -514,15 +544,15 @@ object StreamingAnn {
     // same root it writes into; checkpointing severs that read (and a
     // torn write can then never observe its own partial output)
     val mat = merged.localCheckpoint()
-    writeManifest(indexDir, "intent", outId, aged)
+    writeManifest(root, "intent", outId, aged)
     if (crashPoint == 1) return Some(outId)
     mat.write
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .partitionBy("cell", "ingest_batch")
-      .parquet(indexDir)
+      .parquet(root)
     if (crashPoint == 2) return Some(outId)
-    writeManifest(indexDir, "committed", outId, aged)
+    writeManifest(root, "committed", outId, aged)
     if (crashPoint == 3) return Some(outId)
     // GRACE-PERIOD deletes: commit never removes the consumed leaves —
     // it TOMBSTONES them (hidden from every reader by the visibility
@@ -531,8 +561,8 @@ object StreamingAnn {
     // still finds every file it expects. [[vacuumIndex]] is the later
     // owner pass that reclaims tombstoned leaves once their grace
     // epoch has passed.
-    addTombstones(indexDir, aged)
-    java.nio.file.Files.deleteIfExists(manifestPath(indexDir))
+    addTombstones(root, aged)
+    java.nio.file.Files.deleteIfExists(manifestPath(root))
     Some(outId)
   }
 
@@ -546,19 +576,21 @@ object StreamingAnn {
     * second owner entry degrades to a no-op rather than a spurious
     * failure.
     */
-  def recoverIndex(indexDir: String): Unit =
-    readManifest(indexDir).foreach { case (state, outId, consumed) =>
+  def recoverIndex(indexDir: String): Unit = {
+    val root = resolveRoot(indexDir) // serving generation
+    readManifest(root).foreach { case (state, outId, consumed) =>
       if (state == "committed")
         // roll FORWARD = finish the grace-period commit: tombstone the
         // consumed leaves (idempotent — re-runs dedupe on (cell,
         // batch)), never delete them here
-        addTombstones(indexDir, consumed)
+        addTombstones(root, consumed)
       else
         consumed.map(_._1).distinct.foreach { c =>
-          deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$outId"))
+          deleteDir(java.nio.file.Paths.get(s"$root/cell=$c/ingest_batch=$outId"))
         }
-      java.nio.file.Files.deleteIfExists(manifestPath(indexDir))
+      java.nio.file.Files.deleteIfExists(manifestPath(root))
     }
+  }
 
   /** Physically reclaim tombstoned leaves whose grace period has
     * passed — the OWNER pass that closes the loop [[compactIndex]]
@@ -578,16 +610,17 @@ object StreamingAnn {
     */
   def vacuumIndex(indexDir: String, grace: Int = 1): Int = {
     require(grace >= 0, s"vacuum grace must be >= 0, got $grace")
-    ledgerLock(indexDir).synchronized {
-      val ts = readTombstones(indexDir)
+    val root = resolveRoot(indexDir) // serving generation
+    ledgerLock(root).synchronized {
+      val ts = readTombstones(root)
       if (ts.isEmpty) 0
       else {
         val maxStamp = ts.map(_._1).max
         val (old, keep) = ts.partition(_._1 <= maxStamp - grace)
         old.foreach { case (_, c, b) =>
-          deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$b"))
+          deleteDir(java.nio.file.Paths.get(s"$root/cell=$c/ingest_batch=$b"))
         }
-        if (old.nonEmpty) writeTombstones(indexDir, keep)
+        if (old.nonEmpty) writeTombstones(root, keep)
         old.size
       }
     }
@@ -608,15 +641,232 @@ object StreamingAnn {
     require(maxLeavesPerCell >= 2,
       s"maxLeavesPerCell must be >= 2 (steady state is 1 compacted leaf " +
         s"+ the newest tail), got $maxLeavesPerCell")
-    val excluded = excludedBatchIds(indexDir)
-    val visible = listLeaves(indexDir).filterNot(l => excluded.contains(l._2))
+    val root = resolveRoot(indexDir) // serving generation
+    val excluded = excludedBatchIds(root)
+    val visible = listLeaves(root).filterNot(l => excluded.contains(l._2))
     val worst = visible.groupBy(_._1).valuesIterator
       .map(_.size).maxOption.getOrElse(0)
     val out = if (worst > maxLeavesPerCell)
-      compactIndex(spark, indexDir, minBatches) else None
-    vacuumIndex(indexDir, vacuumGrace)
+      compactIndex(spark, root, minBatches) else None
+    vacuumIndex(root, vacuumGrace)
     out
   }
+
+  // ---- model generations: the coarse-quantizer drift path ----------
+  //
+  // The train-once frozen model is the right default (cell assignment
+  // never drifts, no global rebuilds), but a long-lived incremental
+  // store must survive CORPUS drift: as data leaves the trained
+  // distribution, cell balance degrades and recall at a fixed probe
+  // budget decays (the corollary of the measured data-dependence of
+  // the recall ladder). [[retrainIndex]] is the owner maintenance pass
+  // for that: train a NEW model generation on the currently visible
+  // corpus, rebuild the index under it cell-by-cell, and cut over
+  // atomically.
+  //
+  // Layout: generation N lives at `<indexDir>/_gen-N/` — a complete,
+  // self-contained index (leaves, `_layout`, its own `_model`; the
+  // `_` prefix keeps a mid-build or crashed-unflipped generation
+  // invisible to the flat generation's parquet partition discovery,
+  // which would otherwise refuse the mixed directory structure) — and
+  // `<indexDir>/_current` names the serving generation (absent =
+  // the original flat generation 0 at `indexDir` itself, so every
+  // pre-generation index keeps working unchanged). Every entry point
+  // resolves through the pointer, so ingest streams and queries flip
+  // to the new generation at their next batch/request with no restart;
+  // the gen-local `_model` takes precedence over the caller's
+  // modelPath, which is what makes the model+layout+data cutover ONE
+  // atomic rename (`_current`): there is no window where a new model
+  // is served over old cells or vice versa — the failure mode the
+  // layout stamp's assignment-rule field guards against.
+  //
+  // Nothing is deleted at cutover: the old generation stays on disk
+  // (readers planned against it keep every file they listed) until
+  // the owner reclaims it with [[vacuumGenerations]] — the same
+  // grace-priced discipline as tombstone vacuum.
+
+  /** The serving root of an index: `<indexDir>/_gen-N` per `_current`,
+    * or `indexDir` itself (the flat pre-generation layout).
+    */
+  private[graft] def resolveRoot(indexDir: String): String =
+    readCurrentGen(indexDir) match {
+      case Some(n) => s"$indexDir/_gen-$n"
+      case None => indexDir
+    }
+
+  /** The serving model path: the resolved generation's own `_model`
+    * when present (written by [[retrainIndex]]), else the caller's
+    * train-once artifact.
+    */
+  private def resolveModel(indexDir: String, modelPath: String): String = {
+    val genModel = java.nio.file.Paths.get(resolveRoot(indexDir), "_model")
+    if (java.nio.file.Files.exists(genModel)) genModel.toString else modelPath
+  }
+
+  private[graft] def readCurrentGen(indexDir: String): Option[Long] =
+    try {
+      val s = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(indexDir, "_current")).trim
+      if (s.startsWith("gen-")) Some(s.stripPrefix("gen-").toLong) else None
+    } catch {
+      case _: java.nio.file.NoSuchFileException => None
+      case _: NumberFormatException => None
+    }
+
+  private def writeCurrentGen(indexDir: String, n: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(indexDir,
+      s"_current.tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(tmp, s"gen-$n")
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(indexDir, "_current"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Retrain the coarse quantizer on the CURRENTLY VISIBLE corpus and
+    * rebuild the index under the new model as generation N+1 —
+    * returning the new generation number. Owner-context (run between
+    * batches, like compaction); readers and a running ingest flip at
+    * their next request/batch through the `_current` pointer.
+    *
+    * Mechanics: one visibility-filtered read of the serving
+    * generation elects the newest copy per vec_id (the compactor's
+    * survivor rule over every visible leaf), the elected corpus
+    * trains the new model (deterministic Lloyd's — the engine's
+    * bit-reproducible loop, so a re-run converges to the same
+    * generation), every row is re-assigned under the new model by THE
+    * shared serving rule ([[Ann.cellAssign]]), and the rebuilt leaves
+    * land in ONE generation-encoded batch per cell (eff = max
+    * effective batch of the consumed view, so later deliveries of the
+    * continuing lineage keep winning elections). The `sq8` layout
+    * retrains in CODE space (centroids over the widened int8 codes —
+    * cosine's per-vector scale invariance makes code-space directions
+    * rank like milli-space ones, the same argument as its query
+    * scoring; int8 noise is measured sub-margin on this corpus).
+    *
+    * Crash-safe: the new generation is invisible until the final
+    * atomic `_current` rename (the ONLY commit point — model, layout
+    * stamp, and data all live inside the generation dir); a crashed
+    * build leaves an unreferenced dir that the next retrain deletes
+    * and rebuilds. Nothing is ever deleted under a reader —
+    * [[vacuumGenerations]] is the explicit, grace-priced reclaim.
+    *
+    * Scale: cost is `iterations + 2` scans of the visible corpus
+    * (election, training iterations, rebuild write) — the same O(N)
+    * a compaction-style rebuild costs anywhere; run it on the drift
+    * cadence (weeks), not the compaction cadence (batches). Trained
+    * state stays driver/broadcast-scale.
+    */
+  def retrainIndex(spark: SparkSession, indexDir: String, kCells: Int,
+      iterations: Int = 2): Long =
+    retrainIndexImpl(spark, indexDir, kCells, iterations, crashPoint = 0)._1
+
+  /** Test seam: crashPoint 1 = stop after the rebuilt data write
+    * (before the stamp/model), 2 = stop after stamp+model (before the
+    * `_current` flip — the generation is complete but unreferenced).
+    * Production path is crashPoint = 0. Returns (generation number,
+    * rebuilt leaf id).
+    */
+  private[graft] def retrainIndexImpl(spark: SparkSession, indexDir: String,
+      kCells: Int, iterations: Int, crashPoint: Int): (Long, Long) = {
+    require(kCells >= 1, s"kCells must be >= 1, got $kCells")
+    val cur = resolveRoot(indexDir)
+    recoverIndex(indexDir) // owner entry: settle any crashed compaction
+    val (layout, _, dims) = readLayout(cur) match {
+      case None => throw new IllegalStateException(legacyLayoutMsg(cur))
+      case Some((_, _, _, r)) if r != RuleCos =>
+        throw new IllegalStateException(ruleMismatchMsg(cur, r))
+      case Some((l, k, d, _)) => (l, k, d)
+    }
+    val excluded = excludedBatchIds(cur)
+    val visibleLeaves = listLeaves(cur).filterNot(l => excluded.contains(l._2))
+    if (visibleLeaves.isEmpty)
+      throw new IllegalStateException(s"nothing to retrain at $cur")
+    // elect the newest copy per vec_id over every visible leaf — the
+    // same survivor rule compaction and queries apply
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("eff").desc, col("src_batch").desc)
+    val idx0 = spark.read.parquet(cur)
+    val elected = visibilityFilter(indexDir).fold(idx0)(idx0.filter)
+      .withColumn("src_batch", col("ingest_batch").cast("long"))
+      .withColumn("eff", effExpr(col("src_batch")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "eff", "src_batch", "ingest_batch")
+      .localCheckpoint() // training re-scans it `iterations` times
+    // full layout trains on the stored milli vectors; sq8 on the
+    // widened codes (code space — see scaladoc)
+    val trainIn =
+      if (layout == "full") elected.select("vec_id", "v", "norm2")
+      else elected
+        .withColumn("v", transform(col("cb"), _.cast("long")))
+        .select(col("vec_id"), col("v"), col("n2q").as("norm2"))
+    val cent = Ann.kmeansCentroidsUncached(trainIn, kCells, iterations)
+    require(cent.nonEmpty, "training produced no centroids")
+    val genN = readCurrentGen(indexDir).getOrElse(0L) + 1
+    val genDir = s"$indexDir/_gen-$genN"
+    deleteDir(java.nio.file.Paths.get(genDir)) // a crashed prior attempt
+    // rebuilt leaves carry ONE generation-encoded id whose eff is the
+    // max effective batch of the consumed view: later raw deliveries
+    // (ids strictly above it) keep winning elections, and a replay of
+    // the last delivered batch ties into the raw-beats-encoded arm
+    val outId = -(visibleLeaves.map(l => effOf(l._2)).max + 2) * EffScale
+    // cellAssign is a pure projection (extra columns pass through),
+    // so the sq8 payload rides along — no corpus-scale join back
+    val assigned =
+      if (layout == "full")
+        Ann.cellAssign(trainIn, cent)
+          .select(col("vec_id"), col("v"), col("norm2"), col("cell"))
+      else
+        Ann.cellAssign(elected
+            .withColumn("v", transform(col("cb"), _.cast("long")))
+            .withColumn("norm2", col("n2q")), cent)
+          .select(col("vec_id"), col("cb"), col("n2q"), col("cell"))
+    assigned
+      .withColumn("ingest_batch", lit(outId))
+      .write.mode("overwrite")
+      .partitionBy("cell", "ingest_batch")
+      .parquet(genDir)
+    if (crashPoint == 1) return (genN, outId)
+    stampIndexLayout(genDir, layout, cent.size, dims)
+    saveModel(s"$genDir/_model", cent)
+    if (crashPoint == 2) return (genN, outId)
+    writeCurrentGen(indexDir, genN) // THE atomic cutover
+    (genN, outId)
+  }
+
+  /** Reclaim non-serving generations — the grace-priced owner pass
+    * that completes [[retrainIndex]]'s cutover (which deletes
+    * nothing). Removes every `gen-N` dir other than the current one
+    * and, once a generation pointer exists, the flat generation-0
+    * remnants at the index root (its `cell=*` leaves, ledger,
+    * manifest, and layout stamp). Same operational class as
+    * [[vacuumIndex]]: run it only when no reader planned against the
+    * old generation can still be in flight. Returns the number of
+    * generation roots reclaimed.
+    */
+  def vacuumGenerations(indexDir: String): Int =
+    readCurrentGen(indexDir) match {
+      case None => 0 // flat layout: nothing to reclaim
+      case Some(cur) =>
+        val root = java.nio.file.Paths.get(indexDir)
+        var n = 0
+        val s = java.nio.file.Files.list(root)
+        val entries = try s.iterator().asScala.toSeq finally s.close()
+        entries.foreach { p =>
+          val name = p.getFileName.toString
+          val oldGen = name.startsWith("_gen-") && name != s"_gen-$cur"
+          val flatRemnant = name.startsWith("cell=") ||
+            name == "_tombstones" || name == "_compaction" ||
+            name == "_layout"
+          if (oldGen || flatRemnant) {
+            deleteDir(p)
+            if (oldGen || name.startsWith("cell=")) n += 1
+          }
+        }
+        n
+    }
 
   /** One monitor per index dir serializing ledger read-modify-writes
     * (the FsKeyIndex.lockFor pattern). The cross-process contract is
@@ -679,34 +929,87 @@ object StreamingAnn {
     }
 
   /** Owner-side batch-id reuse (a FRESH checkpoint lineage restarts at
-    * batch 0, which an earlier compaction may have consumed): before
-    * the ingest writes batch `batchId`, physically drop any tombstoned
-    * leaves carrying that id and clear their ledger entries — the old
-    * hidden content must not resurrect under the new delivery's id,
-    * and the new delivery must not be hidden by a stale tombstone.
-    * Directory deletes precede the ledger rewrite (a crash between
-    * leaves the id hidden; the re-run completes).
+    * batch 0, which an earlier compaction may have consumed): the
+    * on-disk partition id the ingest writes batch `batchId` under.
+    * When the raw id is free, that IS the raw id (the common path);
+    * when it is tombstoned, the new delivery lands in a FRESH
+    * generation-encoded partition ([[reuseId]] — eff still decodes to
+    * `batchId`, so elections treat it as the raw delivery it is)
+    * instead of reclaiming the old path. The old hidden leaves stay
+    * on disk — a reader whose plan-time snapshot predates the reuse
+    * still finds every file it listed — and age out via
+    * [[vacuumIndex]]'s grace like every other tombstoned leaf, and
+    * the stale tombstones never hide the new delivery (its id is
+    * fresh by construction). NOTHING on this path deletes a file:
+    * this closed the last owner-side delete-under-reader window.
     *
-    * Residual exposure, documented: this owner-side delete is the one
-    * remaining path that removes files a reader's pre-compaction
-    * snapshot may still reference — it requires a fresh lineage
-    * REUSING a consumed batch id while that reader is in flight
-    * (grace periods cannot help: the old content must be gone before
-    * the id becomes visible again, or it would resurrect under the
-    * new delivery). Same operational class as `vacuumIndex(grace=0)`:
-    * an explicit owner action, not a background commit.
+    * The id must be STABLE across replays of the same lineage (the
+    * idempotent-partition contract: a replayed batch must rewrite its
+    * own leaf, not mint a sibling) but FRESH across lineages, so the
+    * allocation is memoized per checkpoint lineage at
+    * `<checkpointDir>/graft-reuse-map`, written atomically BEFORE the
+    * leaf — a crash at any seam re-reads the same id. The map is
+    * consulted first so a later [[vacuumIndex]] clearing the raw id's
+    * ledger entries mid-lineage cannot flip a replay back to the raw
+    * path.
     */
-  private[graft] def untombstone(indexDir: String, batchId: Long): Unit =
+  private[graft] def reuseSafeBatchId(indexDir: String,
+      checkpointDir: String, batchId: Long): Long =
     ledgerLock(indexDir).synchronized {
-      val ts = readTombstones(indexDir)
-      val (mine, keep) = ts.partition(_._3 == batchId)
-      if (mine.nonEmpty) {
-        mine.foreach { case (_, c, b) =>
-          deleteDir(java.nio.file.Paths.get(s"$indexDir/cell=$c/ingest_batch=$b"))
-        }
-        writeTombstones(indexDir, keep)
+      readReuseMap(checkpointDir).get(batchId) match {
+        case Some(id) => id
+        case None =>
+          val dead = readTombstones(indexDir).map(_._3).toSet
+          if (!dead.contains(batchId)) batchId
+          else {
+            val taken = listLeaves(indexDir).map(_._2).toSet ++ dead
+            val id = (0L until ReuseBase).iterator
+              .map(r => reuseId(batchId, r))
+              .find(cand => !taken.contains(cand))
+              .getOrElse(throw new IllegalStateException(
+                s"reuse-generation space exhausted for batch $batchId " +
+                  s"at $indexDir"))
+            writeReuseMap(checkpointDir,
+              readReuseMap(checkpointDir) + (batchId -> id))
+            id
+          }
       }
     }
+
+  /** Reuse-encoded delivery ids live in the upper half of each
+    * effective slot's generation range (compaction outputs allocate
+    * from the bottom, [[compactIndexImpl]] — the two allocators can
+    * never collide).
+    */
+  private[graft] val ReuseBase = EffScale / 2
+  private[graft] def reuseId(rawId: Long, r: Long): Long =
+    -((rawId + 2) * EffScale + ReuseBase + r)
+  private[graft] def isReuseId(id: Long): Boolean =
+    id < 0 && -id >= EffScale && (-id) % EffScale >= ReuseBase
+
+  private def reuseMapPath(checkpointDir: String) =
+    java.nio.file.Paths.get(checkpointDir, "graft-reuse-map")
+
+  private[graft] def readReuseMap(checkpointDir: String): Map[Long, Long] =
+    try {
+      java.nio.file.Files.readAllLines(reuseMapPath(checkpointDir)).asScala
+        .filter(_.nonEmpty).map { l =>
+          val Array(a, b) = l.split(","); a.toLong -> b.toLong
+        }.toMap
+    } catch { case _: java.nio.file.NoSuchFileException => Map.empty }
+
+  private def writeReuseMap(checkpointDir: String,
+      m: Map[Long, Long]): Unit = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(checkpointDir))
+    val tmp = java.nio.file.Paths.get(checkpointDir,
+      s"graft-reuse-map.tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(tmp,
+      m.toSeq.sorted.map { case (a, b) => s"$a,$b" }.mkString("\n"))
+    java.nio.file.Files.move(tmp, reuseMapPath(checkpointDir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 
   private def tombstonePath(indexDir: String) =
     java.nio.file.Paths.get(indexDir, "_tombstones")
@@ -873,20 +1176,21 @@ object StreamingAnn {
     */
   def indexStats(spark: SparkSession, indexDir: String): DataFrame = {
     import spark.implicits._
+    val root = resolveRoot(indexDir) // serving generation
     // ONE exclusion snapshot (manifest + tombstone ledger) drives both
     // the leaf-level and the row-level exclusion: two reads could
     // straddle an owner recovery and describe two different index
     // states in one stats row
-    val excluded = excludedBatchIds(indexDir)
+    val excluded = excludedBatchIds(root)
     val visibility =
       if (excluded.isEmpty) None
       else Some(!col("ingest_batch").isin(excluded.toSeq.sorted: _*))
-    val leaves = listLeaves(indexDir)
+    val leaves = listLeaves(root)
     val visible = leaves.filterNot { case (_, b) => excluded.contains(b) }
     val leafCounts = visible.groupBy(_._1)
       .map { case (c, ls) => (c, ls.size.toLong) }.toSeq
       .toDF("cell", "n_leaves")
-    val idx0 = spark.read.parquet(indexDir)
+    val idx0 = spark.read.parquet(root)
     val idx = visibility.fold(idx0)(idx0.filter)
     // distinct vec_ids: a replayed leaf can transiently duplicate rows
     // the compacted output holds — queries elect one copy
@@ -972,10 +1276,12 @@ object StreamingAnn {
   def queryIndex(spark: SparkSession, indexDir: String, modelPath: String,
       queries: DataFrame, k: Int, probes: Int = 1): DataFrame = {
     import spark.implicits._
-    requireLayout(indexDir, "full", "queryIndex")
-    val visibility = visibilityFilter(indexDir)
-    val cent = loadModel(modelPath).getOrElse(
-      throw new IllegalStateException(s"no trained model at $modelPath"))
+    val root = resolveRoot(indexDir) // serving generation (see retrainIndex)
+    requireLayout(root, "full", "queryIndex")
+    val visibility = visibilityFilter(root)
+    val model = resolveModel(indexDir, modelPath)
+    val cent = loadModel(model).getOrElse(
+      throw new IllegalStateException(s"no trained model at $model"))
     val qRows = quantize(queries).collect().map(r =>
       (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
     val probeRows = qRows.flatMap { case (qId, qv, qn2) =>
@@ -983,7 +1289,7 @@ object StreamingAnn {
     }.toSeq
     val probeDf = probeRows.toDF("q_id", "qcell", "qv", "qn2")
     val cells = probeRows.map(_._2).distinct
-    val idx0 = spark.read.parquet(indexDir)
+    val idx0 = spark.read.parquet(root)
       .filter(col("cell").isin(cells: _*))
     val idx = visibility.fold(idx0)(idx0.filter)
     val w = org.apache.spark.sql.expressions.Window

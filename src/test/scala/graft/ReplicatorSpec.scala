@@ -253,6 +253,40 @@ class ReplicatorSpec extends SparkSuite {
       .toSeq === Seq((1L, "missing_event"), (3L, "missing_object")))
   }
 
+  test("event triage: malformed dropped regardless of count, poison at the bound, ok below it") {
+    import spark.implicits._
+    val raw = Seq(
+      // ok: well-formed, below the bound
+      (1L, """{"p":0,"s":10,"t":"created","ts":100}""", 4L),
+      // poison: well-formed, AT the bound (>= semantics)
+      (2L, """{"p":0,"s":11,"t":"created","ts":101}""", 5L),
+      // malformed beats poison: unparseable AND over the bound —
+      // the reference deletes parse failures immediately
+      (3L, """not json at all""", 9L),
+      // malformed: missing required field
+      (4L, """{"p":0,"t":"removed","ts":103}""", 1L),
+      // malformed: unknown event type (reference skips unknown source)
+      (5L, """{"p":0,"s":13,"t":"updated","ts":104}""", 1L),
+      // malformed: non-numeric part id
+      (6L, """{"p":"x","s":14,"t":"created","ts":105}""", 1L),
+      // ok: removed is a known type
+      (7L, """{"p":1,"s":15,"t":"removed","ts":106}""", 1L)
+    ).toDF("event_id", "body", "receive_count")
+    val out = StoreReconciler.triageEvents(raw, maxReceives = 5)
+      .orderBy("event_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[String]("status"))).toSeq === Seq(
+      1L -> "ok", 2L -> "poison_dead", 3L -> "malformed_dead",
+      4L -> "malformed_dead", 5L -> "malformed_dead",
+      6L -> "malformed_dead", 7L -> "ok"))
+    // nothing is silently dropped: every input event is accounted for
+    assert(out.length === 7)
+    // ok rows carry the parsed event, dead rows their identity
+    val okRow = out.find(_.getLong(0) == 1L).get
+    assert(okRow.getAs[Long]("part_id") === 0L)
+    assert(okRow.getAs[Long]("seg_seq") === 10L)
+    assert(okRow.getAs[Long]("event_ts") === 100L)
+  }
+
   test("consistent listing merges event state (reference ListSegments scenarios)") {
     // mirrors tests/consistent_segment_store_test.go: CREATED fills a
     // listing miss; REMOVED newer than the listing deletes it; REMOVED

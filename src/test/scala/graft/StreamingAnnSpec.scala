@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
@@ -280,13 +282,22 @@ class StreamingAnnSpec extends SparkSuite {
     assert(snap() === before)
   }
 
-  test("effective-batch decode: raw, generation-encoded, and legacy ids") {
-    import StreamingAnn.{effOf, EffScale}
+  test("effective-batch decode: raw, generation-encoded, reuse, and legacy ids") {
+    import StreamingAnn.{effOf, EffScale, ReuseBase, reuseId, isReuseId}
     assert(effOf(7L) === 7L)                    // raw batch
     assert(effOf(-(6L * EffScale)) === 4L)      // gen 0, maxRaw 4
     assert(effOf(-(6L * EffScale) - 5L) === 4L) // gen 5, same maxRaw
     assert(effOf(-6L) === 4L)                   // legacy flat -(maxRaw+2)
     assert(effOf(-2L) === 0L)                   // legacy floor case
+    // reuse-encoded delivery ids: eff decodes to the RAW batch id,
+    // and the namespace is disjoint from compaction gens (upper half)
+    assert(effOf(reuseId(0L, 0L)) === 0L)
+    assert(effOf(reuseId(5L, 3L)) === 5L)
+    assert(isReuseId(reuseId(0L, 0L)))
+    assert(isReuseId(reuseId(5L, ReuseBase - 1L)))
+    assert(!isReuseId(-(6L * EffScale) - 5L)) // compaction gen 5
+    assert(!isReuseId(-6L))                   // legacy flat
+    assert(!isReuseId(7L))                    // raw
   }
 
   test("compaction survivor is deterministic newest-wins per vec_id") {
@@ -381,6 +392,83 @@ class StreamingAnnSpec extends SparkSuite {
       s"$root/model.txt", queries, k = 5, probes = 8).collect()
     assert(res.map(_.getLong(2)).exists(_ >= 10000L),
       "fresh-lineage rows invisible to queries")
+  }
+
+  test("id-reuse delete-race closed: a reader planned pre-reuse survives a fresh lineage") {
+    // THE round-14 documented residual: a fresh checkpoint lineage
+    // reusing a consumed batch id used to physically drop the old
+    // tombstoned leaves before writing (untombstone), the one path
+    // that removed files a planned reader could still hold. Reused
+    // ids now land in fresh generation-encoded partitions; the old
+    // content stays hidden until vacuum.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-reuse-race")
+    val rows = embRows
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.ivfIngest(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt")
+    try {
+      (0 until 4).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(StreamingAnn.compactIndex(spark, s"$root/index", minBatches = 2).nonEmpty)
+    assert(StreamingAnn.readTombstones(s"$root/index").map(_._3).toSet
+      === Set(0L, 1L, 2L))
+    // the reader plans NOW (visibility snapshot + file listing)
+    val queries = rows.filter(_._1 < 5).toSeq.toDF("vec_id", "embedding")
+    def freshQ() = StreamingAnn.queryIndex(spark, s"$root/index",
+      s"$root/model.txt", queries, k = 3, probes = 2)
+    def toSet(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val before = toSet(freshQ().collect())
+    val planned = freshQ()
+    def allFiles(): Set[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/index"))
+      try s.iterator().asScala.toSet.filter(
+        _.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val preFiles = allFiles()
+    // a FRESH lineage delivers its batch 0 — a consumed id
+    val freshRows = rows.take(20).map { case (id, e) => (id + 50000L, e) }
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingAnn.ivfIngest(
+      input2.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt-fresh")
+    try { input2.addData(freshRows.toSeq: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    // (a) the reuse deleted NOTHING
+    preFiles.foreach(p => assert(java.nio.file.Files.exists(p),
+      s"file deleted under an in-flight reader: $p"))
+    // (b) the delivery landed reuse-encoded, eff-decoding to batch 0
+    val reuseIds = StreamingAnn.listLeaves(s"$root/index")
+      .map(_._2).filter(StreamingAnn.isReuseId).distinct
+    assert(reuseIds.nonEmpty, "fresh delivery did not use a reuse-encoded id")
+    assert(reuseIds.forall(id => StreamingAnn.effOf(id) == 0L))
+    // (c) the pre-reuse reader executes to the pre-reuse view
+    assert(toSet(planned.collect()) === before)
+    // (d) the fresh delivery is visible to new readers
+    val fq = StreamingAnn.queryIndex(spark, s"$root/index",
+      s"$root/model.txt", freshRows.take(3).toSeq.toDF("vec_id", "embedding"),
+      k = 5, probes = 8).collect()
+    assert(fq.map(_.getLong(2)).exists(_ >= 50000L))
+    // (e) the stale raw-id tombstones still hide the old content and
+    // age out via the normal vacuum path, not an eager delete
+    assert(StreamingAnn.readTombstones(s"$root/index").map(_._3).toSet
+      === Set(0L, 1L, 2L))
+    assert(StreamingAnn.vacuumIndex(s"$root/index", grace = 0) > 0)
+    assert(!StreamingAnn.listLeaves(s"$root/index").exists(l =>
+      Set(0L, 1L, 2L).contains(l._2)))
+    // post-vacuum: both corpora fully served
+    val vis = StreamingAnn.visibilityFilter(s"$root/index")
+    val idx0 = spark.read.parquet(s"$root/index")
+    assert(vis.fold(idx0)(idx0.filter).count()
+      === rows.length.toLong + freshRows.length)
   }
 
   test("SQ8 index: byte codes on disk, frozen-model queries, layout-agnostic compaction") {
@@ -794,16 +882,21 @@ class StreamingAnnSpec extends SparkSuite {
     // decode to the max batch that delivered it
     def payload(vec: Long, b: Long): Seq[Long] =
       Seq(vec * 1000L, b * 1000L, 0L, 0L)
+    // the serving generation root — retrain ops flip it mid-run
+    def idxRoot(): String = StreamingAnn.resolveRoot(s"$root/index")
     var stamped = false
-    def writeLeaf(b: Long, vecs: Seq[Long]): Unit = {
-      vecs.map(v => (v, payload(v, b)))
+    // diskId may be a reuse-encoded id (fresh lineage over a consumed
+    // raw id); the payload still records the RAW delivering batch —
+    // exactly what the ingest writes
+    def writeLeaf(diskId: Long, rawB: Long, vecs: Seq[Long]): Unit = {
+      vecs.map(v => (v, payload(v, rawB)))
         .toDF("vec_id", "v")
         .withColumn("norm2", graft.functions.VecOps.intDot(col("v"), col("v")))
         .withColumn("cell", col("vec_id") % 2) // fixed 2-cell "model"
-        .withColumn("ingest_batch", lit(b))
+        .withColumn("ingest_batch", lit(diskId))
         .write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").partitionBy("cell", "ingest_batch")
-        .parquet(s"$root/index")
+        .parquet(idxRoot()) // the resolved serving generation
       // hand-built index: explicit stamp (compaction refuses unstamped)
       if (!stamped) {
         StreamingAnn.stampIndexLayout(s"$root/index", "full", 2, dims)
@@ -818,7 +911,7 @@ class StreamingAnnSpec extends SparkSuite {
     // elected copy is max (effective batch, raw batch)
     def visibleRows(): Map[Long, Long] = {
       val vis = StreamingAnn.visibilityFilter(s"$root/index")
-      val idx0 = spark.read.parquet(s"$root/index")
+      val idx0 = spark.read.parquet(idxRoot())
       val idx = vis.fold(idx0)(idx0.filter)
       val rows = idx.select(col("vec_id"), col("v"),
           col("ingest_batch").cast("long").as("src_b")).collect()
@@ -830,38 +923,114 @@ class StreamingAnnSpec extends SparkSuite {
         v -> elected._2
       }
     }
-    val delivered = scala.collection.mutable.Map.empty[Long, Long] // vec -> max batch
+    // model-side mirror of every DELIVERY leaf's content (diskId ->
+    // vec -> delivering raw batch). Compaction/vacuum never mutate it:
+    // they must preserve elected payloads, which is exactly what the
+    // invariant checks. A cross-lineage overwrite of a live same-id
+    // leaf REPLACES the entry (last-writer-wins, the documented
+    // single-owner contract).
+    val perLeaf =
+      scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+    // dynamic partition overwrite replaces ONLY the (cell, batch)
+    // partitions present in the new write: old rows of the same batch
+    // id in untouched cells survive on disk, and the model must too
+    // (within a lineage the cell set is identical — deterministic
+    // assignment — so this is the documented cross-lineage
+    // mixed-leaf case)
+    def modelWrite(diskId: Long, rawB: Long, vecs: Seq[Long]): Unit = {
+      val newCells = vecs.map(_ % 2).toSet
+      val kept = perLeaf.getOrElse(diskId, Map.empty)
+        .filterNot { case (v, _) => newCells.contains(v % 2) }
+      perLeaf(diskId) = kept ++ vecs.map(_ -> rawB)
+    }
     val batchContents = scala.collection.mutable.Map.empty[Long, Seq[Long]]
     var nextBatch = 0L
+    var lineage = 0
+    def ckptDir = s"$root/ckpt-$lineage"
     def expect(): Unit = {
-      if (delivered.isEmpty) return // nothing ingested yet — no dir
+      if (perLeaf.isEmpty) return // nothing ingested yet — no dir
+      // the oracle elects per vec by (effective batch, id) of the
+      // leaf HOLDING the copy — the documented election spec. Within
+      // a lineage this is exactly "max delivering batch" (raw ids
+      // only grow past every output's eff); across lineage RESETS a
+      // compacted output legitimately shadows the fresh lineage's
+      // smaller batch ids (re-delivering changed content from a
+      // fresh lineage is outside the contract — newestPerCandidate's
+      // documented caveat), and the model must shadow identically.
+      // The keySet equality below is election-independent: no vec is
+      // ever lost or resurrected.
+      val want = perLeaf.toSeq
+        .flatMap { case (id, m) => m.map { case (v, pb) => (v, id, pb) } }
+        .groupBy(_._1).map { case (v, copies) =>
+          v -> copies.maxBy { case (_, id, _) =>
+            (StreamingAnn.effOf(id), id) }._3
+        }
       val vis = visibleRows()
-      assert(vis.keySet === delivered.keySet.toSet, s"seed $seed")
-      delivered.foreach { case (v, b) =>
+      assert(vis.keySet === want.keySet, s"seed $seed")
+      want.foreach { case (v, b) =>
         assert(vis(v) === b,
           s"seed $seed: vec $v visible from batch ${vis(v)}, newest $b")
       }
     }
+    // in-flight readers: a reader's plan-time snapshot is the
+    // visibility-filtered file listing; every op EXCEPT the two
+    // documented, priced deletion paths (vacuum's grace reclaim; a
+    // replay's idempotent rewrite of its own leaf) must leave every
+    // snapshotted file on disk — this is the invariant the old
+    // owner-side untombstone delete violated on batch-id reuse
+    def visibleFiles(): Set[java.nio.file.Path] = {
+      val r = idxRoot()
+      val excluded = StreamingAnn.excludedBatchIds(r)
+      StreamingAnn.listLeaves(r)
+        .filterNot { case (_, b) => excluded.contains(b) }
+        .flatMap { case (c, b) =>
+          val d = java.nio.file.Paths.get(s"$r/cell=$c/ingest_batch=$b")
+          if (!java.nio.file.Files.exists(d)) Seq.empty
+          else {
+            val s = java.nio.file.Files.list(d)
+            try s.iterator().asScala.toSeq.filter(
+              _.getFileName.toString.endsWith(".parquet"))
+            finally s.close()
+          }
+        }.toSet
+    }
+    val readerSnapshots =
+      scala.collection.mutable.ListBuffer.empty[Set[java.nio.file.Path]]
     (0 until 200).foreach { step =>
-      rnd.nextInt(5) match {
+      val priorLeafIds = StreamingAnn.listLeaves(idxRoot()).map(_._2).toSet
+      val opCode = rnd.nextInt(9)
+      if (sys.env.contains("GRAFT_MODEL_TRACE"))
+        println(s"MODELTRACE step=$step op=$opCode nextBatch=$nextBatch lineage=$lineage " +
+          s"leaves=${StreamingAnn.listLeaves(s"$root/index").map(_._2).distinct.sorted.mkString("/")} " +
+          s"dead=${StreamingAnn.readTombstones(s"$root/index").map(_._3).distinct.sorted.mkString("/")}")
+      opCode match {
         case 0 => // new batch (owner entry: recover first)
           StreamingAnn.recoverIndex(s"$root/index")
           val vecs = (0 until NVecs).filter(_ => rnd.nextBoolean())
             .map(_.toLong)
           if (vecs.nonEmpty) {
-            // owner id-reuse discipline, as the ingests: a new batch id
-            // may collide with a tombstoned one after a lineage reset
-            StreamingAnn.untombstone(s"$root/index", nextBatch)
-            writeLeaf(nextBatch, vecs)
+            // owner id-reuse discipline, as the ingests: after a
+            // lineage reset the raw id may be tombstoned — the write
+            // then lands in a fresh generation-encoded partition and
+            // deletes NOTHING
+            val diskId = StreamingAnn.reuseSafeBatchId(
+              idxRoot(), ckptDir, nextBatch)
+            writeLeaf(diskId, nextBatch, vecs)
+            if (priorLeafIds.contains(diskId))
+              readerSnapshots.clear() // overwrite of an existing leaf
             batchContents(nextBatch) = vecs
-            vecs.foreach(v => delivered(v) = math.max(delivered.getOrElse(v, -1L), nextBatch))
+            modelWrite(diskId, nextBatch, vecs)
             nextBatch += 1
           }
-        case 1 => // replay of a random earlier batch (owner entry)
+        case 1 => // replay of an earlier batch of THIS lineage (owner entry)
           if (batchContents.nonEmpty) {
             StreamingAnn.recoverIndex(s"$root/index")
             val b = batchContents.keys.toSeq(rnd.nextInt(batchContents.size))
-            writeLeaf(b, batchContents(b)) // idempotent rewrite
+            val diskId = StreamingAnn.reuseSafeBatchId(
+              idxRoot(), ckptDir, b)
+            writeLeaf(diskId, b, batchContents(b)) // idempotent rewrite
+            modelWrite(diskId, b, batchContents(b))
+            readerSnapshots.clear() // rewrite replaces the leaf's files
             // re-delivery may re-materialize a compacted-away leaf —
             // tombstoned (hidden, compacted copy serves) or, post-
             // vacuum, visible (raw beats compacted on an effective
@@ -869,13 +1038,79 @@ class StreamingAnnSpec extends SparkSuite {
           }
         case 2 => // compaction, possibly crashing at any seam
           val cp = rnd.nextInt(4) // 0 = clean, 1..3 = crash seams
-          StreamingAnn.compactIndexImpl(spark, s"$root/index",
+          val before = StreamingAnn.readTombstones(idxRoot())
+            .map(t => (t._2, t._3)).toSet
+          val out = StreamingAnn.compactIndexImpl(spark, s"$root/index",
             minBatches = 2, crashPoint = cp)
+          // once the flip COMMITS (cp 0 or 3), the consumed leaves'
+          // content lives in the output: move the model entries there
+          // (electing max delivering batch, the compactor's own rule)
+          // so a later same-id overwrite can't be mis-modeled as
+          // destroying content that was already compacted away
+          out.foreach { outId =>
+            val consumed: Set[Long] =
+              if (cp == 0)
+                (StreamingAnn.readTombstones(idxRoot())
+                  .map(t => (t._2, t._3)).toSet -- before).map(_._2)
+              else if (cp == 3)
+                StreamingAnn.readManifest(idxRoot())
+                  .map(_._3.map(_._2).toSet).getOrElse(Set.empty)
+              else Set.empty // intent seams roll back: nothing consumed
+            val moved = consumed.toSeq.flatMap(id =>
+              perLeaf.remove(id).toSeq.flatMap(_.map {
+                case (v, pb) => (v, id, pb) }))
+            if (moved.nonEmpty)
+              perLeaf(outId) = moved.groupBy(_._1)
+                .map { case (v, xs) =>
+                  // the compactor's survivor rule over the consumed set
+                  v -> xs.maxBy { case (_, id, _) =>
+                    (StreamingAnn.effOf(id), id) }._3
+                }
+          }
         case 3 => // owner recovery
           StreamingAnn.recoverIndex(s"$root/index")
         case 4 => // vacuum at a random grace (0 = eager reclaim)
           StreamingAnn.vacuumIndex(s"$root/index", grace = rnd.nextInt(3))
+          readerSnapshots.clear() // the priced reclaim path
+        case 5 => // lineage reset: fresh checkpoint, batch ids restart at 0
+          lineage += 1
+          nextBatch = 0L
+          batchContents.clear() // replays come from the live lineage only
+        case 6 => // a reader plans here; its files must survive
+          readerSnapshots += visibleFiles()
+        case 7 => // retrain with a random crash seam (0 = committed)
+          // committed retrain needs a k-means seed (vec 0 or 1) in
+          // the corpus; gate like an operator checking preconditions
+          val haveSeed = perLeaf.values.flatten.exists(_._1 <= 1L)
+          if (perLeaf.nonEmpty && StreamingAnn.listLeaves(idxRoot()).nonEmpty
+            && haveSeed) {
+            val cp = rnd.nextInt(3) // 0 = cutover, 1..2 = crash seams
+            val (_, outId) = StreamingAnn.retrainIndexImpl(spark,
+              s"$root/index", kCells = 2, iterations = 1, crashPoint = cp)
+            if (cp == 0) {
+              // the new generation holds exactly the elected view,
+              // under ONE generation-encoded leaf; retrain deletes
+              // nothing, so reader snapshots must survive un-cleared
+              val elected = perLeaf.toSeq
+                .flatMap { case (id, m) =>
+                  m.map { case (v, pb) => (v, id, pb) } }
+                .groupBy(_._1).map { case (v, copies) =>
+                  v -> copies.maxBy { case (_, id, _) =>
+                    (StreamingAnn.effOf(id), id) }._3
+                }
+              perLeaf.clear()
+              perLeaf(outId) = elected
+            }
+            // cp 1/2: an unreferenced build — invisible, model unchanged
+          }
+        case 8 => // reclaim non-serving generations (priced deletion)
+          if (StreamingAnn.vacuumGenerations(s"$root/index") > 0)
+            readerSnapshots.clear()
       }
+      readerSnapshots.foreach(_.foreach { p =>
+        assert(java.nio.file.Files.exists(p),
+          s"seed $seed step $step: file deleted under an in-flight reader: $p")
+      })
       expect() // the reader invariant must hold after EVERY op
     }
   }
