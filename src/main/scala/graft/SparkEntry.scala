@@ -566,6 +566,22 @@ object SparkEntry {
     "t_token_count" -> ((s, dir) =>
       TextAnalysis.tokenCount(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // T18: tokenizer-TRUE token counts — real BPE merges (repo-trained
+    // GPT-2-format table) next to the whitespace proxy; the oracle
+    // replays the same greedy merge loop as a recursive CTE over the
+    // word vocabulary, so the cross-engine gate covers the tokenizer
+    // itself, not just a regex
+    "t_token_count_bpe" -> ((s, dir) =>
+      TextAnalysis.tokenCountBpe(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // P2 twin packed on BPE counts: the packing budget in the tokens
+    // trainers actually consume
+    "p_pack_sequences_bpe" -> ((s, dir) =>
+      Curation.packSequences(Tables.documents(s, dir), budget = 256, shards = 8,
+        tokens = c => graft.functions.Bpe.tokenCount(
+          graft.functions.Portable.normText(c), graft.functions.Bpe.default))
+        .orderBy("shard", "seq_id")),
+
     "t_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -942,6 +958,59 @@ object SparkEntry {
   /** Normalized text + distinct 8-shingles + tokens (mirrors
     * Portable.normText / Dedup.shingleTable / TextAnalysis.tokens).
     */
+  /** The checked-in merge table as inline VALUES rows (rank, a, b) —
+    * the oracle carries the SAME table the engine's expression ships,
+    * read from the same resource, so the two sides cannot drift.
+    */
+  private lazy val BpeMergesValues: String =
+    graft.functions.BpeMergesData.lines.iterator
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex.map { case (l, i) =>
+        val Array(a, b) = l.split(" ", 2)
+        s"($i, '$a', '$b')"
+      }.mkString(", ")
+
+  /** Word-vocabulary BPE chain (requires `norm` and WITH RECURSIVE in
+    * scope): greedy merge loop per DISTINCT word via boundary-anchored
+    * replace, ending in `bpedoc(doc_id, bpe_tokens)`.
+    */
+  private lazy val BpeTokCte =
+    s"""words AS (
+       |  SELECT doc_id, w, count(*)::BIGINT AS m
+       |  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm) u
+       |  WHERE w <> '' GROUP BY doc_id, w
+       |),
+       |vocab AS (SELECT DISTINCT w FROM words),
+       |merges(rnk, a, b) AS (SELECT * FROM (VALUES $BpeMergesValues) v),
+       |bpe(w, s, it) AS (
+       |  SELECT w, chr(31) || array_to_string(string_split(w, ''), chr(31)) || chr(31), 0
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT st.w,
+       |         replace(st.s, chr(31)||bp.a||chr(31)||bp.b||chr(31),
+       |                 chr(31)||bp.a||bp.b||chr(31)),
+       |         st.it + 1
+       |  FROM bpe st JOIN merges bp ON bp.rnk = (
+       |    SELECT min(m2.rnk) FROM merges m2
+       |    WHERE contains(st.s, chr(31)||m2.a||chr(31)||m2.b||chr(31)))
+       |),
+       |fin AS (
+       |  SELECT w, s FROM (
+       |    SELECT w, s, row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+       |    FROM bpe) f WHERE rn = 1
+       |),
+       |tok AS (
+       |  SELECT w, (strlen(s) - strlen(replace(s, chr(31), '')) - 1)::BIGINT AS ntok
+       |  FROM fin
+       |),
+       |bpedoc AS (
+       |  SELECT n.doc_id, coalesce(sum(words.m * tok.ntok), 0)::BIGINT AS bpe_tokens
+       |  FROM norm n
+       |  LEFT JOIN words ON n.doc_id = words.doc_id
+       |  LEFT JOIN tok ON words.w = tok.w
+       |  GROUP BY n.doc_id
+       |)""".stripMargin
+
   private val NormCte =
     """norm AS (
       |  SELECT doc_id, lang, n_chars, text,
@@ -2212,6 +2281,37 @@ object SparkEntry {
          |    ORDER BY score DESC, tok))::INT AS rnk
          |  FROM scored
          |) WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // tokenizer-true counts: the oracle replays graft's greedy BPE as
+    // a recursive CTE over the word VOCABULARY (not per occurrence) —
+    // each iteration merges the best-ranked pair present via
+    // boundary-anchored replace; chained runs may take extra
+    // iterations but converge to the same fixpoint as the engine's
+    // single-pass merge (see Bpe.scala scaladoc for the argument)
+    "t_token_count_bpe" ->
+      s"""WITH RECURSIVE $NormCte, $BpeTokCte
+         |SELECT n.doc_id, len(string_split(n.t, ' '))::BIGINT AS ws_tokens,
+         |       b.bpe_tokens
+         |FROM norm n JOIN bpedoc b USING (doc_id)
+         |ORDER BY n.doc_id""".stripMargin,
+
+    "p_pack_sequences_bpe" ->
+      s"""WITH RECURSIVE $NormCte, $BpeTokCte,
+         |d AS (
+         |  SELECT n.doc_id, b.bpe_tokens AS n_tok,
+         |         (${sqlH20("n.doc_id::VARCHAR")} % 8)::BIGINT AS shard,
+         |         ${sqlH60("n.t")} AS ord_h
+         |  FROM norm n JOIN bpedoc b USING (doc_id)
+         |),
+         |c AS (
+         |  SELECT shard, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY shard ORDER BY ord_h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d
+         |)
+         |SELECT shard, ((cum - n_tok) // 256)::BIGINT AS seq_id,
+         |       count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+         |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
 
     "t_quota_sample" ->
       """SELECT source, rnk, doc_id FROM (

@@ -120,6 +120,21 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
         .cast("long").as("subword_tokens"))
 
+  /** Tokenizer-TRUE token counts (the T3 upgrade): real BPE merges
+    * over the normalized words ([[Bpe]] — a GPT-2-format merge table
+    * trained on the repo corpus), next to the whitespace count for
+    * the proxy-error observable. Training-data budgets (P2 packing,
+    * P10 audits, P11 curricula) should budget in THESE tokens; the
+    * regex row stays as the cheap screen. Pure projection inside
+    * whole-stage codegen, merge table shipped once per executor.
+    */
+  def tokenCountBpe(docs: DataFrame,
+      table: BpeTable = Bpe.default): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(normText(col("text")), " ")).cast("long").as("ws_tokens"),
+      Bpe.tokenCount(normText(col("text")), table).as("bpe_tokens"))
+
   /** Heavy hitters: top-N corpus tokens by frequency (deterministic
     * tiebreak). One shuffle on token; at 100 TB the partial (map-side)
     * aggregation collapses per-executor counts before the shuffle.

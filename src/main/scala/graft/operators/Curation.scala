@@ -36,10 +36,19 @@ object Curation {
     * unchanged. Output is the per-sequence manifest (doc count +
     * token count), identical to a single global per-shard scan.
     */
+  /** Default token budget rule: whitespace tokens of the normalized
+    * text (the T3 proxy). Pass [[graft.functions.Bpe.tokenCount]] for
+    * tokenizer-true budgets — training pipelines budget in TOKENIZER
+    * tokens, and the proxy's error flows into every pack.
+    */
+  private[graft] val wsTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => size(split(normText(c), " ")).cast("long")
+
   def packSequences(docs: DataFrame, budget: Int = 256,
-      shards: Int = 8, blockBits: Int = 5): DataFrame = {
+      shards: Int = 8, blockBits: Int = 5,
+      tokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = wsTokens): DataFrame = {
     val d = docs.select(col("doc_id"),
-      size(split(normText(col("text")), " ")).cast("long").as("n_tok"),
+      tokens(col("text")).as("n_tok"),
       (hexHash20(col("doc_id").cast("string")) % shards).as("shard"),
       hexHash60(normText(col("text"))).as("ord_h"))
       .withColumn("blk", shiftright(col("ord_h"), 60 - blockBits))
