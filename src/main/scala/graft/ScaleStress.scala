@@ -138,16 +138,31 @@ object ScaleStress {
     *    rows grow N×·(win/stride) by construction.
     *  - t_pii_redact: zero-shuffle codegen projection over N× rows —
     *    the pure-scan control for the shuffle-family members.
+    *  - d_bloom_dedup (via the log2m-scaled runner): rotation makes
+    *    every copy's content keys distinct, so corpus keys, batch
+    *    keys, and the true-dup volume behind the guard all grow
+    *    exactly N×; the runner applies the operator's own documented
+    *    scale rule m ∝ corpus (log2m += ceil(log2 factor), holding
+    *    ~bits/key — a FIXED filter at N× keys saturates to FPR→1 and
+    *    silently degenerates into the unguarded D9 join, which would
+    *    measure the wrong operator). Bitmap build is a partial-agg
+    *    rollup to m/64 words (the one-row map grows to ~factor·128 KB,
+    *    still broadcast-scale); the probe stays a per-row projection.
+    *  - t_token_count_bpe: zero-shuffle codegen projection (per-word
+    *    greedy merges against the fixed 48-entry table); rotation
+    *    changes WHICH merges fire per word, not the bounded per-word
+    *    work — N× rows, N× work, the tokenizer-cost control next to
+    *    t_pii_redact's pure-scan control.
     */
   val Queries: Seq[String] = Seq("a_kmeans_train_iter10",
     "a_kmeans_train_k256", "a_knn_ivfpq",
-    "a_knn_ivfpq_rerank", "a_knn_ivfsq", "d_bucket_balance",
+    "a_knn_ivfpq_rerank", "a_knn_ivfsq", "d_bloom_dedup", "d_bucket_balance",
     "d_contamination", "d_dedup_clusters", "d_line_dedup", "d_minhash_lsh",
     "d_repeated_spans", "d_semantic_dedup", "d_simhash", "d_span_strip",
     "p3_stream_ingest",
     "p_chunk_overlap", "p_curated_corpus", "p_global_shuffle",
     "p_pack_sequences", "q_column_profile", "q_column_profile_audit",
-    "t_dsir_select", "t_pii_redact")
+    "t_dsir_select", "t_pii_redact", "t_token_count_bpe")
 
   /** Locale-independent 2-decimal formatter: every number printed here
     * is machine-parsed (per-rep stderr lines by the calm-window
@@ -261,7 +276,16 @@ object ScaleStress {
       graft.operators.Ann.semanticDedup(
           s.read.parquet(s"$dir/embeddings.parquet"),
           SparkEntry.SemDedupCosBp, kCells = 32 * factor)
-        .write.mode("overwrite").format("noop").save()))
+        .write.mode("overwrite").format("noop").save()),
+    "d_bloom_dedup" -> ((s: SparkSession, dir: String, factor: Int) => {
+      // m ∝ corpus: hold ~bits/key so the guard stays a guard
+      val ceilLog2 = if (factor <= 1) 0
+        else 64 - java.lang.Long.numberOfLeadingZeros(factor.toLong - 1)
+      graft.operators.Curation.bloomGuardedDedup(
+          s.read.parquet(s"$dir/documents.parquet"), batchMod = 4,
+          log2m = 16 + ceilLog2.toInt)
+        .write.mode("overwrite").format("noop").save()
+    }))
 
   private def timeQuery(spark: SparkSession, name: String, dir: String,
       factor: Int): Double = {
