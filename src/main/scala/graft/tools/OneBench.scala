@@ -11,12 +11,18 @@ object OneBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.register(spark)
-    val name = args(0); val dir = args(1)
+    // comma-separated names run IN SEQUENCE in one session, so
+    // session-scoped memo effects (trained models, recall ground
+    // truth) are measured exactly as the driver's one-JVM bench run
+    // sees them
+    val names = args(0).split(",").toSeq; val dir = args(1)
     SparkEntry.queries("d_contamination")(spark, dir).write.mode("overwrite").format("noop").save()
     (1 to 2).foreach { i =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
-      println(s"$name run$i: ${(System.nanoTime()-t0)/1e9}")
+      names.foreach { name =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+        println(s"$name run$i: ${(System.nanoTime()-t0)/1e9}")
+      }
     }
     spark.stop()
   }

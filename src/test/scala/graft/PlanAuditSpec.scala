@@ -247,6 +247,32 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("BPE token count: a pure projection, zero shuffles before the presentation sort") {
+    // the tokenizer is an expression, not a join against a merge
+    // table: no join, no aggregate, and the only exchange in the plan
+    // is the final presentation orderBy's range partitioning
+    val p = plan(SparkEntry.queries("t_token_count_bpe")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      p.take(2000))
+    val exchanges = p.linesIterator.count(_.trim.contains("Exchange"))
+    assert(exchanges <= 1, s"$exchanges exchanges:\n${p.take(2500)}")
+  }
+
+  test("event triage operator: one projection, no join, no aggregate") {
+    val spark0 = spark
+    import spark0.implicits._
+    // audit the OPERATOR, not the gated query's segment-build fixture
+    val raw = Seq((1L, """{"p":0,"s":1,"t":"created","ts":5}""", 1L))
+      .toDF("event_id", "body", "receive_count")
+    val p = plan(graft.operators.StoreReconciler.triageEvents(raw, 5))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
   test("trained IVF: corpus never cartesians; probes broadcast at K=const rows") {
     // the scale fix over stride-IVF (K = n/stride): cell assignment is
     // a literal-argmax projection, so the CORPUS side may never plan a

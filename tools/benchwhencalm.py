@@ -31,7 +31,17 @@ PROBE_TIMEOUT = 300          # calm probe ~95 s (+ the untimed warmup pass
                              # would still blow this
 PROBE_DEDUP_MAX = 16.0       # calm warm median ~8-12 s
 PROBE_KMEANS_MAX = 9.0       # calm warm median ~5-7 s
-MAX_SANE_TOTAL = 300.0       # r14 recalibration: two r14 attempts with
+MAX_SANE_TOTAL = 320.0       # r15 recalibration: the surface is now 122
+                             # queries (r14's 119 + r_store_dead_events
+                             # ~1 s + t_token_count_bpe ~2 s +
+                             # p_pack_sequences_bpe ~3 s), while the
+                             # recall-pair ground-truth memo gives back
+                             # several seconds — calm full-surface total
+                             # expected ~255-285 s on an r14-class
+                             # window; 320 still catches the 2-3x
+                             # throttle swings this gate exists for.
+                             # r14 note kept for the audit trail:
+                             # (was 300.0) r14 recalibration: two r14 attempts with
                              # CALM canaries AND calm probes (4.4-6.4 s
                              # kmeans probe) benched 243/254 s — within 4%
                              # of each other, nothing like the 2-3x
