@@ -836,6 +836,32 @@ object StreamingAnn {
     (genN, outId)
   }
 
+  /** Codified drift cadence — the retrain analog of
+    * [[compactIfNeeded]]: read the index's cell-share distribution
+    * (one [[indexStats]] pass over the serving generation) and
+    * retrain when the hottest visible cell's corpus share exceeds
+    * `maxShareBp`. Cell-share collapse IS the measured drift signal
+    * on this engine (BASELINE §ANN quality: a stale model's probe
+    * bound degenerates toward one giant cell — "recall 1.0" as a
+    * full scan in disguise); the balanced ideal is 10000/kCells bp,
+    * so a bound of a few × that is a sound default. Owner-context,
+    * like every maintenance pass. Returns the new generation number
+    * when a retrain ran.
+    */
+  def retrainIfNeeded(spark: SparkSession, indexDir: String,
+      maxShareBp: Long, kCells: Int, iterations: Int = 2): Option[Long] = {
+    require(maxShareBp >= 1 && maxShareBp <= 10000,
+      s"maxShareBp must be in [1, 10000], got $maxShareBp")
+    val root = resolveRoot(indexDir)
+    val excluded = excludedBatchIds(root)
+    if (listLeaves(root).forall(l => excluded.contains(l._2))) return None
+    val worst = indexStats(spark, indexDir)
+      .agg(max(col("share_bp"))).head().getLong(0)
+    if (worst > maxShareBp)
+      Some(retrainIndex(spark, indexDir, kCells, iterations))
+    else None
+  }
+
   /** Reclaim non-serving generations — the grace-priced owner pass
     * that completes [[retrainIndex]]'s cutover (which deletes
     * nothing). Removes every `gen-N` dir other than the current one

@@ -160,6 +160,41 @@ class StreamingAnnRetrainSpec extends SparkSuite {
         f"retrained $retrained%.3f/${newShare}bp")
   }
 
+  test("retrainIfNeeded: the share signal drives the drift cadence") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-retrain-cadence")
+    val rows = embRows
+    // cone-degenerate frozen model, as the drift spec
+    def cosTo0(v: Seq[Float]): Double = {
+      val a = rows(0)._2
+      a.zip(v).map { case (x, y) => x.toDouble * y.toDouble }.sum /
+        (math.sqrt(a.map(x => x.toDouble * x).sum) *
+          math.sqrt(v.map(x => x.toDouble * x).sum))
+    }
+    val coneIds = rows.sortBy(r => -cosTo0(r._2)).take(24).map(_._1).toSet
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.ivfIngest(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt",
+      kCells = 8, iterations = 2)
+    try {
+      input.addData(rows.filter(r => coneIds.contains(r._1)).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.filterNot(r => coneIds.contains(r._1)).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // degenerate share trips the bound -> retrain runs once
+    val gen = StreamingAnn.retrainIfNeeded(spark, s"$root/index",
+      maxShareBp = 2500, kCells = 8, iterations = 2)
+    assert(gen === Some(1L))
+    // the restored share sits under the bound -> the next check no-ops
+    assert(StreamingAnn.retrainIfNeeded(spark, s"$root/index",
+      maxShareBp = 2500, kCells = 8, iterations = 2).isEmpty)
+    assert(StreamingAnn.readCurrentGen(s"$root/index") === Some(1L))
+  }
+
   test("crash seams: an unflipped generation never serves; re-run converges; vacuum reclaims") {
     val spark0 = spark
     import spark0.implicits._
