@@ -578,8 +578,7 @@ object SparkEntry {
     // trainers actually consume
     "p_pack_sequences_bpe" -> ((s, dir) =>
       Curation.packSequences(Tables.documents(s, dir), budget = 256, shards = 8,
-        tokens = c => graft.functions.Bpe.tokenCount(
-          graft.functions.Portable.normText(c), graft.functions.Bpe.default))
+        tokens = TextAnalysis.bpeTokens())
         .orderBy("shard", "seq_id")),
 
     "t_fingerprint" -> ((s, dir) =>

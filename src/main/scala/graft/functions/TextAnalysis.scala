@@ -113,10 +113,24 @@ object TextAnalysis {
     */
   val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
 
+  /** THE whitespace-token rule (tokens of the normalized text) — the
+    * one definition every budget consumer shares: T3's ws column,
+    * T18's proxy column, and packing's default
+    * ([[graft.operators.Curation.packSequences]]).
+    */
+  val wsTokens: Column => Column =
+    c => size(split(normText(c), " ")).cast("long")
+
+  /** THE BPE-token rule (greedy merges over the normalized text) —
+    * shared by T18's gated column and the BPE packing twin.
+    */
+  def bpeTokens(table: BpeTable = Bpe.default): Column => Column =
+    c => Bpe.tokenCount(normText(c), table)
+
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(split(normText(col("text")), " ")).cast("long").as("ws_tokens"),
+      wsTokens(col("text")).as("ws_tokens"),
       size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
         .cast("long").as("subword_tokens"))
 
@@ -132,8 +146,8 @@ object TextAnalysis {
       table: BpeTable = Bpe.default): DataFrame =
     docs.select(
       col("doc_id"),
-      size(split(normText(col("text")), " ")).cast("long").as("ws_tokens"),
-      Bpe.tokenCount(normText(col("text")), table).as("bpe_tokens"))
+      wsTokens(col("text")).as("ws_tokens"),
+      bpeTokens(table)(col("text")).as("bpe_tokens"))
 
   /** Heavy hitters: top-N corpus tokens by frequency (deterministic
     * tiebreak). One shuffle on token; at 100 TB the partial (map-side)

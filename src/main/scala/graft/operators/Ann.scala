@@ -525,17 +525,19 @@ object Ann {
     * fingerprint, numQueries, k) — the centroid memo's shape applied
     * to the recall sweeps' most expensive SHARED input: the gated
     * a_ann_recall / a_ann_recall_tuned pair otherwise recomputes the
-    * identical exact truth (a full corpus × queries scan each — about
-    * half the pair's measured cost). The memoized value is the
-    * localCheckpointed (queries·k)-row truth frame — request-scale,
-    * pinned in block storage, dropped by [[releaseTrainedModels]].
+    * identical exact truth (a full corpus × queries scan each). The
+    * memoized value is the COLLECTED (queries·k)-row truth — truth is
+    * request-scale by definition, so it lives driver-side like the
+    * trained centroids (a localCheckpoint memo would pin executor
+    * block storage past eviction until GC); each call rebuilds a
+    * local relation from it, dropped by [[releaseTrainedModels]].
     * Same latch discipline as training: concurrent same-key callers
     * compute once, distinct keys never block each other. Results are
-    * bit-identical to the unmemoized path (the truth frame is
+    * bit-identical to the unmemoized path (the truth rows are
     * deterministic and read-only downstream).
     */
   private val truthMemo = scala.collection.mutable.LinkedHashMap.empty[
-    (SparkSession, String, Int, Int), DataFrame]
+    (SparkSession, String, Int, Int), Seq[(Long, Long)]]
   private val truthLatch = scala.collection.concurrent.TrieMap.empty[
     (SparkSession, String, Int, Int), Object]
 
@@ -543,13 +545,14 @@ object Ann {
       k: Int): DataFrame = {
     val fk = frameKey(embeddings)
     val key = (fk._1, fk._2, numQueries, k)
-    truthLatch.getOrElseUpdate(key, new Object).synchronized {
+    val rows = truthLatch.getOrElseUpdate(key, new Object).synchronized {
       val hit = truthMemo.synchronized {
         truthMemo.remove(key).map { v => truthMemo.put(key, v); v }
       }
       hit.getOrElse {
         val v = knnBruteForce(embeddings, numQueries, k)
-          .select("q_id", "neighbor_id").localCheckpoint()
+          .select("q_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
         truthMemo.synchronized {
           truthMemo.put(key, v)
           val mine = truthMemo.keys.filter(_._1 == key._1).toSeq
@@ -560,6 +563,9 @@ object Ann {
         v
       }
     }
+    val sp = embeddings.sparkSession
+    import sp.implicits._
+    rows.toDF("q_id", "neighbor_id")
   }
 
   /** The training loop alone: Lloyd-iterate from the first-k seeds and
@@ -591,6 +597,34 @@ object Ann {
         v
       }
     }
+  }
+
+  /** Seed-safe training for ARBITRARY-id corpora:
+    * [[kmeansCentroidsUncached]] seeds from rows with vec_id < k —
+    * right for the gated batch operators (testdata corpora are keyed
+    * from 0, and the seed rule is part of their oracle-pinned
+    * contract), wrong for long-lived INDEX corpora whose visible ids
+    * are arbitrary (fresh lineages offset ids; old ids get elected
+    * away) — with no id below k the seed set is empty and training
+    * crashes or silently yields fewer cells. Remap deterministically:
+    * the k SMALLEST ids (distributed top-k, k driver rows) become
+    * seeds 0..k-1, every other id shifts by k (disjoint — ids are
+    * nonnegative). Lloyd's updates never read vec_id, so on a
+    * 0-keyed corpus the result is bit-identical to the unremapped
+    * loop (the streaming↔batch parity precondition).
+    */
+  def kmeansCentroidsSeedSafe(q: DataFrame, k: Int,
+      iterations: Int): Seq[(Long, Seq[Long], Long)] = {
+    val sp = q.sparkSession
+    import sp.implicits._
+    val seedIds = q.select("vec_id").orderBy("vec_id")
+      .limit(k).collect().map(_.getLong(0))
+    val seedDf = broadcast(seedIds.zipWithIndex.toSeq
+      .map { case (id, r) => (id, r.toLong) }.toDF("vec_id", "seed_rank"))
+    val remapped = q.join(seedDf, Seq("vec_id"), "left")
+      .withColumn("vec_id", coalesce(col("seed_rank"), col("vec_id") + k))
+      .drop("seed_rank")
+    kmeansCentroidsUncached(remapped, k, iterations)
   }
 
   /** The un-memoized training loop (exposed for specs that must

@@ -36,13 +36,15 @@ object Curation {
     * unchanged. Output is the per-sequence manifest (doc count +
     * token count), identical to a single global per-shard scan.
     */
-  /** Default token budget rule: whitespace tokens of the normalized
-    * text (the T3 proxy). Pass [[graft.functions.Bpe.tokenCount]] for
-    * tokenizer-true budgets — training pipelines budget in TOKENIZER
-    * tokens, and the proxy's error flows into every pack.
+  /** Default token budget rule: THE shared whitespace rule
+    * ([[graft.functions.TextAnalysis.wsTokens]] — one definition for
+    * every budget consumer). Pass
+    * [[graft.functions.TextAnalysis.bpeTokens]] for tokenizer-true
+    * budgets — training pipelines budget in TOKENIZER tokens, and the
+    * proxy's error flows into every pack.
     */
   private[graft] val wsTokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-    c => size(split(normText(c), " ")).cast("long")
+    graft.functions.TextAnalysis.wsTokens
 
   def packSequences(docs: DataFrame, budget: Int = 256,
       shards: Int = 8, blockBits: Int = 5,

@@ -92,7 +92,9 @@ object StreamingAnn {
   private def trainOrLoad(modelPath: String, qb: DataFrame, kCells: Int,
       iterations: Int): Seq[(Long, Seq[Long], Long)] =
     loadModel(modelPath).getOrElse {
-      val c = Ann.kmeansCentroidsUncached(
+      // seed-safe: a first batch keyed at arbitrary ids (a fresh
+      // lineage over offset ids) must still train the full kCells
+      val c = Ann.kmeansCentroidsSeedSafe(
         qb.select("vec_id", "v", "norm2"), kCells, iterations)
       saveModel(modelPath, c)
       c
@@ -144,9 +146,15 @@ object StreamingAnn {
     * [[queryIndex]]): one partition-pruning `ingest_batch` predicate
     * excluding [[excludedBatchIds]]; None when nothing is excluded.
     */
+  /** Takes the RESOLVED generation root (callers resolve `_current`
+    * exactly once per request and thread the same root through data
+    * scan, visibility, and model — re-resolving here would let a
+    * retrain cutover land between the reads and mix one generation's
+    * model/exclusions with another's data).
+    */
   private[graft] def visibilityFilter(
-      indexDir: String): Option[org.apache.spark.sql.Column] = {
-    val excluded = excludedBatchIds(resolveRoot(indexDir))
+      resolvedRoot: String): Option[org.apache.spark.sql.Column] = {
+    val excluded = excludedBatchIds(resolvedRoot)
     if (excluded.isEmpty) None
     else Some(!col("ingest_batch").isin(excluded.toSeq.sorted: _*))
   }
@@ -252,7 +260,7 @@ object StreamingAnn {
         // later batch) nor write (no partitions to own): no-op until
         // data arrives — the first NON-empty batch trains the model
         if (!qb.isEmpty) {
-          val cent = trainOrLoad(resolveModel(indexDir, modelPath), qb,
+          val cent = trainOrLoad(modelFor(root, modelPath), qb,
             kCells, iterations)
           ensureLayout(root, "full", cent.size, cent.head._2.size)
           // a fresh lineage reuses batch ids an earlier compaction may
@@ -308,7 +316,7 @@ object StreamingAnn {
         recoverIndex(root)
         val qb = quantize(batch)
         if (!qb.isEmpty) {
-          val cent = trainOrLoad(resolveModel(indexDir, modelPath), qb,
+          val cent = trainOrLoad(modelFor(root, modelPath), qb,
             kCells, iterations)
           ensureLayout(root, "sq8", cent.size, cent.head._2.size)
           // owner id-reuse, as ivfIngest: fresh path, never a delete
@@ -344,7 +352,7 @@ object StreamingAnn {
     val root = resolveRoot(indexDir) // serving generation (see retrainIndex)
     requireLayout(root, "sq8", "queryIndexSq")
     val visibility = visibilityFilter(root)
-    val model = resolveModel(indexDir, modelPath)
+    val model = modelFor(root, modelPath)
     val cent = loadModel(model).getOrElse(
       throw new IllegalStateException(s"no trained model at $model"))
     val qRows = quantize(queries).collect().map(r =>
@@ -694,12 +702,15 @@ object StreamingAnn {
       case None => indexDir
     }
 
-  /** The serving model path: the resolved generation's own `_model`
-    * when present (written by [[retrainIndex]]), else the caller's
-    * train-once artifact.
+  /** The serving model path for an ALREADY-RESOLVED generation root:
+    * the generation's own `_model` when present (written by
+    * [[retrainIndex]]), else the caller's train-once artifact. Takes
+    * the resolved root (never re-resolves) so one request's data,
+    * visibility, and model all come from the SAME generation even if
+    * a retrain cutover lands mid-request.
     */
-  private def resolveModel(indexDir: String, modelPath: String): String = {
-    val genModel = java.nio.file.Paths.get(resolveRoot(indexDir), "_model")
+  private def modelFor(resolvedRoot: String, modelPath: String): String = {
+    val genModel = java.nio.file.Paths.get(resolvedRoot, "_model")
     if (java.nio.file.Files.exists(genModel)) genModel.toString else modelPath
   }
 
@@ -788,7 +799,7 @@ object StreamingAnn {
       .partitionBy("vec_id")
       .orderBy(col("eff").desc, col("src_batch").desc)
     val idx0 = spark.read.parquet(cur)
-    val elected = visibilityFilter(indexDir).fold(idx0)(idx0.filter)
+    val elected = visibilityFilter(cur).fold(idx0)(idx0.filter)
       .withColumn("src_batch", col("ingest_batch").cast("long"))
       .withColumn("eff", effExpr(col("src_batch")))
       .withColumn("rn", row_number().over(w))
@@ -802,8 +813,15 @@ object StreamingAnn {
       else elected
         .withColumn("v", transform(col("cb"), _.cast("long")))
         .select(col("vec_id"), col("v"), col("n2q").as("norm2"))
-    val cent = Ann.kmeansCentroidsUncached(trainIn, kCells, iterations)
+    // seed-safe training (Ann.kmeansCentroidsSeedSafe): a long-lived
+    // index's visible ids need not include 0..k-1 — the k smallest
+    // ids seed by rank, so the requested kCells is always delivered
+    // when the corpus has that many vectors
+    val cent = Ann.kmeansCentroidsSeedSafe(trainIn, kCells, iterations)
     require(cent.nonEmpty, "training produced no centroids")
+    // fewer centroids than requested happens ONLY when the corpus has
+    // fewer vectors than kCells (can't have more cells than points);
+    // the generation is stamped with the ACTUAL cell count
     val genN = readCurrentGen(indexDir).getOrElse(0L) + 1
     val genDir = s"$indexDir/_gen-$genN"
     deleteDir(java.nio.file.Paths.get(genDir)) // a crashed prior attempt
@@ -878,6 +896,7 @@ object StreamingAnn {
       case Some(cur) =>
         val root = java.nio.file.Paths.get(indexDir)
         var n = 0
+        var flatReclaimed = false
         val s = java.nio.file.Files.list(root)
         val entries = try s.iterator().asScala.toSeq finally s.close()
         entries.foreach { p =>
@@ -888,9 +907,13 @@ object StreamingAnn {
             name == "_layout"
           if (oldGen || flatRemnant) {
             deleteDir(p)
-            if (oldGen || name.startsWith("cell=")) n += 1
+            if (oldGen) n += 1
+            // the flat generation-0 counts as ONE reclaimed root no
+            // matter how many cell=* dirs it spans
+            else if (name.startsWith("cell=")) flatReclaimed = true
           }
         }
+        if (flatReclaimed) n += 1
         n
     }
 
@@ -1305,7 +1328,7 @@ object StreamingAnn {
     val root = resolveRoot(indexDir) // serving generation (see retrainIndex)
     requireLayout(root, "full", "queryIndex")
     val visibility = visibilityFilter(root)
-    val model = resolveModel(indexDir, modelPath)
+    val model = modelFor(root, modelPath)
     val cent = loadModel(model).getOrElse(
       throw new IllegalStateException(s"no trained model at $model"))
     val qRows = quantize(queries).collect().map(r =>

