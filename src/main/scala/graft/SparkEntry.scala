@@ -543,6 +543,32 @@ object SparkEntry {
       Ann.annRecallTuned(Tables.embeddings(s, dir), KnnQueries, RecallK)
         .orderBy("method")),
 
+    // A14: filtered (attribute-constrained) vector search — "top-k
+    // WHERE label = 7": the predicate prunes the candidate SCAN
+    // (pushed to parquet), never the finished top-k (a post-filter
+    // silently under-returns); the model stays full-corpus so one
+    // index serves every filter
+    "a_knn_filtered" -> ((s, dir) =>
+      Ann.knnIvfTrainedFiltered(Tables.embeddings(s, dir), KnnQueries, 3,
+        col("label") === 7, probes = 2)
+        .orderBy("q_id", "rnk")),
+
+    // the exact filtered truth (brute force over the matching corpus)
+    // at the ~50% selectivity — both selectivity shapes gated
+    "a_knn_filtered_truth" -> ((s, dir) =>
+      Ann.knnBruteForceFiltered(Tables.embeddings(s, dir), KnnQueries, 3,
+        col("label") < 5)
+        .orderBy("q_id", "rnk")),
+
+    // filtered recall@k vs the FILTERED truth at two selectivities ×
+    // two probe budgets: the measured cost of serving filters from one
+    // full-corpus model (lower selectivity starves probed cells of
+    // matching rows; more probes buys the recall back)
+    "a_knn_filtered_recall" -> ((s, dir) =>
+      Ann.annRecallFiltered(Tables.embeddings(s, dir), KnnQueries, RecallK,
+        Seq("sel10" -> (col("label") === 7), "sel50" -> (col("label") < 5)))
+        .orderBy("sel", "method")),
+
     "t_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), 20)
         .orderBy(col("n_occurrences").desc, col("tok"))),
@@ -966,6 +992,14 @@ object SparkEntry {
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .zipWithIndex.map { case (l, i) =>
         val Array(a, b) = l.split(" ", 2)
+        // tokens are interpolated into single-quoted SQL literals and
+        // chr(31)-delimited oracle strings: a quote would break the
+        // VALUES list and a unit separator would corrupt the boundary
+        // anchors, so fail loudly on a table that carries either
+        require(!a.contains('\'') && !b.contains('\''),
+          s"merge token with quote at rank $i: '$l'")
+        require(!a.contains('\u001f') && !b.contains('\u001f'),
+          s"merge token with unit separator at rank $i")
         s"($i, '$a', '$b')"
       }.mkString(", ")
 
@@ -1518,6 +1552,143 @@ object SparkEntry {
        |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
        |  FROM scored
        |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Filtered-truth oracle (mirrors Ann.knnBruteForceFiltered): the
+    * predicate lands on the CANDIDATE side only — joined back to the
+    * raw embeddings table for the attribute columns the quantized CTE
+    * drops — queries come from the full corpus.
+    */
+  private def annBruteforceFilteredSql(k: Int, pred: String): String =
+    s"""WITH $EmbCte,
+       |qf AS (
+       |  SELECT qn.vec_id, qn.v, qn.norm2
+       |  FROM qn JOIN embeddings e ON e.vec_id = qn.vec_id WHERE ($pred)
+       |),
+       |scored AS (
+       |  SELECT q2.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         ${sqlCosBp("q2.v", "c.v", "q2.norm2", "c.norm2")} AS cos_bp,
+       |         (list_sum(list_transform(range(1,65), i -> q2.v[i::INT]*c.v[i::INT])))::DOUBLE
+       |           / (sqrt(q2.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+       |  FROM qn q2 JOIN qf c ON c.vec_id <> q2.vec_id
+       |  WHERE q2.vec_id < $KnnQueries
+       |)
+       |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
+       |  SELECT q_id, neighbor_id, cos_bp,
+       |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+
+  /** Filtered trained-IVF oracle (mirrors Ann.knnIvfTrainedFiltered):
+    * annIvfTrainedSql's chain with the predicate on the assigned
+    * (candidate) CTE — the model CTEs stay full-corpus.
+    */
+  private def annIvfTrainedFilteredSql(k: Int, probes: Int,
+      pred: String): String = {
+    val (ctes, _, cent) = kmeansCtes(k = 8, iterations = 2)
+    s"""$ctes,
+       |rankedc AS (
+       |  SELECT qn.vec_id, qn.v, qn.norm2, c.c_id,
+       |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+       |      (CASE WHEN c.cn2 = 0 OR qn.norm2 = 0 THEN -2.0
+       |       ELSE (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
+       |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) END) DESC, c.c_id) AS c_rn
+       |  FROM qn, $cent c
+       |),
+       |assigned AS (
+       |  SELECT r.vec_id, r.v, r.norm2, r.c_id AS cell
+       |  FROM rankedc r JOIN embeddings e ON e.vec_id = r.vec_id
+       |  WHERE r.c_rn = 1 AND ($pred)
+       |),
+       |probes AS (
+       |  SELECT vec_id AS q_id, v AS qv, norm2 AS qn2, c_id AS qcell
+       |  FROM rankedc WHERE vec_id < $KnnQueries AND c_rn <= $probes
+       |),
+       |scored AS (
+       |  SELECT q2.q_id, c.vec_id AS neighbor_id,
+       |         ${sqlCosBp("q2.qv", "c.v", "q2.qn2", "c.norm2")} AS cos_bp,
+       |         (list_sum(list_transform(range(1,65), i -> q2.qv[i::INT]*c.v[i::INT])))::DOUBLE
+       |           / (sqrt(q2.qn2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+       |  FROM probes q2 JOIN assigned c
+       |    ON c.cell = q2.qcell AND c.vec_id <> q2.q_id
+       |)
+       |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
+       |  SELECT q_id, neighbor_id, cos_bp,
+       |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Filtered recall oracle (mirrors Ann.annRecallFiltered): per
+    * (selectivity, probes) — one statement, selectivity-suffixed CTEs
+    * over the shared full-corpus model chain; recall denominator is
+    * the filtered TRUTH row count (under-full result sets are the
+    * semantics).
+    */
+  private def annRecallFilteredSql(k: Int,
+      preds: Seq[(String, String)], probesList: Seq[Int]): String = {
+    val (ctes, _, cent) = kmeansCtes(k = 8, iterations = 2)
+    val perSel = preds.map { case (sel, pred) =>
+      val selCtes =
+        s"""qf_$sel AS (
+           |  SELECT qn.vec_id, qn.v, qn.norm2
+           |  FROM qn JOIN embeddings e ON e.vec_id = qn.vec_id WHERE ($pred)
+           |),
+           |truth_$sel AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    SELECT q2.vec_id AS q_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q2.vec_id ORDER BY
+           |        (list_sum(list_transform(range(1,65), i -> q2.v[i::INT]*c.v[i::INT])))::DOUBLE
+           |          / (sqrt(q2.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) DESC, c.vec_id) AS rnk
+           |    FROM qn q2 JOIN qf_$sel c ON c.vec_id <> q2.vec_id
+           |    WHERE q2.vec_id < $KnnQueries
+           |  ) WHERE rnk <= $k
+           |),
+           |asg_$sel AS (
+           |  SELECT r.vec_id, r.v, r.norm2, r.c_id AS cell
+           |  FROM rankedc r JOIN embeddings e ON e.vec_id = r.vec_id
+           |  WHERE r.c_rn = 1 AND ($pred)
+           |),
+           |scored_$sel AS (
+           |  SELECT q2.vec_id AS q_id, q2.c_rn, c.vec_id AS neighbor_id,
+           |         (list_sum(list_transform(range(1,65), i -> q2.v[i::INT]*c.v[i::INT])))::DOUBLE
+           |           / (sqrt(q2.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+           |  FROM rankedc q2 JOIN asg_$sel c
+           |    ON c.cell = q2.c_id AND c.vec_id <> q2.vec_id
+           |  WHERE q2.vec_id < $KnnQueries AND q2.c_rn <= ${probesList.max}
+           |)""".stripMargin
+      val rows = probesList.map { p =>
+        s"""SELECT '$sel' AS sel, 'ivf_filtered_p$p' AS method,
+           |  count(*)::BIGINT AS n_retrieved,
+           |  coalesce(sum(CASE WHEN t.q_id IS NOT NULL THEN 1 END), 0)::BIGINT AS n_hits,
+           |  (SELECT count(*) FROM truth_$sel)::BIGINT AS n_truth
+           |FROM (
+           |  SELECT q_id, neighbor_id FROM (
+           |    SELECT q_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |    FROM scored_$sel WHERE c_rn <= $p
+           |  ) WHERE rnk <= $k
+           |) i LEFT JOIN truth_$sel t
+           |  ON t.q_id = i.q_id AND t.neighbor_id = i.neighbor_id""".stripMargin
+      }
+      (selCtes, rows)
+    }
+    val allCtes = perSel.map(_._1).mkString(",\n")
+    val allRows = perSel.flatMap(_._2).mkString("\nUNION ALL\n")
+    s"""$ctes,
+       |rankedc AS (
+       |  SELECT qn.vec_id, qn.v, qn.norm2, c.c_id,
+       |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+       |      (CASE WHEN c.cn2 = 0 OR qn.norm2 = 0 THEN -2.0
+       |       ELSE (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
+       |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) END) DESC, c.c_id) AS c_rn
+       |  FROM qn, $cent c
+       |),
+       |$allCtes
+       |SELECT sel, method, n_retrieved, n_hits, n_truth,
+       |       (n_hits * 10000 // n_truth) AS recall_bp
+       |FROM ($allRows)
+       |ORDER BY sel, method""".stripMargin
   }
 
   /** IVF-SQ8 oracle (mirrors Ann.knnIvfSq): trained-cell assignment and
@@ -2162,6 +2333,19 @@ object SparkEntry {
     "a_ann_recall" -> annRecallSql(RecallK),
 
     "a_ann_recall_tuned" -> annRecallTunedSql(RecallK),
+
+    // A14: filtered vector search — predicate on the candidate scan,
+    // full-corpus model; two selectivity shapes + the filtered recall
+    // table at two probe budgets
+    "a_knn_filtered" -> annIvfTrainedFilteredSql(3, probes = 2,
+      pred = "e.label = 7"),
+
+    "a_knn_filtered_truth" -> annBruteforceFilteredSql(3,
+      pred = "e.label < 5"),
+
+    "a_knn_filtered_recall" -> annRecallFilteredSql(RecallK,
+      Seq("sel10" -> "e.label = 7", "sel50" -> "e.label < 5"),
+      probesList = Seq(1, 2)),
 
     "t_top_tokens" ->
       s"""WITH $NormCte, $TokCte

@@ -65,6 +65,7 @@ object Ann {
 
   /** Brute-force exact top-k cosine neighbors for query vecs. */
   def knnBruteForce(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    graft.core.Configs.AnnRequest(numQueries, k).validated
     val q = quantized(embeddings)
     val queries = q.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm2").as("qn2"))
@@ -82,6 +83,8 @@ object Ann {
     */
   def knnLsh(embeddings: DataFrame, numQueries: Int, k: Int,
       planes: Int = NumPlanes): DataFrame = {
+    graft.core.Configs.AnnRequest(numQueries, k).validated
+    graft.core.Configs.Hyperplanes(planes).validated
     val b = bucketed(embeddings, planes)
     val queries = b.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -202,6 +205,11 @@ object Ann {
   def knnIvf(embeddings: DataFrame, numQueries: Int, k: Int,
       centroidStride: Int = 50, probes: Int = 1,
       maxCells: Int = 4096): DataFrame = {
+    graft.core.Validation.validate("ivf-stride",
+      graft.core.Configs.AnnRequest(numQueries, k).violations ++
+        graft.core.Validation.knob("centroidStride", centroidStride, minV = 1L) ++
+        graft.core.Validation.knob("probes", probes, minV = 1L) ++
+        graft.core.Validation.knob("maxCells", maxCells, minV = 1L))
     // Stride-derived K grows with the corpus (K = n/stride): past a few
     // thousand cells the ranked cross-join and centroid broadcast stop
     // being metadata-sized. This form exists as the oracle-mirrorable
@@ -252,6 +260,8 @@ object Ann {
     */
   def knnIvfTrained(embeddings: DataFrame, numQueries: Int, k: Int,
       kCells: Int = 8, iterations: Int = 2, probes: Int = 1): DataFrame = {
+    graft.core.Configs.AnnRequest(numQueries, k).validated
+    graft.core.Configs.Ivf(kCells, iterations, probes).validated
     val spark = embeddings.sparkSession
     import spark.implicits._
     val q = quantized(embeddings)
@@ -313,6 +323,8 @@ object Ann {
     */
   def knnIvfSq(embeddings: DataFrame, numQueries: Int, k: Int,
       kCells: Int = 8, iterations: Int = 2, probes: Int = 2): DataFrame = {
+    graft.core.Configs.AnnRequest(numQueries, k).validated
+    graft.core.Configs.Ivf(kCells, iterations, probes).validated
     val spark = embeddings.sparkSession
     import spark.implicits._
     val q = quantized(embeddings)
@@ -844,6 +856,9 @@ object Ann {
   def knnIvfPq(embeddings: DataFrame, numQueries: Int, k: Int,
       kCells: Int = 8, pqK: Int = PqK, iterations: Int = 2,
       probes: Int = 2): DataFrame = {
+    graft.core.Configs.AnnRequest(numQueries, k).validated
+    graft.core.Configs.Ivf(kCells, iterations, probes).validated
+    graft.core.Configs.Pq(pqK).validated
     val spark = embeddings.sparkSession
     import spark.implicits._
     val q = quantized(embeddings)
@@ -949,11 +964,13 @@ object Ann {
     */
   def knnIvfPqRefined(embeddings: DataFrame, numQueries: Int, k: Int,
       refine: Int = 10, kCells: Int = 8, pqK: Int = PqK,
-      iterations: Int = 2, probes: Int = 2): DataFrame =
+      iterations: Int = 2, probes: Int = 2): DataFrame = {
+    graft.core.Configs.Pq(pqK, refine).validated
     rerankExact(embeddings,
       knnIvfPq(embeddings, numQueries, k * refine, kCells, pqK,
         iterations, probes).select("q_id", "neighbor_id"),
       numQueries, k)
+  }
 
   /** Cell-population balance of the trained IVF assignment — the
     * observability number the probe bound rests on (a hot cell
@@ -1104,6 +1121,129 @@ object Ann {
       "knn_pq_rerank" -> knnPqRefined(embeddings, numQueries, k),
       "knn_ivfpq_rerank" -> knnIvfPqRefined(embeddings, numQueries, k),
       "knn_ivfsq_p4" -> knnIvfSq(embeddings, numQueries, k, probes = 4)))
+
+  // ---- filtered (attribute-constrained) vector search ---------------
+  //
+  // The production request every vector store serves: "top-k
+  // neighbors WHERE lang = 'en' AND source = X". Two rules make it
+  // correct and scale-right:
+  //
+  //  1. The predicate constrains the CANDIDATE corpus, applied to the
+  //     embeddings scan BEFORE any scoring or ranking — composed under
+  //     quantization so Catalyst pushes it into the parquet scan
+  //     (PushedFilters on the attribute columns). NEVER filter the
+  //     finished top-k: a post-filter silently returns FEWER than k
+  //     (the matching 4th-nearest neighbor is gone because the
+  //     non-matching 1st..3rd consumed the slots).
+  //  2. The model is trained on the FULL corpus — one index serves
+  //     every filter (training per predicate would fork a model per
+  //     WHERE clause); the centroid memo therefore shares the trained
+  //     state with the unfiltered operators. The cost of that choice
+  //     is measured, not argued: [[annRecallFiltered]] gates filtered
+  //     recall against the filtered brute-force truth at two
+  //     selectivities (a probed cell holds ~selectivity × its rows
+  //     that match, so low selectivity needs more probes for the same
+  //     recall — the knob response is part of the gate).
+
+  /** Exact filtered top-k — the truth twin ([[knnBruteForce]] over
+    * the matching corpus only). Queries come from the FULL corpus: a
+    * query need not satisfy the filter it searches under. A query
+    * whose matching pool has fewer than k rows returns them all —
+    * under-full result sets are the semantics, not an error.
+    */
+  def knnBruteForceFiltered(embeddings: DataFrame, numQueries: Int,
+      k: Int, predicate: Column): DataFrame = {
+    graft.core.Configs.AnnRequest(numQueries, k).validated
+    val queries = quantized(embeddings).filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    val cand = quantized(embeddings.filter(predicate))
+    val scored = cand.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("norm2")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
+  }
+
+  /** Filtered trained-IVF top-k: [[knnIvfTrained]]'s plan with the
+    * predicate composed into the candidate scan (rule 1 above) under
+    * the full-corpus model (rule 2). The scan bound tightens
+    * multiplicatively: probed cells × the predicate's selectivity of
+    * rows actually scored — the filter prunes at the parquet scan,
+    * before the cell equi-join.
+    */
+  def knnIvfTrainedFiltered(embeddings: DataFrame, numQueries: Int,
+      k: Int, predicate: Column, kCells: Int = 8, iterations: Int = 2,
+      probes: Int = 1): DataFrame = {
+    graft.core.Configs.AnnRequest(numQueries, k).validated
+    graft.core.Configs.Ivf(kCells, iterations, probes).validated
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = quantized(embeddings)
+    // FULL-corpus model — identical centroids to the unfiltered
+    // operators, shared via the centroid memo
+    val cent = kmeansCentroids(q.select("vec_id", "v", "norm2"),
+      kCells, iterations)
+    val assigned = cellAssign(quantized(embeddings.filter(predicate)), cent)
+      .select("vec_id", "v", "norm2", "cell")
+    val centDf = cent.map { case (c, cv, n2) => (c, cv, n2) }
+      .toDF("c_id", "cv", "cn2")
+    val qw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val queries = q.filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(centDf))
+      .withColumn("c_cos",
+        when(col("norm2") === 0 || col("cn2") === 0, lit(-2.0))
+          .otherwise(cosine(col("cv"), col("v"), col("cn2"), col("norm2"))))
+      .withColumn("c_rn", row_number().over(qw))
+      .filter(col("c_rn") <= probes)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm2").as("qn2"), col("c_id").as("qcell"))
+    val scored = assigned.join(broadcast(queries),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("norm2")))
+    val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
+  }
+
+  /** Filtered recall@k: IVF filtered search vs the filtered
+    * brute-force truth, per (selectivity, probes) — the measured cost
+    * of serving filters from one full-corpus model. The denominator is
+    * the TRUTH row count, not queries×k: a filter can leave a query
+    * fewer than k matches, and recall against phantom slots would
+    * understate every method. Output: (sel, method, n_retrieved,
+    * n_hits, n_truth, recall_bp), deterministic, oracle-gated.
+    */
+  def annRecallFiltered(embeddings: DataFrame, numQueries: Int, k: Int,
+      preds: Seq[(String, Column)], probesList: Seq[Int] = Seq(1, 2),
+      kCells: Int = 8, iterations: Int = 2): DataFrame = {
+    graft.core.Validation.validate("ann-request",
+      graft.core.Validation.nonEmpty("preds", preds) ++
+        graft.core.Validation.nonEmpty("probesList", probesList))
+    preds.map { case (sel, p) =>
+      val truth = knnBruteForceFiltered(embeddings, numQueries, k, p)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint() // read once per probes row, plus the count
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      probesList.map { probes =>
+        knnIvfTrainedFiltered(embeddings, numQueries, k, p,
+          kCells, iterations, probes)
+          .select("q_id", "neighbor_id")
+          .join(truth.withColumn("hit", lit(1L)),
+            Seq("q_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_retrieved"),
+            coalesce(sum("hit"), lit(0L)).as("n_hits"))
+          .crossJoin(nTruth) // 1×1 rows
+          .select(lit(sel).as("sel"),
+            lit(s"ivf_filtered_p$probes").as("method"),
+            col("n_retrieved"), col("n_hits"), col("n_truth"),
+            expr("n_hits * 10000 div n_truth").as("recall_bp"))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+  }
 
   /** Embedding near-dup pairs: LSH-bucket blocking + exact cosine
     * verify — the scale path for pairwise similarity (no O(n²) join).

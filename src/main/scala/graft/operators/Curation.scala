@@ -49,6 +49,7 @@ object Curation {
   def packSequences(docs: DataFrame, budget: Int = 256,
       shards: Int = 8, blockBits: Int = 5,
       tokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column = wsTokens): DataFrame = {
+    graft.core.Configs.Packing(budget, shards, blockBits).validated
     val d = docs.select(col("doc_id"),
       tokens(col("text")).as("n_tok"),
       (hexHash20(col("doc_id").cast("string")) % shards).as("shard"),
@@ -321,8 +322,7 @@ object Curation {
     */
   def bloomGuardedDedup(docs: DataFrame, batchMod: Int = 4,
       log2m: Int = 16, kHashes: Int = 4): DataFrame = {
-    require(log2m >= 6 && log2m <= 40, s"log2m=$log2m out of range")
-    require(kHashes >= 1 && kHashes <= 16, s"kHashes=$kHashes out of range")
+    graft.core.Configs.Bloom(log2m, kHashes, batchMod).validated
     val mask = (1L << log2m) - 1
     def pos(key: org.apache.spark.sql.Column, i: Int) = {
       val h1 = key.bitwiseAND(lit(mask))
@@ -387,7 +387,7 @@ object Curation {
     */
   def clusterSplit(docs: DataFrame, minJaccardBp: Long,
       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
-    require(trainPct + validPct <= 100, "split percentages exceed 100")
+    graft.core.Configs.Split(trainPct, validPct).validated
     Dedup.dedupClusters(docs, minJaccardBp)
       .select("doc_id", "cluster_id")
       .withColumn("bucket", hexHash60(col("cluster_id").cast("string")) % 100)
@@ -415,6 +415,11 @@ object Curation {
     */
   def globalShuffle(docs: DataFrame, nShards: Int = 8,
       seed: String = "shuf1", blockBits: Int = 5): DataFrame = {
+    graft.core.Validation.validate("sharding",
+      graft.core.Configs.Sharding(nShards).violations ++
+        graft.core.Validation.nonEmpty("seed", seed) ++
+        graft.core.Validation.knob("blockBits", blockBits, minV = 0L,
+          maxV = 60L, requiredNonZero = false))
     val d = docs.select(col("doc_id"),
         hexHash60(concat(lit(seed + ":"), col("doc_id").cast("string")))
           .as("shuffle_key"))
@@ -479,8 +484,7 @@ object Curation {
     */
   def chunkOverlap(docs: DataFrame, win: Int = 16,
       stride: Int = 8): DataFrame = {
-    require(win >= 1 && stride >= 1 && stride <= win,
-      s"bad chunk geometry win=$win stride=$stride")
+    graft.core.Configs.Chunking(win, stride).validated
     val d = docs.select(col("doc_id"),
         split(normText(col("text")), " ").as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))

@@ -258,6 +258,11 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, minJaccardBp: Long,
       maxCandidatePairs: Long = MaxNgramCandidatePairs): DataFrame = {
+    graft.core.Validation.validate("ngram-jaccard",
+      graft.core.Validation.knob("minJaccardBp", minJaccardBp,
+        minV = 1L, maxV = 10000L) ++
+        graft.core.Validation.knob("maxCandidatePairs", maxCandidatePairs,
+          minV = 1L))
     val sh = cappedShingleHashes(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val df_ = sh.groupBy("h").agg(count(lit(1)).as("df"))
@@ -538,6 +543,7 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, minJaccardBp: Long,
       bands: Int = MinHashBands, rows: Int = MinHashRows): DataFrame = {
+    graft.core.Configs.LshGeometry(bands, rows, minJaccardBp).validated
     val ck = corpusKey(docs)
     val key = (ck._1, ck._2 + s"|lsh b=$bands r=$rows", minJaccardBp)
     pairCache.getOrElseUpdate(key)({
@@ -602,6 +608,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
       hotBucketCap: Long = 1L << 20): DataFrame = {
+    graft.core.Validation.validate("simhash-radius",
+      graft.core.Configs.SimHashRadius(maxHamming).violations ++
+        graft.core.Validation.knob("hotBucketCap", hotBucketCap, minV = 1L))
     val s = simhash(docs)
     val bands = maxHamming + 1
     val width = (SimhashBits + bands - 1) / bands

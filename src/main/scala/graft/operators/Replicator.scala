@@ -58,7 +58,8 @@ object SegmentRoller {
     * contiguous from 0 per partition, so this is pure arithmetic — no
     * window, no state, stays in whole-stage codegen.
     */
-  def byCount(messages: DataFrame, maxMessages: Int): DataFrame =
+  def byCount(messages: DataFrame, maxMessages: Int): DataFrame = {
+    graft.core.Configs.SegmentRoll(maxMessages = maxMessages).validated
     messages
       .withColumn("seg_seq", (col("msg_offset") / maxMessages).cast("long"))
       .groupBy("part_id", "seg_seq")
@@ -68,12 +69,22 @@ object SegmentRoller {
         count(lit(1)).as("message_count"),
         sum("msg_size").as("seg_bytes"))
       .withColumn("level", lit(0))
+  }
 
   /** Age-based rolling: event-time buckets per partition
     * (the MaxSegmentAge path — a segment never spans more than one
     * bucket of `age`). Declarative: date_trunc keeps codegen.
     */
-  def byAge(messages: DataFrame, age: String = "hour"): DataFrame =
+  def byAge(messages: DataFrame, age: String = "hour"): DataFrame = {
+    // an unknown truncation unit makes date_trunc return NULL and
+    // silently rolls everything into one null-window segment
+    graft.core.Validation.validate("segment-roll",
+      graft.core.Validation.nonEmpty("age", age) ++
+        graft.core.Validation.check("age",
+          age == null || age.isEmpty ||
+            Set("year", "quarter", "month", "week", "day",
+              "hour", "minute", "second").contains(age.toLowerCase),
+          s"is not a date_trunc unit ('$age')"))
     messages
       .withColumn("seg_window", date_trunc(age, col("ts")))
       .groupBy("part_id", "seg_window")
@@ -84,6 +95,7 @@ object SegmentRoller {
         sum("msg_size").as("seg_bytes"))
       .withColumn("seg_day", date_format(col("seg_window"), "yyyy-MM-dd HH:00:00"))
       .drop("seg_window")
+  }
 
   /** Size+count greedy rolling — the reference's exact `isFull` rule:
     * a segment closes once cumulative bytes >= maxBytes OR message
@@ -97,6 +109,7 @@ object SegmentRoller {
     * model. Rows arrive sorted via secondary sort within each group.
     */
   def bySizeGreedy(messages: DataFrame, maxBytes: Long, maxMessages: Int): DataFrame = {
+    graft.core.Configs.SegmentRoll(maxMessages, maxBytes).validated
     val spark = messages.sparkSession
     import spark.implicits._
     val slim = messages.select(
@@ -367,7 +380,7 @@ object StoreReconciler {
     * observable and replayable. One projection, zero shuffles.
     */
   def triageEvents(raw: DataFrame, maxReceives: Int): DataFrame = {
-    require(maxReceives >= 1, s"maxReceives must be >= 1, got $maxReceives")
+    graft.core.Configs.Triage(maxReceives).validated
     // try_cast, not cast: a non-numeric field must CLASSIFY the event
     // as malformed, not crash the triage (ANSI cast raises) — the
     // DuckDB oracle mirrors with TRY_CAST
@@ -396,6 +409,8 @@ object StoreReconciler {
 object Compactor {
   def plan(segments: DataFrame, level: Int, minSegments: Int,
       maxSegments: Int): DataFrame = {
+    graft.core.Configs.Compaction(minLevel = level, maxLevel = level,
+      minSegments = minSegments, maxSegments = maxSegments).validated
     val w = Window.partitionBy("part_id").orderBy("start_offset", "end_offset")
     // Contiguity: the reference refuses to compact across a missing
     // offset range (compactor.go HasOffset error). Relationally: only
@@ -466,6 +481,9 @@ object Compactor {
   def planLeveledFlags(segments: DataFrame, minLevel: Int, maxLevel: Int,
       minAgeSec: Long, nowEpoch: Long, maxSegments: Int,
       maxBytes: Long): DataFrame = {
+    graft.core.Configs.Compaction(minLevel = minLevel, maxLevel = maxLevel,
+      maxSegments = maxSegments, maxBytes = maxBytes,
+      minAgeSec = minAgeSec).validated
     val resume = segments
       .filter(col("level") > maxLevel)
       .groupBy("part_id").agg(max("end_offset").as("resume_end"))
@@ -500,6 +518,8 @@ object Compactor {
   def planLeveled(segments: DataFrame, minLevel: Int, maxLevel: Int,
       minAgeSec: Long, nowEpoch: Long, minSegments: Int, maxSegments: Int,
       minBytes: Long, maxBytes: Long): DataFrame = {
+    graft.core.Configs.Compaction(minLevel, maxLevel, minSegments,
+      maxSegments, minBytes, maxBytes, minAgeSec).validated
     planLeveledFlags(segments, minLevel, maxLevel, minAgeSec, nowEpoch,
       maxSegments, maxBytes)
       .groupBy("part_id")

@@ -90,6 +90,7 @@ object TimeSeries {
     * session. Two windows over one shuffle on user_id.
     */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    graft.core.Configs.Session(gapSeconds).validated
     val byUser = Window.partitionBy("user_id").orderBy("event_id")
     val epoch = col("ts").cast("long")
     val flagged = events

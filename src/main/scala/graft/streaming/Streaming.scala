@@ -369,7 +369,8 @@ object StreamingDedup {
     */
   def exactlyOnce(stream: DataFrame, eventTimeCol: String,
       watermark: String, keys: Seq[String]): DataFrame = {
-    require(keys.nonEmpty, "at least one dedup key")
+    graft.core.Validation.validate("dedup-stream",
+      graft.core.Validation.nonEmpty("keys", keys))
     stream
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)

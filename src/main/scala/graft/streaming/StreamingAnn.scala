@@ -2,7 +2,7 @@ package graft.streaming
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -80,9 +80,10 @@ object StreamingAnn {
     * frame (label-free twin of [[Ann.quantized]] — streaming batches
     * need not carry a label column).
     */
-  private def quantize(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
-        transform(col("embedding"), x => round(x * 1000, 0).cast("long")).as("v"))
+  private def quantize(emb: DataFrame, attrs: Seq[String] = Nil): DataFrame =
+    emb.select(col("vec_id") +:
+        transform(col("embedding"), x => round(x * 1000, 0).cast("long")).as("v") +:
+        attrs.map(col): _*)
       .withColumn("norm2", VecOps.intDot(col("v"), col("v")))
 
   /** Load the frozen model, or train it on this (first non-empty)
@@ -181,16 +182,18 @@ object StreamingAnn {
     * upward — both decode eff identically by the same division, and
     * the two allocators can never collide.
     */
-  private[graft] val EffScale = 1L << 20
+  private[graft] val EffShift = 20
+  private[graft] val EffScale = 1L << EffShift
   private[graft] def effOf(b: Long): Long =
     if (b >= 0) b
     else if (-b >= EffScale) (-b) / EffScale - 2
     else -b - 2
+  // shiftright = exact floor-div-by-2^20 on the positive magnitude —
+  // the double-division rewrite loses bits past 2^53 and could split
+  // election behavior between the SQL and JVM decodes
   private def effExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(c >= 0, c).otherwise(
-      when(-c >= EffScale,
-        floor((lit(0L) - c).cast("double") / lit(EffScale.toDouble))
-          .cast("long") - 2)
+      when(-c >= EffScale, shiftright(lit(0L) - c, EffShift) - 2)
         .otherwise(lit(0L) - c - 2))
 
   /** Newest-wins election over the JOINED candidate rows, shared by
@@ -240,7 +243,7 @@ object StreamingAnn {
     */
   def ivfIngest(emb: DataFrame, modelPath: String, indexDir: String,
       checkpointDir: String, kCells: Int = 8,
-      iterations: Int = 2): StreamingQuery =
+      iterations: Int = 2, attrs: Seq[String] = Nil): StreamingQuery =
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -254,14 +257,17 @@ object StreamingAnn {
         // to the new generation (and its model) with no restart
         val root = resolveRoot(indexDir)
         recoverIndex(root)
-        val qb = quantize(batch)
+        // attrs ride the leaves as plain data columns (filtered
+        // search: [[queryIndexFiltered]]); training stays on the bare
+        // (vec_id, v, norm2) projection — the model never sees them
+        val qb = quantize(batch, attrs)
         // an EMPTY batch must neither train (a zero-row training set
         // would durably persist a degenerate model that poisons every
         // later batch) nor write (no partitions to own): no-op until
         // data arrives — the first NON-empty batch trains the model
         if (!qb.isEmpty) {
-          val cent = trainOrLoad(modelFor(root, modelPath), qb,
-            kCells, iterations)
+          val cent = trainOrLoad(modelFor(root, modelPath),
+            qb.select("vec_id", "v", "norm2"), kCells, iterations)
           ensureLayout(root, "full", cent.size, cent.head._2.size)
           // a fresh lineage reuses batch ids an earlier compaction may
           // have consumed: such a delivery lands in a fresh
@@ -274,7 +280,8 @@ object StreamingAnn {
           // measured on the batch operators applies verbatim to this
           // index (parity spec-pinned)
           Ann.cellAssign(qb, cent)
-            .select(col("vec_id"), col("v"), col("norm2"), col("cell"))
+            .select(col("vec_id") +: col("v") +: col("norm2") +:
+              attrs.map(col) :+ col("cell"): _*)
             .withColumn("ingest_batch", lit(diskId))
             .write
             .option("partitionOverwriteMode", "dynamic")
@@ -584,8 +591,16 @@ object StreamingAnn {
     * second owner entry degrades to a no-op rather than a spurious
     * failure.
     */
-  def recoverIndex(indexDir: String): Unit = {
-    val root = resolveRoot(indexDir) // serving generation
+  def recoverIndex(indexDir: String): Unit =
+    recoverAt(resolveRoot(indexDir)) // serving generation
+
+  /** [[recoverIndex]] against an EXPLICIT generation root — the flat
+    * root after a cutover is no longer the serving generation but can
+    * still carry a crashed compaction's manifest, which must be
+    * settled by its own rollback/roll-forward protocol rather than
+    * blindly deleted ([[vacuumGenerations]]).
+    */
+  private def recoverAt(root: String): Unit =
     readManifest(root).foreach { case (state, outId, consumed) =>
       if (state == "committed")
         // roll FORWARD = finish the grace-period commit: tombstone the
@@ -597,8 +612,8 @@ object StreamingAnn {
           deleteDir(java.nio.file.Paths.get(s"$root/cell=$c/ingest_batch=$outId"))
         }
       java.nio.file.Files.deleteIfExists(manifestPath(root))
+      ()
     }
-  }
 
   /** Physically reclaim tombstoned leaves whose grace period has
     * passed — the OWNER pass that closes the loop [[compactIndex]]
@@ -617,7 +632,9 @@ object StreamingAnn {
     * Returns the number of leaves reclaimed.
     */
   def vacuumIndex(indexDir: String, grace: Int = 1): Int = {
-    require(grace >= 0, s"vacuum grace must be >= 0, got $grace")
+    graft.core.Validation.validate("index-maintenance",
+      graft.core.Validation.knob("vacuumGrace", grace, minV = 0L,
+        requiredNonZero = false))
     val root = resolveRoot(indexDir) // serving generation
     ledgerLock(root).synchronized {
       val ts = readTombstones(root)
@@ -646,9 +663,8 @@ object StreamingAnn {
   def compactIfNeeded(spark: SparkSession, indexDir: String,
       maxLeavesPerCell: Int, minBatches: Int = 2,
       vacuumGrace: Int = 1): Option[Long] = {
-    require(maxLeavesPerCell >= 2,
-      s"maxLeavesPerCell must be >= 2 (steady state is 1 compacted leaf " +
-        s"+ the newest tail), got $maxLeavesPerCell")
+    graft.core.Configs.IndexMaintenance(maxLeavesPerCell = maxLeavesPerCell,
+      vacuumGrace = vacuumGrace, minBatches = minBatches).validated
     val root = resolveRoot(indexDir) // serving generation
     val excluded = excludedBatchIds(root)
     val visible = listLeaves(root).filterNot(l => excluded.contains(l._2))
@@ -780,7 +796,9 @@ object StreamingAnn {
     */
   private[graft] def retrainIndexImpl(spark: SparkSession, indexDir: String,
       kCells: Int, iterations: Int, crashPoint: Int): (Long, Long) = {
-    require(kCells >= 1, s"kCells must be >= 1, got $kCells")
+    graft.core.Validation.validate("index-maintenance",
+      graft.core.Validation.knob("kCells", kCells, minV = 1L) ++
+        graft.core.Validation.knob("iterations", iterations, minV = 1L))
     val cur = resolveRoot(indexDir)
     recoverIndex(indexDir) // owner entry: settle any crashed compaction
     val (layout, _, dims) = readLayout(cur) match {
@@ -868,8 +886,10 @@ object StreamingAnn {
     */
   def retrainIfNeeded(spark: SparkSession, indexDir: String,
       maxShareBp: Long, kCells: Int, iterations: Int = 2): Option[Long] = {
-    require(maxShareBp >= 1 && maxShareBp <= 10000,
-      s"maxShareBp must be in [1, 10000], got $maxShareBp")
+    graft.core.Configs.IndexMaintenance(maxShareBp = maxShareBp,
+      kCells = kCells).validated
+    graft.core.Validation.validate("index-maintenance",
+      graft.core.Validation.knob("iterations", iterations, minV = 1L))
     val root = resolveRoot(indexDir)
     val excluded = excludedBatchIds(root)
     if (listLeaves(root).forall(l => excluded.contains(l._2))) return None
@@ -889,11 +909,20 @@ object StreamingAnn {
     * [[vacuumIndex]]: run it only when no reader planned against the
     * old generation can still be in flight. Returns the number of
     * generation roots reclaimed.
+    *
+    * A crashed flat-generation compaction is SETTLED first
+    * ([[recoverAt]] on the flat root — its manifest encodes a
+    * rollback/roll-forward that must not be skipped by blind
+    * deletion), and crashed `_current.tmp-*` pointer writes are swept
+    * in the same pass. The remnant list stays an ALLOWLIST on
+    * purpose: an artifact this code did not write (a user file
+    * dropped in the index dir) is never deleted.
     */
   def vacuumGenerations(indexDir: String): Int =
     readCurrentGen(indexDir) match {
       case None => 0 // flat layout: nothing to reclaim
       case Some(cur) =>
+        recoverAt(indexDir) // settle any crashed flat-gen compaction
         val root = java.nio.file.Paths.get(indexDir)
         var n = 0
         var flatReclaimed = false
@@ -904,7 +933,7 @@ object StreamingAnn {
           val oldGen = name.startsWith("_gen-") && name != s"_gen-$cur"
           val flatRemnant = name.startsWith("cell=") ||
             name == "_tombstones" || name == "_compaction" ||
-            name == "_layout"
+            name == "_layout" || name.startsWith("_current.tmp-")
           if (oldGen || flatRemnant) {
             deleteDir(p)
             if (oldGen) n += 1
@@ -1028,11 +1057,17 @@ object StreamingAnn {
   /** Reuse-encoded delivery ids live in the upper half of each
     * effective slot's generation range (compaction outputs allocate
     * from the bottom, [[compactIndexImpl]] — the two allocators can
-    * never collide).
+    * never collide). Within the reuse range, allocation order r maps
+    * DOWN from the top of the offset range (`2·ReuseBase - 1 - r`),
+    * so a LATER allocation is LESS negative and compares LARGER as an
+    * id: when two successive lineage resets reuse the same raw batch,
+    * the newest delivery wins both the compaction exemption
+    * (`maxBy (eff, id)`) and the read-time election (`src_b desc`) at
+    * equal eff — the older encoding made the stale copy win.
     */
   private[graft] val ReuseBase = EffScale / 2
   private[graft] def reuseId(rawId: Long, r: Long): Long =
-    -((rawId + 2) * EffScale + ReuseBase + r)
+    -((rawId + 2) * EffScale + 2 * ReuseBase - 1 - r)
   private[graft] def isReuseId(id: Long): Boolean =
     id < 0 && -id >= EffScale && (-id) % EffScale >= ReuseBase
 
@@ -1323,7 +1358,28 @@ object StreamingAnn {
     * level like the cell filter.
     */
   def queryIndex(spark: SparkSession, indexDir: String, modelPath: String,
-      queries: DataFrame, k: Int, probes: Int = 1): DataFrame = {
+      queries: DataFrame, k: Int, probes: Int = 1): DataFrame =
+    queryIndexImpl(spark, indexDir, modelPath, queries, k, probes, None)
+
+  /** Filtered (attribute-constrained) index query — the on-disk form
+    * of [[Ann.knnIvfTrainedFiltered]]: the predicate references the
+    * attribute columns the ingest carried into the leaves
+    * ([[ivfIngest]]'s `attrs`) and is applied to the probed-cell scan
+    * BEFORE scoring and election — a parquet data filter alongside the
+    * cell/visibility PartitionFilters, never a post-filter of the
+    * finished top-k (which would silently under-return). Same model,
+    * same probes, same election: the batch/on-disk parity contract
+    * extends to the filtered pair (spec-pinned).
+    */
+  def queryIndexFiltered(spark: SparkSession, indexDir: String,
+      modelPath: String, queries: DataFrame, k: Int, predicate: Column,
+      probes: Int = 1): DataFrame =
+    queryIndexImpl(spark, indexDir, modelPath, queries, k, probes,
+      Some(predicate))
+
+  private def queryIndexImpl(spark: SparkSession, indexDir: String,
+      modelPath: String, queries: DataFrame, k: Int, probes: Int,
+      predicate: Option[Column]): DataFrame = {
     import spark.implicits._
     val root = resolveRoot(indexDir) // serving generation (see retrainIndex)
     requireLayout(root, "full", "queryIndex")
@@ -1340,7 +1396,12 @@ object StreamingAnn {
     val cells = probeRows.map(_._2).distinct
     val idx0 = spark.read.parquet(root)
       .filter(col("cell").isin(cells: _*))
-    val idx = visibility.fold(idx0)(idx0.filter)
+    val idx1 = visibility.fold(idx0)(idx0.filter)
+    // attribute predicate: a plain data filter on the probed-cell
+    // scan — pushed to parquet, evaluated before scoring/election
+    // (copies of a vec_id are byte-identical under the index
+    // contract, so pre-election filtering cannot flip an election)
+    val idx = predicate.fold(idx1)(idx1.filter)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     newestPerCandidate(idx.join(broadcast(probeDf),

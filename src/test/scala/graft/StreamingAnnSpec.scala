@@ -301,6 +301,15 @@ class StreamingAnnSpec extends SparkSuite {
     assert(!isReuseId(-(6L * EffScale) - 5L)) // compaction gen 5
     assert(!isReuseId(-6L))                   // legacy flat
     assert(!isReuseId(7L))                    // raw
+    // a LATER reuse allocation (higher r) must compare LARGER at equal
+    // eff, so the newest lineage's delivery wins both the compaction
+    // exemption (maxBy (eff, id)) and the read-time election
+    // (src_b desc) when two resets reuse the same raw batch
+    assert(reuseId(5L, 1L) > reuseId(5L, 0L))
+    assert(reuseId(5L, ReuseBase - 1L) > reuseId(5L, 0L))
+    // and the whole reuse range stays above (more negative than) no
+    // compaction gen of the same slot: disjoint namespaces
+    assert(reuseId(4L, 0L) < -(6L * EffScale) - (ReuseBase - 1L))
   }
 
   test("compaction survivor is deterministic newest-wins per vec_id") {
@@ -1153,5 +1162,82 @@ class StreamingAnnSpec extends SparkSuite {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(torn), "not|a,valid|model|line")
     assert(StreamingAnn.loadModel(torn).isEmpty)
+  }
+
+  test("filtered parity: on-disk filtered query equals the batch filtered operator bit-for-bit") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-filtered")
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val rows = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val queries = rows.filter(_._1 < 5).toSeq
+      .map(t => (t._1, t._2)).toDF("vec_id", "embedding")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    // whole corpus as ONE batch, label riding the leaves as a data col
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    val q = StreamingAnn.ivfIngest(
+      input.toDS().toDF("vec_id", "embedding", "label"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt",
+      kCells = 8, iterations = 2, attrs = Seq("label"))
+    try { input.addData(rows.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    // the leaf schema carries the attribute
+    assert(spark.read.parquet(s"$root/index").columns.contains("label"))
+
+    // filtered on-disk query == batch filtered operator, bit-for-bit,
+    // at both selectivity shapes
+    for ((pred, probes) <- Seq(
+        (col("label") === 7, 2), (col("label") < 5, 1))) {
+      val got = StreamingAnn.queryIndexFiltered(spark, s"$root/index",
+        s"$root/model.txt", queries, k = 3, pred, probes = probes)
+      val want = Ann.knnIvfTrainedFiltered(emb, numQueries = 5, k = 3,
+        pred, kCells = 8, iterations = 2, probes = probes)
+      assert(snap(got) === snap(want), s"pred=$pred probes=$probes")
+    }
+
+    // the predicate reaches the parquet scan as a pushed data filter
+    // NEXT TO the cell PartitionFilters — filter-then-score, never a
+    // post-filter of the finished top-k
+    val plan = StreamingAnn.queryIndexFiltered(spark, s"$root/index",
+      s"$root/model.txt", queries, k = 3, col("label") === 7, probes = 2)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PushedFilters"))
+    assert(scanLine.exists(_.contains("label")), plan.take(2500))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")), plan.take(2500))
+
+    // attributes SURVIVE COMPACTION (the schema-agnostic merge): a
+    // separate 3-batch index so the compactor has aged leaves beyond
+    // the exempted newest delivery; both query paths must return the
+    // SAME rows before and after compact+vacuum
+    val input2 = MemoryStream[(Long, Seq[Float], Int)]
+    val q2 = StreamingAnn.ivfIngest(
+      input2.toDS().toDF("vec_id", "embedding", "label"),
+      s"$root/model2.txt", s"$root/index2", s"$root/ckpt2",
+      kCells = 8, iterations = 2, attrs = Seq("label"))
+    try {
+      (0 until 3).foreach { b =>
+        input2.addData(rows.filter(_._1 % 3 == b).toSeq: _*)
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    val un0 = snap(StreamingAnn.queryIndex(spark, s"$root/index2",
+      s"$root/model2.txt", queries, k = 3, probes = 2))
+    val f0 = snap(StreamingAnn.queryIndexFiltered(spark, s"$root/index2",
+      s"$root/model2.txt", queries, k = 3, col("label") === 7, probes = 2))
+    assert(StreamingAnn.compactIndex(spark, s"$root/index2",
+      minBatches = 2).nonEmpty)
+    StreamingAnn.vacuumIndex(s"$root/index2", grace = 0)
+    assert(spark.read.parquet(s"$root/index2").columns.contains("label"))
+    assert(snap(StreamingAnn.queryIndex(spark, s"$root/index2",
+      s"$root/model2.txt", queries, k = 3, probes = 2)) === un0)
+    assert(snap(StreamingAnn.queryIndexFiltered(spark, s"$root/index2",
+      s"$root/model2.txt", queries, k = 3, col("label") === 7,
+      probes = 2)) === f0)
   }
 }
