@@ -148,6 +148,22 @@ object ScaleStress {
     *    measure the wrong operator). Bitmap build is a partial-agg
     *    rollup to m/64 words (the one-row map grows to ~factor·128 KB,
     *    still broadcast-scale); the probe stays a per-row projection.
+    *  - r_segment_assign_size (E3): the ONE flatMapGroups operator —
+    *    greedy rolling is sequential per partition, parallel across
+    *    them; the synth keeps the topic's 8 framing partitions and
+    *    grows each N× longer, so the measured ratio prices the
+    *    worker-per-partition model itself (sequential scan of N× rows
+    *    through fixed 8-way parallelism + the per-run fixed overhead
+    *    the sf0.1 point is dominated by). Organic growth that ADDS
+    *    partitions scales the parallel dimension instead; this row
+    *    pins the sequential one.
+    *  - r_ingress_replay (I2/I4): frame + window renumbering + the
+    *    anti-join dedup against present segments and checkpoints —
+    *    all window/partial-agg shapes keyed on part_id, N× rows
+    *    through the same exchanges.
+    *  - r_compacted_merge (C3): count-capped bins (window arithmetic,
+    *    bins per partition grow N×) + the message join and per-bin
+    *    stats rollup — one shuffle on part_id, partial-aggregating.
     *  - t_token_count_bpe: zero-shuffle codegen projection (per-word
     *    greedy merges against the fixed 48-entry table); rotation
     *    changes WHICH merges fire per word, not the bounded per-word
@@ -162,6 +178,7 @@ object ScaleStress {
     "p3_stream_ingest",
     "p_chunk_overlap", "p_curated_corpus", "p_global_shuffle",
     "p_pack_sequences", "q_column_profile", "q_column_profile_audit",
+    "r_compacted_merge", "r_ingress_replay", "r_segment_assign_size",
     "t_dsir_select", "t_pii_redact", "t_token_count_bpe")
 
   /** Locale-independent 2-decimal formatter: every number printed here
@@ -231,6 +248,23 @@ object ScaleStress {
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // events for the replicator family: re-keyed copies. The 1e9
+    // stride is ≡ 0 (mod 8), so each copy's rows land on the SAME
+    // 8 framing partitions (part_id = user_id % 8) — the topology the
+    // reference's worker-per-partition model fixes per topic — and
+    // every partition grows N× LONGER: segment rolling, replay
+    // windows, and compaction bins all see N× rows through the same
+    // 8-way parallelism. event_id stride keeps per-copy framing order
+    // intact (offsets are renumbered by the frame's row_number).
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    require(ev.agg(max("event_id")).head.getLong(0) < 1000000000L &&
+      ev.agg(max("user_id")).head.getLong(0) < 1000000000L,
+      "ScaleStress: source event/user ids collide with the 1e9 re-key stride")
+    (0 until factor).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 1000000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   /** P3 batch-count stress: the continuous dedup ingest

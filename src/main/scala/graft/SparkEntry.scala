@@ -600,6 +600,14 @@ object SparkEntry {
     "t_token_count_bpe" -> ((s, dir) =>
       TextAnalysis.tokenCountBpe(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // T18 at production table shape: the BYTE-LEVEL tokenizer (GPT-2
+    // byte encoder — identity on this printable-ASCII corpus, the
+    // non-identity half spec-pinned) over the id+text stream, firing
+    // the trained digit merges the prose vocabulary never touches
+    "t_token_count_bpe_prod" -> ((s, dir) =>
+      TextAnalysis.tokenCountBpeProd(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // P2 twin packed on BPE counts: the packing budget in the tokens
     // trainers actually consume
     "p_pack_sequences_bpe" -> ((s, dir) =>
@@ -1003,14 +1011,15 @@ object SparkEntry {
         s"($i, '$a', '$b')"
       }.mkString(", ")
 
-  /** Word-vocabulary BPE chain (requires `norm` and WITH RECURSIVE in
-    * scope): greedy merge loop per DISTINCT word via boundary-anchored
-    * replace, ending in `bpedoc(doc_id, bpe_tokens)`.
+  /** Word-vocabulary BPE chain (requires a source CTE `src(doc_id,
+    * t)` and WITH RECURSIVE in scope): greedy merge loop per DISTINCT
+    * word via boundary-anchored replace, ending in
+    * `bpedoc(doc_id, bpe_tokens)`.
     */
-  private lazy val BpeTokCte =
+  private def bpeTokCteOver(src: String) =
     s"""words AS (
        |  SELECT doc_id, w, count(*)::BIGINT AS m
-       |  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm) u
+       |  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM $src) u
        |  WHERE w <> '' GROUP BY doc_id, w
        |),
        |vocab AS (SELECT DISTINCT w FROM words),
@@ -1038,11 +1047,24 @@ object SparkEntry {
        |),
        |bpedoc AS (
        |  SELECT n.doc_id, coalesce(sum(words.m * tok.ntok), 0)::BIGINT AS bpe_tokens
-       |  FROM norm n
+       |  FROM $src n
        |  LEFT JOIN words ON n.doc_id = words.doc_id
        |  LEFT JOIN tok ON words.w = tok.w
        |  GROUP BY n.doc_id
        |)""".stripMargin
+
+  private lazy val BpeTokCte = bpeTokCteOver("norm")
+
+  /** The production-gate token stream: doc_id numerals + raw text —
+    * the id numerals make the trained digit merges FIRE (the prose
+    * vocabulary alone exercises ~90 of the 2000 rules); raw text is
+    * printable-ASCII on this corpus, where the engine-side GPT-2 byte
+    * encoder is the identity, so this char-level replay is exact.
+    */
+  private val BpeProdSrcCte =
+    """prodsrc AS (
+      |  SELECT doc_id, doc_id::VARCHAR || ' ' || text AS t FROM documents
+      |)""".stripMargin
 
   private val NormCte =
     """norm AS (
@@ -2477,6 +2499,11 @@ object SparkEntry {
          |       b.bpe_tokens
          |FROM norm n JOIN bpedoc b USING (doc_id)
          |ORDER BY n.doc_id""".stripMargin,
+
+    "t_token_count_bpe_prod" ->
+      s"""WITH RECURSIVE $BpeProdSrcCte, ${bpeTokCteOver("prodsrc")}
+         |SELECT doc_id, bpe_tokens FROM bpedoc
+         |ORDER BY doc_id""".stripMargin,
 
     "p_pack_sequences_bpe" ->
       s"""WITH RECURSIVE $NormCte, $BpeTokCte,

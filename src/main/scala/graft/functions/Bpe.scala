@@ -56,6 +56,33 @@ case class BpeTokenCountExpr(child: Expression, table: BpeTable)
     copy(child = newChild)
 }
 
+/** The byte-level twin of [[BpeTokenCountExpr]]: each whitespace word
+  * is GPT-2 byte-encoded ([[Bpe.byteEncoder]]) before the merge loop,
+  * so the expression accepts ARBITRARY text — multi-byte UTF-8 and
+  * control bytes included — with no normalization step. Same codegen
+  * shape: a static call inside whole-stage codegen, the table shipped
+  * once per executor via `addReferenceObj`.
+  */
+case class BpeTokenCountBytesExpr(child: Expression, table: BpeTable)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count_bytes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.countTokensBytes(input.asInstanceOf[UTF8String].toString, table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Bpe.countTokensBytes($c.toString(), $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCountBytesExpr =
+    copy(child = newChild)
+}
+
 /** A ranked merge table. Serializable (shipped inside the expression);
   * the rank index is rebuilt lazily per JVM after deserialization.
   */
@@ -86,6 +113,61 @@ object Bpe {
     */
   lazy val default: BpeTable = parseMerges(BpeMergesData.lines.iterator)
 
+  /** The GPT-2 byte encoder (the public `bytes_to_unicode`
+    * interchange mapping): a BIJECTION from the 256 byte values to
+    * printable code points — bytes in [33,126], [161,172], [174,255]
+    * map to their own code point, the remaining 68 (controls, space,
+    * 127-160, 173) map to 256+k in first-gap order — so ARBITRARY
+    * input (multi-byte UTF-8, control bytes) becomes a clean symbol
+    * stream before merging, with no information loss and no
+    * normalization step. On printable-ASCII input the mapping is the
+    * identity, which is what lets the DuckDB oracle (a char-level
+    * replay) gate the byte-level path exactly on this corpus; the
+    * non-identity half is spec-pinned against the published ranges.
+    */
+  val byteEncoder: Array[Char] = {
+    val self = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (self(b)) b.toChar
+      else { val c = (256 + n).toChar; n += 1; c }
+    }.toArray
+  }
+
+  /** One word's byte-level symbol sequence: UTF-8 bytes, each mapped
+    * through [[byteEncoder]] to a single-char symbol.
+    */
+  private[functions] def byteSymbols(w: String): Array[String] = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = String.valueOf(byteEncoder(bytes(i) & 0xff)); i += 1
+    }
+    out
+  }
+
+  /** Byte-level token count: [[countTokens]] with each whitespace
+    * word byte-encoded before the merge loop — the GPT-2 shape that
+    * accepts arbitrary text. Identical to [[countTokens]] on
+    * printable-ASCII input (identity mapping); multi-byte characters
+    * contribute one symbol per UTF-8 BYTE until a trained merge joins
+    * them.
+    */
+  def countTokensBytes(s: String, table: BpeTable): Long = {
+    var total = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      var j = i
+      while (j < n && s.charAt(j) != ' ') j += 1
+      if (j > i)
+        total += tokenizeSymsCount(byteSymbols(s.substring(i, j)), table)
+      i = j + 1
+    }
+    total
+  }
+
   def parseMerges(lines: Iterator[String]): BpeTable =
     new BpeTable(lines.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -115,11 +197,22 @@ object Bpe {
 
   /** Token count of one word under the greedy merge loop. */
   private[functions] def tokenizeWordCount(w: String, t: BpeTable): Int = {
-    var len = w.length
+    val len = w.length
     if (len <= 1) return len
     val syms = new Array[String](len)
     var i = 0
     while (i < len) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    tokenizeSymsCount(syms, t)
+  }
+
+  /** The merge loop over an explicit starting symbol sequence (the
+    * shared core of the char-level and byte-level paths).
+    */
+  private[functions] def tokenizeSymsCount(syms: Array[String],
+      t: BpeTable): Int = {
+    var len = syms.length
+    if (len <= 1) return len
+    var i = 0
     while (true) {
       var best = Int.MaxValue
       i = 0
@@ -153,4 +246,11 @@ object Bpe {
   /** Column wrapper: BPE token count of a (normalized) text column. */
   def tokenCount(c: Column, table: BpeTable): Column =
     SqlBridge.column(BpeTokenCountExpr(SqlBridge.expression(c), table))
+
+  /** Column wrapper: byte-level BPE token count — arbitrary text,
+    * no normalization required ([[countTokensBytes]]).
+    */
+  def tokenCountBytes(c: Column, table: BpeTable): Column =
+    SqlBridge.column(
+      BpeTokenCountBytesExpr(SqlBridge.expression(c), table))
 }

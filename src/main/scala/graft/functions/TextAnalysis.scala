@@ -149,6 +149,22 @@ object TextAnalysis {
       wsTokens(col("text")).as("ws_tokens"),
       bpeTokens(table)(col("text")).as("bpe_tokens"))
 
+  /** The production-shaped tokenizer gate (T18 at table scale): the
+    * BYTE-LEVEL expression ([[Bpe.countTokensBytes]] — GPT-2 byte
+    * encoder, arbitrary input) over the id+text stream, whose doc_id
+    * numerals make the trained digit merges fire — the prose
+    * vocabulary alone exercises ~90 of the 2000 rules. Same plan
+    * shape as [[tokenCountBpe]]: one codegen projection, zero
+    * shuffles, table shipped once per executor.
+    */
+  def tokenCountBpeProd(docs: DataFrame,
+      table: BpeTable = Bpe.default): DataFrame =
+    docs.select(
+      col("doc_id"),
+      Bpe.tokenCountBytes(
+        concat_ws(" ", col("doc_id").cast("string"), col("text")), table)
+        .as("bpe_tokens"))
+
   /** Heavy hitters: top-N corpus tokens by frequency (deterministic
     * tiebreak). One shuffle on token; at 100 TB the partial (map-side)
     * aggregation collapses per-executor counts before the shuffle.

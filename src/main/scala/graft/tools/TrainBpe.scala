@@ -4,14 +4,22 @@ import org.apache.spark.sql.SparkSession
 
 /** One-shot BPE merge-table trainer: classic pair-frequency training
   * (count adjacent symbol pairs over the word multiset, merge the
-  * most frequent, repeat) over the synthetic corpus's normalized
-  * words, emitting the GPT-2 interchange format (`A B` per line,
-  * rank = line number) on stdout. The embedded table
+  * most frequent, repeat), emitting the GPT-2 interchange format
+  * (`A B` per line, rank = line number) on stdout. The embedded table
   * [[graft.functions.BpeMergesData]] is this tool's output wrapped
   * as Scala data — regenerate with:
   *
   *   java -cp 'target/scala-2.13/classes:SPARK_JARS' \
-  *     graft.tools.TrainBpe /root/testdata/sf0.001 48
+  *     graft.tools.TrainBpe /root/testdata/sf0.1 2000
+  *
+  * Training units are the corpus's normalized-text words PLUS the
+  * doc_id decimal strings: the synthetic prose vocabulary saturates
+  * plain word-BPE at ~90 merges (31 distinct words), while a
+  * production merge table carries thousands of rules — the id
+  * numerals supply the combinatorial diversity (every 1-4 digit
+  * sequence) that trains the table into production shape, and the
+  * gated queries tokenize the same id+text stream so those rules
+  * actually FIRE cross-engine.
   *
   * Determinism: ties on pair frequency break lexicographically, so
   * the table is a pure function of the corpus. Training by
@@ -22,7 +30,7 @@ import org.apache.spark.sql.SparkSession
 object TrainBpe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val nMerges = if (args.length > 1) args(1).toInt else 48
+    val nMerges = if (args.length > 1) args(1).toInt else 2000
     val spark = SparkSession.builder()
       .appName("graft-train-bpe").master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -31,10 +39,13 @@ object TrainBpe {
       .getOrCreate()
     val words: Map[String, Long] = spark.read
       .parquet(s"$sfDir/documents.parquet")
-      .select(graft.functions.Portable.normText(
-        org.apache.spark.sql.functions.col("text")).as("t"))
+      .select(org.apache.spark.sql.functions.col("doc_id")
+        .cast("string").as("id"),
+        graft.functions.Portable.normText(
+          org.apache.spark.sql.functions.col("text")).as("t"))
       .collect()
-      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        :+ r.getString(0))
       .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
     spark.stop()
 

@@ -39,7 +39,7 @@ class BpeSpec extends SparkSuite {
 
   test("embedded trained table loads and is topologically ordered") {
     val t = Bpe.default
-    assert(t.size === 48)
+    assert(t.size === 2000)
     // every composite's parts were merged earlier (the property the
     // cross-engine convergence argument relies on): for each pair
     // (a, b), any multi-char side must itself be an earlier merge
@@ -70,5 +70,85 @@ class BpeSpec extends SparkSuite {
       assert(r.getLong(2) >= r.getLong(1),
         s"doc ${r.getLong(0)}: fewer BPE tokens than words")
     }
+  }
+
+  test("GPT-2 byte encoder: published ranges, bijection, identity on printable ASCII") {
+    val enc = Bpe.byteEncoder
+    assert(enc.length === 256)
+    assert(enc.distinct.length === 256) // bijection
+    // self-mapped ranges are exactly the published ones
+    val self = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    (0 until 256).foreach { b =>
+      if (self(b)) assert(enc(b).toInt === b, s"byte $b must self-map")
+      else assert(enc(b).toInt >= 256, s"byte $b must map above 255")
+    }
+    // the 68 escapes are assigned in first-gap order from 256
+    val escapes = (0 until 256).filterNot(self).map(enc(_).toInt)
+    assert(escapes === (256 until 256 + escapes.length))
+  }
+
+  test("byte-level count: identity on ASCII, one symbol per UTF-8 byte beyond") {
+    val t = Bpe.default
+    // printable-ASCII input: byte-level == char-level, any table
+    Seq("parser error", "batch 4999 dedup", "a", "").foreach { w =>
+      assert(Bpe.countTokensBytes(w, t) === Bpe.countTokens(w, t), w)
+    }
+    // a 2-byte char is 2 symbols before merging (no merge covers the
+    // escape alphabet in the repo table)
+    val empty = new BpeTable(Array.empty)
+    assert(Bpe.countTokensBytes("café", empty) === 5L) // c a f + 2 bytes
+    assert(Bpe.countTokensBytes("é", empty) === 2L)
+    // 3-byte char (U+20AC EURO SIGN)
+    assert(Bpe.countTokensBytes("€", empty) === 3L)
+    // control bytes are representable, never dropped
+    assert(Bpe.countTokensBytes("a	b", empty) === 3L)
+    // and words still split on space only
+    assert(Bpe.countTokensBytes("é é", empty) === 4L)
+  }
+
+  test("the 2000-merge table: digit merges fire on id numerals") {
+    val t = Bpe.default
+    assert(t.size === 2000)
+    // every 1-4 digit doc_id collapses below its digit count — the
+    // production-gate stream (t_token_count_bpe_prod) exercises these
+    // rules; a table that only knew the prose vocabulary could not
+    val sample = Seq("4999", "1234", "907", "42", "3141")
+    sample.foreach { id =>
+      val n = Bpe.countTokens(id, t)
+      assert(n < id.length, s"id '$id' stayed at $n symbols — digit merges dead")
+    }
+    // byte-level path agrees on the same numerals (identity range)
+    sample.foreach { id =>
+      assert(Bpe.countTokensBytes(id, t) === Bpe.countTokens(id, t))
+    }
+  }
+
+  test("per-row cost is flat in TABLE SIZE (expression state, not a join)") {
+    // the scaling contract: cost is O(len x merges APPLIED), never
+    // O(table size) — rank lookups are O(1) hash probes. Grow the
+    // table 5x with rules that can never fire (their left symbol is a
+    // composite no trained rule forms) and the same corpus must count
+    // IDENTICALLY and in comparable time.
+    val base = Bpe.default
+    val pad = (0 until 8000).map(i => ("qqq" + (i % 97), "zzz" + (i / 97)))
+    val padded = new BpeTable(base.pairs ++ pad)
+    assert(padded.size === 10000)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(Portable.normText(col("text")).as("t")).collect()
+      .map(_.getString(0))
+    def run(t: BpeTable): (Long, Long) = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      docs.foreach { d => acc += Bpe.countTokens(d, t) }
+      (acc, System.nanoTime() - t0)
+    }
+    run(base); run(padded) // JIT warm
+    val (c1, n1) = run(base)
+    val (c2, n2) = run(padded)
+    assert(c1 === c2, "padded table changed counts — pads fired")
+    // flat means within noise, not proportional to the 5x table: allow
+    // a generous 2x band to keep the check robust on a throttling VM
+    assert(n2 < n1 * 2 + 50 * 1000 * 1000,
+      s"5x table size cost ${n2 / 1e6}ms vs ${n1 / 1e6}ms — not flat")
   }
 }

@@ -31,7 +31,14 @@ PROBE_TIMEOUT = 300          # calm probe ~95 s (+ the untimed warmup pass
                              # would still blow this
 PROBE_DEDUP_MAX = 16.0       # calm warm median ~8-12 s
 PROBE_KMEANS_MAX = 9.0       # calm warm median ~5-7 s
-MAX_SANE_TOTAL = 320.0       # r15 recalibration: the surface is now 122
+MAX_SANE_TOTAL = 360.0       # r16 recalibration: the surface is now 126
+                             # queries (r15's 122 + a_knn_filtered ~2 s
+                             # + a_knn_filtered_truth ~1 s +
+                             # a_knn_filtered_recall ~15-25 s: two
+                             # filtered brute truths at RecallK + 4 IVF
+                             # filtered runs + t_token_count_bpe_prod
+                             # ~2 s under the 2000-merge table)
+OLD_MAX_SANE_TOTAL = 320.0   # r15 note kept: the surface was then 122
                              # queries (r14's 119 + r_store_dead_events
                              # ~1 s + t_token_count_bpe ~2 s +
                              # p_pack_sequences_bpe ~3 s), while the
