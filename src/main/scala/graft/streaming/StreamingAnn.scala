@@ -314,17 +314,19 @@ object StreamingAnn {
     */
   def ivfIngestSq(emb: DataFrame, modelPath: String, indexDir: String,
       checkpointDir: String, kCells: Int = 8,
-      iterations: Int = 2): StreamingQuery =
+      iterations: Int = 2, attrs: Seq[String] = Nil): StreamingQuery =
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // per-batch generation resolution + owner recovery, as ivfIngest
         val root = resolveRoot(indexDir)
         recoverIndex(root)
-        val qb = quantize(batch)
+        // attrs ride the leaves as plain data columns (filtered
+        // search, as ivfIngest); training stays on the bare projection
+        val qb = quantize(batch, attrs)
         if (!qb.isEmpty) {
-          val cent = trainOrLoad(modelFor(root, modelPath), qb,
-            kCells, iterations)
+          val cent = trainOrLoad(modelFor(root, modelPath),
+            qb.select("vec_id", "v", "norm2"), kCells, iterations)
           ensureLayout(root, "sq8", cent.size, cent.head._2.size)
           // owner id-reuse, as ivfIngest: fresh path, never a delete
           val diskId = reuseSafeBatchId(root, checkpointDir, batchId)
@@ -333,7 +335,8 @@ object StreamingAnn {
           // serving rule (Ann.cellAssign), matching batch knnIvfSq
           Ann.withInt8Cols(Ann.cellAssign(qb, cent))
             .withColumn("cb", transform(col("c"), _.cast("byte")))
-            .select(col("vec_id"), col("cb"), col("n2q"), col("cell"))
+            .select(col("vec_id") +: col("cb") +: col("n2q") +:
+              attrs.map(col) :+ col("cell"): _*)
             .withColumn("ingest_batch", lit(diskId))
             .write
             .option("partitionOverwriteMode", "dynamic")
@@ -354,7 +357,22 @@ object StreamingAnn {
     * destructive.
     */
   def queryIndexSq(spark: SparkSession, indexDir: String, modelPath: String,
-      queries: DataFrame, k: Int, probes: Int = 1): DataFrame = {
+      queries: DataFrame, k: Int, probes: Int = 1): DataFrame =
+    queryIndexSqImpl(spark, indexDir, modelPath, queries, k, probes, None)
+
+  /** Filtered SQ8 index query — [[queryIndexFiltered]]'s discipline
+    * (predicate into the probed-cell scan, never a post-filter) over
+    * the int8-coded layout.
+    */
+  def queryIndexSqFiltered(spark: SparkSession, indexDir: String,
+      modelPath: String, queries: DataFrame, k: Int, predicate: Column,
+      probes: Int = 1): DataFrame =
+    queryIndexSqImpl(spark, indexDir, modelPath, queries, k, probes,
+      Some(predicate))
+
+  private def queryIndexSqImpl(spark: SparkSession, indexDir: String,
+      modelPath: String, queries: DataFrame, k: Int, probes: Int,
+      predicate: Option[Column]): DataFrame = {
     import spark.implicits._
     val root = resolveRoot(indexDir) // serving generation (see retrainIndex)
     requireLayout(root, "sq8", "queryIndexSq")
@@ -379,7 +397,9 @@ object StreamingAnn {
     val cells = probeRows.map(_._2).distinct
     val idx0 = spark.read.parquet(root)
       .filter(col("cell").isin(cells: _*))
-    val idx = visibility.fold(idx0)(idx0.filter)
+    val idx1 = visibility.fold(idx0)(idx0.filter)
+    // attribute predicate before scoring/election, as queryIndexImpl
+    val idx = predicate.fold(idx1)(idx1.filter)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("qcos").desc, col("vec_id"))
     newestPerCandidate(idx.join(broadcast(probeDf),

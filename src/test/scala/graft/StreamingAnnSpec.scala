@@ -1240,4 +1240,44 @@ class StreamingAnnSpec extends SparkSuite {
       s"$root/model2.txt", queries, k = 3, col("label") === 7,
       probes = 2)) === f0)
   }
+
+  test("filtered SQ8 parity: predicate-pruned query equals an index built from only the matching rows") {
+    // Same FROZEN model on both sides (pre-trained on the full corpus,
+    // then handed to both ingests), so the filtered query over the
+    // full index must return exactly what a full query over the
+    // matching-rows-only index returns: the predicate prunes the scan,
+    // nothing else.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-sq-filtered")
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val rows = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val queries = rows.filter(_._1 < 5).toSeq
+      .map(t => (t._1, t._2)).toDF("vec_id", "embedding")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    // train the shared model once, on the full corpus
+    def ingest(tag: String, data: Seq[(Long, Seq[Float], Int)],
+        attrs: Seq[String]): Unit = {
+      val input = MemoryStream[(Long, Seq[Float], Int)]
+      val q = graft.streaming.StreamingAnn.ivfIngestSq(
+        input.toDS().toDF("vec_id", "embedding", "label"),
+        s"$root/model.txt", s"$root/$tag", s"$root/ckpt-$tag",
+        kCells = 8, iterations = 2, attrs = attrs)
+      try { input.addData(data: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    ingest("full", rows.toSeq, attrs = Seq("label"))   // trains the model
+    ingest("only7", rows.filter(_._3 == 7).toSeq, attrs = Nil) // reuses it
+
+    val got = snap(StreamingAnn.queryIndexSqFiltered(spark, s"$root/full",
+      s"$root/model.txt", queries, k = 3, col("label") === 7, probes = 2))
+    val want = snap(StreamingAnn.queryIndexSq(spark, s"$root/only7",
+      s"$root/model.txt", queries, k = 3, probes = 2))
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
