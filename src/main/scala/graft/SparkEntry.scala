@@ -543,6 +543,16 @@ object SparkEntry {
       Ann.annRecallTuned(Tables.embeddings(s, dir), KnnQueries, RecallK)
         .orderBy("method")),
 
+    // A15: hybrid retrieval — idf-weighted lexical overlap + exact
+    // cosine, fused by Reciprocal Rank Fusion (integer-exact: idf
+    // surrogate 1e6 div df, RRF terms 1e12 div (60+rank) — no floats,
+    // bit-portable ranking); the production RAG/curation request
+    // neither leg serves alone
+    "a_hybrid_search" -> ((s, dir) =>
+      HybridSearch.hybridTopK(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), KnnQueries, 10)
+        .orderBy("q_id", "rnk")),
+
     // A14: filtered (attribute-constrained) vector search — "top-k
     // WHERE label = 7": the predicate prunes the candidate SCAN
     // (pushed to parquet), never the finished top-k (a post-filter
@@ -2368,6 +2378,49 @@ object SparkEntry {
     "a_knn_filtered_recall" -> annRecallFilteredSql(RecallK,
       Seq("sel10" -> "e.label = 7", "sel50" -> "e.label < 5"),
       probesList = Seq(1, 2)),
+
+    // A15: hybrid RRF — all-BIGINT scoring, FULL OUTER rank fusion
+    "a_hybrid_search" ->
+      s"""WITH $NormCte, $TokCte,
+         |ts AS (SELECT DISTINCT doc_id, tok FROM tok),
+         |dfs AS (SELECT tok, count(*)::BIGINT AS df FROM ts GROUP BY tok),
+         |wt AS (SELECT ts.doc_id, ts.tok, (1000000 // dfs.df)::BIGINT AS w
+         |       FROM ts JOIN dfs USING (tok)),
+         |lexs AS (
+         |  SELECT qq.doc_id AS q_id, cc.doc_id AS doc_id,
+         |         sum(cc.w)::BIGINT AS lex_score
+         |  FROM wt qq JOIN wt cc ON cc.tok = qq.tok AND cc.doc_id <> qq.doc_id
+         |  WHERE qq.doc_id < $KnnQueries GROUP BY 1, 2
+         |),
+         |lex AS (SELECT q_id, doc_id, lex_rank FROM (
+         |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY lex_score DESC, doc_id) AS lex_rank
+         |  FROM lexs) WHERE lex_rank <= 20),
+         |$EmbCte,
+         |vecs AS (
+         |  SELECT q2.vec_id AS q_id, c.vec_id AS doc_id,
+         |    row_number() OVER (PARTITION BY q2.vec_id ORDER BY
+         |      (list_sum(list_transform(range(1,65), i -> q2.v[i::INT]*c.v[i::INT])))::DOUBLE
+         |        / (sqrt(q2.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) DESC, c.vec_id) AS vec_rank
+         |  FROM qn q2 JOIN qn c ON c.vec_id <> q2.vec_id
+         |  WHERE q2.vec_id < $KnnQueries
+         |),
+         |vec AS (SELECT q_id, doc_id, vec_rank FROM vecs WHERE vec_rank <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+         |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |         l.lex_rank, v.vec_rank,
+         |         (coalesce(1000000000000 // (60 + l.lex_rank), 0)
+         |          + coalesce(1000000000000 // (60 + v.vec_rank), 0))::BIGINT AS rrf_score
+         |  FROM lex l FULL OUTER JOIN vec v
+         |    ON v.q_id = l.q_id AND v.doc_id = l.doc_id
+         |)
+         |SELECT q_id, rnk, doc_id, rrf_score,
+         |       coalesce(lex_rank, -1)::BIGINT AS lex_rank,
+         |       coalesce(vec_rank, -1)::BIGINT AS vec_rank
+         |FROM (SELECT *, (row_number() OVER (PARTITION BY q_id
+         |        ORDER BY rrf_score DESC, doc_id))::INT AS rnk FROM fused)
+         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
     "t_top_tokens" ->
       s"""WITH $NormCte, $TokCte

@@ -169,13 +169,16 @@ object TextAnalysis {
     * tiebreak). One shuffle on token; at 100 TB the partial (map-side)
     * aggregation collapses per-executor counts before the shuffle.
     */
-  def topTokens(docs: DataFrame, n: Int): DataFrame =
+  def topTokens(docs: DataFrame, n: Int): DataFrame = {
+    graft.core.Validation.validate("top-tokens",
+      graft.core.Validation.knob("n", n, minV = 1L))
     tokens(docs)
       .groupBy("tok")
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct("doc_id").as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("tok"))
       .limit(n)
+  }
 
   /** Deterministic train/validation/test split: bucket = 60-bit
     * content-independent hash of the doc id mod 100, so the assignment
@@ -185,13 +188,15 @@ object TextAnalysis {
     * none of it). Pure projection: no shuffle at all.
     */
   def sampleSplit(docs: DataFrame, trainPct: Int = 80,
-      valPct: Int = 10): DataFrame =
+      valPct: Int = 10): DataFrame = {
+    graft.core.Configs.Split(trainPct, valPct).validated
     docs.select(col("doc_id"),
         (hexHash60(col("doc_id").cast("string")) % 100).as("bucket"))
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
           .when(col("bucket") < trainPct + valPct, "validation")
           .otherwise("test"))
+  }
 
   /** TF-IDF-weighted top terms per document, in exact integer
     * arithmetic: score = tf * ((N * 1000) div df) — the idf factor is
@@ -311,6 +316,8 @@ object TextAnalysis {
     * beyond the source shuffle.
     */
   def quotaSample(docs: DataFrame, quota: Int = 5): DataFrame = {
+    graft.core.Validation.validate("quota-sample",
+      graft.core.Validation.knob("quota", quota, minV = 1L))
     // pre-reduce per (partition, source) before the global window: a
     // row in the global top-`quota` has local rank ≤ quota in ANY
     // partitioning (deleting rows never raises a survivor's rank), so

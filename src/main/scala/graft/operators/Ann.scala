@@ -1024,6 +1024,10 @@ object Ann {
     */
   def semanticDedup(embeddings: DataFrame, minCosBp: Long,
       kCells: Int = 8, iterations: Int = 2): DataFrame = {
+    graft.core.Validation.validate("semantic-dedup",
+      graft.core.Validation.knob("minCosBp", minCosBp,
+        minV = 1L, maxV = 10000L) ++
+        graft.core.Configs.Ivf(kCells, iterations).violations)
     val q = quantized(embeddings)
     val cent = kmeansCentroids(q.select("vec_id", "v", "norm2"), kCells, iterations)
     // Zero-norm vectors can't rank cells by cosine (0/0 — an ANSI
@@ -1249,6 +1253,9 @@ object Ann {
     * verify — the scale path for pairwise similarity (no O(n²) join).
     */
   def embeddingDedup(embeddings: DataFrame, minCosBp: Long): DataFrame = {
+    graft.core.Validation.validate("embedding-dedup",
+      graft.core.Validation.knob("minCosBp", minCosBp,
+        minV = 1L, maxV = 10000L))
     val b = bucketed(embeddings)
     val x = b.as("x"); val y = b.as("y")
     x.join(y, col("x.bucket") === col("y.bucket")

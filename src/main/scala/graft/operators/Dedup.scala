@@ -828,6 +828,8 @@ object Dedup {
     * OVER-drop, never under-drop or corrupt kept text.
     */
   def lineDedup(lines: DataFrame, boilerplateMax: Long): DataFrame = {
+    graft.core.Validation.validate("line-dedup",
+      graft.core.Validation.knob("boilerplateMax", boilerplateMax, minV = 1L))
     val keyed = lines.select(col("doc_id"), col("pos"),
       col("line"), hexHash60(col("line")).as("h"))
     val stats = keyed.groupBy("h").agg(
@@ -882,6 +884,7 @@ object Dedup {
     * table, never against raw windows.
     */
   def repeatedSpans(docs: DataFrame, w: Int = 8, stride: Int = 1): DataFrame = {
+    graft.core.Configs.Chunking(w, stride).validated
     val th = transform(split(normText(col("text")), " "), t => hexHash20(t))
     val base = docs.select(col("doc_id"), th.as("th"))
       .withColumn("n_toks", size(col("th")))

@@ -44,6 +44,8 @@ object Sketch {
     * across all of them.
     */
   def kmvDistinctTokens(docs: DataFrame, k: Int = KmvK): DataFrame = {
+    graft.core.Validation.validate("kmv",
+      graft.core.Validation.knob("k", k, minV = 2L))
     val s = docs.sparkSession
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val lh = docs.select(col("lang"),

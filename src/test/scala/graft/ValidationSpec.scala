@@ -172,6 +172,26 @@ class ValidationSpec extends SparkSuite {
     intercept[GraftConfigException] {
       TimeSeries.sessionize(Tables.events(spark, sf), gapSeconds = 0L)
     }
+
+    // the long tail: every remaining knob-bearing operator speaks the
+    // same language
+    intercept[GraftConfigException] { Ann.semanticDedup(emb, 0L) }
+    intercept[GraftConfigException] { Ann.embeddingDedup(emb, 20000L) }
+    intercept[GraftConfigException] { Dedup.repeatedSpans(docs, w = 4, stride = 9) }
+    intercept[GraftConfigException] { Dedup.lineDedup(docs, 0L) }
+    intercept[GraftConfigException] { Sketch.kmvDistinctTokens(docs, k = 1) }
+    intercept[GraftConfigException] {
+      graft.functions.TextAnalysis.quotaSample(docs, quota = 0)
+    }
+    intercept[GraftConfigException] {
+      graft.functions.TextAnalysis.sampleSplit(docs, trainPct = 80, valPct = 30)
+    }
+    intercept[GraftConfigException] {
+      graft.functions.TextAnalysis.topTokens(docs, 0)
+    }
+    intercept[GraftConfigException] {
+      HybridSearch.hybridTopK(docs, emb, 5, 3, rrfK = 0)
+    }
   }
 
   test("streaming-index maintenance knobs speak the same language") {
