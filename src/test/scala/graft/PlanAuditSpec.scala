@@ -577,4 +577,23 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Expand"), p.take(2500))
     assert(!p.contains("CartesianProduct"), p.take(2500))
   }
+
+  test("filtered kNN: the attribute predicate is pushed to the parquet scan") {
+    // the A14 contract: filter the SCAN, never the finished top-k —
+    // PushedFilters on the attribute column proves the predicate
+    // reached the source, before any scoring
+    val p = plan(SparkEntry.queries("a_knn_filtered")(spark, sf))
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scans.exists(l => l.contains("EqualTo(label,7)") ||
+      l.contains("EqualTo(label, 7)")), scans.mkString("\n").take(2000))
+    // and the probe/candidate joins stay broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("hybrid search: no cartesian; lexical join broadcasts the query tokens") {
+    val p = plan(SparkEntry.queries("a_hybrid_search")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
