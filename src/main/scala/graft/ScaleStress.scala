@@ -181,6 +181,21 @@ object ScaleStress {
     "r_compacted_merge", "r_ingress_replay", "r_segment_assign_size",
     "t_dsir_select", "t_pii_redact", "t_token_count_bpe")
 
+  /** Round-16 additions, recorded as a separate gated artifact (their
+    * classes post-date the frozen_r16 bench window):
+    *  - a_hybrid_search (A15): the lexical leg's CANDIDATE volume is
+    *    copy-0-bounded under rotation (query tokens share nothing
+    *    with rotated copies), but both legs SCAN N× rows — the token
+    *    broadcast-join probe side and the brute-force vector scan —
+    *    so the workload is linear with a constant output.
+    *  - a_knn_filtered (A14): full-corpus training (linear) + the
+    *    probed-cell scan over the filtered candidates; the synth
+    *    copies embeddings' label column verbatim, so the ~10%
+    *    selectivity is factor-invariant and the filtered candidate
+    *    volume grows exactly N×.
+    */
+  val QueriesR16b: Seq[String] = Seq("a_hybrid_search", "a_knn_filtered")
+
   /** Locale-independent 2-decimal formatter: every number printed here
     * is machine-parsed (per-rep stderr lines by the calm-window
     * recorder's regex, the JSON line by the artifact writer); a
@@ -343,8 +358,9 @@ object ScaleStress {
     val reps = if (args.length > 2) args(2).toInt else 3
     // optional comma-separated subset: lets the calm-window JVM probe
     // time two signature queries without paying for the whole family
+    val known = Queries ++ QueriesR16b
     val queries =
-      if (args.length > 3) Queries.filter(args(3).split(",").toSet)
+      if (args.length > 3) known.filter(args(3).split(",").toSet)
       else Queries
     require(queries.nonEmpty, s"no known queries in '${args(3)}'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

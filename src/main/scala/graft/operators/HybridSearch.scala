@@ -55,7 +55,10 @@ object HybridSearch {
     val df_ = tokSet.groupBy("tok").agg(count(lit(1)).as("df"))
     val wTok = tokSet.join(df_, Seq("tok"))
       .withColumn("w", expr("1000000 div df"))
-    val qTok = wTok.filter(col("doc_id") < numQueries)
+    // the query side needs only (q_id, tok) — taking it from tokSet
+    // (not wTok) keeps the corpus-wide df aggregation in ONE branch of
+    // the plan; the shared token's weight comes from the candidate row
+    val qTok = tokSet.filter(col("doc_id") < numQueries)
       .select(col("doc_id").as("q_id"), col("tok"))
     val lexW = Window.partitionBy("q_id")
       .orderBy(col("lex_score").desc, col("doc_id"))
