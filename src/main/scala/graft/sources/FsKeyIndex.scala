@@ -139,7 +139,8 @@ class FsKeyIndex(spark: SparkSession, val root: String) {
     * compaction ran.
     */
   def compactIfNeeded(maxLogFiles: Int): Boolean = {
-    require(maxLogFiles >= 1, s"maxLogFiles must be >= 1, got $maxLogFiles")
+    graft.core.Validation.validate("key-index",
+      graft.core.Validation.knob("maxLogFiles", maxLogFiles, minV = 1L))
     if (logFileCount() > maxLogFiles) {
       // cap the rewrite at the bound itself so the post-compaction
       // count can never re-trigger on the very next check; below the
