@@ -82,8 +82,9 @@ object SegmentRoller {
       graft.core.Validation.nonEmpty("age", age) ++
         graft.core.Validation.check("age",
           age == null || age.isEmpty ||
-            Set("year", "quarter", "month", "week", "day",
-              "hour", "minute", "second").contains(age.toLowerCase),
+            Set("year", "quarter", "month", "week", "day", "hour",
+              "minute", "second", "millisecond", "microsecond")
+              .contains(age.toLowerCase),
           s"is not a date_trunc unit ('$age')"))
     messages
       .withColumn("seg_window", date_trunc(age, col("ts")))

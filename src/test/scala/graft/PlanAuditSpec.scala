@@ -581,7 +581,13 @@ class PlanAuditSpec extends SparkSuite {
   test("filtered kNN: the attribute predicate is pushed to the parquet scan") {
     // the A14 contract: filter the SCAN, never the finished top-k —
     // PushedFilters on the attribute column proves the predicate
-    // reached the source, before any scoring
+    // reached the source, before any scoring. Audit the UNCACHED
+    // shape (the 100 TB reality): another suite caching the raw
+    // embeddings table in this shared session substitutes an
+    // InMemoryRelation for the matching subtree, which hides the
+    // parquet scan this audit exists to inspect (the filter still
+    // applies — on the cached rows — so results are unaffected).
+    spark.catalog.clearCache()
     val p = plan(SparkEntry.queries("a_knn_filtered")(spark, sf))
     val scans = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
     assert(scans.exists(l => l.contains("EqualTo(label,7)") ||
