@@ -553,6 +553,14 @@ object SparkEntry {
         Tables.embeddings(s, dir), KnnQueries, 10)
         .orderBy("q_id", "rnk")),
 
+    // A14 over the compressed layout: filtered IVFADC — coarse model
+    // and PQ codebooks stay full-corpus, only the code scan is
+    // restricted to matching rows (predicate pushed to the source)
+    "a_knn_ivfpq_filtered" -> ((s, dir) =>
+      Ann.knnIvfPqFiltered(Tables.embeddings(s, dir), KnnQueries, 5,
+        col("label") === 7, probes = 2)
+        .orderBy("q_id", "rnk")),
+
     // A14: filtered (attribute-constrained) vector search — "top-k
     // WHERE label = 7": the predicate prunes the candidate SCAN
     // (pushed to parquet), never the finished top-k (a post-filter
@@ -1823,7 +1831,7 @@ object SparkEntry {
   }
 
   private def annIvfPqSql(k: Int, pqK: Int = Ann.PqK,
-      probes: Int = 2): String = {
+      probes: Int = 2, candPred: String = ""): String = {
     val (kctes, kasg, kcent) = kmeansCtes(k = 8, iterations = 2)
     val (pctes, pasgs, pcents) = pqCtes(k = pqK, iterations = 2, src = "res")
     val qds = (0 until 4).map { s =>
@@ -1853,6 +1861,8 @@ object SparkEntry {
        |  JOIN ${pasgs(2)} a2 ON a2.vec_id = a0.vec_id
        |  JOIN ${pasgs(3)} a3 ON a3.vec_id = a0.vec_id
        |  JOIN cellof co ON co.vec_id = a0.vec_id
+       |  ${if (candPred.isEmpty) ""
+         else s"JOIN embeddings e ON e.vec_id = a0.vec_id WHERE ($candPred)"}
        |),
        |qcells AS (
        |  SELECT qn.vec_id AS q_id, c.c_id AS cell,
@@ -2371,6 +2381,9 @@ object SparkEntry {
     // table at two probe budgets
     "a_knn_filtered" -> annIvfTrainedFilteredSql(3, probes = 2,
       pred = "e.label = 7"),
+
+    "a_knn_ivfpq_filtered" -> annIvfPqSql(5, probes = 2,
+      candPred = "e.label = 7"),
 
     "a_knn_filtered_truth" -> annBruteforceFilteredSql(3,
       pred = "e.label < 5"),

@@ -855,7 +855,28 @@ object Ann {
     */
   def knnIvfPq(embeddings: DataFrame, numQueries: Int, k: Int,
       kCells: Int = 8, pqK: Int = PqK, iterations: Int = 2,
-      probes: Int = 2): DataFrame = {
+      probes: Int = 2): DataFrame =
+    knnIvfPqImpl(embeddings, numQueries, k, None, kCells, pqK,
+      iterations, probes)
+
+  /** Filtered IVFADC — [[knnIvfPq]] under the A14 discipline: the
+    * coarse model AND the PQ codebooks stay FULL-corpus (one
+    * compressed index serves every filter), and only the CODE scan is
+    * restricted to matching rows — a second pass over the source with
+    * the predicate pushed to the parquet scan, assigned and encoded
+    * under the shared trained state. Completes filtered search across
+    * the ANN layout family (full-precision, SQ8, and now the
+    * 12-bit-code path).
+    */
+  def knnIvfPqFiltered(embeddings: DataFrame, numQueries: Int, k: Int,
+      predicate: Column, kCells: Int = 8, pqK: Int = PqK,
+      iterations: Int = 2, probes: Int = 2): DataFrame =
+    knnIvfPqImpl(embeddings, numQueries, k, Some(predicate), kCells,
+      pqK, iterations, probes)
+
+  private def knnIvfPqImpl(embeddings: DataFrame, numQueries: Int, k: Int,
+      predicate: Option[Column], kCells: Int, pqK: Int, iterations: Int,
+      probes: Int): DataFrame = {
     graft.core.Configs.AnnRequest(numQueries, k).validated
     graft.core.Configs.Ivf(kCells, iterations, probes).validated
     graft.core.Configs.Pq(pqK).validated
@@ -877,7 +898,16 @@ object Ann {
       .localCheckpoint()
     val books = pqCodebooksFromQ(residuals.select("vec_id", "v"),
       pqK, iterations)
-    val codes = pqEncodedFromQ(residuals, books)
+    // candidate codes: the filtered variant re-reads the source with
+    // the predicate pushed to the scan and assigns/encodes under the
+    // SAME trained state (training never sees the filter)
+    val candRes = predicate.fold(residuals) { p =>
+      kmeansAssign(quantized(embeddings.filter(p)), coarse)
+        .select(col("vec_id"), col("cluster").as("cell"),
+          zip_with(col("v"), element_at(centMap, col("cluster")),
+            (a, b) => a - b).as("v"))
+    }
+    val codes = pqEncodedFromQ(candRes, books)
       .select("vec_id", "cell", "c0", "c1", "c2", "c3")
     // query side: exact coarse ranking picks the probed cells, and the
     // ADC tables are built from the query's residual to EACH cell
