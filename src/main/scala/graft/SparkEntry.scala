@@ -433,6 +433,15 @@ object SparkEntry {
       Dedup.spanStrip(Tables.documents(s, dir), SpanW)
         .orderBy("doc_id")),
 
+    // D18 at maximal granularity: overlapping marked w-windows merge
+    // into gaps-and-islands covered ranges — each repeated passage
+    // reported ONCE as (span_start, span_end, span_len); shares the
+    // spanStrip election spine, so sum(span_len) per doc equals
+    // d_span_strip's dropped_tokens
+    "d_span_strip_maximal" -> ((s, dir) =>
+      Dedup.spanStripMaximal(Tables.documents(s, dir), SpanW)
+        .orderBy("doc_id", "span_start")),
+
     "d_semantic_dedup" -> ((s, dir) =>
       Ann.semanticDedup(Tables.embeddings(s, dir), SemDedupCosBp,
         kCells = 32).orderBy("vec_id")),
@@ -571,6 +580,17 @@ object SparkEntry {
         col("label") === 7, probes = 2)
         .orderBy("q_id", "rnk")),
 
+    // A14 escalation: the under-return fix — queries whose matching
+    // pool inside the base probe tier is < k re-scan at full cell
+    // coverage (count pass decides per query, request-scale
+    // broadcast), guaranteeing exactly min(k, matching-pool) rows;
+    // probes = 1 at the ~10% selectivity so escalation genuinely
+    // fires on dry queries
+    "a_knn_filtered_escalated" -> ((s, dir) =>
+      Ann.knnIvfTrainedFilteredEscalated(Tables.embeddings(s, dir),
+        KnnQueries, 3, col("label") === 7, probes = 1)
+        .orderBy("q_id", "rnk")),
+
     // the exact filtered truth (brute force over the matching corpus)
     // at the ~50% selectivity — both selectivity shapes gated
     "a_knn_filtered_truth" -> ((s, dir) =>
@@ -631,6 +651,29 @@ object SparkEntry {
     "p_pack_sequences_bpe" -> ((s, dir) =>
       Curation.packSequences(Tables.documents(s, dir), budget = 256, shards = 8,
         tokens = TextAnalysis.bpeTokens())
+        .orderBy("shard", "seq_id")),
+
+    // T18 completion: the SEQUENCES, not just the counts — token ids
+    // through the table-derived vocabulary (base chars = code point,
+    // merge r = 256+r), exploded to portable (doc_id, pos, token_id)
+    // rows; the oracle splits the recursive-CTE fixpoint's symbol
+    // string to the same ids in SQL
+    "t_tokenize_ids" -> ((s, dir) =>
+      TextAnalysis.tokenizeIds(Tables.documents(s, dir))
+        .select(col("doc_id"), posexplode(col("ids")))
+        .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
+          col("col").as("token_id"))
+        .orderBy("doc_id", "pos")),
+
+    // P2 at trainer shape: packed sequences CARRYING their token-id
+    // payload; the gate pins counts plus a position-weighted checksum
+    // of the concatenated ids, so pack ORDER is hash-verified too
+    "p_pack_sequences_ids" -> ((s, dir) =>
+      Curation.packSequencesIds(Tables.documents(s, dir), budget = 256,
+        shards = 8)
+        .select(col("shard"), col("seq_id"), col("n_docs"), col("n_tokens"),
+          expr("aggregate(transform(ids, (x, i) -> cast(x as bigint) * (i + 1)), " +
+            "cast(0 as bigint), (a, b) -> a + b)").as("ids_checksum"))
         .orderBy("shard", "seq_id")),
 
     "t_fingerprint" -> ((s, dir) =>
@@ -1073,6 +1116,45 @@ object SparkEntry {
 
   private lazy val BpeTokCte = bpeTokCteOver("norm")
 
+  /** Token-ID chain over the BPE fixpoint (requires [[BpeTokCte]]'s
+    * `fin(w, s)` + `merges` in scope): split each word's terminal
+    * symbol string to ordered symbols, map symbols to vocabulary ids
+    * (single char → code point; composite → 256 + first producing
+    * rank — the engine's `BpeTable.idOf` exactly), and re-anchor
+    * per-word ids to document word positions. Ends in
+    * `docseq(doc_id, pos, token_id)` — the full per-document id
+    * sequence, 1-based positions.
+    */
+  private lazy val BpeIdsCte =
+    """vocabids AS (
+      |  SELECT a || b AS sym, min(256 + rnk)::INT AS id FROM merges GROUP BY 1
+      |),
+      |wsym AS (
+      |  SELECT w, unnest(syms) AS sym,
+      |         unnest(range(1, len(syms) + 1)) AS spos
+      |  FROM (SELECT w, list_filter(string_split(s, chr(31)), x -> x <> '') AS syms
+      |        FROM fin) f
+      |),
+      |wid AS (
+      |  SELECT wsym.w, wsym.spos,
+      |         (CASE WHEN strlen(wsym.sym) = 1 THEN ascii(wsym.sym)
+      |               ELSE v.id END)::INT AS token_id
+      |  FROM wsym LEFT JOIN vocabids v ON wsym.sym = v.sym
+      |),
+      |wordpos AS (
+      |  SELECT doc_id, unnest(string_split(t, ' ')) AS w,
+      |         unnest(range(1, len(string_split(t, ' ')) + 1)) AS wpos
+      |  FROM norm
+      |),
+      |docseq AS (
+      |  SELECT p.doc_id,
+      |         (row_number() OVER (PARTITION BY p.doc_id
+      |            ORDER BY p.wpos, i.spos))::INT AS pos,
+      |         i.token_id
+      |  FROM wordpos p JOIN wid i ON p.w = i.w
+      |  WHERE p.w <> ''
+      |)""".stripMargin
+
   /** The production-gate token stream: doc_id numerals + raw text —
     * the id numerals make the trained digit merges FIRE (the prose
     * vocabulary alone exercises ~90 of the 2000 rules); raw text is
@@ -1134,6 +1216,29 @@ object SparkEntry {
        |  FROM (SELECT doc_id, th,
        |          list_transform(generate_series(0, len(th)-$SpanW), i -> i) AS ps
        |        FROM toks WHERE len(th) >= $SpanW)
+       |)""".stripMargin
+
+  /** The D18 election over `wins` (keeper = min packed (doc_id, pos);
+    * every other occurrence of a corpus-repeated span is MARKED) plus
+    * the covered-position explode — shared verbatim by the
+    * `d_span_strip` and `d_span_strip_maximal` oracles so the strip
+    * and the span report elect identically. Requires [[SpanWinsCtes]]
+    * in scope; does NOT end in a comma.
+    */
+  private lazy val SpanMarkedCtes =
+    s"""dup AS (
+       |  SELECT h, count(*)::BIGINT AS n_occ,
+       |         min(doc_id * 1048576 + pos)::BIGINT AS keeper
+       |  FROM wins GROUP BY h
+       |),
+       |marked AS (
+       |  SELECT w.doc_id, w.pos
+       |  FROM wins w JOIN dup ON w.h = dup.h
+       |  WHERE dup.n_occ > 1 AND w.doc_id * 1048576 + w.pos <> dup.keeper
+       |),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, pos + j AS p
+       |  FROM marked, generate_series(0, ${SpanW - 1}) g(j)
        |)""".stripMargin
 
   /** The curation pipeline's stage CTEs (keepers / quality / langp /
@@ -1651,6 +1756,59 @@ object SparkEntry {
        |           / (sqrt(q2.qn2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
        |  FROM probes q2 JOIN assigned c
        |    ON c.cell = q2.qcell AND c.vec_id <> q2.q_id
+       |)
+       |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
+       |  SELECT q_id, neighbor_id, cos_bp,
+       |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Escalated filtered-IVF oracle (mirrors
+    * Ann.knnIvfTrainedFilteredEscalated): the filtered chain plus a
+    * count-only pass at the base tier; queries whose matching pool is
+    * < k get full cell coverage (probes_eff = kCells = 8), the rest
+    * keep the base tier.
+    */
+  private def annIvfTrainedFilteredEscalatedSql(k: Int, probes: Int,
+      pred: String): String = {
+    val (ctes, _, cent) = kmeansCtes(k = 8, iterations = 2)
+    s"""$ctes,
+       |rankedc AS (
+       |  SELECT qn.vec_id, qn.v, qn.norm2, c.c_id,
+       |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+       |      (CASE WHEN c.cn2 = 0 OR qn.norm2 = 0 THEN -2.0
+       |       ELSE (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
+       |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) END) DESC, c.c_id) AS c_rn
+       |  FROM qn, $cent c
+       |),
+       |assigned AS (
+       |  SELECT r.vec_id, r.v, r.norm2, r.c_id AS cell
+       |  FROM rankedc r JOIN embeddings e ON e.vec_id = r.vec_id
+       |  WHERE r.c_rn = 1 AND ($pred)
+       |),
+       |near AS (
+       |  SELECT q2.vec_id AS q_id, count(*)::BIGINT AS n_near
+       |  FROM rankedc q2 JOIN assigned c
+       |    ON c.cell = q2.c_id AND c.vec_id <> q2.vec_id
+       |  WHERE q2.vec_id < $KnnQueries AND q2.c_rn <= $probes
+       |  GROUP BY 1
+       |),
+       |qprobes AS (
+       |  SELECT qn.vec_id AS q_id,
+       |         CASE WHEN coalesce(n.n_near, 0) >= $k THEN $probes
+       |              ELSE 8 END AS probes_eff
+       |  FROM qn LEFT JOIN near n ON n.q_id = qn.vec_id
+       |  WHERE qn.vec_id < $KnnQueries
+       |),
+       |scored AS (
+       |  SELECT q2.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         ${sqlCosBp("q2.v", "c.v", "q2.norm2", "c.norm2")} AS cos_bp,
+       |         (list_sum(list_transform(range(1,65), i -> q2.v[i::INT]*c.v[i::INT])))::DOUBLE
+       |           / (sqrt(q2.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+       |  FROM rankedc q2
+       |  JOIN qprobes pe ON pe.q_id = q2.vec_id AND q2.c_rn <= pe.probes_eff
+       |  JOIN assigned c ON c.cell = q2.c_id AND c.vec_id <> q2.vec_id
        |)
        |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
        |  SELECT q_id, neighbor_id, cos_bp,
@@ -2206,20 +2364,7 @@ object SparkEntry {
     "d_span_strip" ->
       s"""WITH $NormCte,
          |$SpanWinsCtes,
-         |dup AS (
-         |  SELECT h, count(*)::BIGINT AS n_occ,
-         |         min(doc_id * 1048576 + pos)::BIGINT AS keeper
-         |  FROM wins GROUP BY h
-         |),
-         |marked AS (
-         |  SELECT w.doc_id, w.pos
-         |  FROM wins w JOIN dup ON w.h = dup.h
-         |  WHERE dup.n_occ > 1 AND w.doc_id * 1048576 + w.pos <> dup.keeper
-         |),
-         |covered AS (
-         |  SELECT DISTINCT doc_id, pos + j AS p
-         |  FROM marked, generate_series(0, ${SpanW - 1}) g(j)
-         |),
+         |$SpanMarkedCtes,
          |tokpos AS (
          |  SELECT doc_id,
          |         unnest(generate_series(0, len(a)-1))::BIGINT AS p,
@@ -2246,6 +2391,20 @@ object SparkEntry {
          |JOIN nt ON d.doc_id = nt.doc_id
          |LEFT JOIN reb ON d.doc_id = reb.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "d_span_strip_maximal" ->
+      s"""WITH $NormCte,
+         |$SpanWinsCtes,
+         |$SpanMarkedCtes,
+         |isl AS (
+         |  SELECT doc_id, p,
+         |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |  FROM covered
+         |)
+         |SELECT doc_id, min(p)::BIGINT AS span_start,
+         |       max(p)::BIGINT AS span_end, count(*)::BIGINT AS span_len
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     // SemDeDup: the unrolled k-means chain supplies the trained
     // centroids; cell assignment mirrors the trained-IVF oracle, then
@@ -2381,6 +2540,9 @@ object SparkEntry {
     // table at two probe budgets
     "a_knn_filtered" -> annIvfTrainedFilteredSql(3, probes = 2,
       pred = "e.label = 7"),
+
+    "a_knn_filtered_escalated" -> annIvfTrainedFilteredEscalatedSql(3,
+      probes = 1, pred = "e.label = 7"),
 
     "a_knn_ivfpq_filtered" -> annIvfPqSql(5, probes = 2,
       candPred = "e.label = 7"),
@@ -2570,6 +2732,51 @@ object SparkEntry {
       s"""WITH RECURSIVE $BpeProdSrcCte, ${bpeTokCteOver("prodsrc")}
          |SELECT doc_id, bpe_tokens FROM bpedoc
          |ORDER BY doc_id""".stripMargin,
+
+    "t_tokenize_ids" ->
+      s"""WITH RECURSIVE $NormCte, $BpeTokCte, $BpeIdsCte
+         |SELECT doc_id, pos, token_id FROM docseq
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    "p_pack_sequences_ids" ->
+      s"""WITH RECURSIVE $NormCte, $BpeTokCte, $BpeIdsCte,
+         |d AS (
+         |  SELECT n.doc_id, b.bpe_tokens AS n_tok,
+         |         (${sqlH20("n.doc_id::VARCHAR")} % 8)::BIGINT AS shard,
+         |         ${sqlH60("n.t")} AS ord_h
+         |  FROM norm n JOIN bpedoc b USING (doc_id)
+         |),
+         |c AS (
+         |  SELECT doc_id, shard, ord_h, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY shard ORDER BY ord_h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d
+         |),
+         |assigned AS (
+         |  SELECT doc_id, shard, ord_h, n_tok,
+         |         ((cum - n_tok) // 256)::BIGINT AS seq_id
+         |  FROM c
+         |),
+         |agg1 AS (
+         |  SELECT shard, seq_id, count(*)::BIGINT AS n_docs,
+         |         sum(n_tok)::BIGINT AS n_tokens
+         |  FROM assigned GROUP BY 1, 2
+         |),
+         |r AS (
+         |  SELECT a.shard, a.seq_id, s.token_id,
+         |         row_number() OVER (PARTITION BY a.shard, a.seq_id
+         |           ORDER BY a.ord_h, a.doc_id, s.pos) AS rn
+         |  FROM assigned a JOIN docseq s USING (doc_id)
+         |),
+         |agg2 AS (
+         |  SELECT shard, seq_id,
+         |         sum(token_id::BIGINT * rn)::BIGINT AS ids_checksum
+         |  FROM r GROUP BY 1, 2
+         |)
+         |SELECT a1.shard, a1.seq_id, a1.n_docs, a1.n_tokens,
+         |       coalesce(a2.ids_checksum, 0)::BIGINT AS ids_checksum
+         |FROM agg1 a1 LEFT JOIN agg2 a2 USING (shard, seq_id)
+         |ORDER BY shard, seq_id""".stripMargin,
 
     "p_pack_sequences_bpe" ->
       s"""WITH RECURSIVE $NormCte, $BpeTokCte,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.SqlBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Real byte-pair-encoding token counts (the T3 upgrade): the regex
@@ -83,6 +83,37 @@ case class BpeTokenCountBytesExpr(child: Expression, table: BpeTable)
     copy(child = newChild)
 }
 
+/** The sequence twin of [[BpeTokenCountExpr]] (the ship-to-trainer
+  * gap closer): the SAME greedy merge loop, but emitting the terminal
+  * symbol sequence mapped through the table's derived vocabulary
+  * ([[BpeTable.idOf]] — base chars own their code point, the merge at
+  * rank r owns 256 + r) as `array<int>` token ids. What a trainer
+  * loads is ids, not counts; `size(ids)` equals the count expression
+  * on every input by construction (both run the identical loop —
+  * spec-pinned). Same codegen shape: one static call inside
+  * whole-stage codegen, the table shipped once per executor.
+  */
+case class BpeTokenizeIdsExpr(child: Expression, table: BpeTable)
+  extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_tokenize_ids"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.tokenizeIds(input.asInstanceOf[UTF8String].toString, table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeTable].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Bpe.tokenizeIds($c.toString(), $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenizeIdsExpr =
+    copy(child = newChild)
+}
+
 /** A ranked merge table. Serializable (shipped inside the expression);
   * the rank index is rebuilt lazily per JVM after deserialization.
   */
@@ -102,6 +133,36 @@ final class BpeTable(val pairs: Array[(String, String)]) extends Serializable {
     if (v == null) Int.MaxValue else v.intValue()
   }
   def size: Int = pairs.length
+
+  /** GPT-2-style vocabulary ids derived from the table itself (no
+    * separate vocab asset): base single-char symbols own ids equal to
+    * their code point (< 256 — the byte-encoder range), and the
+    * composite symbol created by the merge at rank r owns id 256 + r
+    * (first rank wins when two merges concatenate to the same string
+    * — mirrors the rank map's putIfAbsent, and the oracle's
+    * `min(256 + rnk)`).
+    */
+  @transient private lazy val symIds: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](pairs.length * 2)
+    var i = 0
+    while (i < pairs.length) {
+      m.putIfAbsent(pairs(i)._1 + pairs(i)._2, Integer.valueOf(256 + i))
+      i += 1
+    }
+    m
+  }
+
+  /** Vocabulary id of a terminal symbol; -1 for a symbol outside the
+    * vocabulary (cannot happen for merge-loop output over single-char
+    * starts — composites always come from some merge in this table).
+    */
+  def idOf(sym: String): Int = {
+    if (sym.length == 1 && sym.charAt(0) < 256) sym.charAt(0).toInt
+    else {
+      val v = symIds.get(sym)
+      if (v == null) -1 else v.intValue()
+    }
+  }
 }
 
 object Bpe {
@@ -243,9 +304,53 @@ object Bpe {
     len // unreachable
   }
 
+  /** Token-id sequence of a (normalized) document: per whitespace
+    * word, run the same greedy merge loop as [[countTokens]] and map
+    * each terminal symbol through [[BpeTable.idOf]]; the document's
+    * sequence is the per-word sequences concatenated in word order
+    * (no separator tokens — GPT-2 byte-level style, where the space
+    * is consumed by normalization upstream).
+    */
+  def tokenizeIds(s: String,
+      table: BpeTable): org.apache.spark.sql.catalyst.util.ArrayData = {
+    var ids = new Array[Int](math.max(8, s.length / 2))
+    var n = 0
+    def push(v: Int): Unit = {
+      if (n == ids.length) ids = java.util.Arrays.copyOf(ids, n * 2)
+      ids(n) = v; n += 1
+    }
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      var j = i
+      while (j < len && s.charAt(j) != ' ') j += 1
+      if (j > i) {
+        val wlen = j - i
+        val syms = new Array[String](wlen)
+        var k = 0
+        while (k < wlen) { syms(k) = String.valueOf(s.charAt(i + k)); k += 1 }
+        // the count loop merges in place: the surviving prefix IS the
+        // terminal symbol sequence
+        val m = tokenizeSymsCount(syms, table)
+        k = 0
+        while (k < m) { push(table.idOf(syms(k))); k += 1 }
+      }
+      i = j + 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(ids, n))
+  }
+
   /** Column wrapper: BPE token count of a (normalized) text column. */
   def tokenCount(c: Column, table: BpeTable): Column =
     SqlBridge.column(BpeTokenCountExpr(SqlBridge.expression(c), table))
+
+  /** Column wrapper: BPE token-id sequence (`array<int>`) of a
+    * (normalized) text column — the trainer-consumable twin of
+    * [[tokenCount]].
+    */
+  def tokenIds(c: Column, table: BpeTable): Column =
+    SqlBridge.column(BpeTokenizeIdsExpr(SqlBridge.expression(c), table))
 
   /** Column wrapper: byte-level BPE token count — arbitrary text,
     * no normalization required ([[countTokensBytes]]).

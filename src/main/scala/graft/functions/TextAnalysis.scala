@@ -149,6 +149,20 @@ object TextAnalysis {
       wsTokens(col("text")).as("ws_tokens"),
       bpeTokens(table)(col("text")).as("bpe_tokens"))
 
+  /** Trainer-consumable token-id sequences (the T18 completion): the
+    * same merge loop as [[tokenCountBpe]], emitting `array<int>` ids
+    * through the table's derived vocabulary instead of a count —
+    * what a training job actually loads from a shard. One codegen
+    * projection, zero shuffles; `size(ids)` equals the count column
+    * on every document (spec-pinned), so every budget computed from
+    * counts holds for the sequences verbatim.
+    */
+  def tokenizeIds(docs: DataFrame,
+      table: BpeTable = Bpe.default): DataFrame =
+    docs.select(
+      col("doc_id"),
+      Bpe.tokenIds(normText(col("text")), table).as("ids"))
+
   /** The production-shaped tokenizer gate (T18 at table scale): the
     * BYTE-LEVEL expression ([[Bpe.countTokensBytes]] — GPT-2 byte
     * encoder, arbitrary input) over the id+text stream, whose doc_id

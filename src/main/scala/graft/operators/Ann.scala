@@ -1243,6 +1243,75 @@ object Ann {
         round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
   }
 
+  /** Filtered top-k with PROBE ESCALATION — the production fix for
+    * [[knnIvfTrainedFiltered]]'s documented under-return: a selective
+    * filter can leave fewer than k matching rows inside the probed
+    * cells, and a fixed probe budget then silently returns a short
+    * result set. Real stores escalate instead: this operator counts
+    * each query's matching candidates at the base tier (a cell
+    * equi-join with no scoring — the cheap pass), and only queries
+    * whose pool came up short re-scan at FULL cell coverage, which
+    * guarantees exactly `min(k, matching-pool)` rows per query.
+    *
+    * Declarative two-pass, no driver loop: the per-query effective
+    * probe depth is a request-scale column (`numQueries` rows,
+    * broadcast), so satisfied queries never pay the escalated scan —
+    * at 100 TB the extra cost is (dry queries) × (filtered corpus),
+    * not (all queries) × anything. The predicate stays composed into
+    * BOTH candidate scans (PushedFilters — plan-audited); the model
+    * stays full-corpus (one index serves every filter). Recall can
+    * only rise vs the fixed-probe operator: satisfied queries return
+    * identical sets, escalated queries rank a superset.
+    */
+  def knnIvfTrainedFilteredEscalated(embeddings: DataFrame,
+      numQueries: Int, k: Int, predicate: Column, kCells: Int = 8,
+      iterations: Int = 2, probes: Int = 1): DataFrame = {
+    graft.core.Configs.AnnRequest(numQueries, k).validated
+    graft.core.Configs.Ivf(kCells, iterations, probes).validated
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = quantized(embeddings)
+    val cent = kmeansCentroids(q.select("vec_id", "v", "norm2"),
+      kCells, iterations)
+    val assigned = cellAssign(quantized(embeddings.filter(predicate)), cent)
+      .select("vec_id", "v", "norm2", "cell")
+    val centDf = cent.map { case (c, cv, n2) => (c, cv, n2) }
+      .toDF("c_id", "cv", "cn2")
+    val qw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    // every query's cells ranked to FULL depth — the escalation tiers
+    val qcells = q.filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(centDf))
+      .withColumn("c_cos",
+        when(col("norm2") === 0 || col("cn2") === 0, lit(-2.0))
+          .otherwise(cosine(col("cv"), col("v"), col("cn2"), col("norm2"))))
+      .withColumn("c_rn", row_number().over(qw))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm2").as("qn2"), col("c_id").as("qcell"), col("c_rn"))
+    // pass 1 (count only, base tier): how many matches can each query
+    // even see at `probes`?
+    val near = assigned
+      .join(broadcast(qcells.filter(col("c_rn") <= probes)),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_near"))
+    val qprobes = qcells.select("q_id").distinct()
+      .join(near, Seq("q_id"), "left")
+      .select(col("q_id"),
+        when(coalesce(col("n_near"), lit(0L)) >= k, lit(probes))
+          .otherwise(lit(kCells)).as("probes_eff"))
+    // pass 2 (scored): per-query tier bound — base for satisfied
+    // queries, full coverage for dry ones
+    val scored = assigned
+      .join(broadcast(qcells.join(qprobes, "q_id")
+          .filter(col("c_rn") <= col("probes_eff"))),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("norm2")))
+    val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
+  }
+
   /** Filtered recall@k: IVF filtered search vs the filtered
     * brute-force truth, per (selectivity, probes) — the measured cost
     * of serving filters from one full-corpus model. The denominator is
@@ -1274,7 +1343,11 @@ object Ann {
           .select(lit(sel).as("sel"),
             lit(s"ivf_filtered_p$probes").as("method"),
             col("n_retrieved"), col("n_hits"), col("n_truth"),
-            expr("n_hits * 10000 div n_truth").as("recall_bp"))
+            // a predicate matching zero rows leaves n_truth = 0 —
+            // recall is undefined there, not a DIVIDE_BY_ZERO crash
+            when(col("n_truth") > 0,
+              expr("n_hits * 10000 div n_truth"))
+              .otherwise(lit(null).cast("long")).as("recall_bp"))
       }.reduce(_ unionByName _)
     }.reduce(_ unionByName _)
   }

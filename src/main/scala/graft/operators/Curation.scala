@@ -70,6 +70,53 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
   }
 
+  /** [[packSequences]] with the token-id PAYLOAD attached — the
+    * trainer-consumable shard manifest: per (shard, seq_id), doc and
+    * token counts plus the concatenated `array<int>` token-id
+    * sequence in exact pack order (the same (ord_h, doc_id) order the
+    * cumulative budget walked). The ids come from the same codegen
+    * BPE expression whose counts drive the budget, so
+    * `size(ids) == n_tokens` on every sequence by construction.
+    *
+    * Scale: identical two-level prefix-sum plan as [[packSequences]]
+    * (the ids ride the same rows — no extra shuffle); the per-
+    * sequence assembly sorts only the handful of docs inside one
+    * budget window (`array_sort` over a collect_list of
+    * budget/avg-doc-tokens structs), never a shard. At 100 TB the
+    * sequence is the natural output granule — each row IS one
+    * training sequence.
+    */
+  def packSequencesIds(docs: DataFrame, budget: Int = 256,
+      shards: Int = 8, blockBits: Int = 5,
+      table: graft.functions.BpeTable = graft.functions.Bpe.default): DataFrame = {
+    graft.core.Configs.Packing(budget, shards, blockBits).validated
+    val d = docs.select(col("doc_id"),
+      graft.functions.Bpe.tokenIds(normText(col("text")), table).as("ids"),
+      (hexHash20(col("doc_id").cast("string")) % shards).as("shard"),
+      hexHash60(normText(col("text"))).as("ord_h"))
+      .withColumn("n_tok", size(col("ids")).cast("long"))
+      .withColumn("blk", shiftright(col("ord_h"), 60 - blockBits))
+    val local = Window.partitionBy("shard", "blk").orderBy("ord_h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val offsets = d.groupBy("shard", "blk").agg(sum("n_tok").as("blk_tot"))
+      .withColumn("offset", coalesce(
+        sum("blk_tot").over(Window.partitionBy("shard").orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "blk", "offset")
+    d.withColumn("local_cum", sum("n_tok").over(local))
+      .join(broadcast(offsets), Seq("shard", "blk"))
+      .withColumn("cum", col("local_cum") + col("offset"))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div ${budget.toLong}"))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        // deterministic pack order inside the sequence: struct sort on
+        // (ord_h, doc_id) — collect_list order is not guaranteed
+        flatten(transform(
+          array_sort(collect_list(struct(col("ord_h"), col("doc_id"),
+            col("ids")))),
+          x => x.getField("ids"))).as("ids"))
+  }
+
   /** Packing-efficiency audit — the quality report a pipeline reads
     * after [[packSequences]] before shipping shards to trainers: per
     * shard, sequence/doc/token counts, budget utilization in integer

@@ -940,6 +940,37 @@ object Dedup {
     * cartesian.
     */
   def spanStrip(docs: DataFrame, w: Int = 8): DataFrame = {
+    val (base, marked) = spanMarked(docs, w)
+    // per-doc covered-position SETS, not exploded token rows: the only
+    // shuffled table is marked-window-scale (each marked window covers
+    // ≤ w positions), and the REBUILD is then a pure projection over
+    // the original token array — no token-level shuffle, no per-doc
+    // collect_list of the corpus text (the memory shape that matters
+    // at 100 TB). Worst case per doc is |cov|·n_toks membership
+    // checks — bounded by the doc's own length squared, never by the
+    // corpus.
+    val coveredPerDoc = marked
+      .select(col("doc_id"), explode(sequence(col("pos"),
+        col("pos") + (w - 1))).as("p"))
+      .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+    val rebuilt = base.join(coveredPerDoc, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), typedLit(Seq.empty[Long])))
+      .withColumn("kept_arr", filter(col("tk"),
+        (_, i) => !array_contains(col("cov"), i.cast("long"))))
+    rebuilt.select(col("doc_id"), col("n_toks"),
+      size(col("kept_arr")).cast("long").as("kept_tokens"),
+      (col("n_toks") - size(col("kept_arr")).cast("long"))
+        .as("dropped_tokens"),
+      graft.functions.Portable.hexHash60(
+        concat_ws(" ", col("kept_arr"))).as("stripped_hash"))
+  }
+
+  /** The shared D18 election spine of [[spanStrip]] /
+    * [[spanStripMaximal]]: tokenized docs plus the MARKED windows
+    * (non-keeper occurrences of corpus-repeated w-token spans).
+    * Returns (base tokens with `tk`/`n_toks`, marked `(doc_id, pos)`).
+    */
+  private def spanMarked(docs: DataFrame, w: Int): (DataFrame, DataFrame) = {
     val P = 1L << 20
     val MaxDoc = 1L << 42
     val base = docs.select(col("doc_id"),
@@ -973,28 +1004,40 @@ object Dedup {
     val marked = keyed.join(dup, Seq("h"))
       .filter(col("n_occ") > 1 && col("pk") =!= col("keeper"))
       .select("doc_id", "pos")
-    // per-doc covered-position SETS, not exploded token rows: the only
-    // shuffled table is marked-window-scale (each marked window covers
-    // ≤ w positions), and the REBUILD is then a pure projection over
-    // the original token array — no token-level shuffle, no per-doc
-    // collect_list of the corpus text (the memory shape that matters
-    // at 100 TB). Worst case per doc is |cov|·n_toks membership
-    // checks — bounded by the doc's own length squared, never by the
-    // corpus.
-    val coveredPerDoc = marked
-      .select(col("doc_id"), explode(sequence(col("pos"),
-        col("pos") + (w - 1))).as("p"))
-      .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
-    val rebuilt = base.join(coveredPerDoc, Seq("doc_id"), "left")
-      .withColumn("cov", coalesce(col("cov"), typedLit(Seq.empty[Long])))
-      .withColumn("kept_arr", filter(col("tk"),
-        (_, i) => !array_contains(col("cov"), i.cast("long"))))
-    rebuilt.select(col("doc_id"), col("n_toks"),
-      size(col("kept_arr")).cast("long").as("kept_tokens"),
-      (col("n_toks") - size(col("kept_arr")).cast("long"))
-        .as("dropped_tokens"),
-      graft.functions.Portable.hexHash60(
-        concat_ws(" ", col("kept_arr"))).as("stripped_hash"))
+    (base, marked)
+  }
+
+  /** D18 at Lee et al.'s real granularity — MAXIMAL repeated spans:
+    * [[spanStrip]] marks fixed-w windows, but a repeated passage of
+    * length L > w marks L−w+1 OVERLAPPING windows; the maximal-span
+    * view merges adjacent/overlapping marked windows into the covered
+    * ISLANDS (gaps-and-islands over the covered-position explode —
+    * the sessionization house pattern), reporting each removed span
+    * once as `(span_start, span_end, span_len)` instead of w-window
+    * fragments. Same election as [[spanStrip]] (shared
+    * [[spanMarked]] spine — signal, remedy, and span report cannot
+    * drift), so `sum(span_len)` per doc equals spanStrip's
+    * `dropped_tokens` exactly.
+    *
+    * Scale: the only window function is partitioned per doc over the
+    * doc's own covered positions (bounded by doc length, never corpus
+    * scale); everything upstream is the spanStrip plan — partial-agg
+    * election, marked-window-scale explode (≤ w rows each), no
+    * self-join.
+    */
+  def spanStripMaximal(docs: DataFrame, w: Int = 8): DataFrame = {
+    val (_, marked) = spanMarked(docs, w)
+    val covered = marked.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
+      .distinct()
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    covered
+      .withColumn("grp", col("p") - row_number().over(wd))
+      .groupBy("doc_id", "grp")
+      .agg(min("p").as("span_start"), max("p").as("span_end"),
+        count(lit(1)).as("span_len"))
+      .select("doc_id", "span_start", "span_end", "span_len")
   }
 
   // ---- helpers ----

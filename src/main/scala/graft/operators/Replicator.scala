@@ -82,8 +82,14 @@ object SegmentRoller {
       graft.core.Validation.nonEmpty("age", age) ++
         graft.core.Validation.check("age",
           age == null || age.isEmpty ||
-            Set("year", "quarter", "month", "week", "day", "hour",
-              "minute", "second", "millisecond", "microsecond")
+            // Spark's documented date_trunc unit set, aliases included
+            // (YEAR/YYYY/YY, MONTH/MM/MON, DAY/DD) — rejecting a
+            // Spark-valid alias broke previously-working calls (r16
+            // advice); DuckDB shares every canonical name and the
+            // oracle queries only use canonical ones
+            Set("year", "yyyy", "yy", "quarter", "month", "mm", "mon",
+              "week", "day", "dd", "hour", "minute", "second",
+              "millisecond", "microsecond")
               .contains(age.toLowerCase),
           s"is not a date_trunc unit ('$age')"))
     messages

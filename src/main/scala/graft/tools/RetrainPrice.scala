@@ -35,6 +35,18 @@ object RetrainPrice {
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
+  private def cp(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).foreach(_.foreach(f =>
+        cp(f, new java.io.File(dst, f.getName))))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
   /** Build an index at `root` from `embDir` via the production ingest
     * (3 file-stream batches → 3 leaves per cell: enough aged batches
     * for a real compaction). Returns build seconds.
@@ -95,16 +107,21 @@ object RetrainPrice {
       val runs = (1 to reps).map { r =>
         val root = s"$work/$scaleTag-rep$r"
         val tBuild = build(spark, embDir, root)
-        // compaction first (frozen model, merges the 2 aged leaves) —
-        // on ITS OWN index copy state; then retrain on the same index
+        // both remedies must be priced from the SAME decision-point
+        // state (the 3-leaf post-build index): snapshot the index
+        // before either runs, compact on the original, retrain on the
+        // snapshot (r16 advice — retraining the already-compacted
+        // index biased retrain cost down)
+        cp(new java.io.File(s"$root/index"),
+          new java.io.File(s"$root/index_retrain"))
         val t0 = System.nanoTime()
         val compacted = StreamingAnn.compactIndex(spark, s"$root/index",
           minBatches = 2)
         val tCompact = (System.nanoTime() - t0) / 1e9
         require(compacted.nonEmpty, s"compaction no-op at $scaleTag")
         val t1 = System.nanoTime()
-        StreamingAnn.retrainIndex(spark, s"$root/index", kCells = kCells,
-          iterations = 2)
+        StreamingAnn.retrainIndex(spark, s"$root/index_retrain",
+          kCells = kCells, iterations = 2)
         val tRetrain = (System.nanoTime() - t1) / 1e9
         System.err.println(s"[retrainprice] $scaleTag rep $r: " +
           s"build=${fmtD(tBuild)} compact=${fmtD(tCompact)} " +

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Bpe, BpeTable, Portable, TextAnalysis}
+import graft.operators.Curation
 
 /** T18: real BPE token counts — greedy merge-loop semantics, chain
   * convergence, the embedded trained table, and the codegen
@@ -69,6 +70,57 @@ class BpeSpec extends SparkSuite {
     both.foreach { r =>
       assert(r.getLong(2) >= r.getLong(1),
         s"doc ${r.getLong(0)}: fewer BPE tokens than words")
+    }
+  }
+
+  test("token-id sequences: known example, vocab mapping, merge-order ids") {
+    val t = table(("a", "a"), ("aa", "b"), ("b", "c"))
+    def ids(s: String): Seq[Int] =
+      Bpe.tokenizeIds(s, t).toIntArray().toSeq
+    // [a,a,a,b] -> [aa,a,b]: ids [256+0, 'a', 'b']
+    assert(ids("aaab") === Seq(256, 'a'.toInt, 'b'.toInt))
+    // [a,a,a,a,b,c] -> [aa,aa,b,c] -> [aa,aab,c]: rank-1 composite
+    assert(ids("aaaabc") === Seq(256, 257, 'c'.toInt))
+    // untouched word: one id per char, the code points themselves
+    assert(ids("xyz") === Seq('x'.toInt, 'y'.toInt, 'z'.toInt))
+    // word order preserved across the document
+    assert(ids("aaab xyz a") ===
+      Seq(256, 'a'.toInt, 'b'.toInt, 'x'.toInt, 'y'.toInt, 'z'.toInt,
+        'a'.toInt))
+    assert(ids("") === Seq.empty)
+    // duplicate composite: first producing rank owns the id
+    val dup = table(("a", "bc"), ("ab", "c"))
+    assert(dup.idOf("abc") === 256)
+  }
+
+  test("size(ids) == bpe token count on every corpus document") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val joined = TextAnalysis.tokenizeIds(docs)
+      .join(TextAnalysis.tokenCountBpe(docs), "doc_id")
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+        col("bpe_tokens"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"doc ${r.getLong(0)}: ids length != count")
+    }
+    // and no symbol fell outside the derived vocabulary
+    val bad = TextAnalysis.tokenizeIds(docs)
+      .filter(array_contains(col("ids"), -1)).count()
+    assert(bad === 0L)
+  }
+
+  test("packed id payload: size(ids) == n_tokens and checksum pins pack order") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val packed = Curation.packSequencesIds(docs, budget = 256, shards = 4)
+      .select(col("shard"), col("seq_id"), col("n_tokens"),
+        size(col("ids")).cast("long").as("n_ids"))
+      .collect()
+    assert(packed.nonEmpty)
+    packed.foreach { r =>
+      assert(r.getLong(3) === r.getLong(2),
+        s"seq (${r.getLong(0)},${r.getLong(1)}): payload length != n_tokens")
     }
   }
 

@@ -390,6 +390,45 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("filtered kNN escalation: min(k, pool) rows guaranteed, recall never below fixed-probe") {
+    // a 3-row matching pool with k = 5: every query's base tier is dry
+    // (< k matches), so every query escalates to full coverage and
+    // must return the ENTIRE pool (minus itself) — exactly the
+    // brute-force filtered truth
+    val ids = Seq(10L, 11L, 12L)
+    val predSmall = col("vec_id").isInCollection(ids)
+    val k = 5; val nq = 8
+    val esc = Ann.knnIvfTrainedFilteredEscalated(emb, nq, k, predSmall,
+      probes = 1).collect()
+    val truth = Ann.knnBruteForceFiltered(emb, nq, k, predSmall).collect()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("cos_bp"))).toSet
+    assert(keyed(esc) === keyed(truth))
+    val byQ = esc.groupBy(_.getAs[Long]("q_id"))
+    (0L until nq.toLong).foreach { q =>
+      val pool = ids.count(_ != q)
+      assert(byQ.get(q).map(_.length).getOrElse(0) === math.min(k, pool),
+        s"query $q under-returned")
+    }
+
+    // at a real selectivity, escalated recall is >= the fixed-probe
+    // operator's (satisfied queries identical, dry ones rank a
+    // superset)
+    val predBig = col("label") === 7
+    val truthBig = Ann.knnBruteForceFiltered(emb, nq, 3, predBig).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def hits(rows: Array[org.apache.spark.sql.Row]) = rows.count(r =>
+      truthBig((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))))
+    val escBig = Ann.knnIvfTrainedFilteredEscalated(emb, nq, 3, predBig,
+      probes = 1).collect()
+    val fixedBig = Ann.knnIvfTrainedFiltered(emb, nq, 3, predBig,
+      probes = 1).collect()
+    assert(hits(escBig) >= hits(fixedBig))
+    // and never a short result set where the pool could fill it
+    assert(escBig.length >= fixedBig.length)
+  }
+
   test("plan-keyed caches fingerprint the file snapshot: a grown directory is a new corpus") {
     import spark.implicits._
     val dir = tmpDir("cache-growth") + "/corpus"
@@ -651,6 +690,40 @@ class DedupAnnSpec extends SparkSuite {
     assert(got(2L) === ((10L, 2L, 8L, h("zz yy"))))
     assert(got(3L) === ((3L, 3L, 0L, h("a b c"))))
     assert(got(4L) === ((16L, 8L, 8L, h("m n o p q r s t"))))
+  }
+
+  test("spanStripMaximal: overlapping marked windows merge into ONE maximal span") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      // a 9-token repeated passage = TWO overlapping 8-token windows;
+      // first occurrence (doc 1) keeps both windows
+      (1L, "a b c d e f g h i"),
+      // repeat at pos 2: windows at pos 2 and pos 3 both marked —
+      // they must merge into one maximal span [2, 10] of length 9
+      (2L, "zz yy a b c d e f g h i"),
+      // two DISJOINT repeats in one doc: spans stay separate
+      (3L, "a b c d e f g h i q1 q2 q3 m n o p q r s t u"),
+      (4L, "m n o p q r s t u")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.spanStripMaximal(df, w = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 2: one island [2,10], len 9 (NOT two w-sized fragments);
+    // doc 3 loses its "a..." copy (doc 1 pos 0 wins the packed-min
+    // election) but KEEPS "m n o p q r s t u" (doc 3 pos 12 < doc 4
+    // pos 0 in packed order), which doc 4 then loses
+    assert(got.filter(_._1 == 2L) === Seq((2L, 2L, 10L, 9L)))
+    assert(got.filter(_._1 == 3L) === Seq((3L, 0L, 8L, 9L)))
+    assert(got.filter(_._1 == 4L) === Seq((4L, 0L, 8L, 9L)))
+    assert(got.forall(_._1 != 1L)) // keeper doc: nothing stripped
+    // consistency with spanStrip: per-doc sum(span_len) == dropped
+    val dropped = graft.operators.Dedup.spanStrip(df, w = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val sums = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    dropped.foreach { case (d, n) =>
+      assert(sums.getOrElse(d, 0L) === n, s"doc $d span sum != dropped")
+    }
   }
 
   test("DSIR selection matches an exact driver recount; target docs outrank off-target") {

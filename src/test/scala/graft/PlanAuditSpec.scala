@@ -597,6 +597,19 @@ class PlanAuditSpec extends SparkSuite {
       p.take(2000))
   }
 
+  test("escalated filtered kNN: predicate pushed on BOTH candidate scans") {
+    // the escalation adds a count-only pass over the filtered corpus;
+    // the predicate must reach the parquet scan in that pass AND the
+    // scored pass — and the per-query probe-depth joins stay broadcast
+    spark.catalog.clearCache()
+    val p = plan(SparkEntry.queries("a_knn_filtered_escalated")(spark, sf))
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scans.count(l => l.contains("EqualTo(label,7)") ||
+      l.contains("EqualTo(label, 7)")) >= 2, scans.mkString("\n").take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("hybrid search: no cartesian; lexical join broadcasts the query tokens") {
     val p = plan(SparkEntry.queries("a_hybrid_search")(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(2000))
