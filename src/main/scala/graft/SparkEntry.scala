@@ -552,6 +552,14 @@ object SparkEntry {
       Ann.annRecallTuned(Tables.embeddings(s, dir), KnnQueries, RecallK)
         .orderBy("method")),
 
+    // sampled-truth recall — the harness scale path: exact truth only
+    // for a hash-elected query subset (the recall table's only
+    // corpus×queries term), methods measured on the same subset;
+    // exact rows above stay the gold gate
+    "a_ann_recall_sampled" -> ((s, dir) =>
+      Ann.annRecallSampled(Tables.embeddings(s, dir), KnnQueries, RecallK)
+        .orderBy("method")),
+
     // A15: hybrid retrieval — idf-weighted lexical overlap + exact
     // cosine, fused by Reciprocal Rank Fusion (integer-exact: idf
     // surrogate 1e6 div df, RRF terms 1e12 div (60+rank) — no floats,
@@ -839,6 +847,17 @@ object SparkEntry {
     // key: quantized mean color × /8 dims)
     "x_image_dedup" -> ((s, dir) =>
       Multimodal.imageDedup(s, Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
+    // X5 at real pHash strength: 63-bit fixed-point DCT hash of the
+    // genuinely decoded rasters, Hamming-banded dedup (8×8-bit bands
+    // → exact bit_count verify ≤ tau); odd docs are re-encodes of
+    // their even twin (drifted pixels, different raster type) and
+    // must dedup, distinct seeds must not. tau=5 sits inside the
+    // MEASURED margin on this corpus: twin distance ≤ 2 bits,
+    // nearest cross-seed pair 8 bits (mean 31.6)
+    "x_image_dedup_phash" -> ((s, dir) =>
+      Multimodal.imageDedupPhash(s, Tables.documents(s, dir), tau = 5)
         .orderBy("doc_id")),
 
     // X6: video twin of X5 — coarser perceptual key over the decoded
@@ -1699,6 +1718,91 @@ object SparkEntry {
        |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** pHash oracle (mirrors Multimodal.imageDedupPhash): the seeded
+    * raster, the fixed-point separable DCT through the SAME
+    * cosine-table literals the engine ships
+    * (Multimodal.phashCosTable — shared table, not shared trig), the
+    * 63-bit lower-median-threshold hash, 8×8-bit banding, Hamming
+    * verify, least-neighbor election — all integer arithmetic.
+    */
+  private def imageDedupPhashSql(tau: Int): String = {
+    val ct = graft.operators.Multimodal.phashCosTable
+      .mkString("[", ", ", "]")
+    s"""WITH par AS (
+       |  SELECT doc_id, doc_id // 2 AS seed, doc_id % 2 AS noisy
+       |  FROM documents
+       |),
+       |gray AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 1024), i ->
+       |      CASE WHEN noisy = 1 THEN least(
+       |        ((1 + seed % 7) * (i % 32) + (1 + seed % 5) * (i // 32)
+       |          + (1 + seed % 3) * (((i % 32) * (i // 32)) // 4)
+       |          + seed % 251
+       |          + (seed * 2654435761 + ((i % 32) // 8) * 97
+       |             + ((i // 32) // 8) * 193) % 128) % 256
+       |        + (doc_id * 73856093 + (i % 32) * 19349663
+       |           + (i // 32) * 83492791) % 2, 255)
+       |      ELSE ((1 + seed % 7) * (i % 32) + (1 + seed % 5) * (i // 32)
+       |          + (1 + seed % 3) * (((i % 32) * (i // 32)) // 4)
+       |          + seed % 251
+       |          + (seed * 2654435761 + ((i % 32) // 8) * 97
+       |             + ((i // 32) // 8) * 193) % 128) % 256
+       |      END) AS g
+       |  FROM par
+       |),
+       |ctt AS (SELECT $ct AS ct),
+       |rowp AS (
+       |  SELECT doc_id, list_transform(range(0, 256), k ->
+       |    list_sum(list_transform(range(0, 32), x ->
+       |      g[((k % 32) * 32 + x + 1)::INT]
+       |        * ct[((k // 32) * 32 + x + 1)::INT]))) AS r
+       |  FROM gray CROSS JOIN ctt
+       |),
+       |co AS (
+       |  SELECT doc_id, list_transform(range(1, 64), j ->
+       |    list_sum(list_transform(range(0, 32), y ->
+       |      r[((j // 8) * 32 + y + 1)::INT]
+       |        * ct[((j % 8) * 32 + y + 1)::INT]))) AS coeffs
+       |  FROM rowp CROSS JOIN ctt
+       |),
+       |md AS (
+       |  SELECT doc_id, coeffs, list_sort(coeffs)[32] AS med FROM co
+       |),
+       |hsh AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(range(0, 63), j ->
+       |      CASE WHEN coeffs[(j + 1)::INT] > med
+       |           THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END))::BIGINT AS phash
+       |  FROM md
+       |),
+       |bands AS (
+       |  SELECT doc_id, phash, i AS band_id,
+       |         (phash >> (8 * i)::INT) % 256 AS band_key
+       |  FROM hsh, generate_series(0, 7) gs(i)
+       |),
+       |prs AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |         x.phash AS ha, y.phash AS hb
+       |  FROM bands x JOIN bands y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id
+       |),
+       |vr AS (SELECT a, b FROM prs WHERE bit_count(xor(ha, hb)) <= $tau),
+       |nbr AS (
+       |  SELECT doc_id, min(nb)::BIGINT AS min_nbr,
+       |         count(*)::BIGINT AS n_near
+       |  FROM (SELECT a AS doc_id, b AS nb FROM vr
+       |        UNION ALL SELECT b AS doc_id, a AS nb FROM vr) u
+       |  GROUP BY doc_id
+       |)
+       |SELECT h.doc_id, h.phash,
+       |       least(h.doc_id, coalesce(n.min_nbr, h.doc_id))::BIGINT AS keeper_id,
+       |       (coalesce(n.n_near, 0) + 1)::BIGINT AS n_near
+       |FROM hsh h LEFT JOIN nbr n USING (doc_id)
+       |ORDER BY h.doc_id""".stripMargin
+  }
+
   /** Filtered-truth oracle (mirrors Ann.knnBruteForceFiltered): the
     * predicate lands on the CANDIDATE side only — joined back to the
     * raw embeddings table for the attribute columns the quantized CTE
@@ -2141,6 +2245,45 @@ object SparkEntry {
        |FROM m ORDER BY method""".stripMargin
   }
 
+  /** Sampled-truth twin of [[annRecallSql]] (mirrors
+    * Ann.annRecallSampled): hash-elected query subset on the truth's
+    * query side AND on each method arm; denominator = elected count ×
+    * k from the same election over the query id range.
+    */
+  private def annRecallSampledSql(k: Int, sampleMod: Int): String = {
+    val elect = (e: String) => s"${sqlH20(e)} % $sampleMod = 0"
+    val subs = Seq(
+      "knn_lsh" -> annLshSql(k),
+      "knn_ivf_trained" -> annIvfTrainedSql(k),
+      "knn_quantized" -> annQuantizedSql(k),
+      "knn_pq" -> annPqSql(k),
+      "knn_ivfpq" -> annIvfPqSql(k),
+      "knn_ivfsq" -> annIvfSqSql(k))
+    val ctes = subs.zipWithIndex.map { case ((_, sql), i) =>
+      s"""r$i AS (SELECT q_id, neighbor_id FROM (\n$sql\n) t$i
+         |  WHERE ${elect("q_id::VARCHAR")})""".stripMargin
+    }.mkString(",\n")
+    val arms = subs.zipWithIndex.map { case ((m, _), i) =>
+      s"""SELECT '$m' AS method,
+         |  (SELECT n FROM nq)::BIGINT AS n_queries,
+         |  (SELECT count(*) FROM r$i)::BIGINT AS n_retrieved,
+         |  (SELECT count(*) FROM r$i JOIN truth USING (q_id, neighbor_id))::BIGINT AS n_hits"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH truth AS (SELECT q_id, neighbor_id FROM (
+       |${annBruteforceSql(k)}
+       |) tt WHERE ${elect("q_id::VARCHAR")}),
+       |nq AS (SELECT count(*)::BIGINT AS n FROM embeddings
+       |       WHERE vec_id < $KnnQueries AND ${elect("vec_id::VARCHAR")}),
+       |$ctes,
+       |m AS (
+       |$arms
+       |)
+       |SELECT method, n_queries, n_retrieved, n_hits,
+       |       (CASE WHEN n_queries > 0
+       |             THEN n_hits * 10000 // (n_queries * $k) END)::BIGINT AS recall_bp
+       |FROM m ORDER BY method""".stripMargin
+  }
+
   /** The knob-response twin of [[annRecallSql]]: same join/aggregate
     * spine over the TUNED per-method chains (4-plane LSH, probe-2
     * IVF, 4-bit PQ, probe-4 IVFADC with 4-bit codebooks).
@@ -2534,6 +2677,8 @@ object SparkEntry {
     "a_ann_recall" -> annRecallSql(RecallK),
 
     "a_ann_recall_tuned" -> annRecallTunedSql(RecallK),
+
+    "a_ann_recall_sampled" -> annRecallSampledSql(RecallK, sampleMod = 2),
 
     // A14: filtered vector search — predicate on the candidate scan,
     // full-corpus model; two selectivity shapes + the filtered recall
@@ -4107,6 +4252,11 @@ object SparkEntry {
         |       (CASE WHEN p.doc_id = b.keeper_id THEN 1 ELSE 0 END)::INT AS keep
         |FROM ph p JOIN bk b USING (phash)
         |ORDER BY p.doc_id""".stripMargin,
+
+    // real DCT pHash: raster synthesis + fixed-point DCT + median
+    // threshold + banded Hamming dedup replayed integer-exactly (the
+    // Spark side hashes genuinely DECODED PNG bytes)
+    "x_image_dedup_phash" -> imageDedupPhashSql(tau = 5),
 
     "a_kmeans_train" -> kmeansSql(k = 8, iterations = 2),
     "a_kmeans_train_iter10" -> kmeansSql(k = 8, iterations = 10),

@@ -1156,6 +1156,71 @@ object Ann {
       "knn_ivfpq_rerank" -> knnIvfPqRefined(embeddings, numQueries, k),
       "knn_ivfsq_p4" -> knnIvfSq(embeddings, numQueries, k, probes = 4)))
 
+  /** SAMPLED-truth recall — the measurement-harness scale path: the
+    * exact ground truth is the recall table's only corpus×queries
+    * full-precision term (every serving method is probe/bucket-
+    * bounded by design), so before the corpus grows 100× the harness
+    * must stop computing truth for EVERY query. A deterministic
+    * hash-elected query subset (`h20(q_id) % sampleMod == 0` — id
+    * hash, not id prefix, so sorted/clustered corpora don't bias the
+    * sample) gets exact truth; methods are measured on the same
+    * subset; recall_bp is integer basis points over the elected
+    * slots. The exact [[annRecall]]/[[annRecallTuned]] rows remain
+    * the gold gate; at sf0.1 the sampled row's per-method recall is
+    * spec-bounded against the exact row (BASELINE §ANN quality
+    * records the agreement and the measured cost decomposition:
+    * training and method scans dominate at THIS scale — the sampled
+    * row is insurance for the scale where truth does).
+    *
+    * Election is applied on the QUERY SIDE of the truth scan (before
+    * the broadcast join), not post-hoc — the quadratic term really
+    * shrinks by 1/sampleMod. Method outputs are post-filtered: their
+    * scans are probe-bounded, and re-running the operator family
+    * with a narrower query set would fork every trained-model memo
+    * key for a measurement-only saving.
+    */
+  def annRecallSampled(embeddings: DataFrame, numQueries: Int, k: Int,
+      sampleMod: Int = 2): DataFrame = {
+    graft.core.Configs.AnnRequest(numQueries, k).validated
+    graft.core.Validation.validate("ann-recall-sampled",
+      graft.core.Validation.knob("sampleMod", sampleMod.toLong, minV = 1L))
+    val h20 = graft.functions.Portable.hexHash20 _
+    val q = quantized(embeddings)
+    val queries = q.filter(col("vec_id") < numQueries)
+      .filter(h20(col("vec_id").cast("string")) % sampleMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm2").as("qn2"))
+    val scored = q.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"), col("norm2")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val truth = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      .localCheckpoint() // read once per method arm
+    val nQ = queries.agg(count(lit(1)).as("n_queries"))
+    val elected = h20(col("q_id").cast("string")) % sampleMod === 0
+    Seq(
+      "knn_lsh" -> knnLsh(embeddings, numQueries, k),
+      "knn_ivf_trained" -> knnIvfTrained(embeddings, numQueries, k),
+      "knn_quantized" -> knnQuantized(embeddings, numQueries, k),
+      "knn_pq" -> knnPq(embeddings, numQueries, k),
+      "knn_ivfpq" -> knnIvfPq(embeddings, numQueries, k, probes = 2),
+      "knn_ivfsq" -> knnIvfSq(embeddings, numQueries, k)
+    ).map { case (m, res) =>
+      res.filter(elected).select("q_id", "neighbor_id")
+        .join(truth.withColumn("hit", lit(1L)),
+          Seq("q_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_retrieved"),
+          coalesce(sum("hit"), lit(0L)).as("n_hits"))
+        .crossJoin(nQ) // 1×1 rows
+        .select(lit(m).as("method"), col("n_queries"), col("n_retrieved"),
+          col("n_hits"),
+          when(col("n_queries") > 0,
+            expr(s"n_hits * 10000 div (n_queries * ${k.toLong})"))
+            .otherwise(lit(null).cast("long")).as("recall_bp"))
+    }.reduce(_ unionByName _)
+  }
+
   // ---- filtered (attribute-constrained) vector search ---------------
   //
   // The production request every vector store serves: "top-k

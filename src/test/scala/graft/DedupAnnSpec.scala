@@ -390,6 +390,26 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("sampled-truth recall: half the queries, per-method agreement with the exact row") {
+    val exact = Ann.annRecall(emb, 10, 10).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("recall_bp")).toMap
+    val sampled = Ann.annRecallSampled(emb, 10, 10, sampleMod = 2).collect()
+    assert(sampled.nonEmpty)
+    sampled.foreach { r =>
+      val m = r.getString(0)
+      // the election really thins the query set (hash-elected, so the
+      // split is data-stable, not exactly numQueries/2)
+      val nq = r.getAs[Long]("n_queries")
+      assert(nq > 0 && nq < 10, s"$m: election degenerate ($nq)")
+      // pinned agreement bound: a half-sample over 10 queries moves
+      // per-method recall by at most 2000 bp on this corpus (measured
+      // 600 bp max at sf0.01; BASELINE records the sf0.1 agreement)
+      val bp = r.getAs[Long]("recall_bp")
+      assert(math.abs(bp - exact(m)) <= 2000L,
+        s"$m: sampled $bp vs exact ${exact(m)}")
+    }
+  }
+
   test("filtered kNN escalation: min(k, pool) rows guaranteed, recall never below fixed-probe") {
     // a 3-row matching pool with k = 5: every query's base tier is dry
     // (< k matches), so every query escalates to full coverage and

@@ -62,6 +62,43 @@ class MultimodalSpec extends SparkSuite {
     assert(out.exists(_._4 > 1))
   }
 
+  test("DCT pHash: re-encode twin dedups, distinct image does not, hash reads decoded bytes") {
+    val spark0 = spark
+    import spark0.implicits._
+    // three seeds × (original, re-encode) — doc 2m+1 is the drifted,
+    // differently-typed re-encode of doc 2m's raster
+    val df = (0L to 5L).toDF("doc_id")
+    val out = Multimodal.imageDedupPhash(spark, df, tau = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // every re-encode dedups to its twin...
+    Seq(0L, 2L, 4L).foreach { even =>
+      assert(out(even + 1)._2 === even, s"re-encode of $even did not dedup")
+      assert(out(even)._2 === even)
+      // ...within the Hamming radius
+      val d = java.lang.Long.bitCount(out(even)._1 ^ out(even + 1)._1)
+      assert(d <= 5, s"twin pair $even: hamming $d")
+    }
+    // distinct images never collide: neighborhoods are exactly the
+    // twin pairs
+    out.values.foreach { case (_, _, nNear) => assert(nNear === 2L) }
+    val crossMin = (for {
+      a <- Seq(0L, 2L, 4L); b <- Seq(0L, 2L, 4L) if a < b
+    } yield java.lang.Long.bitCount(out(a)._1 ^ out(b)._1)).min
+    assert(crossMin > 5, s"distinct seeds within radius: $crossMin")
+    // the engine hash came from genuinely DECODED PNG bytes: it must
+    // equal the driver hash of the synthesis raster (PNG is lossless)
+    (0L to 5L).foreach { id =>
+      assert(out(id)._1 === Multimodal.phash63(Multimodal.photoGray(id)),
+        s"doc $id: decoded-byte hash drifted from the raster hash")
+    }
+    // and the twin PAYLOADS genuinely differ (re-encode, not a copy)
+    val payloads = Multimodal.landedPhotos(spark, df).collect().toMap
+    Seq(0L, 2L, 4L).foreach { even =>
+      assert(!java.util.Arrays.equals(payloads(even), payloads(even + 1)))
+    }
+  }
+
   test("videoDedup: coarse perceptual buckets from decoded frame packs") {
     val out = Multimodal.videoDedup(spark, Tables.documents(spark, sf))
       .collect()
