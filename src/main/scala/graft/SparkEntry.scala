@@ -499,6 +499,15 @@ object SparkEntry {
       Ann.knnPq(Tables.embeddings(s, dir), KnnQueries, 5)
         .orderBy("q_id", "rnk")),
 
+    // A8 under the OPQ question (Ge et al. 2013): PQ in a learned
+    // variance-balanced permuted space — the gated measurement that
+    // settles whether subspace rebalance moves recall on this
+    // margin-thin corpus (the knn_pq_opq row of a_ann_recall_tuned
+    // carries the verdict next to the plain-PQ rows)
+    "a_knn_opq" -> ((s, dir) =>
+      Ann.knnPqOpq(Tables.embeddings(s, dir), KnnQueries, 5)
+        .orderBy("q_id", "rnk")),
+
     // A9: IVFADC — trained coarse cells (A3/A5) × residual product
     // quantization (A8): IVF bounds the scan (probes/kCells of the
     // corpus per query), PQ bounds the bytes (12-bit codes); ADC
@@ -2052,8 +2061,9 @@ object SparkEntry {
        |  FROM scored
        |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 
-  private def annPqSql(k: Int, pqK: Int = Ann.PqK): String = {
-    val (ctes, asgs, cents) = pqCtes(k = pqK, iterations = 2)
+  private def annPqSql(k: Int, pqK: Int = Ann.PqK,
+      srcCtes: String = "", src: String = "q"): String = {
+    val (ctes, asgs, cents) = pqCtes(k = pqK, iterations = 2, src = src)
     val qds = (0 until 4).map { s =>
       s"""qd$s AS (
          |  SELECT t.vec_id AS q_id, c.c_id,
@@ -2065,7 +2075,7 @@ object SparkEntry {
     s"""WITH q AS (
        |  SELECT vec_id, list_transform(embedding, x -> round(x*1000)::BIGINT) AS v
        |  FROM embeddings
-       |),
+       |)$srcCtes,
        |$ctes,
        |codes AS (
        |  SELECT a0.vec_id, a0.cluster AS c0, a1.cluster AS c1,
@@ -2091,6 +2101,35 @@ object SparkEntry {
        |  FROM scored
        |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
+
+  /** OPQ-permutation prefix CTEs (mirrors Ann.opqPermutation /
+    * Ann.knnPqOpq): integer per-dim variance surrogate
+    * `n·Σx² − (Σx)²`, rank desc with dim-asc tiebreak, snake-draft
+    * into the 4 subspaces, then the permuted vector table `qp` the
+    * standard PQ chain runs over. Starts with a comma (appends to the
+    * `q` CTE).
+    */
+  private val OpqPermCtes: String =
+    s""",
+       |dv AS (
+       |  SELECT dim, (cnt * sq - sm * sm)::BIGINT AS vr
+       |  FROM (
+       |    SELECT r.dim AS dim, count(*)::BIGINT AS cnt,
+       |           sum(q.v[(r.dim+1)::INT])::BIGINT AS sm,
+       |           sum(q.v[(r.dim+1)::INT] * q.v[(r.dim+1)::INT])::BIGINT AS sq
+       |    FROM q, range(0, 64) r(dim) GROUP BY r.dim
+       |  )
+       |),
+       |prm AS (
+       |  SELECT dim, ((CASE WHEN (rnk // 4) % 2 = 0 THEN rnk % 4
+       |                ELSE 3 - rnk % 4 END) * 16 + rnk // 4)::BIGINT AS newpos
+       |  FROM (SELECT dim, row_number() OVER (ORDER BY vr DESC, dim) - 1 AS rnk
+       |        FROM dv)
+       |),
+       |qp AS (
+       |  SELECT q.vec_id, list(q.v[(prm.dim+1)::INT] ORDER BY prm.newpos) AS v
+       |  FROM q, prm GROUP BY q.vec_id
+       |)""".stripMargin
 
   private def annIvfPqSql(k: Int, pqK: Int = Ann.PqK,
       probes: Int = 2, candPred: String = ""): String = {
@@ -2294,6 +2333,7 @@ object SparkEntry {
       "knn_lsh_4planes" -> annLshSql(k, planes = 4),
       "knn_ivf_probe2" -> annIvfTrainedSql(k, probes = 2),
       "knn_pq_4bit" -> annPqSql(k, pqK = 16),
+      "knn_pq_opq" -> annPqSql(k, srcCtes = OpqPermCtes, src = "qp"),
       "knn_ivfpq_p4_4bit" -> annIvfPqSql(k, pqK = 16, probes = 4),
       "knn_pq_rerank" -> annRerankSql(annPqSql(k * 10), k),
       "knn_ivfpq_rerank" -> annRerankSql(annIvfPqSql(k * 10), k),
@@ -2660,6 +2700,8 @@ object SparkEntry {
     // ADC: per-query distance tables against each final codebook,
     // pair distance = 4 c_id equi-join lookups (never a 64-dim dot)
     "a_knn_pq" -> annPqSql(5),
+
+    "a_knn_opq" -> annPqSql(5, srcCtes = OpqPermCtes, src = "qp"),
 
     // IVFADC: coarse k-means chain -> residuals -> PQ chains trained on
     // the residuals (src = "res") -> per-(query, probed-cell) ADC

@@ -804,11 +804,68 @@ object Ann {
     * c_id equi-join.
     */
   def knnPq(embeddings: DataFrame, numQueries: Int, k: Int,
-      pqK: Int = PqK, iterations: Int = 2): DataFrame = {
-    val books = pqCodebooks(embeddings, pqK, iterations)
-    val codes = pqEncoded(embeddings, books)
-      .select("vec_id", "c0", "c1", "c2", "c3")
+      pqK: Int = PqK, iterations: Int = 2): DataFrame =
+    knnPqFromQ(quantized(embeddings).select("vec_id", "v"),
+      numQueries, k, pqK, iterations)
+
+  /** OPQ-style transform, restricted to the PERMUTATION subgroup of
+    * rotations (Ge et al. 2013 treat dimension reordering as the
+    * structured initialization of the learned rotation): dimensions
+    * are ranked by integer variance surrogate `n·Σx² − (Σx)²` and
+    * snake-drafted into the PqM subspaces, balancing per-subspace
+    * variance so no codebook is starved while another saturates — the
+    * imbalance failure mode rotation exists to fix. A permutation
+    * keeps every distance EXACTLY (it is an orthogonal matrix with
+    * integer entries), keeps the whole chain integer-exact and
+    * oracle-replayable, and is parameter-scale driver state like the
+    * centroids. Deterministic: variance desc, dim asc tiebreak.
+    *
+    * Returns `perm` with `perm(newPos) = oldDim` (0-based).
+    */
+  def opqPermutation(embeddings: DataFrame): Seq[Int] = {
     val q = quantized(embeddings)
+    val row = q.select(
+      (Seq(count(lit(1)).as("n")) ++ (0 until Dims).flatMap { d =>
+        val x = element_at(col("v"), d + 1)
+        Seq(sum(x).as(s"s$d"), sum(x * x).as(s"q$d"))
+      }): _*).collect().head
+    val n = row.getLong(0)
+    val ranked = (0 until Dims).map { d =>
+      val s = row.getLong(1 + 2 * d); val ss = row.getLong(2 + 2 * d)
+      (n * ss - s * s, d)
+    }.sortBy { case (v, d) => (-v, d) }
+    val perm = new Array[Int](Dims)
+    ranked.zipWithIndex.foreach { case ((_, dim), r) =>
+      val t = r / PqM
+      val s = if (t % 2 == 0) r % PqM else PqM - 1 - (r % PqM)
+      perm(s * PqSubDims + t) = dim
+    }
+    perm.toSeq
+  }
+
+  /** PQ/ADC top-k in the OPQ-permuted space: train codebooks, encode,
+    * and build query tables over `v ∘ perm` — distances are exactly
+    * the original-space distances (permutations are orthogonal), so
+    * recall moves ONLY through better subspace variance balance. The
+    * measured verdict on this corpus lives in [[annRecallTuned]]'s
+    * `knn_pq_opq` row next to `knn_pq_4bit` (BASELINE §ANN quality).
+    */
+  def knnPqOpq(embeddings: DataFrame, numQueries: Int, k: Int,
+      pqK: Int = PqK, iterations: Int = 2): DataFrame = {
+    val perm = opqPermutation(embeddings)
+    val pexpr = array(perm.map(d => element_at(col("v"), d + 1)): _*)
+    knnPqFromQ(quantized(embeddings).select(col("vec_id"),
+      pexpr.as("v")), numQueries, k, pqK, iterations)
+  }
+
+  /** The [[knnPq]] chain over an arbitrary integer `(vec_id, v)`
+    * frame — shared by the identity and OPQ-permuted spaces.
+    */
+  private def knnPqFromQ(q: DataFrame, numQueries: Int, k: Int,
+      pqK: Int, iterations: Int): DataFrame = {
+    val books = pqCodebooksFromQ(q, pqK, iterations)
+    val codes = pqEncodedFromQ(q.select("vec_id", "v"), books)
+      .select("vec_id", "c0", "c1", "c2", "c3")
     val queries = books.zipWithIndex.foldLeft(
         q.filter(col("vec_id") < numQueries)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))) {
@@ -1150,6 +1207,9 @@ object Ann {
       "knn_lsh_4planes" -> knnLsh(embeddings, numQueries, k, planes = 4),
       "knn_ivf_probe2" -> knnIvfTrained(embeddings, numQueries, k, probes = 2),
       "knn_pq_4bit" -> knnPq(embeddings, numQueries, k, pqK = 16),
+      // the OPQ verdict row: PQ in the variance-balanced permuted
+      // space, read against knn_pq/knn_pq_4bit (BASELINE §ANN quality)
+      "knn_pq_opq" -> knnPqOpq(embeddings, numQueries, k),
       "knn_ivfpq_p4_4bit" ->
         knnIvfPq(embeddings, numQueries, k, pqK = 16, probes = 4),
       "knn_pq_rerank" -> knnPqRefined(embeddings, numQueries, k),

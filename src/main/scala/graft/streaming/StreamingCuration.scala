@@ -131,6 +131,21 @@ object StreamingCuration {
     * (8 bytes per band per accepted doc ever, key-partitioned); the
     * election two batch-local aggregations. Never corpus × corpus.
     *
+    * OPT-IN VERIFY MODE (`verifyMinJaccardBp = Some(bp)`): the
+    * over-drop design trades one training document per S-curve false
+    * positive; when that loss rate matters, verify mode stores each
+    * accepted doc's minhash SIGNATURE alongside its band keys
+    * (sidecars under the index root, batch-partitioned with the same
+    * idempotent overwrite as the corpus) and estimates Jaccard from
+    * the stored signatures before any drop — matching components /
+    * family size ≥ bp drops, below survives. Collisions are then a
+    * candidate stage, not a verdict, at the price of one signature
+    * read per candidate. Fast and verify modes share banding,
+    * election order, floor rule, and the replay fixpoint; an index's
+    * sidecars must be built by verify mode from its first batch
+    * (fast-built indexes have keys without signatures — those
+    * collisions cannot be verified and are admitted).
+    *
     * GEOMETRY IS PART OF THE DURABLE INDEX CONTRACT: band keys from
     * different (bands, rows) layouts are incomparable longs, so a
     * probe under the wrong geometry silently admits every duplicate
@@ -152,35 +167,93 @@ object StreamingCuration {
       checkpointDir: String,
       bands: Int = graft.operators.Dedup.ProdBands,
       rows: Int = graft.operators.Dedup.ProdRows,
-      autoCompactMaxFiles: Option[Int] = None): StreamingQuery = {
+      autoCompactMaxFiles: Option[Int] = None,
+      verifyMinJaccardBp: Option[Long] = None): StreamingQuery = {
+    verifyMinJaccardBp.foreach(bp =>
+      graft.core.Validation.validate("near-dup-ingest",
+        graft.core.Validation.knob("verifyMinJaccardBp", bp,
+          minV = 1L, maxV = 10000L)))
     ensureGeometry(index.root, bands, rows)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.operators.Dedup
+        val numHashes = bands * rows
         val sh = Dedup.shingleTable(batch)
           .select(col("doc_id"), hexHash60(col("s")).as("h"))
+        val sigsWide = Dedup.minhashSignatures(sh, numHashes)
         // ikey packs (band_key, band) into one indexable long:
         // r=2 band keys are < 2^41 (injective packing) and wider bands
         // hash-fold below 2^31, so band_key*bands + band stays well
         // inside a long for any sane geometry. The banding itself is
         // Dedup's — band keys are the durable index contract and must
         // match the batch operators bit-for-bit
-        val banded = Dedup.bandedSignatures(
-            Dedup.minhashSignatures(sh, bands * rows), bands, rows)
+        val banded = Dedup.bandedSignatures(sigsWide, bands, rows)
           .withColumn("ikey", col("band_key") * bands + col("band"))
           .localCheckpoint() // read 3× below; must not re-plan after add
-        val indexHit = banded
-          .join(index.keys().withColumnRenamed("k", "ikey"), Seq("ikey"))
-          .select("doc_id").distinct()
-        val fresh = banded.join(indexHit, Seq("doc_id"), "left_anti")
-        val bucketMin = fresh.groupBy("ikey").agg(min("doc_id").as("win"))
-        val elected = fresh.join(bucketMin, Seq("ikey"))
-          .groupBy("doc_id")
-          .agg(max(when(col("doc_id") =!= col("win"), 1).otherwise(0))
-            .as("lost"))
-          .filter(col("lost") === 0)
-          .select("doc_id")
+        val spark = batch.sparkSession
+        val elected = verifyMinJaccardBp match {
+          case None =>
+            // FAST mode (the over-drop default): any band collision
+            // against the index or a smaller in-batch doc drops
+            val indexHit = banded
+              .join(index.keys().withColumnRenamed("k", "ikey"), Seq("ikey"))
+              .select("doc_id").distinct()
+            val fresh = banded.join(indexHit, Seq("doc_id"), "left_anti")
+            val bucketMin = fresh.groupBy("ikey").agg(min("doc_id").as("win"))
+            fresh.join(bucketMin, Seq("ikey"))
+              .groupBy("doc_id")
+              .agg(max(when(col("doc_id") =!= col("win"), 1).otherwise(0))
+                .as("lost"))
+              .filter(col("lost") === 0)
+              .select("doc_id")
+          case Some(bp) =>
+            // VERIFY mode: a band collision is only a CANDIDATE — the
+            // signatures stored alongside the band keys estimate
+            // Jaccard (matching components / numHashes, the unbiased
+            // minhash estimator), and only estimates ≥ bp drop. An
+            // S-curve false positive (low-similarity pair colliding on
+            // one band) survives here and is lost in fast mode — the
+            // measured trade is one signature read per candidate.
+            // Attribution sidecars live under the index root and must
+            // have been written by THIS mode from the index's first
+            // batch (a fast-mode-built index has keys but no stored
+            // signatures — its collisions cannot be verified and are
+            // admitted; do not mix modes on one index).
+            val sigArr = sigsWide.select(col("doc_id"),
+              array((0 until numHashes).map(i => col(s"mh$i")): _*)
+                .as("sig"))
+              .localCheckpoint() // joined 2× below
+            val priorBands = readOrEmptyBands(spark, s"${index.root}/bandstore")
+            val priorSigs = readOrEmptySigs(spark, s"${index.root}/sigstore")
+            val candPrior = banded
+              .join(priorBands.select(col("ikey"),
+                col("doc_id").as("old_id")), Seq("ikey"))
+              .filter(col("doc_id") =!= col("old_id")) // replay self-match
+              .select("doc_id", "old_id").distinct()
+            val verifiedHit = candPrior
+              .join(sigArr, Seq("doc_id"))
+              .join(priorSigs.select(col("doc_id").as("old_id"),
+                col("sig").as("old_sig")).distinct(), Seq("old_id"))
+              .withColumn("est_bp", estJaccardBp("sig", "old_sig", numHashes))
+              .filter(col("est_bp") >= bp)
+              .select("doc_id").distinct()
+            val freshV = banded.join(verifiedHit, Seq("doc_id"), "left_anti")
+            val bx = freshV.as("x"); val by = freshV.as("y")
+            val losers = bx.join(by, col("x.ikey") === col("y.ikey")
+                && col("x.doc_id") < col("y.doc_id"))
+              .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+              .distinct()
+              .join(sigArr.select(col("doc_id").as("a"),
+                col("sig").as("sig_a")), Seq("a"))
+              .join(sigArr.select(col("doc_id").as("b"),
+                col("sig").as("sig_b")), Seq("b"))
+              .withColumn("est_bp", estJaccardBp("sig_a", "sig_b", numHashes))
+              .filter(col("est_bp") >= bp)
+              .select(col("b").as("doc_id")).distinct()
+            freshV.select("doc_id").distinct()
+              .join(losers, Seq("doc_id"), "left_anti")
+        }
         // sub-shingle-length docs have no bands: below the similarity
         // floor, always ingested, never indexed
         val floor = batch.select("doc_id")
@@ -188,7 +261,6 @@ object StreamingCuration {
         // replay stability (see scaladoc): docs already in THIS batch's
         // partition stay in it — a post-index-add replay must not
         // shrink the rewrite
-        val spark = batch.sparkSession
         val existing =
           try spark.read.parquet(s"$corpusDir/ingest_batch=$batchId")
             .select("doc_id")
@@ -206,12 +278,67 @@ object StreamingCuration {
           .mode("overwrite")
           .partitionBy("ingest_batch")
           .parquet(corpusDir)
+        // verify mode persists the attribution sidecars with the SAME
+        // idempotent discipline as the corpus itself (dynamic
+        // partition overwrite keyed by batch): a replay recomputes the
+        // identical survivor set (fixpoint) and rewrites identical
+        // sidecar partitions
+        if (verifyMinJaccardBp.isDefined) {
+          val keptBands = banded.join(survivors, Seq("doc_id"))
+            .select("doc_id", "ikey").distinct()
+            .withColumn("ingest_batch", lit(batchId))
+          keptBands.write
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").partitionBy("ingest_batch")
+            .parquet(s"${index.root}/bandstore")
+          Dedup.minhashSignatures(sh, numHashes)
+            .select(col("doc_id"),
+              array((0 until numHashes).map(i => col(s"mh$i")): _*)
+                .as("sig"))
+            .join(survivors, Seq("doc_id"))
+            .withColumn("ingest_batch", lit(batchId))
+            .write
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").partitionBy("ingest_batch")
+            .parquet(s"${index.root}/sigstore")
+        }
         index.add(banded.join(survivors, Seq("doc_id"))
           .select(col("ikey").as("k")))
         autoCompactMaxFiles.foreach(index.compactIfNeeded) // as dedupIngest
       }
       .start()
   }
+
+  /** Minhash Jaccard estimate in integer basis points: matching
+    * signature components over the family size (the unbiased
+    * estimator), as one codegen-able expression over two
+    * `array<bigint>` columns.
+    */
+  private def estJaccardBp(a: String, b: String, numHashes: Int) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> " +
+      "CASE WHEN x = y THEN cast(1 as bigint) ELSE cast(0 as bigint) END), " +
+      s"cast(0 as bigint), (acc, v) -> acc + v) * 10000 div $numHashes")
+
+  private def readOrEmptyBands(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    try spark.read.parquet(dir).select("doc_id", "ikey")
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)
+          .add("ikey", org.apache.spark.sql.types.LongType))
+    }
+
+  private def readOrEmptySigs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    try spark.read.parquet(dir).select("doc_id", "sig")
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)
+          .add("sig", org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))
+    }
 
   /** Residual-duplication audit of a [[nearDupIngest]] corpus — the
     * measured size of the over-drop design's ONE admission channel:

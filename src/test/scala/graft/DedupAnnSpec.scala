@@ -390,6 +390,26 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("OPQ permutation: true permutation, exactly balanced variance ranks per subspace") {
+    val perm = Ann.opqPermutation(emb)
+    assert(perm.sorted === (0 until 64))
+    // the snake draft balances EXACTLY: paired rounds hand each
+    // subspace ranks summing 16t+7, so all four subspace rank totals
+    // are equal — the variance-starvation failure mode is closed by
+    // construction
+    // newPos = s*16 + t came from rank r = t*4 + (s or 3-s by round)
+    val sums = (0 until 4).map { s =>
+      (0 until 16).map { t =>
+        val rBase = t * 4
+        if (t % 2 == 0) rBase + s else rBase + 3 - s
+      }.sum
+    }
+    assert(sums.distinct.size === 1, s"unbalanced draft: $sums")
+    // and the permuted chain serves full result sets
+    val out = Ann.knnPqOpq(emb, 5, 3).collect()
+    assert(out.length === 5 * 3)
+  }
+
   test("sampled-truth recall: half the queries, per-method agreement with the exact row") {
     val exact = Ann.annRecall(emb, 10, 10).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("recall_bp")).toMap

@@ -165,6 +165,99 @@ class StreamingCurationSpec extends SparkSuite {
     assert(ids(s"$root/corpus") === Set(1L, 4L))
   }
 
+  test("verify mode: band false positive survives, fast mode drops it, true dup drops, replay holds") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val root = tmpDir("st-neardup-verify")
+    val base = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs across the wide green field toward the old stone bridge ") * 2
+    // find an S-curve FALSE POSITIVE deterministically under the fixed
+    // hash family: a doc of LOW estimated Jaccard vs `base` that still
+    // shares ≥1 band at the 4×2 geometry
+    val fillers = Array("river", "stone", "cloud", "ember", "frost",
+      "maple", "raven", "slate", "tidal", "wharf")
+    val variants = (0 until 120).map { i =>
+      val tail = (0 until 14)
+        .map(j => fillers((i + j * 3) % 10) + i + j).mkString(" ")
+      (100L + i) -> (base.split(' ').take(10).mkString(" ") + " " + tail)
+    }
+    val probe = ((1L -> base) +: variants).toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(probe)
+      .select(col("doc_id"), graft.functions.Portable.hexHash60(col("s")).as("h"))
+    val sigs = Dedup.minhashSignatures(sh, 8)
+    val banded = Dedup.bandedSignatures(sigs, 4, 2)
+      .select(col("doc_id"),
+        concat_ws(":", col("band"), col("band_key")).as("bk"))
+    val baseBands = banded.filter(col("doc_id") === 1L).select("bk")
+    val colliders = banded.join(baseBands, Seq("bk"))
+      .filter(col("doc_id") =!= 1L)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted
+    val sigMap = sigs.collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    def est(a: Long, b: Long): Long =
+      sigMap(a).zip(sigMap(b)).count { case (x, y) => x == y } * 10000L / 8
+    val fpOpt = colliders.find(v => est(1L, v) < 5000)
+    assert(fpOpt.nonEmpty, "no low-similarity band collision in the probe family")
+    val fp = fpOpt.get
+    val fpText = variants.find(_._1 == fp).get._2
+    def ids(dir: String): Set[Long] =
+      spark.read.parquet(dir).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+
+    // FAST mode: the collision alone drops the false positive
+    val inF = MemoryStream[(Long, String)]
+    val qF = StreamingCuration.nearDupIngest(
+      inF.toDS().toDF("doc_id", "text"), FsKeyIndex(spark, s"$root/fast/bands"),
+      s"$root/fast/corpus", s"$root/fast/ckpt", bands = 4, rows = 2)
+    try {
+      inF.addData(1L -> base, 4L -> "hi")
+      qF.processAllAvailable()
+      inF.addData(fp -> fpText)
+      qF.processAllAvailable()
+      assert(ids(s"$root/fast/corpus") === Set(1L, 4L)) // fp lost
+    } finally qF.stop()
+
+    // VERIFY mode: the stored-signature estimate clears the false
+    // positive (est < threshold) and still drops a true duplicate
+    val inV = MemoryStream[(Long, String)]
+    val qV = StreamingCuration.nearDupIngest(
+      inV.toDS().toDF("doc_id", "text"), FsKeyIndex(spark, s"$root/ver/bands"),
+      s"$root/ver/corpus", s"$root/ver/ckpt", bands = 4, rows = 2,
+      verifyMinJaccardBp = Some(5000L))
+    try {
+      inV.addData(1L -> base, 4L -> "hi")
+      qV.processAllAvailable()
+      inV.addData(fp -> fpText)
+      qV.processAllAvailable()
+      assert(ids(s"$root/ver/corpus") === Set(1L, 4L, fp)) // fp SURVIVES
+      inV.addData(999L -> base) // exact dup: est = 10000 ≥ threshold
+      qV.processAllAvailable()
+      assert(ids(s"$root/ver/corpus") === Set(1L, 4L, fp))
+    } finally qV.stop()
+
+    // replay fixpoint in verify mode: a fresh checkpoint re-delivers
+    // batch 0 while bandstore/sigstore already hold its rows — the
+    // self-match exclusion + existing-partition union keep the corpus
+    // whole and the sidecar rewrite identical
+    val inR = MemoryStream[(Long, String)]
+    val qR = StreamingCuration.nearDupIngest(
+      inR.toDS().toDF("doc_id", "text"), FsKeyIndex(spark, s"$root/ver/bands"),
+      s"$root/ver/corpus", s"$root/ver/ckpt-replayed", bands = 4, rows = 2,
+      verifyMinJaccardBp = Some(5000L))
+    try {
+      inR.addData(1L -> base, 4L -> "hi")
+      qR.processAllAvailable()
+    } finally qR.stop()
+    assert(ids(s"$root/ver/corpus") === Set(1L, 4L, fp))
+    // no duplicate sidecar rows after the replay
+    val sigRows = spark.read.parquet(s"$root/ver/bands/sigstore")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(sigRows.size === sigRows.distinct.size)
+  }
+
   test("replaying a batch is idempotent: partition rewrite, no duplicate rows") {
     val spark0 = spark
     import spark0.implicits._
