@@ -721,6 +721,16 @@ object SparkEntry {
       Dedup.contamination(Tables.documents(s, dir), col("doc_id") % 50 === 0)
         .orderBy("doc_id")),
 
+    // D19 fuzzy decontamination: verified-Jaccard near-dup test
+    // against the benchmark stratum (docs with doc_id % 10 == 7 stand
+    // in — a wider stratum than d_contamination's so near-dup pairs
+    // actually cross the split at sf0.01); bench band keys + shingles
+    // broadcast, train side never self-joins
+    "d_contamination_fuzzy" -> ((s, dir) =>
+      Dedup.contaminationFuzzy(Tables.documents(s, dir),
+        col("doc_id") % 10 === 7, NgramJaccardBp)
+        .orderBy("doc_a", "doc_b")),
+
     // near-dup clusters: connected components over the minhash pair
     // graph; one keeper (min doc_id) per cluster, singletons kept
     "d_dedup_clusters" -> ((s, dir) =>
@@ -779,6 +789,19 @@ object SparkEntry {
     // corpus-wide merge — exact-match-checkable, unlike HLL
     "t_kmv_distinct" -> ((s, dir) =>
       Sketch.kmvDistinctTokens(Tables.documents(s, dir)).orderBy("grp")),
+
+    // T15a: the Count-Min frequency sketch itself — a LINEAR sketch,
+    // so every cell is a pure function of the data and the gate
+    // hash-verifies the whole mergeable object bit-for-bit
+    "t_cms_sketch" -> ((s, dir) =>
+      Sketch.cmsSketch(Tables.documents(s, dir))
+        .orderBy("hash_id", "bucket")),
+
+    // T15b: heavy hitters through the sketch (est = min over rows;
+    // guaranteed superset of true >=1%-share tokens) with the exact
+    // audit columns inline
+    "t_cms_heavy_hitters" -> ((s, dir) =>
+      Sketch.heavyHittersCms(Tables.documents(s, dir)).orderBy("tok")),
 
     "p_pack_sequences" -> ((s, dir) =>
       Curation.packSequences(Tables.documents(s, dir), budget = 256, shards = 8)
@@ -3042,6 +3065,42 @@ object SparkEntry {
          |HAVING count(*) >= 3
          |ORDER BY doc_id""".stripMargin,
 
+    // D19: the d_minhash_lsh chain with the candidate self-join
+    // replaced by train x benchmark (doc_id % 10 = 7), then the same
+    // exact-Jaccard verify tail
+    "d_contamination_fuzzy" ->
+      s"""WITH $NormCte, $ShCte,
+         |params(hash_id, ha, hb) AS (VALUES
+         |  (0, 952211, 37199), (1, 370259, 915583), (2, 768389, 68477),
+         |  (3, 113111, 331777), (4, 597269, 749341), (5, 286871, 55411),
+         |  (6, 851423, 426389), (7, 104729, 711871)),
+         |sig AS (
+         |  SELECT doc_id, hash_id,
+         |         min((ha * (h % 1048576) + hb) % 1048573) AS minhash
+         |  FROM sh, params GROUP BY doc_id, hash_id
+         |),
+         |banded AS (
+         |  SELECT doc_id, (hash_id // 2)::INT AS band,
+         |         (min(CASE WHEN hash_id % 2 = 0 THEN minhash END) * 1048583
+         |           + min(CASE WHEN hash_id % 2 = 1 THEN minhash END))::BIGINT AS band_key
+         |  FROM sig GROUP BY doc_id, (hash_id // 2)::INT
+         |),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.band_key = y.band_key
+         |  WHERE x.doc_id % 10 <> 7 AND y.doc_id % 10 = 7
+         |),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+         |  FROM cands c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+         |  GROUP BY 1, 2
+         |)
+         |$JaccTail""".stripMargin,
+
     "t_sample_split" ->
       """SELECT doc_id, bucket,
         |       CASE WHEN bucket < 80 THEN 'train'
@@ -4083,6 +4142,61 @@ object SparkEntry {
          |                  / sk.h_k::DOUBLE)::BIGINT END AS distinct_est
          |FROM sk JOIN ex ON sk.grp = ex.grp
          |ORDER BY sk.grp""".stripMargin
+    },
+
+    // T15a: Count-Min sketch cells — params VALUES generated from the
+    // SAME Scala seq (Sketch.cmsParams) the Spark projection uses, so
+    // the two engines cannot drift; `//` is DuckDB integer division,
+    // matching the Spark side's `div`
+    "t_cms_sketch" -> {
+      val params = Sketch.cmsParams().map { case (i, a, b, d) =>
+        s"($i, $a, $b, $d)" }.mkString(", ")
+      s"""WITH $NormCte, $TokCte,
+         |occ AS (SELECT ${sqlH60("tok")} AS h FROM tok),
+         |params(hash_id, ha, hb, sdiv) AS (VALUES $params)
+         |SELECT hash_id,
+         |       ((ha * ((h // sdiv) % 1048576) + hb) % ${Dedup.MinHashPrime})
+         |         % ${Sketch.CmsWidth} AS bucket,
+         |       count(*)::BIGINT AS cnt
+         |FROM occ, params GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // T15b: heavy hitters decoded through the sketch — est(tok) is the
+    // min over the depth cells the token hashes to (every one of which
+    // the token itself incremented, so the join always finds all
+    // depth rows); threshold compared in integer cross-multiplied form
+    "t_cms_heavy_hitters" -> {
+      val params = Sketch.cmsParams().map { case (i, a, b, d) =>
+        s"($i, $a, $b, $d)" }.mkString(", ")
+      s"""WITH $NormCte, $TokCte,
+         |occ AS (SELECT tok, ${sqlH60("tok")} AS h FROM tok),
+         |params(hash_id, ha, hb, sdiv) AS (VALUES $params),
+         |cms AS (
+         |  SELECT hash_id,
+         |         ((ha * ((h // sdiv) % 1048576) + hb) % ${Dedup.MinHashPrime})
+         |           % ${Sketch.CmsWidth} AS bucket,
+         |         count(*)::BIGINT AS cnt
+         |  FROM occ, params GROUP BY 1, 2
+         |),
+         |exact AS (
+         |  SELECT tok, min(h) AS h, count(*)::BIGINT AS n_exact
+         |  FROM occ GROUP BY tok
+         |),
+         |total AS (SELECT count(*)::BIGINT AS n FROM occ),
+         |est AS (
+         |  SELECT e.tok, e.n_exact, min(c.cnt) AS est_count
+         |  FROM exact e
+         |  JOIN params p ON true
+         |  JOIN cms c ON c.hash_id = p.hash_id
+         |    AND c.bucket = ((p.ha * ((e.h // p.sdiv) % 1048576) + p.hb)
+         |                     % ${Dedup.MinHashPrime}) % ${Sketch.CmsWidth}
+         |  GROUP BY e.tok, e.n_exact
+         |)
+         |SELECT tok, n_exact, est_count,
+         |       (est_count - n_exact)::BIGINT AS overcount
+         |FROM est, total
+         |WHERE est_count * 10000 >= n * 100
+         |ORDER BY tok""".stripMargin
     },
 
     "d_incremental_dedup" -> IncrementalDedupSql,

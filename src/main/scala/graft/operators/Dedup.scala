@@ -791,6 +791,53 @@ object Dedup {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  /** Fuzzy (near-duplicate) decontamination — the similarity twin of
+    * [[contamination]]: [[contamination]] is the GPT-3-style exact
+    * n-gram overlap test (ANY shared shingle evidence), this is the
+    * Llama-style near-dup test — a training doc is contaminated when
+    * its verified Jaccard against some benchmark doc clears a
+    * threshold, catching truncated/lightly-paraphrased benchmark
+    * copies that still read as the same document while NOT flagging
+    * docs that merely quote a common phrase.
+    *
+    * Same machinery as [[minhashLsh]], but the candidate join is
+    * train × BENCHMARK instead of a corpus self-join: benchmark band
+    * keys and benchmark shingles are both broadcast (the benchmark set
+    * being corpus-scale-small is what makes decontamination feasible
+    * at all), so the train side is never shuffled pairwise — candidate
+    * volume is bounded by benchmark bucket occupancy, and only
+    * LSH-collided (train, bench) pairs reach the exact-Jaccard verify.
+    *
+    * Output: (doc_a = training doc, doc_b = benchmark doc, inter,
+    * union_sh, jacc_bp) for verified pairs with jacc_bp >= threshold.
+    */
+  def contaminationFuzzy(docs: DataFrame, isBenchmark: Column,
+      minJaccardBp: Long, bands: Int = MinHashBands,
+      rows: Int = MinHashRows): DataFrame = {
+    graft.core.Configs.LshGeometry(bands, rows, minJaccardBp).validated
+    val sh = cappedShingleHashes(docs)
+    val benchDocs = broadcast(docs.select(col("doc_id")).where(isBenchmark))
+    val banded = bandedSignatures(minhashSignatures(sh, bands * rows),
+      bands, rows)
+    val benchBanded = banded.join(benchDocs, Seq("doc_id"), "left_semi")
+    val trainBanded = banded.join(benchDocs, Seq("doc_id"), "left_anti")
+    val cands = trainBanded.as("x")
+      .join(broadcast(benchBanded).as("y"),
+        col("x.band") === col("y.band")
+          && col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val benchSh = broadcast(sh.join(benchDocs, Seq("doc_id"), "left_semi"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(benchSh.as("sb"), col("doc_b") === col("sb.doc_id")
+        && col("sa.h") === col("sb.h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    jaccardFilter(inter, sizes, minJaccardBp)
+  }
+
   /** Line-level exact dedup — the C4/Dolma-style sub-document pass
     * (C4 dropped lines duplicated across the corpus; Dolma's paragraph
     * dedup keeps only a line's first occurrence): given `(doc_id, pos,

@@ -79,4 +79,116 @@ object Sketch {
           .otherwise(round(lit(num) / col("h_k").cast("double"), 0)
             .cast("long")).as("distinct_est"))
   }
+
+  /** Count-Min sketch geometry: depth rows × width buckets. Width 1024
+    * gives ε = e/w ≈ 0.27% of stream length per-row over-estimate
+    * bound in the classic analysis; depth 4 takes the min over four
+    * decorrelated rows. The whole sketch is depth·width longs —
+    * driver/broadcast parameter scale.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Per-row bucket expression pieces, generated from ONE Scala seq so
+    * the Spark projection and the oracle SQL cannot drift: row i
+    * hashes the i-th 20-bit slice of the shared 60-bit token hash
+    * (slices decorrelate the rows — two tokens colliding in one row's
+    * slice still split in another's) through the portable LCG
+    * `(a·h20 + b) mod P`, then mod width. All arithmetic stays below
+    * 2^40 — inside DuckDB's checked-i64 range.
+    * Returns (hash_id, a, b, sliceDiv = 2^(10·i)).
+    */
+  def cmsParams(depth: Int = CmsDepth): Seq[(Int, Long, Long, Long)] =
+    Dedup.hashParams(depth).zipWithIndex.map { case ((a, b), i) =>
+      (i, a, b, 1L << (10 * i))
+    }
+
+  /** Count-Min frequency sketch over corpus tokens — the T14 KMV idea
+    * applied to FREQUENCY: engine-native frequent-items summaries
+    * (SpaceSaving, Misra-Gries) are stream-order-dependent, so no
+    * exact-match harness can gate them; Count-Min (Cormode &
+    * Muthukrishnan 2005) is a LINEAR sketch — cell (i, j) is exactly
+    * `Σ count(tok) where bucket_i(tok) = j`, a pure function of the
+    * data — so every cell is bit-identical in any engine that agrees
+    * on the hash, and sketches of corpus shards MERGE by element-wise
+    * addition (pinned in the spec).
+    *
+    * Scale: the stack explodes each token occurrence to `depth` rows,
+    * then ONE partial-aggregating groupBy collapses to depth·width
+    * rows — each map task emits at most the sketch itself, so shuffle
+    * volume is bounded by depth·width·tasks regardless of corpus size
+    * (the reason a 100 TB token-frequency pass ships sketches, not
+    * token tables). Output: (hash_id, bucket, cnt).
+    */
+  def cmsSketch(docs: DataFrame, depth: Int = CmsDepth,
+      width: Int = CmsWidth): DataFrame = {
+    // depth ≤ 6: row i reads bits [10·i, 10·i+20) of the 60-bit hash;
+    // a 7th row would slice past the hash and collapse to one bucket
+    graft.core.Validation.validate("cms",
+      graft.core.Validation.knob("depth", depth, minV = 1L, maxV = 6L) ++
+        graft.core.Validation.knob("width", width, minV = 2L))
+    val occ = docs
+      .select(explode(split(normText(col("text")), " ")).as("tok"))
+      .select(hexHash60(col("tok")).as("h"))
+    val stackExpr = cmsParams(depth).map { case (i, a, b, d) =>
+      s"$i, (($a * ((h div $d) % 1048576) + $b) % ${Dedup.MinHashPrime}) % $width"
+    }.mkString(", ")
+    occ.selectExpr(s"stack($depth, $stackExpr) AS (hash_id, bucket)")
+      .groupBy("hash_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy hitters through the Count-Min sketch: every token whose
+    * sketch estimate `est = min_i cms[i][bucket_i(tok)]` clears the
+    * share threshold. Count-Min only ever OVER-estimates (each cell
+    * sums the token's own count plus its bucket-mates'), so the output
+    * is a guaranteed SUPERSET of the true heavy hitters — no false
+    * negatives, deterministically (the audit columns `n_exact` and
+    * `overcount = est − exact` make the guarantee and its cost
+    * visible per token, and the gate hash-verifies both).
+    *
+    * The estimate is a ZERO-shuffle projection: the sketch (depth·width
+    * longs) collects to the driver and ships as per-row literal
+    * arrays indexed by the same bucket expressions — the PQ
+    * distance-table trick applied to frequency. The exact-count
+    * groupBy here feeds the audit columns and the candidate stream; a
+    * pure 100 TB serving path estimates any candidate token without
+    * it (the sketch never needs the token table again).
+    *
+    * Threshold semantics: keep tokens with
+    * `est ≥ ceil(n_total · minShareBp / 10000)`, compared in integer
+    * cross-multiplied form. `n_total` is read from sketch row 0 (every
+    * row of a CMS sums to the stream length — no extra pass).
+    */
+  def heavyHittersCms(docs: DataFrame, minShareBp: Long = 100L,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    graft.core.Validation.validate("cms-heavy-hitters",
+      graft.core.Validation.knob("minShareBp", minShareBp, minV = 1L,
+        maxV = 10000L))
+    val sketch = cmsSketch(docs, depth, width)
+    val cells = sketch.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val nTotal = cells.filter(_._1 == 0).map(_._3).sum
+    // dense per-row literal arrays (absent buckets are zero cells)
+    val rowArr: Map[Int, Seq[Long]] = (0 until depth).map { i =>
+      val m = cells.filter(_._1 == i).map(c => c._2 -> c._3).toMap
+      i -> (0 until width).map(j => m.getOrElse(j.toLong, 0L))
+    }.toMap
+    val exact = docs
+      .select(explode(split(normText(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    val withH = exact.withColumn("h", hexHash60(col("tok")))
+    val ests = cmsParams(depth).map { case (i, a, b, d) =>
+      // `div`, not `/`: h is up to 2^60 and Column./ is IEEE double
+      // division (53-bit mantissa would corrupt the slice)
+      element_at(typedLit(rowArr(i)),
+        (((lit(a) * (expr(s"h div $d") % 1048576L)
+          + lit(b)) % Dedup.MinHashPrime) % width).cast("int") + 1)
+    }
+    withH
+      .withColumn("est_count", least(ests: _*))
+      .filter(col("est_count") * 10000L >= lit(nTotal) * minShareBp)
+      .select(col("tok"), col("n_exact"), col("est_count"),
+        (col("est_count") - col("n_exact")).as("overcount"))
+  }
 }

@@ -415,6 +415,65 @@ class CurationSpec extends SparkSuite {
     assert(merged === all.take(k))
   }
 
+  test("cmsSketch: exact cell reference, linearity (shard merge = sum)") {
+    import graft.operators.Sketch
+    val sk = Sketch.cmsSketch(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // driver-side reference: replay every cell from the token stream
+    val hs = docs.select(
+        explode(split(Portable.normText(col("text")), " ")).as("tok"))
+      .select(Portable.hexHash60(col("tok")).as("h"))
+      .collect().map(_.getLong(0))
+    val ref = hs.flatMap { h =>
+      Sketch.cmsParams().map { case (i, a, b, d) =>
+        (i, ((a * ((h / d) % 1048576L) + b) % 1048573L) % Sketch.CmsWidth)
+      }
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(sk === ref)
+    // every row of a CMS sums to the stream length
+    (0 until Sketch.CmsDepth).foreach { i =>
+      assert(sk.collect { case ((r, _), c) if r == i => c }.sum
+        === hs.length.toLong, s"row $i")
+    }
+    // LINEARITY — the mergeable-summary property the 100 TB story
+    // rests on: the sketch of the union is the element-wise sum of
+    // per-shard sketches
+    val lo = Sketch.cmsSketch(docs.filter(col("doc_id") % 2 === 0)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hi = Sketch.cmsSketch(docs.filter(col("doc_id") % 2 === 1)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val summed = (lo.keySet ++ hi.keySet).map(k =>
+      k -> (lo.getOrElse(k, 0L) + hi.getOrElse(k, 0L))).toMap
+    assert(summed === sk)
+  }
+
+  test("heavyHittersCms: never under-estimates, no true heavy hitter missed") {
+    import graft.operators.Sketch
+    val bp = 100L
+    val out = Sketch.heavyHittersCms(docs, bp).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    // exact reference counts
+    val exact = docs.select(
+        explode(split(Portable.normText(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    // CMS over-estimate guarantee: est >= exact, overcount consistent
+    out.foreach { case (tok, (nExact, est, over)) =>
+      assert(nExact === exact(tok), tok)
+      assert(est >= nExact, tok)
+      assert(over === est - nExact, tok)
+      assert(est * 10000L >= n * bp, tok) // threshold actually applied
+    }
+    // NO FALSE NEGATIVES: every token with true share >= threshold is
+    // in the output (est >= exact makes this structural, not sampled)
+    exact.foreach { case (tok, c) =>
+      if (c * 10000L >= n * bp) assert(out.contains(tok), s"missed $tok")
+    }
+  }
+
   test("curationAudit: fates partition the corpus; kept set == curatedCorpus") {
     import graft.operators.Pipelines
     val bench = col("doc_id") % 50 === 0

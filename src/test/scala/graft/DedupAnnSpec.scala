@@ -230,6 +230,38 @@ class DedupAnnSpec extends SparkSuite {
     assert(flagged.length === 1)
   }
 
+  test("contaminationFuzzy: near-dup of a bench doc flagged; mere phrase overlap not") {
+    import spark.implicits._
+    val isBench = col("doc_id") % 10 === 7
+    val bench = docs.filter(col("doc_id") === 7).select("text").head.getString(0)
+    // 999990 ≡ 0 (mod 10): a training-side near-dup — the benchmark
+    // text with a short suffix appended (high verified Jaccard); and
+    // 999980: a doc QUOTING one benchmark phrase inside unrelated text
+    // (shares shingles — exact D8 contamination evidence — but reads
+    // as a different document)
+    val phrase = bench.split(" ").take(4).mkString(" ")
+    val filler = (1 to 60).map(i => s"unrelated filler token$i").mkString(" ")
+    val spiked = docs.select("doc_id", "text").unionByName(Seq(
+      (999990L, bench + " trailing note"),
+      (999980L, s"$filler $phrase $filler")).toDF("doc_id", "text"))
+    val out = Dedup.contaminationFuzzy(spiked, isBench, minJaccardBp = 5000L)
+      .collect()
+    // split sides are respected
+    assert(out.forall(_.getAs[Long]("doc_a") % 10 != 7))
+    assert(out.forall(_.getAs[Long]("doc_b") % 10 == 7))
+    assert(out.forall(_.getAs[Long]("jacc_bp") >= 5000L))
+    val byA = out.groupBy(_.getAs[Long]("doc_a"))
+    assert(byA.contains(999990L), "near-dup of bench doc 7 must be flagged")
+    assert(byA(999990L).exists(_.getAs[Long]("doc_b") == 7L))
+    assert(!byA.contains(999980L),
+      "phrase-quoting doc must clear the near-dup test")
+    // ...while the exact-overlap pass DOES see the quoted phrase —
+    // the two tests answer different questions by design
+    val exactFlag = Dedup.contamination(spiked, isBench, minShared = 1L)
+      .filter(col("doc_id") === 999980L).count()
+    assert(exactFlag === 1L)
+  }
+
   test("tfidf top terms: dense ranks, scores non-increasing within a doc") {
     val rows = TextAnalysis.tfidfTopTerms(docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rnk"), r.getAs[Long]("score")))

@@ -116,6 +116,32 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("fuzzy decontamination: bench side broadcast, train never shuffled pairwise") {
+    val df = SparkEntry.queries("d_contamination_fuzzy")(spark, sf)
+    val p = plan(df)
+    // BroadcastNestedLoopJoin is allowed here for the same reason as
+    // the dedup pipelines: the df-cap's 1-row corpus-count crossJoin
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the candidate join and the shingle verify must take the
+    // BROADCAST side for the benchmark tables — a sort-merge pairing
+    // there would shuffle the train side pairwise
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("cms sketch: one partial-aggregated shuffle; HH estimate adds no join") {
+    val sk = SparkEntry.queries("t_cms_sketch")(spark, sf)
+    val p = plan(sk)
+    assert(!p.contains("Join"), p.take(1500))
+    // partial agg before the exchange: each map task emits at most the
+    // depth×width sketch, the property the 100 TB claim rests on
+    assert(p.contains("partial"), p.take(2000))
+    // the heavy-hitter decode estimates through driver-collected
+    // literal arrays — NO join against the sketch table appears in
+    // its plan (the exact-count groupBy is the only aggregation)
+    val hh = plan(SparkEntry.queries("t_cms_heavy_hitters")(spark, sf))
+    assert(!hh.contains("Join"), hh.take(2000))
+  }
+
   test("hyperplane bucketing is a pure projection: zero exchanges") {
     val p = plan(graft.operators.Ann.bucketed(
       graft.sources.Tables.embeddings(spark, sf)))

@@ -31,11 +31,13 @@ PROBE_TIMEOUT = 300          # calm probe ~95 s (+ the untimed warmup pass
                              # would still blow this
 PROBE_DEDUP_MAX = 16.0       # calm warm median ~8-12 s
 PROBE_KMEANS_MAX = 9.0       # calm warm median ~5-7 s
-MAX_SANE_TOTAL = 400.0       # r17 recalibration: the surface is now 133
+MAX_SANE_TOTAL = 400.0       # r17 recalibration: the surface is now 136
                              # gated queries (+7 new rows incl. the
                              # tokenize-ids pair, pHash, sampled recall,
                              # OPQ, escalated filtered kNN; tuned recall
-                             # gained a method) — ~+30 calm seconds
+                             # gained a method; late r17: +t_cms_sketch
+                             # +t_cms_heavy_hitters +d_contamination_fuzzy,
+                             # ~6 calm seconds) — ~+36 calm seconds total
 OLD_MAX_SANE_TOTAL_R16 = 360.0  # r16 note kept: the surface was then 126
                              # queries (r15's 122 + a_knn_filtered ~2 s
                              # + a_knn_filtered_truth ~1 s +
