@@ -196,6 +196,34 @@ object ScaleStress {
     */
   val QueriesR16b: Seq[String] = Seq("a_hybrid_search", "a_knn_filtered")
 
+  /** Round-17 additions, their own gated artifact (same reason):
+    *  - a_knn_filtered_escalated (A14): the base-tier scan + the
+    *    count-gated full-coverage re-scan for dry queries only — the
+    *    per-query probe-depth claim under N× corpus.
+    *  - x_image_dedup_phash (X5): batched decode + fixed-point DCT +
+    *    Hamming-banded join; decode work is per-image and the band
+    *    join is bucket-scale.
+    *  - t_tokenize_ids (T18): the id-emitting codegen projection +
+    *    (doc_id, pos, id) explode — N× rows through a zero-shuffle
+    *    expression, the sequence twin of the t_token_count_bpe
+    *    control.
+    *  - d_span_strip_maximal (D18): the gaps-and-islands window over
+    *    covered positions — per-doc group sizes are factor-invariant,
+    *    N× groups.
+    *  - t_bpe_train (T19): 24 sequential pair-count argmax jobs over
+    *    the word table; vocab grows with the rotated copies (new
+    *    letter-rotated words + big doc_id numerals), pricing training
+    *    against corpus growth.
+    *  - d_contamination_fuzzy (D19): benchmark-broadcast LSH
+    *    candidates + exact verify — bench stratum grows N× with the
+    *    synth ids, train side scans N×.
+    *  - t_cms_heavy_hitters (T15): sketch + exact groupBys at N×
+    *    token volume with a constant-size sketch output.
+    */
+  val QueriesR17: Seq[String] = Seq("a_knn_filtered_escalated",
+    "x_image_dedup_phash", "t_tokenize_ids", "d_span_strip_maximal",
+    "t_bpe_train", "d_contamination_fuzzy", "t_cms_heavy_hitters")
+
   /** Locale-independent 2-decimal formatter: every number printed here
     * is machine-parsed (per-rep stderr lines by the calm-window
     * recorder's regex, the JSON line by the artifact writer); a
@@ -358,7 +386,7 @@ object ScaleStress {
     val reps = if (args.length > 2) args(2).toInt else 3
     // optional comma-separated subset: lets the calm-window JVM probe
     // time two signature queries without paying for the whole family
-    val known = Queries ++ QueriesR16b
+    val known = Queries ++ QueriesR16b ++ QueriesR17
     val queries =
       if (args.length > 3) known.filter(args(3).split(",").toSet)
       else Queries

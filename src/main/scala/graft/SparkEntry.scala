@@ -28,6 +28,10 @@ object SparkEntry {
   val CkptSegs = 3
   /** Compaction plan parameters. */
   val CompactMinSegs = 2; val CompactMaxSegs = 5
+  /** Gated distributed-BPE-training depth (T19): enough merges that
+    * both digit and prose rules appear, small enough that the
+    * generated per-iteration oracle CTE chain stays readable. */
+  val BpeTrainN = 24
 
   private def msgs(s: SparkSession, dir: String): DataFrame =
     MessageFraming.messages(Tables.events(s, dir))
@@ -654,6 +658,15 @@ object SparkEntry {
     // itself, not just a regex
     "t_token_count_bpe" -> ((s, dir) =>
       TextAnalysis.tokenCountBpe(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // T19: distributed BPE TRAINING — the first BpeTrainN merges
+    // trained over this corpus' word multiset (words + doc_id
+    // numerals, TrainBpe's exact units), argmax chain verified
+    // cross-engine by generated iteration CTEs over the same
+    // double-space symbol-string representation
+    "t_bpe_train" -> ((s, dir) =>
+      BpeTrainer.trainMerges(Tables.documents(s, dir), BpeTrainN)
+        .orderBy("rank")),
 
     // T18 at production table shape: the BYTE-LEVEL tokenizer (GPT-2
     // byte encoder — identity on this printable-ASCII corpus, the
@@ -2924,6 +2937,55 @@ object SparkEntry {
          |    ORDER BY score DESC, tok))::INT AS rnk
          |  FROM scored
          |) WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // T19 training replay: one generated CTE block per merge
+    // iteration — pair counts from the double-space symbol strings,
+    // argmax (count DESC, pair DESC = the (lhs, rhs) tuple order,
+    // since ' ' sorts below the [a-z0-9] alphabet), then ONE
+    // non-overlapping replace whose pattern owns its delimiters, so
+    // the call IS the trainer's greedy single merge pass (runs
+    // included: 'a a a a a' -> 'aa aa a' in both engines)
+    "t_bpe_train" -> {
+      // v$i is referenced twice (pair counts + next vocab) and b$i
+      // twice (merge + output arm): MATERIALIZED, or DuckDB's CTE
+      // inlining re-evaluates the chain exponentially in iterations
+      // (24 doublings = 2^24 parquet scans — found as an fd explosion)
+      val iters = (0 until BpeTrainN).map { i =>
+        s"""s$i AS (SELECT string_split(trim(ws), '  ') AS s, cnt FROM v$i),
+           |p$i AS (
+           |  SELECT unnest(list_transform(range(1, len(s)),
+           |                j -> s[j] || ' ' || s[j+1])) AS p, cnt
+           |  FROM s$i WHERE len(s) >= 2
+           |),
+           |a$i AS (SELECT p, sum(cnt)::BIGINT AS c FROM p$i GROUP BY p),
+           |b$i AS MATERIALIZED (
+           |  SELECT p FROM a$i ORDER BY c DESC, p DESC LIMIT 1),
+           |v${i + 1} AS MATERIALIZED (
+           |  SELECT replace(ws,
+           |           ' ' || split_part(p, ' ', 1) || '  ' ||
+           |             split_part(p, ' ', 2) || ' ',
+           |           ' ' || replace(p, ' ', '') || ' ') AS ws, cnt
+           |  FROM v$i, b$i
+           |)""".stripMargin
+      }.mkString(",\n")
+      val arms = (0 until BpeTrainN)
+        .map(i => s"SELECT $i::INT AS rank, p FROM b$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH $NormCte,
+         |v0 AS MATERIALIZED (
+         |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS ws,
+         |         count(*)::BIGINT AS cnt
+         |  FROM (
+         |    SELECT unnest(string_split(t, ' ')) AS w FROM norm
+         |    UNION ALL SELECT doc_id::VARCHAR AS w FROM documents
+         |  ) WHERE w <> '' GROUP BY 1
+         |),
+         |$iters
+         |SELECT rank, split_part(p, ' ', 1) AS lhs,
+         |       split_part(p, ' ', 2) AS rhs
+         |FROM ($arms)
+         |ORDER BY rank""".stripMargin
+    },
 
     // tokenizer-true counts: the oracle replays graft's greedy BPE as
     // a recursive CTE over the word VOCABULARY (not per occurrence) —

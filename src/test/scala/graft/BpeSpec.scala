@@ -203,4 +203,58 @@ class BpeSpec extends SparkSuite {
     assert(n2 < n1 * 2 + 50 * 1000 * 1000,
       s"5x table size cost ${n2 / 1e6}ms vs ${n1 / 1e6}ms — not flat")
   }
+
+  test("trainMerges equals the classic in-memory trainer on the corpus multiset") {
+    import graft.operators.BpeTrainer
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val n = 40
+    val out = BpeTrainer.trainMerges(docs, n).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    // reference: graft.tools.TrainBpe's inner loop, verbatim algorithm,
+    // over the same word multiset (normText words + doc_id strings)
+    val words = docs.select(col("doc_id").cast("string").as("id"),
+        Portable.normText(col("text")).as("t")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        :+ r.getString(0))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, c) => w.toVector.map(String.valueOf(_)) -> c }
+    val ref = Seq.newBuilder[(String, String)]
+    (0 until n).foreach { _ =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+      }
+      if (pc.nonEmpty) {
+        val (best, _) = pc.toSeq.maxBy { case ((a, b), c) => (c, a, b) }
+        ref += best
+        val merged = best._1 + best._2
+        vocab = vocab.map { case (syms, c) =>
+          val o = Vector.newBuilder[String]; var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1
+                && syms(i + 1) == best._2) { o += merged; i += 2 }
+            else { o += syms(i); i += 1 }
+          }
+          o.result() -> c
+        }
+      }
+    }
+    assert(out === ref.result())
+  }
+
+  test("trainMerges single-pass run semantics: 'aaaaa' trains (a,a) then (aa,aa)") {
+    import graft.operators.BpeTrainer
+    import spark.implicits._
+    // after merging (a,a), a greedy single pass over the 5-run gives
+    // [aa, aa, a] — a boundary-sharing replace encoding would give
+    // [aa, a, aa] instead, whose next argmax is (aa,a), not (aa,aa).
+    // doc_id 12 keeps the id word "12" repeat-free so it never
+    // competes (a 5-run id like 1000 would train (0,0) second)
+    val docs = Seq((12L, "aaaaa")).toDF("doc_id", "text")
+    val out = BpeTrainer.trainMerges(docs, 2).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(out === Seq(("a", "a"), ("aa", "aa")))
+  }
 }

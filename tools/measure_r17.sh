@@ -21,7 +21,7 @@ set -u
 cd /root/repo
 export GRAFT_CLASSES_DIR="${GRAFT_CLASSES_DIR:-/root/repo/target/frozen_r17}"
 
-NEWROWS=a_knn_filtered_escalated,x_image_dedup_phash,t_tokenize_ids,d_span_strip_maximal
+NEWROWS=a_knn_filtered_escalated,x_image_dedup_phash,t_tokenize_ids,d_span_strip_maximal,t_bpe_train,d_contamination_fuzzy,t_cms_heavy_hitters
 
 step() { # step <artifact> <cmd...>
   local art=$1; shift
