@@ -734,7 +734,13 @@ object Ann {
     */
   def pqCodebooks(embeddings: DataFrame, k: Int = PqK,
       iterations: Int = 2): Seq[Seq[(Long, Seq[Long], Long)]] =
-    pqCodebooksFromQ(quantized(embeddings), k, iterations)
+    // the (vec_id, v) projection matches knnPqFromQ's training frame
+    // EXACTLY: the centroid memo keys on the canonicalized input plan,
+    // and the r17 OPQ refactor left this caller on the unprojected
+    // frame — every consumer retrained the books its sibling had just
+    // trained (a_pq_codes 0.6 s -> 4 s in the r17 keepers)
+    pqCodebooksFromQ(quantized(embeddings).select(col("vec_id"), col("v")),
+      k, iterations)
 
   /** [[pqCodebooks]] over an already-integer vector column `v` keyed by
     * `vec_id` — lets the IVFADC path train the product quantizer on
