@@ -4257,7 +4257,7 @@ object SparkEntry {
          |SELECT tok, n_exact, est_count,
          |       (est_count - n_exact)::BIGINT AS overcount
          |FROM est, total
-         |WHERE est_count * 10000 >= n * 100
+         |WHERE est_count * 10000 >= n * ${Sketch.HeavyHitterShareBp}
          |ORDER BY tok""".stripMargin
     },
 

@@ -66,6 +66,8 @@ object BpeTrainer {
         trim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" ")).as("ws"),
       col("cnt"))
       .localCheckpoint(eager = true)
+    // the checkpointed frame whose blocks the NEXT checkpoint releases
+    var lastCkpt = vocab
     val merges = Seq.newBuilder[(Int, String, String)]
     var i = 0
     var dry = false
@@ -88,7 +90,15 @@ object BpeTrainer {
         // inlining them in a SQL literal is quote-safe
         vocab = vocab.withColumn("ws",
           expr(s"replace(ws, ' $a  $b ', ' $a$b ')"))
-        if ((i + 1) % 64 == 0) vocab = vocab.localCheckpoint(eager = true)
+        if ((i + 1) % 64 == 0) {
+          // release the PREVIOUS checkpoint's blocks once the new one
+          // has materialized (eager = the new copy exists before the
+          // unpersist): without this a 2000-merge run pins ~31 full
+          // copies of the word table in executor storage
+          vocab = vocab.localCheckpoint(eager = true)
+          lastCkpt.unpersist()
+          lastCkpt = vocab
+        }
         i += 1
       }
     }

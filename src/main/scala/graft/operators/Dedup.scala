@@ -810,6 +810,17 @@ object Dedup {
     *
     * Output: (doc_a = training doc, doc_b = benchmark doc, inter,
     * union_sh, jacc_bp) for verified pairs with jacc_bp >= threshold.
+    *
+    * CALLER CONTRACT — `isBenchmark` must select a corpus-scale-SMALL
+    * set: the benchmark's banded signatures AND its full shingle
+    * table are broadcast (driver + per-executor copies), so the
+    * predicate's matching shingle volume must fit comfortably in one
+    * executor's memory (the real decontamination shape: thousands of
+    * eval documents against billions of training docs). A wide
+    * predicate (a large fraction of the corpus) blows up the
+    * broadcast, not the answer — if the "benchmark" side can be
+    * corpus-scale, use [[minhashLsh]]'s shuffled self-join geometry
+    * instead.
     */
   def contaminationFuzzy(docs: DataFrame, isBenchmark: Column,
       minJaccardBp: Long, bands: Int = MinHashBands,

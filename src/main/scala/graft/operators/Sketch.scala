@@ -89,6 +89,13 @@ object Sketch {
   val CmsDepth = 4
   val CmsWidth = 1024
 
+  /** Default heavy-hitter share threshold (basis points). One
+    * constant interpolated into BOTH the Spark call and the DuckDB
+    * oracle string (the cmsParams anti-drift pattern) — a default
+    * change cannot silently desynchronize the two sides.
+    */
+  val HeavyHitterShareBp = 100L
+
   /** Per-row bucket expression pieces, generated from ONE Scala seq so
     * the Spark projection and the oracle SQL cannot drift: row i
     * hashes the i-th 20-bit slice of the shared 60-bit token hash
@@ -160,7 +167,7 @@ object Sketch {
     * cross-multiplied form. `n_total` is read from sketch row 0 (every
     * row of a CMS sums to the stream length — no extra pass).
     */
-  def heavyHittersCms(docs: DataFrame, minShareBp: Long = 100L,
+  def heavyHittersCms(docs: DataFrame, minShareBp: Long = HeavyHitterShareBp,
       depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
     graft.core.Validation.validate("cms-heavy-hitters",
       graft.core.Validation.knob("minShareBp", minShareBp, minV = 1L,
