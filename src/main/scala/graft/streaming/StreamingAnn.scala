@@ -124,6 +124,42 @@ object StreamingAnn {
       (score, cId)
     }.sorted.take(probes).map(_._2)
 
+  /** Escalation count pass, shared by both index layouts (it never
+    * touches the vector payload — only `vec_id`, `cell`, and the
+    * predicate's attribute columns): per query, how many DISTINCT
+    * matching candidates (self excluded) live inside the base-tier
+    * cells? Queries at ≥ k keep the base budget; the rest re-rank at
+    * full cell coverage. `countDistinct` is the on-disk twin of the
+    * batch operator's plain count — a vec_id can be visible in several
+    * leaves at once (replay/compaction copies, byte-identical under
+    * the index contract), and the scored pass elects one copy, so the
+    * pool the election will see is the DISTINCT candidate set. The
+    * scan is bounded by the base-tier partitions (cell `isin` +
+    * visibility PartitionFilters, predicate as a pushed data filter);
+    * the result is request-scale (≤ numQueries rows) and collects to
+    * the driver next to the cell ranking this path already holds.
+    */
+  private def escalatedDepths(spark: SparkSession, root: String,
+      visibility: Option[Column], predicate: Option[Column],
+      qcells: Seq[(Long, Seq[Long])], k: Int, probes: Int): Map[Long, Int] = {
+    import spark.implicits._
+    val basePairs = qcells.flatMap { case (qId, cells) =>
+      cells.take(probes).map(c => (qId, c)) }
+    val baseDf = basePairs.toDF("q_id", "qcell")
+    val baseCells = basePairs.map(_._2).distinct
+    val idx0 = spark.read.parquet(root)
+      .filter(col("cell").isin(baseCells: _*))
+    val idx1 = visibility.fold(idx0)(idx0.filter)
+    val idx = predicate.fold(idx1)(idx1.filter)
+    val near = idx.join(broadcast(baseDf),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .groupBy("q_id").agg(countDistinct(col("vec_id")).as("n_near"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    qcells.map { case (qId, cells) =>
+      qId -> (if (near.getOrElse(qId, 0L) >= k) probes else cells.size)
+    }.toMap
+  }
+
   /** The batch ids every reader must exclude: tombstoned leaves
     * (logically deleted — consumed by a committed compaction, kept on
     * disk for the vacuum grace period) plus the in-flight manifest's
@@ -370,9 +406,25 @@ object StreamingAnn {
     queryIndexSqImpl(spark, indexDir, modelPath, queries, k, probes,
       Some(predicate))
 
+  /** Probe-escalated filtered query over the SQ8 layout —
+    * [[queryIndexFilteredEscalated]]'s semantics (count pass at the
+    * base tier, dry queries re-ranked at full cell coverage,
+    * min(k, pool) rows guaranteed) over int8-coded candidates. The
+    * count pass is layout-agnostic (shared helper — it never reads the
+    * code column), so the escalation decision is IDENTICAL to the
+    * full-precision index's at the same geometry; only the scoring of
+    * the final candidate set differs (quantized cosine, as
+    * [[queryIndexSq]]).
+    */
+  def queryIndexSqFilteredEscalated(spark: SparkSession, indexDir: String,
+      modelPath: String, queries: DataFrame, k: Int, predicate: Column,
+      probes: Int = 1): DataFrame =
+    queryIndexSqImpl(spark, indexDir, modelPath, queries, k, probes,
+      Some(predicate), escalate = true)
+
   private def queryIndexSqImpl(spark: SparkSession, indexDir: String,
       modelPath: String, queries: DataFrame, k: Int, probes: Int,
-      predicate: Option[Column]): DataFrame = {
+      predicate: Option[Column], escalate: Boolean = false): DataFrame = {
     import spark.implicits._
     val root = resolveRoot(indexDir) // serving generation (see retrainIndex)
     requireLayout(root, "sq8", "queryIndexSq")
@@ -382,7 +434,7 @@ object StreamingAnn {
       throw new IllegalStateException(s"no trained model at $model"))
     val qRows = quantize(queries).collect().map(r =>
       (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-    val probeRows = qRows.flatMap { case (qId, qv, qn2) =>
+    val ranked = qRows.map { case (qId, qv, qn2) =>
       // int8-code the query ONCE (probe-invariant, request-scale
       // math); HALF_UP to match the engine's `round` on negative
       // halves (math.round would round -2.5 to -2, Spark rounds to -3)
@@ -391,7 +443,14 @@ object StreamingAnn {
         else qv.map(x => BigDecimal(x * 127.0 / maxabs)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
       val qn2q = qc.map(c => c * c).sum
-      rankCells(cent, qv, qn2, probes).map(cId => (qId, cId, qc, qn2q))
+      (qId, rankCells(cent, qv, qn2, cent.size), qc, qn2q)
+    }
+    val depth: Map[Long, Int] =
+      if (!escalate) ranked.map(r => r._1 -> probes).toMap
+      else escalatedDepths(spark, root, visibility, predicate,
+        ranked.map(r => (r._1, r._2)), k, probes)
+    val probeRows = ranked.flatMap { case (qId, cells, qc, qn2q) =>
+      cells.take(depth(qId)).map(cId => (qId, cId, qc, qn2q))
     }.toSeq
     val probeDf = probeRows.toDF("q_id", "qcell", "qc", "qn2q")
     val cells = probeRows.map(_._2).distinct
@@ -1397,9 +1456,37 @@ object StreamingAnn {
     queryIndexImpl(spark, indexDir, modelPath, queries, k, probes,
       Some(predicate))
 
+  /** Filtered index query with PROBE ESCALATION — the on-disk serving
+    * form of [[graft.operators.Ann.knnIvfTrainedFilteredEscalated]]:
+    * a selective predicate can leave fewer than k matching rows inside
+    * the probed cells, and [[queryIndexFiltered]]'s fixed probe budget
+    * then silently under-returns. This variant counts each query's
+    * matching candidates at the base tier first (a cell equi-join with
+    * no scoring — the cheap pass, over ONLY the base-tier cell
+    * partitions), and only queries whose pool came up short re-rank at
+    * FULL cell coverage, which guarantees exactly `min(k, matching
+    * pool)` rows per query.
+    *
+    * Scale shape is the batch operator's: the per-query effective
+    * probe depth is request-scale state (numQueries counts, collected
+    * once — same driver-side footprint as the cell ranking this path
+    * already does), satisfied queries never pay the escalated scan,
+    * and BOTH passes keep the predicate composed into the probed-cell
+    * scan (a parquet data filter next to the cell/visibility
+    * PartitionFilters — the pass-2 `isin` widens only to the cells
+    * some dry query actually needs). Result parity with the batch
+    * escalated operator at the same geometry is spec-pinned, including
+    * through compaction.
+    */
+  def queryIndexFilteredEscalated(spark: SparkSession, indexDir: String,
+      modelPath: String, queries: DataFrame, k: Int, predicate: Column,
+      probes: Int = 1): DataFrame =
+    queryIndexImpl(spark, indexDir, modelPath, queries, k, probes,
+      Some(predicate), escalate = true)
+
   private def queryIndexImpl(spark: SparkSession, indexDir: String,
       modelPath: String, queries: DataFrame, k: Int, probes: Int,
-      predicate: Option[Column]): DataFrame = {
+      predicate: Option[Column], escalate: Boolean = false): DataFrame = {
     import spark.implicits._
     val root = resolveRoot(indexDir) // serving generation (see retrainIndex)
     requireLayout(root, "full", "queryIndex")
@@ -1409,8 +1496,18 @@ object StreamingAnn {
       throw new IllegalStateException(s"no trained model at $model"))
     val qRows = quantize(queries).collect().map(r =>
       (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-    val probeRows = qRows.flatMap { case (qId, qv, qn2) =>
-      rankCells(cent, qv, qn2, probes).map(cId => (qId, cId, qv, qn2))
+    // every query's cells ranked to FULL depth once; the per-query
+    // effective depth is the base tier, escalated to full coverage
+    // for queries the count pass found dry (batch-operator rule)
+    val ranked = qRows.map { case (qId, qv, qn2) =>
+      (qId, rankCells(cent, qv, qn2, cent.size), qv, qn2)
+    }
+    val depth: Map[Long, Int] =
+      if (!escalate) ranked.map(r => r._1 -> probes).toMap
+      else escalatedDepths(spark, root, visibility, predicate,
+        ranked.map(r => (r._1, r._2)), k, probes)
+    val probeRows = ranked.flatMap { case (qId, cells, qv, qn2) =>
+      cells.take(depth(qId)).map(cId => (qId, cId, qv, qn2))
     }.toSeq
     val probeDf = probeRows.toDF("q_id", "qcell", "qv", "qn2")
     val cells = probeRows.map(_._2).distinct

@@ -1280,4 +1280,156 @@ class StreamingAnnSpec extends SparkSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("escalated filtered parity: on-disk escalated query equals the batch escalated operator, incl. through compaction") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-escalated")
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val rows = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val queries = rows.filter(_._1 < 5).toSeq
+      .map(t => (t._1, t._2)).toDF("vec_id", "embedding")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    // whole corpus as ONE batch so the frozen model equals what the
+    // batch operator trains on the full corpus at the same geometry
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    val q = StreamingAnn.ivfIngest(
+      input.toDS().toDF("vec_id", "embedding", "label"),
+      s"$root/model.txt", s"$root/index", s"$root/ckpt",
+      kCells = 8, iterations = 2, attrs = Seq("label"))
+    try { input.addData(rows.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    // bit-for-bit vs the batch escalated operator: k = 8 at probes = 1
+    // leaves label-7 pools (~6 rows per probed cell) genuinely short
+    // for most queries, so both tiers — satisfied and escalated — are
+    // exercised in one comparison
+    val pred = col("label") === 7
+    for (probes <- Seq(1, 2)) {
+      val got = StreamingAnn.queryIndexFilteredEscalated(spark,
+        s"$root/index", s"$root/model.txt", queries, k = 8, pred,
+        probes = probes)
+      val want = Ann.knnIvfTrainedFilteredEscalated(emb, numQueries = 5,
+        k = 8, pred, kCells = 8, iterations = 2, probes = probes)
+      assert(snap(got) === snap(want), s"probes=$probes")
+    }
+
+    // forced-dry: a predicate whose GLOBAL pool is below k must return
+    // exactly min(k, per-query matching pool) rows — the guarantee the
+    // fixed-probe path cannot give (checked: it returns FEWER here)
+    val dryPred = col("label") === 7 && col("vec_id") % 7 === 0
+    val dryPool = rows.filter(t => t._3 == 7 && t._1 % 7 == 0)
+      .map(_._1).toSet
+    assert(dryPool.nonEmpty && dryPool.size < 10)
+    val dry = StreamingAnn.queryIndexFilteredEscalated(spark,
+      s"$root/index", s"$root/model.txt", queries, k = 10, dryPred,
+      probes = 1).collect()
+    val perQ = dry.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    for (qId <- 0L until 5L) {
+      val pool = (dryPool - qId).size // self never a neighbor
+      assert(perQ.getOrElse(qId, 0) === math.min(10, pool), s"q=$qId")
+      // and the returned neighbor set IS the matching pool
+      val ids = dry.filter(_.getLong(0) == qId).map(_.getLong(2)).toSet
+      assert(ids === (dryPool - qId), s"q=$qId")
+    }
+    val fixedDry = StreamingAnn.queryIndexFiltered(spark, s"$root/index",
+      s"$root/model.txt", queries, k = 10, dryPred, probes = 1)
+    assert(fixedDry.count() < dry.length.toLong)
+
+    // the predicate stays a pushed data filter on the SCORED pass next
+    // to the cell PartitionFilters (the count pass is audited by the
+    // parity + dry results above — same helper, same scan shape)
+    val plan = StreamingAnn.queryIndexFilteredEscalated(spark,
+      s"$root/index", s"$root/model.txt", queries, k = 8, pred,
+      probes = 1).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("label")), plan.take(2500))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")), plan.take(2500))
+
+    // parity SURVIVES COMPACTION: a 3-batch index (aged leaves beyond
+    // the exempted newest delivery) must return the same escalated
+    // rows before and after compact+vacuum, and still match the batch
+    // operator (the model is trained on batch 0 here, so compare
+    // on-disk-to-on-disk across the compaction AND to itself)
+    val input2 = MemoryStream[(Long, Seq[Float], Int)]
+    val q2 = StreamingAnn.ivfIngest(
+      input2.toDS().toDF("vec_id", "embedding", "label"),
+      s"$root/model2.txt", s"$root/index2", s"$root/ckpt2",
+      kCells = 8, iterations = 2, attrs = Seq("label"))
+    try {
+      (0 until 3).foreach { b =>
+        input2.addData(rows.filter(_._1 % 3 == b).toSeq: _*)
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    val e0 = snap(StreamingAnn.queryIndexFilteredEscalated(spark,
+      s"$root/index2", s"$root/model2.txt", queries, k = 8, pred,
+      probes = 1))
+    assert(StreamingAnn.compactIndex(spark, s"$root/index2",
+      minBatches = 2).nonEmpty)
+    StreamingAnn.vacuumIndex(s"$root/index2", grace = 0)
+    assert(snap(StreamingAnn.queryIndexFilteredEscalated(spark,
+      s"$root/index2", s"$root/model2.txt", queries, k = 8, pred,
+      probes = 1)) === e0)
+  }
+
+  test("escalated filtered SQ8: predicate-pruned escalation equals a matching-rows-only index; dry pool exact") {
+    // The SQ analog of the escalated parity: same FROZEN full-corpus
+    // model on both sides, so the escalated filtered query over the
+    // full index must equal the same escalated query over an index
+    // built from ONLY the matching rows (where the predicate prunes
+    // nothing) — the predicate prunes the scan, nothing else, and the
+    // count pass sees the identical pool either way.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-sq-escalated")
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val rows = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val queries = rows.filter(_._1 < 5).toSeq
+      .map(t => (t._1, t._2)).toDF("vec_id", "embedding")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    def ingest(tag: String, data: Seq[(Long, Seq[Float], Int)]): Unit = {
+      val input = MemoryStream[(Long, Seq[Float], Int)]
+      val q = StreamingAnn.ivfIngestSq(
+        input.toDS().toDF("vec_id", "embedding", "label"),
+        s"$root/model.txt", s"$root/$tag", s"$root/ckpt-$tag",
+        kCells = 8, iterations = 2, attrs = Seq("label"))
+      try { input.addData(data: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    ingest("full", rows.toSeq)                        // trains the model
+    ingest("only7", rows.filter(_._3 == 7).toSeq)     // reuses it
+
+    val pred = col("label") === 7
+    val got = snap(StreamingAnn.queryIndexSqFilteredEscalated(spark,
+      s"$root/full", s"$root/model.txt", queries, k = 8, pred,
+      probes = 1))
+    val want = snap(StreamingAnn.queryIndexSqFilteredEscalated(spark,
+      s"$root/only7", s"$root/model.txt", queries, k = 8, pred,
+      probes = 1))
+    assert(got === want)
+    assert(got.nonEmpty)
+
+    // min(k, pool) on the SQ layout too: same dry construction as the
+    // full-precision spec — escalation semantics are layout-invariant
+    val dryPred = pred && col("vec_id") % 7 === 0
+    val dryPool = rows.filter(t => t._3 == 7 && t._1 % 7 == 0)
+      .map(_._1).toSet
+    val dry = StreamingAnn.queryIndexSqFilteredEscalated(spark,
+      s"$root/full", s"$root/model.txt", queries, k = 10, dryPred,
+      probes = 1).collect()
+    for (qId <- 0L until 5L) {
+      val ids = dry.filter(_.getLong(0) == qId).map(_.getLong(2)).toSet
+      assert(ids === (dryPool - qId), s"q=$qId")
+    }
+  }
 }
