@@ -583,6 +583,16 @@ object SparkEntry {
         Tables.embeddings(s, dir), KnnQueries, 10)
         .orderBy("q_id", "rnk")),
 
+    // A15 at corpus scale: the vector leg swapped for trained IVF
+    // (probe-bounded scan). Ranks differ from the brute-force leg —
+    // IVF sees only probed cells — so the fused output needs its own
+    // oracle (the DuckDB side replays the same Lloyd's chain and
+    // probe ranking the a_knn_ivf_trained gate already proves)
+    "a_hybrid_search_ivf" -> ((s, dir) =>
+      HybridSearch.hybridTopKIvf(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), KnnQueries, 10)
+        .orderBy("q_id", "rnk")),
+
     // A14 over the compressed layout: filtered IVFADC — coarse model
     // and PQ codebooks stay full-corpus, only the code scan is
     // restricted to matching rows (predicate pushed to the source)
@@ -815,6 +825,19 @@ object SparkEntry {
     // audit columns inline
     "t_cms_heavy_hitters" -> ((s, dir) =>
       Sketch.heavyHittersCms(Tables.documents(s, dir)).orderBy("tok")),
+
+    // T15c: PURE-SKETCH serving — arbitrary candidate tokens (here a
+    // request-scale doc stratum's vocabulary) estimated with NO second
+    // corpus pass and no exact token table: corpus work is the
+    // bounded-shuffle sketch build, the estimate is a zero-shuffle
+    // literal projection over the candidates
+    "t_cms_estimate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sketch.estimateCms(docs,
+        TextAnalysis.tokens(docs.filter(col("doc_id") % 100 === 3))
+          .select("tok"))
+        .orderBy("tok")
+    }),
 
     "p_pack_sequences" -> ((s, dir) =>
       Curation.packSequences(Tables.documents(s, dir), budget = 256, shards = 8)
@@ -2820,6 +2843,68 @@ object SparkEntry {
          |        ORDER BY rrf_score DESC, doc_id))::INT AS rnk FROM fused)
          |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
+    // A15/IVF: same lexical leg + fusion, vector leg replayed through
+    // the SAME Lloyd's-chain + probe-ranking CTEs the a_knn_ivf_trained
+    // gate proves (kmeansCtes), so the two oracles cannot drift
+    "a_hybrid_search_ivf" -> {
+      val (ctes, _, cent) = kmeansCtes(k = 8, iterations = 2)
+      s"""WITH $NormCte, $TokCte,
+         |ts AS (SELECT DISTINCT doc_id, tok FROM tok),
+         |dfs AS (SELECT tok, count(*)::BIGINT AS df FROM ts GROUP BY tok),
+         |wt AS (SELECT ts.doc_id, ts.tok, (1000000 // dfs.df)::BIGINT AS w
+         |       FROM ts JOIN dfs USING (tok)),
+         |lexs AS (
+         |  SELECT qq.doc_id AS q_id, cc.doc_id AS doc_id,
+         |         sum(cc.w)::BIGINT AS lex_score
+         |  FROM wt qq JOIN wt cc ON cc.tok = qq.tok AND cc.doc_id <> qq.doc_id
+         |  WHERE qq.doc_id < $KnnQueries GROUP BY 1, 2
+         |),
+         |lex AS (SELECT q_id, doc_id, lex_rank FROM (
+         |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY lex_score DESC, doc_id) AS lex_rank
+         |  FROM lexs) WHERE lex_rank <= 20),
+         |${ctes.stripPrefix("WITH ")},
+         |rankedc AS (
+         |  SELECT qn.vec_id, qn.v, qn.norm2, c.c_id,
+         |    row_number() OVER (PARTITION BY qn.vec_id ORDER BY
+         |      (CASE WHEN c.cn2 = 0 OR qn.norm2 = 0 THEN -2.0
+         |       ELSE (list_sum(list_transform(range(1,65), i -> c.cv[i::INT]*qn.v[i::INT])))::DOUBLE
+         |        / (sqrt(c.cn2::DOUBLE) * sqrt(qn.norm2::DOUBLE)) END) DESC, c.c_id) AS c_rn
+         |  FROM qn, $cent c
+         |),
+         |assigned AS (
+         |  SELECT vec_id, v, norm2, c_id AS cell FROM rankedc WHERE c_rn = 1
+         |),
+         |probes AS (
+         |  SELECT vec_id AS q_id, v AS qv, norm2 AS qn2, c_id AS qcell
+         |  FROM rankedc WHERE vec_id < $KnnQueries AND c_rn <= 1
+         |),
+         |vecs AS (
+         |  SELECT q2.q_id, c.vec_id AS doc_id,
+         |    row_number() OVER (PARTITION BY q2.q_id ORDER BY
+         |      (list_sum(list_transform(range(1,65), i -> q2.qv[i::INT]*c.v[i::INT])))::DOUBLE
+         |        / (sqrt(q2.qn2::DOUBLE) * sqrt(c.norm2::DOUBLE)) DESC, c.vec_id) AS vec_rank
+         |  FROM probes q2 JOIN assigned c
+         |    ON c.cell = q2.qcell AND c.vec_id <> q2.q_id
+         |),
+         |vec AS (SELECT q_id, doc_id, vec_rank FROM vecs WHERE vec_rank <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+         |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |         l.lex_rank, v.vec_rank,
+         |         (coalesce(1000000000000 // (60 + l.lex_rank), 0)
+         |          + coalesce(1000000000000 // (60 + v.vec_rank), 0))::BIGINT AS rrf_score
+         |  FROM lex l FULL OUTER JOIN vec v
+         |    ON v.q_id = l.q_id AND v.doc_id = l.doc_id
+         |)
+         |SELECT q_id, rnk, doc_id, rrf_score,
+         |       coalesce(lex_rank, -1)::BIGINT AS lex_rank,
+         |       coalesce(vec_rank, -1)::BIGINT AS vec_rank
+         |FROM (SELECT *, (row_number() OVER (PARTITION BY q_id
+         |        ORDER BY rrf_score DESC, doc_id))::INT AS rnk FROM fused)
+         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+    },
+
     "t_top_tokens" ->
       s"""WITH $NormCte, $TokCte
          |SELECT tok, count(*)::BIGINT AS n_occurrences,
@@ -4259,6 +4344,40 @@ object SparkEntry {
          |FROM est, total
          |WHERE est_count * 10000 >= n * ${Sketch.HeavyHitterShareBp}
          |ORDER BY tok""".stripMargin
+    },
+
+    // T15c: pure-sketch serving — same cells CTE, candidates = the
+    // stratum's distinct vocabulary, NO exact counts anywhere
+    "t_cms_estimate" -> {
+      val params = Sketch.cmsParams().map { case (i, a, b, d) =>
+        s"($i, $a, $b, $d)" }.mkString(", ")
+      s"""WITH $NormCte, $TokCte,
+         |occ AS (SELECT ${sqlH60("tok")} AS h FROM tok),
+         |params(hash_id, ha, hb, sdiv) AS (VALUES $params),
+         |cms AS (
+         |  SELECT hash_id,
+         |         ((ha * ((h // sdiv) % 1048576) + hb) % ${Dedup.MinHashPrime})
+         |           % ${Sketch.CmsWidth} AS bucket,
+         |         count(*)::BIGINT AS cnt
+         |  FROM occ, params GROUP BY 1, 2
+         |),
+         |total AS (SELECT count(*)::BIGINT AS n FROM occ),
+         |cand AS (
+         |  SELECT DISTINCT tok, ${sqlH60("tok")} AS h
+         |  FROM tok WHERE doc_id % 100 = 3
+         |),
+         |est AS (
+         |  SELECT c0.tok, min(c.cnt)::BIGINT AS est_count
+         |  FROM cand c0
+         |  JOIN params p ON true
+         |  JOIN cms c ON c.hash_id = p.hash_id
+         |    AND c.bucket = ((p.ha * ((c0.h // p.sdiv) % 1048576) + p.hb)
+         |                     % ${Dedup.MinHashPrime}) % ${Sketch.CmsWidth}
+         |  GROUP BY c0.tok
+         |)
+         |SELECT tok, est_count,
+         |       (est_count * 10000 // n)::BIGINT AS share_bp
+         |FROM est, total ORDER BY tok""".stripMargin
     },
 
     "d_incremental_dedup" -> IncrementalDedupSql,

@@ -44,7 +44,33 @@ object HybridSearch {
 
   def hybridTopK(docs: DataFrame, embeddings: DataFrame,
       numQueries: Int, k: Int, topN: Int = 20,
-      rrfK: Int = 60): DataFrame = {
+      rrfK: Int = 60): DataFrame =
+    fuse(docs, numQueries, k, topN, rrfK,
+      // exact cosine top-N — the truth-leg form
+      Ann.knnBruteForce(embeddings, numQueries, topN))
+
+  /** The corpus-scale form: the vector leg is [[Ann.knnIvfTrained]]
+    * (probe-bounded trained-IVF scan — 1/kCells of the corpus per
+    * probe instead of a full scan), the lexical leg and the fusion
+    * unchanged. RRF consumes RANKS, so swapping the leg changes which
+    * documents carry a vec_rank (IVF sees only probed cells) and
+    * therefore the fused output — this form has its own oracle gate
+    * rather than inheriting the brute-force one. The trained state
+    * rides the shared centroid memo; everything driver-held stays
+    * request/parameter-scale.
+    */
+  def hybridTopKIvf(docs: DataFrame, embeddings: DataFrame,
+      numQueries: Int, k: Int, topN: Int = 20, rrfK: Int = 60,
+      kCells: Int = 8, iterations: Int = 2, probes: Int = 1): DataFrame =
+    fuse(docs, numQueries, k, topN, rrfK,
+      Ann.knnIvfTrained(embeddings, numQueries, topN,
+        kCells, iterations, probes))
+
+  /** Shared lexical leg + RRF fusion over a pluggable vector leg
+    * (any (q_id, rnk, neighbor_id, …) top-N ranking).
+    */
+  private def fuse(docs: DataFrame, numQueries: Int, k: Int, topN: Int,
+      rrfK: Int, vecLeg: DataFrame): DataFrame = {
     graft.core.Configs.AnnRequest(numQueries, k).validated
     graft.core.Validation.validate("hybrid",
       graft.core.Validation.knob("topN", topN, minV = 1L) ++
@@ -71,9 +97,9 @@ object HybridSearch {
       .filter(col("lex_rank") <= topN)
       .select("q_id", "doc_id", "lex_rank")
 
-    // ---- vector leg: exact cosine top-N (pluggable: knnIvfTrained
-    // at corpus scale — RRF consumes ranks, not scores) -------------
-    val vec = Ann.knnBruteForce(embeddings, numQueries, topN)
+    // ---- vector leg: caller-supplied top-N ranking (brute force or
+    // trained IVF — RRF consumes ranks, not scores) ------------------
+    val vec = vecLeg
       .select(col("q_id"), col("neighbor_id").as("doc_id"),
         col("rnk").cast("long").as("vec_rank"))
 

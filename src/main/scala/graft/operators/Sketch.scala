@@ -172,8 +172,59 @@ object Sketch {
     graft.core.Validation.validate("cms-heavy-hitters",
       graft.core.Validation.knob("minShareBp", minShareBp, minV = 1L,
         maxV = 10000L))
-    val sketch = cmsSketch(docs, depth, width)
-    val cells = sketch.collect()
+    val (nTotal, ests) = sketchEstimates(docs, depth, width)
+    val exact = docs
+      .select(explode(split(normText(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    exact.withColumn("h", hexHash60(col("tok")))
+      .withColumn("est_count", least(ests: _*))
+      .filter(col("est_count") * 10000L >= lit(nTotal) * minShareBp)
+      .select(col("tok"), col("n_exact"), col("est_count"),
+        (col("est_count") - col("n_exact")).as("overcount"))
+  }
+
+  /** PURE-SKETCH frequency serving — the path the 100 TB claim names:
+    * estimate arbitrary candidate tokens (`candidates`: a `tok`
+    * column, request-scale by definition) with NO second corpus pass
+    * and NO exact token table anywhere. One bounded-shuffle sketch
+    * build over `docs` (shuffle ≤ depth·width·tasks regardless of
+    * corpus size), then the estimate is a zero-shuffle literal
+    * projection over the candidate rows — corpus work is the sketch
+    * build, full stop. Output per candidate: (tok, est_count,
+    * share_bp) with `share_bp = est·10⁴ div stream-length` (stream
+    * length read from sketch row 0 — every CMS row sums to it).
+    *
+    * Same one-sided guarantee as [[heavyHittersCms]]: estimates only
+    * ever OVER-count (true count + bucket-mates), deterministically —
+    * and the oracle gate recomputes the identical cells/min in SQL, so
+    * the serving numbers are cross-engine exact, not "approximately
+    * tested". (heavyHittersCms keeps the exact-count audit columns;
+    * this path is what replaces them when a second corpus pass is
+    * unaffordable.)
+    */
+  def estimateCms(docs: DataFrame, candidates: DataFrame,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    val (nTotal, ests) = sketchEstimates(docs, depth, width)
+    candidates.select(col("tok")).distinct()
+      .withColumn("h", hexHash60(col("tok")))
+      .withColumn("est_count", least(ests: _*))
+      .select(col("tok"), col("est_count"),
+        // integer `div` (Column./ is IEEE double division); an empty
+        // corpus leaves share undefined, not a DIVIDE_BY_ZERO crash
+        (if (nTotal > 0) expr(s"est_count * 10000 div $nTotal")
+         else lit(null).cast("long")).as("share_bp"))
+  }
+
+  /** Shared sketch→serving-literal step: build the sketch, collect it
+    * (depth·width longs — parameter scale), and return the stream
+    * length plus the per-row estimate columns (dense literal arrays
+    * indexed by the same bucket expressions as the build — the PQ
+    * distance-table trick applied to frequency). Callers provide a
+    * 60-bit `h` column.
+    */
+  private def sketchEstimates(docs: DataFrame, depth: Int,
+      width: Int): (Long, Seq[org.apache.spark.sql.Column]) = {
+    val cells = cmsSketch(docs, depth, width).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val nTotal = cells.filter(_._1 == 0).map(_._3).sum
     // dense per-row literal arrays (absent buckets are zero cells)
@@ -181,10 +232,6 @@ object Sketch {
       val m = cells.filter(_._1 == i).map(c => c._2 -> c._3).toMap
       i -> (0 until width).map(j => m.getOrElse(j.toLong, 0L))
     }.toMap
-    val exact = docs
-      .select(explode(split(normText(col("text")), " ")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("n_exact"))
-    val withH = exact.withColumn("h", hexHash60(col("tok")))
     val ests = cmsParams(depth).map { case (i, a, b, d) =>
       // `div`, not `/`: h is up to 2^60 and Column./ is IEEE double
       // division (53-bit mantissa would corrupt the slice)
@@ -192,10 +239,6 @@ object Sketch {
         (((lit(a) * (expr(s"h div $d") % 1048576L)
           + lit(b)) % Dedup.MinHashPrime) % width).cast("int") + 1)
     }
-    withH
-      .withColumn("est_count", least(ests: _*))
-      .filter(col("est_count") * 10000L >= lit(nTotal) * minShareBp)
-      .select(col("tok"), col("n_exact"), col("est_count"),
-        (col("est_count") - col("n_exact")).as("overcount"))
+    (nTotal, ests)
   }
 }

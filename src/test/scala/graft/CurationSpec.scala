@@ -474,6 +474,44 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("estimateCms: pure-sketch serving agrees with the audit path; no exact pass") {
+    import graft.operators.Sketch
+    val cands = graft.functions.TextAnalysis
+      .tokens(docs.filter(col("doc_id") % 100 === 3)).select("tok")
+    val out = Sketch.estimateCms(docs, cands).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    // exact reference: the serving estimate must carry CMS's one-sided
+    // guarantee (est >= exact) and the exact share arithmetic
+    val exact = docs.select(
+        explode(split(Portable.normText(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    out.foreach { case (tok, (est, shareBp)) =>
+      assert(est >= exact(tok), tok)
+      assert(shareBp === est * 10000L / n, tok)
+    }
+    // candidates == the stratum's distinct vocabulary, exactly once
+    val want = docs.filter(col("doc_id") % 100 === 3).select(
+        explode(split(Portable.normText(col("text")), " ")).as("tok"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(out.keySet === want)
+    // the serving estimate equals the audit path's estimate for every
+    // candidate the audit row kept (same sketch, same min-over-rows)
+    val audit = Sketch.heavyHittersCms(docs, 1L).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    out.foreach { case (tok, (est, _)) =>
+      audit.get(tok).foreach(a => assert(a === est, tok))
+    }
+    // the serving plan has no exact token aggregation: one sketch
+    // build (collected) + a projection — the candidate side's only
+    // aggregate is its distinct
+    val plan = Sketch.estimateCms(docs, cands)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("count(1)"), plan.take(2000))
+  }
+
   test("curationAudit: fates partition the corpus; kept set == curatedCorpus") {
     import graft.operators.Pipelines
     val bench = col("doc_id") % 50 === 0

@@ -60,6 +60,35 @@ class HybridSearchSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("IVF leg: fused vec ranks come from knnIvfTrained; same plan discipline") {
+    val out = HybridSearch.hybridTopKIvf(docs, emb, numQueries = 5, k = 10)
+      .filter(col("vec_rank") >= 0)
+      .select("q_id", "doc_id", "vec_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivf = Ann.knnIvfTrained(emb, 5, 20)
+      .select("q_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    // every fused vec_rank is the probe-bounded leg's rank, verbatim
+    assert(out.subsetOf(ivf), (out -- ivf).take(3).toString)
+    assert(out.nonEmpty)
+
+    // the probe-bounded leg genuinely replaces the brute-force one:
+    // on this corpus at probes=1 the two legs disagree somewhere, so
+    // the IVF row needs (and has) its own oracle
+    val brute = Ann.knnBruteForce(emb, 5, 20)
+      .select("q_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(ivf !== brute)
+
+    // same broadcast/no-cartesian discipline as the brute-force form:
+    // centroids and query sides broadcast, candidate scan never
+    // pairs corpus x corpus
+    val plan = HybridSearch.hybridTopKIvf(docs, emb, 5, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("bad knobs speak the uniform validation language") {
     intercept[graft.core.Validation.GraftConfigException] {
       HybridSearch.hybridTopK(docs, emb, 5, 10, topN = 0)
