@@ -224,6 +224,14 @@ object ScaleStress {
     "x_image_dedup_phash", "t_tokenize_ids", "d_span_strip_maximal",
     "t_bpe_train", "d_contamination_fuzzy", "t_cms_heavy_hitters")
 
+  /** Round-18 scale-enrolled rows: the IVF-leg hybrid fusion (probe-
+    * bounded vector leg + broadcast lexical query side) and the
+    * pure-sketch CMS serving path (sketch build is the only corpus
+    * term; the rotated copies grow the candidate stratum's vocabulary
+    * ~N×, all request-scale).
+    */
+  val QueriesR18: Seq[String] = Seq("a_hybrid_search_ivf", "t_cms_estimate")
+
   /** Locale-independent 2-decimal formatter: every number printed here
     * is machine-parsed (per-rep stderr lines by the calm-window
     * recorder's regex, the JSON line by the artifact writer); a
@@ -386,7 +394,7 @@ object ScaleStress {
     val reps = if (args.length > 2) args(2).toInt else 3
     // optional comma-separated subset: lets the calm-window JVM probe
     // time two signature queries without paying for the whole family
-    val known = Queries ++ QueriesR16b ++ QueriesR17
+    val known = Queries ++ QueriesR16b ++ QueriesR17 ++ QueriesR18
     val queries =
       if (args.length > 3) known.filter(args(3).split(",").toSet)
       else Queries
