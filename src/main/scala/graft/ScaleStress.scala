@@ -230,7 +230,8 @@ object ScaleStress {
     * term; the rotated copies grow the candidate stratum's vocabulary
     * ~N×, all request-scale).
     */
-  val QueriesR18: Seq[String] = Seq("a_hybrid_search_ivf", "t_cms_estimate")
+  val QueriesR18: Seq[String] = Seq("a_hybrid_search_ivf", "t_cms_estimate",
+    "a_knn_rp", "a_knn_rp_recall", "t_tokenizer_fit")
 
   /** Locale-independent 2-decimal formatter: every number printed here
     * is machine-parsed (per-rep stderr lines by the calm-window

@@ -468,6 +468,24 @@ object SparkEntry {
       Ann.knnLsh(Tables.embeddings(s, dir), KnnQueries, 3)
         .orderBy("q_id", "rnk")),
 
+    // A16: JL sparse random projection — the UNTRAINED
+    // dimensionality-reduction rung of the ANN ladder (PQ/SQ8 shrink
+    // bytes per component; this removes components): stage 1 ranks by
+    // projected cosine over the hash-derived 16-dim map (the
+    // 4×-smaller scan a store materializes), stage 2 reranks the
+    // shortK shortlist by exact full-dim cosine, so scores are always
+    // true cosines
+    "a_knn_rp" -> ((s, dir) =>
+      Ann.knnRp(Tables.embeddings(s, dir), KnnQueries, 5)
+        .orderBy("q_id", "rnk")),
+
+    // A16 quality gate: the projected-only point (shortK = k) vs the
+    // two-stage production point on the same recall@RecallK spine —
+    // rerank must recover what projection loses
+    "a_knn_rp_recall" -> ((s, dir) =>
+      Ann.annRecallRp(Tables.embeddings(s, dir), KnnQueries, RecallK)
+        .orderBy("method")),
+
     "a_knn_ivf" -> ((s, dir) =>
       Ann.knnIvf(Tables.embeddings(s, dir), KnnQueries, 3)
         .orderBy("q_id", "rnk")),
@@ -685,6 +703,14 @@ object SparkEntry {
     "t_token_count_bpe_prod" -> ((s, dir) =>
       TextAnalysis.tokenCountBpeProd(Tables.documents(s, dir))
         .orderBy("doc_id")),
+
+    // T20: per-language tokenizer-fit report — fertility (BPE tokens
+    // per 100 whitespace words) and compression (chars per 100 BPE
+    // tokens) per language: the table a multilingual pipeline reads
+    // before fixing a vocabulary or a mixture. One codegen projection
+    // + one language-cardinality groupBy; exact integer ratios
+    "t_tokenizer_fit" -> ((s, dir) =>
+      TextAnalysis.tokenizerFit(Tables.documents(s, dir)).orderBy("lang")),
 
     // P2 twin packed on BPE counts: the packing budget in the tokens
     // trainers actually consume
@@ -1735,6 +1761,91 @@ object SparkEntry {
        |  FROM scored
        |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 
+  /** JL projection CTEs (mirror Ann.projectRp / VecOps.rpCoef): the
+    * hash-derived Achlioptas sign matrix restated arithmetically —
+    * m = (1103515245·(j·64+d) + 987654321) mod 2001; m < 667 → +1,
+    * m < 1334 → −1, else 0 — so projected components and norms are
+    * exact integers with no shipped matrix.
+    */
+  private def rpCtes(outDims: Int): String =
+    s"""pvl AS (
+       |  SELECT vec_id, j,
+       |         (list_sum(list_transform(range(1, 65), i ->
+       |            v[i::INT] * (CASE
+       |              WHEN ((1103515245 * (j*64 + (i-1)) + 987654321) % 2001) < 667 THEN 1
+       |              WHEN ((1103515245 * (j*64 + (i-1)) + 987654321) % 2001) < 1334 THEN -1
+       |              ELSE 0 END))))::BIGINT AS pj
+       |  FROM q, range(0, $outDims) r(j)
+       |),
+       |pn AS (SELECT vec_id, (sum(pj*pj))::BIGINT AS pn2 FROM pvl GROUP BY vec_id)""".stripMargin
+
+  /** Two-stage JL kNN (mirrors Ann.knnRp): projected-cosine top-shortK
+    * (zero projected norms guarded to −2.0, the IVF convention), then
+    * exact full-dim rerank of the shortlist to top-k.
+    */
+  private def annRpSql(k: Int, shortK: Int = Ann.RpShortK): String =
+    s"""WITH $EmbCte,
+       |${rpCtes(Ann.RpDims)},
+       |pd AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       |         (sum(a.pj * b.pj))::BIGINT AS pdot
+       |  FROM pvl a JOIN pvl b ON b.j = a.j AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < $KnnQueries
+       |  GROUP BY 1, 2
+       |),
+       |short AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT pd.q_id, pd.neighbor_id,
+       |           row_number() OVER (PARTITION BY pd.q_id ORDER BY
+       |             (CASE WHEN pa.pn2 = 0 OR pb.pn2 = 0 THEN -2.0
+       |              ELSE pd.pdot::DOUBLE / (sqrt(pa.pn2::DOUBLE) * sqrt(pb.pn2::DOUBLE)) END)
+       |             DESC, pd.neighbor_id) AS prnk
+       |    FROM pd JOIN pn pa ON pa.vec_id = pd.q_id
+       |             JOIN pn pb ON pb.vec_id = pd.neighbor_id
+       |  ) WHERE prnk <= $shortK
+       |),
+       |scored AS (
+       |  SELECT s.q_id, s.neighbor_id,
+       |         ${sqlCosBp("q2.v", "c.v", "q2.norm2", "c.norm2")} AS cos_bp,
+       |         (list_sum(list_transform(range(1,65), i -> q2.v[i::INT]*c.v[i::INT])))::DOUBLE
+       |           / (sqrt(q2.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+       |  FROM short s JOIN qn q2 ON q2.vec_id = s.q_id
+       |               JOIN qn c ON c.vec_id = s.neighbor_id
+       |)
+       |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
+       |  SELECT q_id, neighbor_id, cos_bp,
+       |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+
+  /** Recall spine over the two JL points (mirrors Ann.annRecallRp,
+    * same join/aggregate shape as [[annRecallSql]]).
+    */
+  private def annRpRecallSql(k: Int): String = {
+    val denom = KnnQueries * k
+    val subs = Seq(
+      "knn_rp_proj" -> annRpSql(k, shortK = k),
+      "knn_rp_rerank" -> annRpSql(k))
+    val ctes = subs.zipWithIndex.map { case ((_, sql), i) =>
+      s"r$i AS (SELECT q_id, neighbor_id FROM (\n$sql\n) t$i)"
+    }.mkString(",\n")
+    val arms = subs.zipWithIndex.map { case ((m, _), i) =>
+      s"""SELECT '$m' AS method,
+         |  (SELECT count(*) FROM r$i)::BIGINT AS n_retrieved,
+         |  (SELECT count(*) FROM r$i JOIN truth USING (q_id, neighbor_id))::BIGINT AS n_hits"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH truth AS (SELECT q_id, neighbor_id FROM (
+       |${annBruteforceSql(k)}
+       |) tt),
+       |$ctes,
+       |m AS (
+       |$arms
+       |)
+       |SELECT method, n_retrieved, n_hits,
+       |       (n_hits * 10000 // $denom)::BIGINT AS recall_bp
+       |FROM m ORDER BY method""".stripMargin
+  }
+
   private def annLshSql(k: Int, planes: Int = Ann.NumPlanes): String =
     s"""WITH ${embCte(planes)},
        |qq AS (SELECT qn.vec_id, qn.v, qn.norm2, bk.bucket
@@ -2660,6 +2771,8 @@ object SparkEntry {
     "a_knn_bruteforce" -> annBruteforceSql(5),
 
     "a_knn_lsh" -> annLshSql(3),
+    "a_knn_rp" -> annRpSql(5),
+    "a_knn_rp_recall" -> annRpRecallSql(RecallK),
 
     "a_knn_ivf" ->
       s"""WITH $EmbCte,
@@ -3089,6 +3202,21 @@ object SparkEntry {
       s"""WITH RECURSIVE $BpeProdSrcCte, ${bpeTokCteOver("prodsrc")}
          |SELECT doc_id, bpe_tokens FROM bpedoc
          |ORDER BY doc_id""".stripMargin,
+
+    "t_tokenizer_fit" ->
+      s"""WITH RECURSIVE $NormCte, $BpeTokCte
+         |SELECT d.lang, count(*)::BIGINT AS n_docs,
+         |       sum(d.n_chars)::BIGINT AS n_chars,
+         |       sum(len(string_split(n.t, ' ')))::BIGINT AS ws_tokens,
+         |       sum(b.bpe_tokens)::BIGINT AS bpe_tokens,
+         |       (CASE WHEN sum(len(string_split(n.t, ' '))) = 0 THEN NULL
+         |        ELSE sum(b.bpe_tokens) * 100 // sum(len(string_split(n.t, ' '))) END)::BIGINT
+         |         AS fertility_pct,
+         |       (CASE WHEN sum(b.bpe_tokens) = 0 THEN NULL
+         |        ELSE sum(d.n_chars) * 100 // sum(b.bpe_tokens) END)::BIGINT
+         |         AS chars_per_tok_pct
+         |FROM documents d JOIN norm n USING (doc_id) JOIN bpedoc b USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "t_tokenize_ids" ->
       s"""WITH RECURSIVE $NormCte, $BpeTokCte, $BpeIdsCte

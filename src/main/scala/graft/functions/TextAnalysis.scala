@@ -179,6 +179,40 @@ object TextAnalysis {
         concat_ws(" ", col("doc_id").cast("string"), col("text")), table)
         .as("bpe_tokens"))
 
+  /** T20: per-language tokenizer-fit report — the fertility table a
+    * multilingual pipeline reads before fixing a vocabulary or a
+    * mixture: per language, document count, raw character volume,
+    * whitespace words, tokenizer-true BPE tokens, and the two derived
+    * integer ratios — fertility (BPE tokens per 100 whitespace words)
+    * and compression (characters per 100 BPE tokens). A language
+    * whose fertility sits far above the corpus norm is being shredded
+    * by the vocabulary — its text costs more training budget per word
+    * — the standard signal for rebalancing vocab size or data mixture.
+    *
+    * Pure composition at scale: the [[tokenCountBpe]] codegen
+    * projection (merge table shipped once per executor, zero shuffle)
+    * plus ONE partial-aggregated groupBy(lang) — group count = number
+    * of languages, never corpus-scale. Ratios are exact integer div
+    * (zero-word groups guarded to null), so the report hash-gates
+    * cross-engine.
+    */
+  def tokenizerFit(docs: DataFrame,
+      table: BpeTable = Bpe.default): DataFrame =
+    docs.select(col("lang"), col("n_chars"),
+        wsTokens(col("text")).as("ws"),
+        bpeTokens(table)(col("text")).as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_chars"),
+        col("ws_tokens"), col("bpe_tokens"),
+        expr("case when ws_tokens = 0 then null else bpe_tokens * 100 div ws_tokens end")
+          .as("fertility_pct"),
+        expr("case when bpe_tokens = 0 then null else n_chars * 100 div bpe_tokens end")
+          .as("chars_per_tok_pct"))
+
   /** Heavy hitters: top-N corpus tokens by frequency (deterministic
     * tiebreak). One shuffle on token; at 100 TB the partial (map-side)
     * aggregation collapses per-executor counts before the shuffle.

@@ -58,6 +58,41 @@ object VecOps {
     bucket
   }
 
+  /** The Achlioptas sparse-sign coefficient r(j,d) ∈ {+1, −1, 0} of
+    * output dim `j` × input dim `d`: the same LCG family as
+    * [[hyperplaneBucket]]'s coefficients with its own additive
+    * constant, thirded by range —
+    * m = (1103515245·(j·dims+d) + 987654321) mod 2001;
+    * m < 667 → +1, m < 1334 → −1, else 0.
+    * Derived arithmetically, so the SQL oracle restates it verbatim
+    * (no shipped matrix, no RNG state): the projection IS its formula.
+    */
+  def rpCoef(j: Int, d: Int, dims: Int): Long = {
+    val m = (1103515245L * (j.toLong * dims + d) + 987654321L) % 2001L
+    if (m < 667L) 1L else if (m < 1334L) -1L else 0L
+  }
+
+  /** All `outDims` Johnson–Lindenstrauss projections of `v` in one
+    * fused pass: p(j) = Σ_d v(d)·r(j,d) with the [[rpCoef]] sparse
+    * sign matrix — exact long arithmetic, identical in SQL.
+    */
+  def jlProject(v: ArrayData, outDims: Int): ArrayData = {
+    val dims = v.numElements()
+    val out = new Array[Long](outDims)
+    var j = 0
+    while (j < outDims) {
+      var s = 0L
+      var d = 0
+      while (d < dims) {
+        s += v.getLong(d) * rpCoef(j, d, dims)
+        d += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Integer dot product of two `array<long>` columns. */
   def intDot(a: Column, b: Column): Column =
     SqlBridge.column(IntDotExpr(SqlBridge.expression(a), SqlBridge.expression(b)))
@@ -65,6 +100,12 @@ object VecOps {
   /** Hyperplane LSH bucket of an `array<long>` column. */
   def hyperplaneBucket(v: Column, numPlanes: Int): Column =
     SqlBridge.column(HyperplaneBucketExpr(SqlBridge.expression(v), numPlanes))
+
+  /** JL sparse-sign projection of an `array<long>` column to
+    * `outDims` exact integer components.
+    */
+  def jlProject(v: Column, outDims: Int): Column =
+    SqlBridge.column(JlProjectExpr(SqlBridge.expression(v), outDims))
 }
 
 case class IntDotExpr(left: Expression, right: Expression)
@@ -97,5 +138,23 @@ case class HyperplaneBucketExpr(child: Expression, numPlanes: Int)
       c => s"graft.functions.VecOps.hyperplaneBucket($c, $numPlanes)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}
+
+case class JlProjectExpr(child: Expression, outDims: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "jl_project"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecOps.jlProject(v.asInstanceOf[ArrayData], outDims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecOps.jlProject($c, $outDims)")
+
+  override protected def withNewChildInternal(newChild: Expression): JlProjectExpr =
     copy(child = newChild)
 }

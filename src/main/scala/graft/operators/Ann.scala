@@ -22,6 +22,10 @@ import graft.functions.{CentroidMatrix, CentroidOps, VecOps}
 object Ann {
   val Dims = 64
   val NumPlanes = 8
+  /** JL projection width (A16): 64 → 16 dims = 4× smaller stage-1 scan. */
+  val RpDims = 16
+  /** Stage-1 shortlist depth the exact rerank fetches per query. */
+  val RpShortK = 50
 
   /** Quantized embedding + integer self-dot (norm²). The norm is the
     * native codegen dot of the vector with itself — no intermediate
@@ -51,6 +55,19 @@ object Ann {
     */
   def planeCoef(p: Column, d: Column): Column =
     (lit(1103515245L) * (p * Dims + d) + 12345L) % 2001L - 1000L
+
+  /** Column-level statement of the JL sparse-sign coefficient
+    * [[graft.functions.VecOps.rpCoef]] (same LCG family as
+    * [[planeCoef]], own additive constant, thirded by range):
+    * m = (1103515245·(j·64+d) + 987654321) mod 2001;
+    * m < 667 → +1, m < 1334 → −1, else 0. The native
+    * `VecOps.jlProject` fuses this rule; the DuckDB oracles restate
+    * it arithmetically; DedupAnnSpec pins the three forms equal.
+    */
+  def rpCoef(j: Column, d: Column): Column = {
+    val m = (lit(1103515245L) * (j * Dims + d) + 987654321L) % 2001L
+    when(m < 667L, 1L).when(m < 1334L, -1L).otherwise(0L)
+  }
 
   /** Random-hyperplane-bucketed vectors: (vec_id, v, norm2, bucket).
     * The bucket is a native codegen expression evaluating all plane
@@ -98,6 +115,100 @@ object Ann {
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
         round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
   }
+
+  /** Johnson–Lindenstrauss sparse random projection (Achlioptas 2003;
+    * JL lemma): each milli-quantized vector is projected to `outDims`
+    * exact integer components p(j) = Σ_d v(d)·r(j,d) with the
+    * hash-derived sign matrix [[rpCoef]] — ~2/3 of the entries
+    * nonzero, no trained state, no shipped matrix (the projection IS
+    * its formula, so a new executor, the DuckDB oracle, and next
+    * year's re-run all derive the identical map).
+    *
+    * This is the UNTRAINED dimensionality-reduction rung of the ANN
+    * ladder: PQ/SQ8 compress bytes per component, JL removes
+    * components. At 100 TB the projected table is what a store
+    * materializes — 16 of 64 dims = 4× fewer bytes scanned per
+    * stage-1 ranking pass — and because the map is data-independent
+    * it never retrains, never drifts, and composes with every
+    * downstream layout (a projected vector can itself be IVF-celled
+    * or int8-coded). Output: (vec_id, label, v, norm2, pv, pn2) — the
+    * full-dim columns ride along for the rerank stage; a materialized
+    * store would persist (vec_id, pv, pn2) alone.
+    */
+  def projectRp(embeddings: DataFrame, outDims: Int = RpDims): DataFrame = {
+    graft.core.Validation.validate("rp-project",
+      graft.core.Validation.knob("outDims", outDims.toLong, minV = 1L,
+        maxV = Dims.toLong))
+    quantized(embeddings)
+      .withColumn("pv", VecOps.jlProject(col("v"), outDims))
+      .withColumn("pn2", VecOps.intDot(col("pv"), col("pv")))
+  }
+
+  /** Two-stage kNN over the JL-projected space: stage 1 ranks the
+    * corpus by PROJECTED cosine (16-dim integer dots — the 4×-smaller
+    * scan a materialized projected table gives a 100 TB store) and
+    * keeps the top `shortK` per query; stage 2 fetches only those
+    * candidates' full vectors (request-scale equi-join: numQueries ×
+    * shortK ids, broadcast) and reranks by EXACT cosine to the final
+    * top-k, so reported scores are always true cosines — projection
+    * error can only cost recall, never corrupt a score.
+    *
+    * `shortK = k` degenerates to pure projected ranking (the
+    * no-rerank point on the recall curve); `shortK ≥ corpus` makes
+    * the operator exactly [[knnBruteForce]] (spec-pinned).
+    *
+    * A projected vector can cancel to all-zeros even when the source
+    * vector is nonzero, so stage 1 guards zero norms to −2.0 (below
+    * any real cosine), same convention as the IVF serving rule.
+    */
+  def knnRp(embeddings: DataFrame, numQueries: Int, k: Int,
+      outDims: Int = RpDims, shortK: Int = RpShortK): DataFrame = {
+    graft.core.Configs.AnnRequest(numQueries, k).validated
+    graft.core.Validation.validate("rp-knn",
+      graft.core.Validation.knob("shortK", shortK.toLong, minV = k.toLong))
+    val p = projectRp(embeddings, outDims)
+    val proj = p.select("vec_id", "pv", "pn2")
+    val pq = proj.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("pv").as("qpv"),
+        col("pn2").as("qpn2"))
+    val pcos = when(col("qpn2") === 0 || col("pn2") === 0, lit(-2.0))
+      .otherwise(cosine(col("qpv"), col("pv"), col("qpn2"), col("pn2")))
+    val w1 = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("vec_id"))
+    val short = proj.join(broadcast(pq), col("vec_id") =!= col("q_id"))
+      .withColumn("pcos", pcos)
+      .withColumn("prnk", row_number().over(w1))
+      .filter(col("prnk") <= shortK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    val q = quantized(embeddings)
+    val queries = q.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm2").as("qn2"))
+    val w2 = Window.partitionBy("q_id").orderBy(col("cos").desc,
+      col("neighbor_id"))
+    broadcast(short)
+      .join(q.select(col("vec_id").as("neighbor_id"), col("v"),
+        col("norm2")), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn2"),
+        col("norm2")))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
+  }
+
+  /** Recall curve for the JL rung, same spine as [[annRecall]]: the
+    * no-rerank point (shortK = k: pure 16-dim projected ranking) vs
+    * the production two-stage point (shortK = [[RpShortK]]) — rerank
+    * must recover what projection loses, and the measured gap is the
+    * documented cost/recall trade (16-dim scan + shortK full-dim
+    * fetches per query).
+    */
+  def annRecallRp(embeddings: DataFrame, numQueries: Int,
+      k: Int): DataFrame =
+    recallTable(embeddings, numQueries, k, Seq(
+      "knn_rp_proj" -> knnRp(embeddings, numQueries, k, shortK = k),
+      "knn_rp_rerank" -> knnRp(embeddings, numQueries, k)))
 
   /** Int8 scalar quantization of the milli-quantized vectors: scale
     * each vector by its max|component| onto [-127, 127] and round —

@@ -73,6 +73,32 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("tokenizer fit: per-lang sums reconcile with tokenCountBpe; ratios exact") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val fit = TextAnalysis.tokenizerFit(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // group sums reconcile with the per-doc gated rows
+    val perDoc = TextAnalysis.tokenCountBpe(docs)
+      .join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+      .collect()
+    val byLang = perDoc.groupBy(_.getAs[String]("lang"))
+    assert(fit.keySet === byLang.keySet)
+    byLang.foreach { case (lang, rows) =>
+      val r = fit(lang)
+      assert(r.getAs[Long]("n_docs") === rows.length.toLong)
+      assert(r.getAs[Long]("ws_tokens") === rows.map(_.getAs[Long]("ws_tokens")).sum)
+      assert(r.getAs[Long]("bpe_tokens") === rows.map(_.getAs[Long]("bpe_tokens")).sum)
+      assert(r.getAs[Long]("n_chars") === rows.map(_.getAs[Long]("n_chars")).sum)
+      // ratios are the exact integer div of the summed columns
+      assert(r.getAs[Long]("fertility_pct") ===
+        r.getAs[Long]("bpe_tokens") * 100 / r.getAs[Long]("ws_tokens"))
+      assert(r.getAs[Long]("chars_per_tok_pct") ===
+        r.getAs[Long]("n_chars") * 100 / r.getAs[Long]("bpe_tokens"))
+      // BPE never undercuts words, so fertility is >= 100%
+      assert(r.getAs[Long]("fertility_pct") >= 100L)
+    }
+  }
+
   test("token-id sequences: known example, vocab mapping, merge-order ids") {
     val t = table(("a", "a"), ("aa", "b"), ("b", "c"))
     def ids(s: String): Seq[Int] =

@@ -369,6 +369,68 @@ class DedupAnnSpec extends SparkSuite {
     assert(q.count() > 0)
   }
 
+  test("jl projection: native expression matches the relational rpCoef form") {
+    import spark.implicits._
+    // JlProjectExpr ≡ posexplode × outDims → rpCoef terms → groupBy —
+    // the rule the SQL oracle also states arithmetically
+    val q = Ann.quantized(emb)
+    val outs = (0 until Ann.RpDims).toDF("j")
+    val relational = q
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "comp")))
+      .crossJoin(broadcast(outs))
+      .withColumn("term", col("comp") * Ann.rpCoef(col("j"), col("d")))
+      .groupBy("vec_id", "j")
+      .agg(sum("term").as("rel_pj"))
+    val native = Ann.projectRp(emb)
+      .select(col("vec_id"), posexplode(col("pv")).as(Seq("j", "pj")))
+    val mismatch = native.join(relational, Seq("vec_id", "j"))
+      .filter(col("pj") =!= col("rel_pj")).count()
+    assert(mismatch === 0)
+    // and the sign matrix really is ternary with all three values live
+    val signs = (0 until Ann.RpDims).flatMap(j => (0 until Ann.Dims).map(d =>
+      graft.functions.VecOps.rpCoef(j, d, Ann.Dims)))
+    assert(signs.toSet === Set(-1L, 0L, 1L))
+    // pn2 is the exact integer self-dot of the projection
+    val n2Bad = Ann.projectRp(emb)
+      .withColumn("composed",
+        aggregate(zip_with(col("pv"), col("pv"), (x, y) => x * y),
+          lit(0L), (s, x) => s + x))
+      .filter(col("pn2") =!= col("composed")).count()
+    assert(n2Bad === 0)
+  }
+
+  test("knn rp: shortK >= corpus degenerates to exact brute force") {
+    val n = emb.count().toInt
+    val brute = Ann.knnBruteForce(emb, 5, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("cos_bp"))).toSet
+    val rp = Ann.knnRp(emb, 5, 5, shortK = n).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("cos_bp"))).toSet
+    assert(rp === brute)
+  }
+
+  test("knn rp: scores are true cosines; rerank recall >= projected recall") {
+    val brute = Ann.knnBruteForce(emb, 5, Int.MaxValue)
+      .select("q_id", "neighbor_id", "cos_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rp = Ann.knnRp(emb, 5, 5).collect()
+    assert(rp.length === 25)
+    rp.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      assert(brute.contains(key))
+      assert(brute(key) === r.getAs[Long]("cos_bp")) // exact, never ADC-ish
+    }
+    val recall = Ann.annRecallRp(emb, 10, 10).collect()
+      .map(r => r.getAs[String]("method") -> r.getAs[Long]("recall_bp")).toMap
+    assert(recall("knn_rp_rerank") >= recall("knn_rp_proj"))
+    assert(recall("knn_rp_rerank") > 0L)
+    // every method retrieved a full table: numQueries x k rows
+    Ann.annRecallRp(emb, 10, 10).collect().foreach { r =>
+      assert(r.getAs[Long]("n_retrieved") === 100L)
+    }
+  }
+
   test("knn brute force: ranks descend in cosine, k per query") {
     val out = Ann.knnBruteForce(emb, 5, 5).collect()
     assert(out.length === 25)

@@ -142,6 +142,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(!hh.contains("Join"), hh.take(2000))
   }
 
+  test("jl projection is a pure projection: zero exchanges") {
+    val p = plan(graft.operators.Ann.projectRp(
+      graft.sources.Tables.embeddings(spark, sf)))
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
+  test("knn rp: query side and shortlist broadcast, never a cartesian") {
+    val p = plan(graft.operators.Ann.knnRp(
+      graft.sources.Tables.embeddings(spark, sf), 5, 5))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+
   test("hyperplane bucketing is a pure projection: zero exchanges") {
     val p = plan(graft.operators.Ann.bucketed(
       graft.sources.Tables.embeddings(spark, sf)))

@@ -31,12 +31,17 @@ PROBE_TIMEOUT = 300          # calm probe ~95 s (+ the untimed warmup pass
                              # would still blow this
 PROBE_DEDUP_MAX = 16.0       # calm warm median ~8-12 s
 PROBE_KMEANS_MAX = 9.0       # calm warm median ~5-7 s
-MAX_SANE_TOTAL = 400.0       # r18: surface grows to 141 gated queries
+MAX_SANE_TOTAL = 400.0       # r18: surface grows to 144 gated queries
                              # (+a_hybrid_search_ivf ~3 s calm — lexical
                              # leg + trained-IVF leg both already amortized
                              # by the centroid memo; +t_cms_estimate ~1 s:
-                             # one sketch build + a candidate projection);
-                             # ~+4 calm seconds, ample slack under 400.
+                             # one sketch build + a candidate projection;
+                             # +a_knn_rp ~1 s: one projected scan + a
+                             # request-scale rerank; +a_knn_rp_recall
+                             # ~2 s: two rp arms + the shared truth memo;
+                             # +t_tokenizer_fit ~1 s: one BPE projection
+                             # + a lang-cardinality groupBy);
+                             # ~+8 calm seconds, ample slack under 400.
                              # r17 note kept: the surface was then 136
                              # gated queries (+7 new rows incl. the
                              # tokenize-ids pair, pHash, sampled recall,

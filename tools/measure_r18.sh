@@ -19,7 +19,7 @@ set -u
 cd /root/repo
 export GRAFT_CLASSES_DIR="${GRAFT_CLASSES_DIR:-/root/repo/target/frozen_r18}"
 
-NEWROWS=a_hybrid_search_ivf,t_cms_estimate
+NEWROWS=a_hybrid_search_ivf,t_cms_estimate,a_knn_rp,a_knn_rp_recall,t_tokenizer_fit
 
 step() { # step <artifact> <cmd...>
   local art=$1; shift
