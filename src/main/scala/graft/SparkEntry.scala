@@ -1762,20 +1762,22 @@ object SparkEntry {
        |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 
   /** JL projection CTEs (mirror Ann.projectRp / VecOps.rpCoef): the
-    * hash-derived Achlioptas sign matrix restated arithmetically —
-    * m = (1103515245·(j·64+d) + 987654321) mod 2001; m < 667 → +1,
-    * m < 1334 → −1, else 0 — so projected components and norms are
-    * exact integers with no shipped matrix.
+    * md5-derived Achlioptas ternary sign matrix restated through the
+    * shared portable hash — r(j,d) = hexHash60('rp:j:d') mod 3 − 1 —
+    * materialized once as a (j,d) table (the oracle twin of the
+    * executor-side cached matrix), so projected components and norms
+    * are exact integers with no shipped state.
     */
   private def rpCtes(outDims: Int): String =
-    s"""pvl AS (
-       |  SELECT vec_id, j,
-       |         (list_sum(list_transform(range(1, 65), i ->
-       |            v[i::INT] * (CASE
-       |              WHEN ((1103515245 * (j*64 + (i-1)) + 987654321) % 2001) < 667 THEN 1
-       |              WHEN ((1103515245 * (j*64 + (i-1)) + 987654321) % 2001) < 1334 THEN -1
-       |              ELSE 0 END))))::BIGINT AS pj
-       |  FROM q, range(0, $outDims) r(j)
+    s"""rpsgn AS (
+       |  SELECT j, d,
+       |         (${sqlH60("'rp:' || j::VARCHAR || ':' || d::VARCHAR")} % 3 - 1) AS r
+       |  FROM range(0, $outDims) a(j), range(0, 64) b(d)
+       |),
+       |pvl AS (
+       |  SELECT q.vec_id, s.j, (sum(q.v[(s.d+1)::INT] * s.r))::BIGINT AS pj
+       |  FROM q, rpsgn s
+       |  GROUP BY 1, 2
        |),
        |pn AS (SELECT vec_id, (sum(pj*pj))::BIGINT AS pn2 FROM pvl GROUP BY vec_id)""".stripMargin
 

@@ -388,8 +388,15 @@ class DedupAnnSpec extends SparkSuite {
     assert(mismatch === 0)
     // and the sign matrix really is ternary with all three values live
     val signs = (0 until Ann.RpDims).flatMap(j => (0 until Ann.Dims).map(d =>
-      graft.functions.VecOps.rpCoef(j, d, Ann.Dims)))
+      graft.functions.VecOps.rpCoef(j, d)))
     assert(signs.toSet === Set(-1L, 0L, 1L))
+    // balanced thirds (i.i.d.-ish mixing is the property the LCG
+    // variant failed): each sign within 40-93% of the exact third
+    val n = signs.size
+    Seq(-1L, 0L, 1L).foreach { s =>
+      val c = signs.count(_ == s)
+      assert(c > n / 5 && c < n / 2, s"sign $s count $c of $n")
+    }
     // pn2 is the exact integer self-dot of the projection
     val n2Bad = Ann.projectRp(emb)
       .withColumn("composed",
