@@ -471,8 +471,8 @@ object SparkEntry {
     // A16: JL sparse random projection — the UNTRAINED
     // dimensionality-reduction rung of the ANN ladder (PQ/SQ8 shrink
     // bytes per component; this removes components): stage 1 ranks by
-    // projected cosine over the hash-derived 16-dim map (the
-    // 4×-smaller scan a store materializes), stage 2 reranks the
+    // projected cosine over the hash-derived 32-dim map (the
+    // 2×-smaller scan a store materializes), stage 2 reranks the
     // shortK shortlist by exact full-dim cosine, so scores are always
     // true cosines
     "a_knn_rp" -> ((s, dir) =>

@@ -136,7 +136,7 @@ object Ann {
     * This is the UNTRAINED dimensionality-reduction rung of the ANN
     * ladder: PQ/SQ8 compress bytes per component, JL removes
     * components. At 100 TB the projected table is what a store
-    * materializes — 16 of 64 dims = 4× fewer bytes scanned per
+    * materializes — 32 of 64 dims = 2× fewer bytes scanned per
     * stage-1 ranking pass — and because the map is data-independent
     * it never retrains, never drifts, and composes with every
     * downstream layout (a projected vector can itself be IVF-celled
@@ -154,7 +154,7 @@ object Ann {
   }
 
   /** Two-stage kNN over the JL-projected space: stage 1 ranks the
-    * corpus by PROJECTED cosine (16-dim integer dots — the 4×-smaller
+    * corpus by PROJECTED cosine (32-dim integer dots — the 2×-smaller
     * scan a materialized projected table gives a 100 TB store) and
     * keeps the top `shortK` per query; stage 2 fetches only those
     * candidates' full vectors (request-scale equi-join: numQueries ×
@@ -207,10 +207,10 @@ object Ann {
   }
 
   /** Recall curve for the JL rung, same spine as [[annRecall]]: the
-    * no-rerank point (shortK = k: pure 16-dim projected ranking) vs
+    * no-rerank point (shortK = k: pure 32-dim projected ranking) vs
     * the production two-stage point (shortK = [[RpShortK]]) — rerank
     * must recover what projection loses, and the measured gap is the
-    * documented cost/recall trade (16-dim scan + shortK full-dim
+    * documented cost/recall trade (32-dim scan + shortK full-dim
     * fetches per query).
     */
   def annRecallRp(embeddings: DataFrame, numQueries: Int,

@@ -391,7 +391,8 @@ class DedupAnnSpec extends SparkSuite {
       graft.functions.VecOps.rpCoef(j, d)))
     assert(signs.toSet === Set(-1L, 0L, 1L))
     // balanced thirds (i.i.d.-ish mixing is the property the LCG
-    // variant failed): each sign within 40-93% of the exact third
+    // variant failed): each sign count in (n/5, n/2), i.e. within
+    // 60-150% of the exact third n/3
     val n = signs.size
     Seq(-1L, 0L, 1L).foreach { s =>
       val c = signs.count(_ == s)
