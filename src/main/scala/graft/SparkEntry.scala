@@ -480,11 +480,21 @@ object SparkEntry {
         .orderBy("q_id", "rnk")),
 
     // A16 quality gate: the projected-only point (shortK = k) vs the
-    // two-stage production point on the same recall@RecallK spine —
-    // rerank must recover what projection loses
+    // two-stage production point vs the rp→IVF composition, all on the
+    // same recall@RecallK spine — rerank must recover what projection
+    // loses
     "a_knn_rp_recall" -> ((s, dir) =>
       Ann.annRecallRp(Tables.embeddings(s, dir), KnnQueries, RecallK)
         .orderBy("method")),
+
+    // A16 composition gate: the scaladoc's "a projected vector can
+    // itself be IVF-celled" claim as executed code — k-means trains on
+    // the 32-dim projected vectors, cell assignment / probe ranking /
+    // per-cell shortlist all run in projected space, exact full-dim
+    // rerank to k (IVF bounds the scan, JL halves its bytes)
+    "a_knn_rp_ivf" -> ((s, dir) =>
+      Ann.knnRpIvf(Tables.embeddings(s, dir), KnnQueries, 5)
+        .orderBy("q_id", "rnk")),
 
     "a_knn_ivf" -> ((s, dir) =>
       Ann.knnIvf(Tables.embeddings(s, dir), KnnQueries, 3)
@@ -617,6 +627,17 @@ object SparkEntry {
     "a_knn_ivfpq_filtered" -> ((s, dir) =>
       Ann.knnIvfPqFiltered(Tables.embeddings(s, dir), KnnQueries, 5,
         col("label") === 7, probes = 2)
+        .orderBy("q_id", "rnk")),
+
+    // A14 escalation on the PQ layout — the last filtered operator to
+    // get the escalated twin: queries whose matching CODE pool inside
+    // the base probe tier is < k re-rank at full cell coverage
+    // (count-only pass decides per query; the escalated scan still
+    // touches only codes), guaranteeing min(k, matching-pool) rows;
+    // probes = 1 at the ~10% selectivity so escalation genuinely fires
+    "a_knn_ivfpq_filtered_escalated" -> ((s, dir) =>
+      Ann.knnIvfPqFilteredEscalated(Tables.embeddings(s, dir),
+        KnnQueries, 5, col("label") === 7, probes = 1)
         .orderBy("q_id", "rnk")),
 
     // A14: filtered (attribute-constrained) vector search — "top-k
@@ -1581,20 +1602,25 @@ object SparkEntry {
        |ORDER BY a.vec_id""".stripMargin
   }
 
-  /** The shared unrolled Lloyd chain: returns (CTE block, final
-    * assignment CTE name, final centroid CTE name).
+  /** Dimension/source-generic unrolled Lloyd chain (no leading WITH):
+    * assumes a frame `src(vec_id, v, norm2)` of `dims`-dim integer
+    * vectors is already in CTE scope; seeds are `vec_id < k`; training
+    * assignment is squared-L2 argmin with c_id tiebreak (mirrors
+    * Ann.kmeansAssign). Returns (CTE block, final assignment CTE name,
+    * final centroid CTE name).
     */
-  private def kmeansCtes(k: Int, iterations: Int): (String, String, String) = {
+  private def kmeansChainCtes(k: Int, iterations: Int, dims: Int,
+      src: String): (String, String, String) = {
     def dot(v: String, c: String) =
-      s"list_sum(list_transform(range(1,65), j -> $v[j::INT]*$c[j::INT]))"
+      s"list_sum(list_transform(range(1,${dims + 1}), j -> $v[j::INT]*$c[j::INT]))"
     def asg(n: Int, cent: String) =
       s"""asg$n AS (
          |  SELECT vec_id, v, norm2, c_id AS cluster, d FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_id) AS rn
          |    FROM (
-         |      SELECT qn.vec_id, qn.v, qn.norm2, c.c_id,
-         |             (qn.norm2 - 2*${dot("qn.v", "c.cv")} + c.cn2)::BIGINT AS d
-         |      FROM qn, $cent c
+         |      SELECT s.vec_id, s.v, s.norm2, c.c_id,
+         |             (s.norm2 - 2*${dot("s.v", "c.cv")} + c.cn2)::BIGINT AS d
+         |      FROM $src s, $cent c
          |    )
          |  ) WHERE rn = 1
          |)"""
@@ -1605,13 +1631,28 @@ object SparkEntry {
          |    SELECT cluster AS c_id, list(comp ORDER BY dim) AS cv FROM (
          |      SELECT cluster, dim, (sum(comp)::BIGINT // count(*)::BIGINT)::BIGINT AS comp
          |      FROM (SELECT cluster, r.dim, v[(r.dim+1)::INT] AS comp
-         |            FROM asg$n, range(0, 64) r(dim))
+         |            FROM asg$n, range(0, $dims) r(dim))
          |      GROUP BY cluster, dim
          |    ) GROUP BY cluster
          |  )
          |)"""
     val chain = (1 to iterations)
       .map(i => asg(i, s"cent${i - 1}") + ",\n" + cent(i)).mkString(",\n")
+    val ctes = s"""cent0 AS (
+       |  SELECT vec_id::BIGINT AS c_id, v AS cv, norm2 AS cn2 FROM $src
+       |  WHERE vec_id < $k
+       |),
+       |$chain,
+       |${asg(iterations + 1, s"cent$iterations")}""".stripMargin
+    (ctes, s"asg${iterations + 1}", s"cent$iterations")
+  }
+
+  /** The shared 64-dim Lloyd chain over the embeddings table (opens
+    * its own WITH): returns (CTE block, final assignment CTE name,
+    * final centroid CTE name).
+    */
+  private def kmeansCtes(k: Int, iterations: Int): (String, String, String) = {
+    val (chain, asgN, centN) = kmeansChainCtes(k, iterations, 64, "qn")
     val ctes = s"""WITH q AS (
        |  SELECT vec_id, list_transform(embedding, x -> round(x*1000)::BIGINT) AS v
        |  FROM embeddings
@@ -1620,13 +1661,8 @@ object SparkEntry {
        |  SELECT vec_id, v, (list_sum(list_transform(v, x -> x*x)))::BIGINT AS norm2
        |  FROM q
        |),
-       |cent0 AS (
-       |  SELECT vec_id::BIGINT AS c_id, v AS cv, norm2 AS cn2 FROM qn
-       |  WHERE vec_id < $k
-       |),
-       |$chain,
-       |${asg(iterations + 1, s"cent$iterations")}""".stripMargin
-    (ctes, s"asg${iterations + 1}", s"cent$iterations")
+       |$chain""".stripMargin
+    (ctes, asgN, centN)
   }
 
   /** Per-subspace k-means chains + final assignments for the PQ
@@ -1820,14 +1856,75 @@ object SparkEntry {
        |  FROM scored
        |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 
-  /** Recall spine over the two JL points (mirrors Ann.annRecallRp,
+  /** rp→IVF composition oracle (mirrors Ann.knnRpIvf): the JL
+    * projection CTEs feed a 32-dim Lloyd chain (the generic
+    * [[kmeansChainCtes]] over `pqn`), serving assignment and probe
+    * ranking run on projected cosine, the per-cell candidate scan
+    * shortlists by projected cosine, and the exact full-dim rerank is
+    * the same tail as [[annRpSql]].
+    */
+  private def annRpIvfSql(k: Int, probes: Int = 2,
+      shortK: Int = Ann.RpShortK): String = {
+    val dims = Ann.RpDims
+    val (kchain, _, kcent) = kmeansChainCtes(k = 8, iterations = 2,
+      dims = dims, src = "pqn")
+    s"""WITH $EmbCte,
+       |${rpCtes(dims)},
+       |pqn AS (
+       |  SELECT pv.vec_id, pv.v, pn.pn2 AS norm2
+       |  FROM (SELECT vec_id, list(pj ORDER BY j) AS v FROM pvl GROUP BY vec_id) pv
+       |  JOIN pn ON pn.vec_id = pv.vec_id
+       |),
+       |$kchain,
+       |rankedc AS (
+       |  SELECT s.vec_id, s.v, s.norm2, c.c_id,
+       |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |      (CASE WHEN c.cn2 = 0 OR s.norm2 = 0 THEN -2.0
+       |       ELSE (list_sum(list_transform(range(1,${dims + 1}), i -> c.cv[i::INT]*s.v[i::INT])))::DOUBLE
+       |        / (sqrt(c.cn2::DOUBLE) * sqrt(s.norm2::DOUBLE)) END) DESC, c.c_id) AS c_rn
+       |  FROM pqn s, $kcent c
+       |),
+       |assigned AS (
+       |  SELECT vec_id, v, norm2, c_id AS cell FROM rankedc WHERE c_rn = 1
+       |),
+       |probed AS (
+       |  SELECT vec_id AS q_id, v AS qv, norm2 AS qn2, c_id AS qcell
+       |  FROM rankedc WHERE vec_id < $KnnQueries AND c_rn <= $probes
+       |),
+       |short AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT p.q_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |        (CASE WHEN p.qn2 = 0 OR c.norm2 = 0 THEN -2.0
+       |         ELSE (list_sum(list_transform(range(1,${dims + 1}), i -> p.qv[i::INT]*c.v[i::INT])))::DOUBLE
+       |          / (sqrt(p.qn2::DOUBLE) * sqrt(c.norm2::DOUBLE)) END) DESC, c.vec_id) AS prnk
+       |    FROM probed p JOIN assigned c ON c.cell = p.qcell AND c.vec_id <> p.q_id
+       |  ) WHERE prnk <= $shortK
+       |),
+       |scored AS (
+       |  SELECT s.q_id, s.neighbor_id,
+       |         ${sqlCosBp("q2.v", "c.v", "q2.norm2", "c.norm2")} AS cos_bp,
+       |         (list_sum(list_transform(range(1,65), i -> q2.v[i::INT]*c.v[i::INT])))::DOUBLE
+       |           / (sqrt(q2.norm2::DOUBLE) * sqrt(c.norm2::DOUBLE)) AS cos
+       |  FROM short s JOIN qn q2 ON q2.vec_id = s.q_id
+       |               JOIN qn c ON c.vec_id = s.neighbor_id
+       |)
+       |SELECT q_id, rnk, neighbor_id, cos_bp FROM (
+       |  SELECT q_id, neighbor_id, cos_bp,
+       |         (row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id))::INT AS rnk
+       |  FROM scored
+       |) WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Recall spine over the three JL points (mirrors Ann.annRecallRp,
     * same join/aggregate shape as [[annRecallSql]]).
     */
   private def annRpRecallSql(k: Int): String = {
     val denom = KnnQueries * k
     val subs = Seq(
       "knn_rp_proj" -> annRpSql(k, shortK = k),
-      "knn_rp_rerank" -> annRpSql(k))
+      "knn_rp_rerank" -> annRpSql(k),
+      "knn_rp_ivf" -> annRpIvfSql(k))
     val ctes = subs.zipWithIndex.map { case ((_, sql), i) =>
       s"r$i AS (SELECT q_id, neighbor_id FROM (\n$sql\n) t$i)"
     }.mkString(",\n")
@@ -2304,7 +2401,8 @@ object SparkEntry {
        |)""".stripMargin
 
   private def annIvfPqSql(k: Int, pqK: Int = Ann.PqK,
-      probes: Int = 2, candPred: String = ""): String = {
+      probes: Int = 2, candPred: String = "",
+      escalate: Boolean = false): String = {
     val (kctes, kasg, kcent) = kmeansCtes(k = 8, iterations = 2)
     val (pctes, pasgs, pcents) = pqCtes(k = pqK, iterations = 2, src = "res")
     val qds = (0 until 4).map { s =>
@@ -2345,7 +2443,27 @@ object SparkEntry {
        |         list_transform(range(1,65), j -> qn.v[j::INT] - c.cv[j::INT]) AS qres
        |  FROM qn, $kcent c WHERE qn.vec_id < $KnnQueries
        |),
-       |probed AS (SELECT q_id, cell, qres FROM qcells WHERE crn <= $probes),
+       |${if (!escalate)
+           s"probed AS (SELECT q_id, cell, qres FROM qcells WHERE crn <= $probes),"
+         else
+           s"""nearq AS (
+              |  SELECT p.q_id, count(*)::BIGINT AS n_near
+              |  FROM codes x JOIN qcells p ON p.cell = x.cell AND x.vec_id <> p.q_id
+              |  WHERE p.crn <= $probes
+              |  GROUP BY 1
+              |),
+              |qprobes AS (
+              |  SELECT qn.vec_id AS q_id,
+              |         CASE WHEN coalesce(n.n_near, 0) >= $k THEN $probes
+              |              ELSE 8 END AS probes_eff
+              |  FROM qn LEFT JOIN nearq n ON n.q_id = qn.vec_id
+              |  WHERE qn.vec_id < $KnnQueries
+              |),
+              |probed AS (
+              |  SELECT qc.q_id, qc.cell, qc.qres
+              |  FROM qcells qc JOIN qprobes pe
+              |    ON pe.q_id = qc.q_id AND qc.crn <= pe.probes_eff
+              |),""".stripMargin}
        |$qds,
        |scored AS (
        |  SELECT q0.q_id, x.vec_id, (q0.d + q1.d + q2.d + q3.d)::BIGINT AS est_d
@@ -2775,6 +2893,7 @@ object SparkEntry {
     "a_knn_lsh" -> annLshSql(3),
     "a_knn_rp" -> annRpSql(5),
     "a_knn_rp_recall" -> annRpRecallSql(RecallK),
+    "a_knn_rp_ivf" -> annRpIvfSql(5),
 
     "a_knn_ivf" ->
       s"""WITH $EmbCte,
@@ -2907,6 +3026,9 @@ object SparkEntry {
 
     "a_knn_ivfpq_filtered" -> annIvfPqSql(5, probes = 2,
       candPred = "e.label = 7"),
+
+    "a_knn_ivfpq_filtered_escalated" -> annIvfPqSql(5, probes = 1,
+      candPred = "e.label = 7", escalate = true),
 
     "a_knn_filtered_truth" -> annBruteforceFilteredSql(3,
       pred = "e.label < 5"),

