@@ -43,14 +43,65 @@ import graft.functions.Portable._
   * training never replans a 2000-deep expression chain.
   */
 object BpeTrainer {
+  /** Candidate depth the batched selector ranks per count pass
+    * ([[trainMergesWithStats]]); 1 = the classic one-merge-per-job
+    * chain. The batch can only ever be a PREFIX of this ranking, so T
+    * bounds driver state (T rows per pass), not correctness.
+    */
+  val DefaultBatchT = 64
+
   /** Train `nMerges` merges; returns (rank, lhs, rhs) — rank = merge
     * order, the GPT-2 interchange table in DataFrame form. Stops
     * early if the vocabulary runs out of pairs.
     */
-  def trainMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+  def trainMerges(docs: DataFrame, nMerges: Int): DataFrame =
+    trainMergesWithStats(docs, nMerges, DefaultBatchT)._1
+
+  /** The batched merge chain, returning (merge table, batch sizes per
+    * count pass). The classic trainer prices each merge at one
+    * corpus-vocab aggregation job + one argmax collect — at the
+    * production depth (2000 merges) that is a pure-orchestration
+    * latency floor of 2000 sequential Spark jobs. This variant takes
+    * up to `batchT` merges per count pass, PROVABLY reproducing the
+    * sequential merge order (spec-pinned equal; the gated
+    * `t_bpe_train` oracle replays the sequential chain in DuckDB):
+    *
+    * Accept a PREFIX p_1..p_m of the (count DESC, pair DESC) ranking
+    * — the exact sequential selection order — where each p_j=(a_j,b_j)
+    * satisfies, against every accepted p_i (i<j):
+    *  1. symbol-disjoint: {a_j,b_j} ∩ {a_i,b_i} = ∅ — adjacency
+    *     counts of symbol-disjoint pairs are INVARIANT under each
+    *     other's merges (merging (a,b) creates/destroys only
+    *     adjacencies touching a, b, or the new symbol ab);
+    *  2. c_j > NB_i, where NB_i = max count over existing pairs of
+    *     form (·,a_i) or (b_i,·) — every pair NEWLY created by merge
+    *     i is (x,a_i b_i) from a former (x,a_i) adjacency or
+    *     (a_i b_i,y) from a former (b_i,y) adjacency (runs:
+    *     (ab,ab) derives from (b,a), also covered), so its count is
+    *     ≤ NB_i < c_j and can never outrank p_j; strictness also
+    *     settles ties without comparing new-pair strings;
+    *  3. a_j ≠ b_j (self-pairs leave overlap leftovers whose
+    *     greedy-pass arithmetic breaks the (x,a)/(b,y) bound — a
+    *     self-pair is taken ALONE, the sequential step).
+    * Condition 1 needs no rejected-middle reasoning because the batch
+    * is a prefix: everything ranked above an accepted pair is itself
+    * accepted (and merged), everything below can't outrank.
+    *
+    * Per pass this costs the same corpus-vocab pair aggregation as one
+    * sequential merge (checkpointed, so the top-T and NB lookups are
+    * two cheap follow-up jobs over the aggregated pair table — never a
+    * second corpus pass), and applies the whole batch as one fused
+    * projection of nested `replace`s in batch order. Driver state is
+    * ≤ batchT pairs + their ≤ 2·batchT neighbor bounds per pass —
+    * parameter scale, vocab stays distributed.
+    */
+  def trainMergesWithStats(docs: DataFrame, nMerges: Int,
+      batchT: Int = DefaultBatchT): (DataFrame, Seq[Int]) = {
     graft.core.Validation.validate("bpe-train",
       graft.core.Validation.knob("nMerges", nMerges, minV = 1L,
-        maxV = 65536L))
+        maxV = 65536L) ++
+        graft.core.Validation.knob("batchT", batchT, minV = 1L,
+          maxV = 4096L))
     val spark = docs.sparkSession
     val words = docs
       .select(explode(split(normText(col("text")), " ")).as("w"))
@@ -69,10 +120,12 @@ object BpeTrainer {
     // the checkpointed frame whose blocks the NEXT checkpoint releases
     var lastCkpt = vocab
     val merges = Seq.newBuilder[(Int, String, String)]
+    val batchSizes = Seq.newBuilder[Int]
     var i = 0
     var dry = false
+    var sinceCkpt = 0
     while (i < nMerges && !dry) {
-      val top = vocab
+      val pairs = vocab
         .withColumn("syms", split(trim(col("ws")), "  "))
         .filter(size(col("syms")) >= 2)
         .select(explode(expr(
@@ -80,17 +133,70 @@ object BpeTrainer {
             "j -> concat(element_at(syms, j), ' ', element_at(syms, j + 1)))"))
           .as("p"), col("cnt"))
         .groupBy("p").agg(sum("cnt").as("c"))
-        .orderBy(col("c").desc, col("p").desc)
-        .limit(1).collect()
+      // the corpus-vocab aggregation runs ONCE per pass; top-T and
+      // the neighbor bounds read the checkpointed pair table
+      val pc = if (batchT == 1) pairs else pairs.localCheckpoint(eager = true)
+      val top = pc.orderBy(col("c").desc, col("p").desc)
+        .limit(math.min(batchT, nMerges - i)).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
       if (top.isEmpty) dry = true
       else {
-        val Array(a, b) = top.head.getString(0).split(" ", 2)
-        merges += ((i, a, b))
-        // symbols are [a-z0-9]+ (normText alphabet + digit ids), so
+        val ranked = top.map { case (p, c) =>
+          val Array(a, b) = p.split(" ", 2); (a, b, c)
+        }
+        val batch =
+          if (batchT == 1 || ranked.length == 1) ranked.take(1).toSeq
+          else {
+            // neighbor bounds for the candidate symbols only — pairs
+            // (x,a) contribute to NB via their RIGHT symbol, (b,y)
+            // via their LEFT
+            val syms = ranked.flatMap(t => Seq(t._1, t._2)).distinct.toSeq
+            val bounds = pc
+              .withColumn("lhs", substring_index(col("p"), " ", 1))
+              .withColumn("rhs", substring_index(col("p"), " ", -1))
+              .filter(col("lhs").isInCollection(syms) ||
+                col("rhs").isInCollection(syms))
+              .select(col("lhs"), col("rhs"), col("c"))
+              .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+            val maxByLeft = bounds.groupBy(_._1).map { case (s, g) =>
+              s -> g.map(_._3).max }
+            val maxByRight = bounds.groupBy(_._2).map { case (s, g) =>
+              s -> g.map(_._3).max }
+            def nb(a: String, b: String): Long =
+              math.max(maxByRight.getOrElse(a, 0L), maxByLeft.getOrElse(b, 0L))
+            val acc = Seq.newBuilder[(String, String, Long)]
+            var used = Set.empty[String]
+            var nbMax = Long.MinValue
+            var stop = false
+            ranked.foreach { case t @ (a, b, c) =>
+              if (!stop) {
+                val selfPair = a == b
+                val first = used.isEmpty
+                if (first) {
+                  acc += t; used = Set(a, b); nbMax = nb(a, b)
+                  if (selfPair) stop = true // self-pairs go alone
+                } else if (selfPair || used(a) || used(b) || c <= nbMax) {
+                  stop = true // prefix rule: cut at the first rejection
+                } else {
+                  acc += t; used = used + a + b
+                  nbMax = math.max(nbMax, nb(a, b))
+                }
+              }
+            }
+            acc.result()
+          }
+        if (batchT > 1) pc.unpersist()
+        batchSizes += batch.length
+        // one fused projection applies the whole batch in batch order
+        // — symbols are [a-z0-9]+ (normText alphabet + digit ids), so
         // inlining them in a SQL literal is quote-safe
-        vocab = vocab.withColumn("ws",
-          expr(s"replace(ws, ' $a  $b ', ' $a$b ')"))
-        if ((i + 1) % 64 == 0) {
+        val applied = batch.foldLeft("ws") { case (e, (a, b, _)) =>
+          s"replace($e, ' $a  $b ', ' $a$b ')"
+        }
+        batch.foreach { case (a, b, _) => merges += ((i, a, b)); i += 1 }
+        vocab = vocab.withColumn("ws", expr(applied))
+        sinceCkpt += batch.length
+        if (sinceCkpt >= 64) {
           // release the PREVIOUS checkpoint's blocks once the new one
           // has materialized (eager = the new copy exists before the
           // unpersist): without this a 2000-merge run pins ~31 full
@@ -98,11 +204,13 @@ object BpeTrainer {
           vocab = vocab.localCheckpoint(eager = true)
           lastCkpt.unpersist()
           lastCkpt = vocab
+          sinceCkpt = 0
         }
-        i += 1
       }
     }
     import spark.implicits._
-    merges.result().toDF("rank", "lhs", "rhs")
+    (merges.result().zipWithIndex
+      .map { case ((_, a, b), r) => (r, a, b) }
+      .toDF("rank", "lhs", "rhs"), batchSizes.result())
   }
 }

@@ -270,6 +270,27 @@ class BpeSpec extends SparkSuite {
     assert(out === ref.result())
   }
 
+  test("batched trainMerges: merge chain identical to the sequential trainer, batches > 1") {
+    import graft.operators.BpeTrainer
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val n = 120
+    val (seqDf, seqSizes) = BpeTrainer.trainMergesWithStats(docs, n, batchT = 1)
+    val (batDf, batSizes) = BpeTrainer.trainMergesWithStats(docs, n, batchT = 64)
+    def chain(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    // the provable prefix rule reproduces the sequential merge ORDER
+    // exactly — same table, same ranks
+    assert(chain(batDf) === chain(seqDf))
+    // the sequential arm really is one merge per pass, and the batched
+    // arm really batches on this corpus (otherwise the speedup claim
+    // is vacuous here and BASELINE should record the honest negative)
+    assert(seqSizes.forall(_ == 1) && seqSizes.sum === n)
+    assert(batSizes.sum === n)
+    assert(batSizes.length < n,
+      s"no pass batched more than one merge (${batSizes.length} passes)")
+  }
+
   test("trainMerges single-pass run semantics: 'aaaaa' trains (a,a) then (aa,aa)") {
     import graft.operators.BpeTrainer
     import spark.implicits._
