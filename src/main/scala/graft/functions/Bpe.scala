@@ -174,6 +174,19 @@ object Bpe {
     */
   lazy val default: BpeTable = parseMerges(BpeMergesData.lines.iterator)
 
+  /** The first `n` merges of the default table — the vocabulary-size
+    * knob (a GPT-2-format table truncates by rank: every prefix is
+    * itself a valid table, trained state included). What T20's fit
+    * report responds to: a smaller vocabulary shreds text into more
+    * tokens, and the per-language fertility delta between two depths
+    * is the measured cost of the smaller table.
+    */
+  def defaultTruncated(n: Int): BpeTable = {
+    require(n >= 1 && n <= default.size,
+      s"truncation depth $n outside 1..${default.size}")
+    new BpeTable(default.pairs.take(n))
+  }
+
   /** The GPT-2 byte encoder (the public `bytes_to_unicode`
     * interchange mapping): a BIJECTION from the 256 byte values to
     * printable code points — bytes in [33,126], [161,172], [174,255]

@@ -99,6 +99,27 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("tokenizer fit responds to the vocabulary knob: truncated table raises every fertility") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def fert(t: graft.functions.BpeTable) =
+      TextAnalysis.tokenizerFit(docs, t).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("fertility_pct")).toMap
+    val full = fert(Bpe.default)
+    val small = fert(Bpe.defaultTruncated(50))
+    assert(full.keySet === small.keySet)
+    // a 40x-smaller vocabulary must shred text into MORE tokens for
+    // every language — strictly, or the report isn't measuring the
+    // knob (depth 50 is below this corpus's ~rank-100 saturation)
+    full.keySet.foreach { lang =>
+      assert(small(lang) > full(lang),
+        s"$lang: fertility ${small(lang)} at depth 50 vs ${full(lang)} full")
+    }
+    // and the truncation guard rejects nonsense depths
+    intercept[IllegalArgumentException](Bpe.defaultTruncated(0))
+    intercept[IllegalArgumentException](
+      Bpe.defaultTruncated(Bpe.default.size + 1))
+  }
+
   test("token-id sequences: known example, vocab mapping, merge-order ids") {
     val t = table(("a", "a"), ("aa", "b"), ("b", "c"))
     def ids(s: String): Seq[Int] =
