@@ -87,13 +87,17 @@ object BpeTrainer {
     * is a prefix: everything ranked above an accepted pair is itself
     * accepted (and merged), everything below can't outrank.
     *
-    * Per pass this costs the same corpus-vocab pair aggregation as one
-    * sequential merge (checkpointed, so the top-T and NB lookups are
-    * two cheap follow-up jobs over the aggregated pair table — never a
-    * second corpus pass), and applies the whole batch as one fused
-    * projection of nested `replace`s in batch order. Driver state is
-    * ≤ batchT pairs + their ≤ 2·batchT neighbor bounds per pass —
-    * parameter scale, vocab stays distributed.
+    * Per pass this costs EXACTLY one corpus-vocab pair aggregation +
+    * one TakeOrdered collect — the sequential trainer's per-merge
+    * price — so any batch ≥ 2 is pure profit. The collect widens to
+    * selT (≥1024) rows only so NB can be bounded driver-side without
+    * a second job: an uncollected pair's count is ≤ the selT-th
+    * ranked count (the cutoff), hence
+    * nbBound = max(collected adjacent max, cutoff) ≥ NB, and the
+    * prefix rule applies against the bound. The whole batch lands as
+    * one fused projection of nested `replace`s in batch order.
+    * Driver state is selT (string, long) rows per pass — parameter
+    * scale, vocab stays distributed.
     */
   def trainMergesWithStats(docs: DataFrame, nMerges: Int,
       batchT: Int = DefaultBatchT): (DataFrame, Seq[Int]) = {
@@ -133,42 +137,43 @@ object BpeTrainer {
             "j -> concat(element_at(syms, j), ' ', element_at(syms, j + 1)))"))
           .as("p"), col("cnt"))
         .groupBy("p").agg(sum("cnt").as("c"))
-      // the corpus-vocab aggregation runs ONCE per pass; top-T and
-      // the neighbor bounds read the checkpointed pair table
-      val pc = if (batchT == 1) pairs else pairs.localCheckpoint(eager = true)
-      val top = pc.orderBy(col("c").desc, col("p").desc)
-        .limit(math.min(batchT, nMerges - i)).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
+      // ONE TakeOrdered job per pass — exactly the sequential
+      // trainer's per-merge cost, so any batch ≥ 2 is pure profit.
+      // The collect widens past batchT (selT rows) purely to bound
+      // the neighbor maxima: an UNCOLLECTED pair's count is ≤ the
+      // selT-th count (the ranking cutoff), so
+      // nbBound = max(collected adjacent max, cutoff) ≥ the true NB
+      // and the prefix rule stays provable without a second job.
+      val selT = if (batchT == 1) 1 else math.max(batchT, 1024)
+      val top = pairs.orderBy(col("c").desc, col("p").desc)
+        .limit(selT).collect()
+        .map { r =>
+          val Array(a, b) = r.getString(0).split(" ", 2)
+          (a, b, r.getLong(1))
+        }
       if (top.isEmpty) dry = true
       else {
-        val ranked = top.map { case (p, c) =>
-          val Array(a, b) = p.split(" ", 2); (a, b, c)
-        }
+        val cand = top.take(math.min(batchT, nMerges - i))
         val batch =
-          if (batchT == 1 || ranked.length == 1) ranked.take(1).toSeq
+          if (batchT == 1 || cand.length == 1) cand.take(1).toSeq
           else {
-            // neighbor bounds for the candidate symbols only — pairs
-            // (x,a) contribute to NB via their RIGHT symbol, (b,y)
-            // via their LEFT
-            val syms = ranked.flatMap(t => Seq(t._1, t._2)).distinct.toSeq
-            val bounds = pc
-              .withColumn("lhs", substring_index(col("p"), " ", 1))
-              .withColumn("rhs", substring_index(col("p"), " ", -1))
-              .filter(col("lhs").isInCollection(syms) ||
-                col("rhs").isInCollection(syms))
-              .select(col("lhs"), col("rhs"), col("c"))
-              .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-            val maxByLeft = bounds.groupBy(_._1).map { case (s, g) =>
+            val cutoff =
+              if (top.length < selT) Long.MinValue else top.last._3
+            val maxByLeft = top.groupBy(_._1).map { case (s, g) =>
               s -> g.map(_._3).max }
-            val maxByRight = bounds.groupBy(_._2).map { case (s, g) =>
+            val maxByRight = top.groupBy(_._2).map { case (s, g) =>
               s -> g.map(_._3).max }
+            // pairs (x,a) cap new-pair counts via their RIGHT symbol,
+            // (b,y) via their LEFT; anything uncollected via cutoff
             def nb(a: String, b: String): Long =
-              math.max(maxByRight.getOrElse(a, 0L), maxByLeft.getOrElse(b, 0L))
+              math.max(cutoff,
+                math.max(maxByRight.getOrElse(a, Long.MinValue),
+                  maxByLeft.getOrElse(b, Long.MinValue)))
             val acc = Seq.newBuilder[(String, String, Long)]
             var used = Set.empty[String]
             var nbMax = Long.MinValue
             var stop = false
-            ranked.foreach { case t @ (a, b, c) =>
+            cand.foreach { case t @ (a, b, c) =>
               if (!stop) {
                 val selfPair = a == b
                 val first = used.isEmpty
@@ -185,7 +190,6 @@ object BpeTrainer {
             }
             acc.result()
           }
-        if (batchT > 1) pc.unpersist()
         batchSizes += batch.length
         // one fused projection applies the whole batch in batch order
         // — symbols are [a-z0-9]+ (normText alphabet + digit ids), so
