@@ -941,7 +941,7 @@ object Ann {
     * d0..d3 per-subspace reconstruction-error columns. A pure
     * zero-shuffle codegen projection, same shape as [[kmeansAssign]].
     */
-  private def pqEncodedFromQ(q: DataFrame,
+  private[graft] def pqEncodedFromQ(q: DataFrame,
       books: Seq[Seq[(Long, Seq[Long], Long)]]): DataFrame = {
     books.zipWithIndex.foldLeft(q) {
       case (df, (cent, s)) =>

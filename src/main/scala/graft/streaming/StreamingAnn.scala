@@ -474,6 +474,250 @@ object StreamingAnn {
         round(col("qcos") * 10000, 0).cast("long").as("qcos_bp"))
   }
 
+  // ---- ST9: the PQ-coded on-disk layout (IVFADC at rest) -----------
+  //
+  // The web-scale rung of the on-disk family: `full` serves exact
+  // vectors (1×), `sq8` serves int8 codes (4×), `pq` serves 12-bit
+  // residual ADC codes (~21× — four BIGINT code columns per row, no
+  // vector payload at all). The batch operators [[Ann.knnIvfPq]] /
+  // [[Ann.knnIvfPqRefined]] prove the math; ST7/ST8 prove the
+  // manifest/visibility machinery; this layout composes them:
+  // train-once coarse model AND train-once product codebooks (both
+  // durable artifacts), L2 assignment/probe rule (the batch IVFADC's
+  // own — see [[RuleL2]]), per-(query, cell) ADC tables built
+  // driver-side from the frozen artifacts, codes-only probed-cell
+  // scans, and the exact-rerank refine fetching full vectors from the
+  // PRIMARY store by id (request-scale — the index itself never
+  // stores a vector, which is the point of 21×).
+
+  /** Persist trained PQ codebooks (one line per centroid:
+    * `subspace|c_id|comp,comp,...|norm2`), atomically — the codebook
+    * twin of [[saveModel]].
+    */
+  def saveBooks(path: String,
+      books: Seq[Seq[(Long, Seq[Long], Long)]]): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    val body = books.zipWithIndex.flatMap { case (cent, s) =>
+      cent.map { case (c, v, n2) => s"$s|$c|${v.mkString(",")}|$n2" }
+    }.mkString("\n")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Load persisted codebooks; empty/unparseable yields None (same
+    * poison-free contract as [[loadModel]]).
+    */
+  def loadBooks(path: String): Option[Seq[Seq[(Long, Seq[Long], Long)]]] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val body = java.nio.file.Files.readString(p)
+      if (body.trim.isEmpty) None
+      else try {
+        val rows = body.trim.split("\n").toSeq.map { l =>
+          val Array(s, c, v, n2) = l.split("\\|")
+          (s.toInt, (c.toLong, v.split(",").toSeq.map(_.toLong), n2.toLong))
+        }
+        Some(rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)))
+      } catch { case _: MatchError | _: NumberFormatException => None }
+    }
+  }
+
+  /** The serving codebook path for a resolved generation root — the
+    * generation-local `_pqbooks` when present, else the caller's
+    * durable artifact (mirrors [[modelFor]]).
+    */
+  private def booksFor(resolvedRoot: String, booksPath: String): String = {
+    val genBooks = java.nio.file.Paths.get(resolvedRoot, "_pqbooks")
+    if (java.nio.file.Files.exists(genBooks)) genBooks.toString else booksPath
+  }
+
+  /** ST9 ingest — the streaming form of the batch IVFADC encode
+    * ([[Ann.knnIvfPq]]'s corpus side): the first non-empty batch
+    * trains the coarse model (persisted at `modelPath`) AND the
+    * product codebooks over that batch's COARSE RESIDUALS (persisted
+    * at `booksPath`); every batch then assigns cells by the frozen
+    * model's squared-L2 argmin ([[Ann.kmeansAssign]] — the batch
+    * IVFADC rule, stamped [[RuleL2]]), encodes its residuals under
+    * the frozen codebooks ([[Ann.pqEncodedFromQ]] — a zero-shuffle
+    * codegen projection), and appends ONLY the four code columns to
+    * the cell-partitioned index. Same idempotent-partition /
+    * owner-recovery / id-reuse contract as [[ivfIngest]];
+    * [[compactIndex]]/[[vacuumIndex]] serve this layout unchanged
+    * (schema-agnostic). [[retrainIndex]] REFUSES it by design:
+    * residual codes cannot be re-encoded without the primary vectors.
+    */
+  def ivfIngestPq(emb: DataFrame, modelPath: String, booksPath: String,
+      indexDir: String, checkpointDir: String, kCells: Int = 8,
+      pqK: Int = Ann.PqK, iterations: Int = 2): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val root = resolveRoot(indexDir)
+        recoverIndex(root)
+        val qb = quantize(batch)
+        if (!qb.isEmpty) {
+          val cent = trainOrLoad(modelFor(root, modelPath),
+            qb.select("vec_id", "v", "norm2"), kCells, iterations)
+          ensureLayout(root, "pq", cent.size, cent.head._2.size)
+          val centMap = typedLit(cent.map { case (c, cv, _) => c -> cv }.toMap)
+          // residuals against the frozen coarse cells — materialized
+          // once when they feed codebook training (read 4 subspaces ×
+          // (1 + iterations) times), lazily otherwise
+          def residuals() =
+            Ann.kmeansAssign(qb.select("vec_id", "v", "norm2"), cent)
+              .select(col("vec_id"), col("cluster").as("cell"),
+                zip_with(col("v"), element_at(centMap, col("cluster")),
+                  (a, b) => a - b).as("v"))
+          val bPath = booksFor(root, booksPath)
+          val books = loadBooks(bPath).getOrElse {
+            val res = residuals().localCheckpoint(eager = true)
+            // seed-safe per-subspace training (the coarse model's own
+            // discipline): identical to the batch pqCodebooksFromQ on
+            // a 0-keyed first batch, trained once, shipped thereafter
+            val b = (0 until Ann.PqM).map { s =>
+              val sv = slice(col("v"), s * Ann.PqSubDims + 1, Ann.PqSubDims)
+              Ann.kmeansCentroidsSeedSafe(
+                res.select(col("vec_id"), sv.as("v"),
+                  VecOps.intDot(sv, sv).as("norm2")), pqK, iterations)
+            }
+            saveBooks(bPath, b)
+            res.unpersist()
+            b
+          }
+          val diskId = reuseSafeBatchId(root, checkpointDir, batchId)
+          Ann.pqEncodedFromQ(residuals(), books)
+            .select("vec_id", "cell", "c0", "c1", "c2", "c3")
+            .withColumn("ingest_batch", lit(diskId))
+            .write
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("cell", "ingest_batch")
+            .parquet(root)
+        }
+      }
+      .start()
+
+  /** Driver-side L2 probe ranking for the pq layout — EXACTLY the
+    * batch [[Ann.knnIvfPq]] query side (exact coarse squared-L2,
+    * ties on the smaller cell id), returning the ranked cells WITH
+    * the query's residual to each (the ADC tables are per-(query,
+    * cell) — built from the residual TO THAT CELL).
+    */
+  private def rankCellsL2(cent: Seq[(Long, Seq[Long], Long)],
+      qv: Seq[Long]): Seq[(Long, Seq[Long])] = {
+    val qn2 = qv.map(x => x * x).sum
+    cent.map { case (cId, cv, cn2) =>
+      val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+      ((qn2 - 2 * dot + cn2, cId), cId,
+        qv.zip(cv).map { case (a, b) => a - b })
+    }.sortBy(_._1).map { case (_, cId, res) => (cId, res) }
+  }
+
+  /** One subspace's ADC table for a query residual: c_id → exact
+    * integer squared-L2 of the residual's subvector against the
+    * codebook centroid — the driver-side twin of the batch operator's
+    * per-query map literals (identical Long arithmetic).
+    */
+  private def adcTable(res: Seq[Long], s: Int,
+      book: Seq[(Long, Seq[Long], Long)]): Map[Long, Long] = {
+    val sv = res.slice(s * Ann.PqSubDims, (s + 1) * Ann.PqSubDims)
+    val sn = sv.map(x => x * x).sum
+    book.map { case (cId, cv, cn2) =>
+      val dot = sv.zip(cv).map { case (a, b) => a * b }.sum
+      cId -> (sn - 2 * dot + cn2)
+    }.toMap
+  }
+
+  /** ADC top-k over an [[ivfIngestPq]] index: cells ranked by exact
+    * coarse L2 against the frozen model (driver-side, request-scale),
+    * per-(query, probed-cell) ADC tables from the frozen codebooks
+    * (driver math — PqM maps of pqK integers per pair), then ONE
+    * codes-only scan of the probed cell partitions: est_d is PqM map
+    * lookups per candidate, the visibility filter and newest-wins
+    * election are the shared index machinery, and the result is
+    * bit-identical to [[Ann.knnIvfPq]] at the same geometry
+    * (parity spec). Output: (q_id, rnk, neighbor_id, est_d).
+    */
+  def queryIndexPq(spark: SparkSession, indexDir: String,
+      modelPath: String, booksPath: String, queries: DataFrame, k: Int,
+      probes: Int = 2): DataFrame = {
+    import spark.implicits._
+    val root = resolveRoot(indexDir)
+    requireLayout(root, "pq", "queryIndexPq")
+    val visibility = visibilityFilter(root)
+    val cent = loadModel(modelFor(root, modelPath)).getOrElse(
+      throw new IllegalStateException(
+        s"no trained model at ${modelFor(root, modelPath)}"))
+    val books = loadBooks(booksFor(root, booksPath)).getOrElse(
+      throw new IllegalStateException(
+        s"no trained codebooks at ${booksFor(root, booksPath)}"))
+    val qRows = quantize(queries).collect().map(r =>
+      (r.getLong(0), r.getSeq[Long](1)))
+    val probeRows = qRows.flatMap { case (qId, qv) =>
+      rankCellsL2(cent, qv).take(probes).map { case (cId, res) =>
+        (qId, cId, adcTable(res, 0, books(0)), adcTable(res, 1, books(1)),
+          adcTable(res, 2, books(2)), adcTable(res, 3, books(3)))
+      }
+    }.toSeq
+    val probeDf = probeRows.toDF("q_id", "qcell", "qd0", "qd1", "qd2", "qd3")
+    val cells = probeRows.map(_._2).distinct
+    val idx0 = spark.read.parquet(root)
+      .filter(col("cell").isin(cells: _*))
+    val idx = visibility.fold(idx0)(idx0.filter)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("est_d"), col("vec_id"))
+    newestPerCandidate(idx.join(broadcast(probeDf),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id")))
+      .withColumn("est_d",
+        element_at(col("qd0"), col("c0")) + element_at(col("qd1"), col("c1"))
+          + element_at(col("qd2"), col("c2"))
+          + element_at(col("qd3"), col("c3")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("est_d"))
+  }
+
+  /** IVFADC-R over the on-disk index — [[Ann.knnIvfPqRefined]]'s
+    * refine stage composed with [[queryIndexPq]]: the code index
+    * RANKS a k·refine shortlist (ADC, codes only), and the
+    * shortlist's full-precision vectors rerank it to k by exact
+    * cosine. `vectors` is the PRIMARY embedding store
+    * (vec_id, embedding) — the index stores no vectors, so the
+    * refine fetch is a request-scale broadcast equi-join against the
+    * store (queries × k·refine ids), exactly the batch operator's
+    * plan. Output: (q_id, rnk, neighbor_id, cos_bp), bit-identical
+    * to [[Ann.knnIvfPqRefined]] at the same geometry (parity spec).
+    */
+  def queryIndexPqRefined(spark: SparkSession, indexDir: String,
+      modelPath: String, booksPath: String, queries: DataFrame,
+      vectors: DataFrame, k: Int, refine: Int = 10,
+      probes: Int = 2): DataFrame = {
+    graft.core.Configs.Pq(Ann.PqK, refine).validated
+    val short = queryIndexPq(spark, indexDir, modelPath, booksPath,
+      queries, k * refine, probes).select("q_id", "neighbor_id")
+    val qv = quantize(vectors)
+    val cand = qv.join(broadcast(short), col("vec_id") === col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"), col("v"), col("norm2"))
+    val qq = qv.join(broadcast(short.select("q_id").distinct()),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("v").as("qv"), col("norm2").as("qn2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(broadcast(qq), Seq("q_id"))
+      .withColumn("cos", Ann.cosine(col("qv"), col("v"), col("qn2"),
+        col("norm2")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos") * 10000, 0).cast("long").as("cos_bp"))
+  }
+
   /** Compact aged index leaves: a long-lived ingest accumulates one
     * parquet leaf per (cell, ingest_batch) without bound, and
     * [[queryIndex]] reads every leaf of a probed cell — the one scale
@@ -569,7 +813,7 @@ object StreamingAnn {
     // so it would launder a wrong-rule index into a fresh-looking one
     readLayout(root) match {
       case None => throw new IllegalStateException(legacyLayoutMsg(root))
-      case Some((_, _, _, r)) if r != RuleCos =>
+      case Some((l, _, _, r)) if r != ruleFor(l) =>
         throw new IllegalStateException(ruleMismatchMsg(root, r))
       case _ => ()
     }
@@ -882,10 +1126,22 @@ object StreamingAnn {
     recoverIndex(indexDir) // owner entry: settle any crashed compaction
     val (layout, _, dims) = readLayout(cur) match {
       case None => throw new IllegalStateException(legacyLayoutMsg(cur))
-      case Some((_, _, _, r)) if r != RuleCos =>
+      case Some((l, _, _, r)) if r != ruleFor(l) =>
         throw new IllegalStateException(ruleMismatchMsg(cur, r))
       case Some((l, k, d, _)) => (l, k, d)
     }
+    // a pq index stores only residual ADC codes — residuals are taken
+    // against the OLD centroids, so a new model cannot re-encode them
+    // without the primary full-precision vectors, which this layout
+    // deliberately does not carry. Refuse loudly: drift maintenance
+    // for a code index is a re-ingest from the primary store under a
+    // fresh model/codebooks, never an in-place rebuild.
+    if (layout == "pq")
+      throw new IllegalStateException(
+        s"index at $cur is a 'pq' (residual-code) layout: retraining " +
+          "needs the primary full-precision vectors, which a code index " +
+          "does not store — re-ingest from the primary store under a new " +
+          "model instead of retraining in place")
     val excluded = excludedBatchIds(cur)
     val visibleLeaves = listLeaves(cur).filterNot(l => excluded.contains(l._2))
     if (visibleLeaves.isEmpty)
@@ -1216,22 +1472,24 @@ object StreamingAnn {
       require((l, k, d) == ((layout, kCells, dims)),
         s"index at $indexDir is already stamped layout=$l kCells=$k dims=$d; " +
           s"refusing to restamp as layout=$layout kCells=$kCells dims=$dims")
-      require(r.isEmpty || r == RuleCos,
-        s"index at $indexDir is stamped with unknown assignment rule '$r'")
+      require(r.isEmpty || r == ruleFor(layout),
+        s"index at $indexDir is stamped with assignment rule '$r' but " +
+          s"layout=$layout is served under rule=${ruleFor(layout)}")
       // r.isEmpty: a pre-rule stamp being upgraded — the operator's
-      // explicit act of asserting the cells really are cosine-assigned
+      // explicit act of asserting the cells really follow the
+      // layout's rule
     }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
     val tmp = java.nio.file.Paths.get(indexDir,
       s"_layout.tmp-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.writeString(tmp,
-      s"layout=$layout\nkcells=$kCells\ndims=$dims\nrule=$RuleCos")
+      s"layout=$layout\nkcells=$kCells\ndims=$dims\nrule=${ruleFor(layout)}")
     java.nio.file.Files.move(tmp, layoutPath(indexDir),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
-  private[graft] val Layouts = Set("full", "sq8")
+  private[graft] val Layouts = Set("full", "sq8", "pq")
 
   /** The cell-assignment rule every current writer uses
     * ([[Ann.cellAssign]], guarded-cosine argmax) and every reader's
@@ -1240,19 +1498,35 @@ object StreamingAnn {
     * index written before the rule change) can never be served with
     * cosine-ranked probes silently — that combination degrades recall
     * with no error. Such an index must be RE-INGESTED, not stamped:
-    * [[stampIndexLayout]] always asserts rule=cos.
+    * [[stampIndexLayout]] asserts the layout's own rule.
     */
   private[graft] val RuleCos = "cos"
 
+  /** The `pq` layout's assignment rule: squared-L2 argmin — EXACTLY
+    * the batch IVFADC's coarse quantizer ([[Ann.knnIvfPq]] assigns via
+    * kmeansAssign and ranks probes by exact coarse L2), which is what
+    * makes residual encoding meaningful (residuals are taken against
+    * the NEAREST centroid in L2, the metric the codebooks are trained
+    * under). The rule field keeps an l2-assigned code index from ever
+    * being served with cosine-ranked probes, and vice versa.
+    */
+  private[graft] val RuleL2 = "l2"
+
+  /** Each layout's one legitimate assignment rule — the pairing every
+    * stamp write asserts and every reader/compactor checks.
+    */
+  private[graft] def ruleFor(layout: String): String =
+    if (layout == "pq") RuleL2 else RuleCos
+
   private def ruleMismatchMsg(indexDir: String, rule: String) =
     s"index at $indexDir is stamped with assignment rule " +
-      s"'${if (rule.isEmpty) "<missing>" else rule}' but every query/compaction " +
-      s"path serves rule=$RuleCos (guarded-cosine cell assignment): if the " +
-      "index was written by a guarded-cosine ingest, restamp it with " +
-      "StreamingAnn.stampIndexLayout (which asserts rule=cos); an index " +
-      "whose cells were assigned under another rule (e.g. L2 argmin) must " +
-      "be re-ingested — serving it with cosine-ranked probes would " +
-      "silently degrade recall"
+      s"'${if (rule.isEmpty) "<missing>" else rule}' but its layout is " +
+      s"served under ${Layouts.map(l => s"$l=rule:${ruleFor(l)}").toSeq.sorted
+        .mkString(", ")}: if the index really was written by the matching " +
+      "ingest, restamp it with StreamingAnn.stampIndexLayout (which asserts " +
+      "the layout's own rule); an index whose cells were assigned under a " +
+      "different rule must be re-ingested — serving it with mismatched " +
+      "probe ranking would silently degrade recall"
 
   private def layoutPath(indexDir: String) =
     java.nio.file.Paths.get(indexDir, "_layout")
@@ -1276,9 +1550,9 @@ object StreamingAnn {
             s"index at $indexDir is stamped layout=$l kCells=$k dims=$d; " +
               s"this ingest writes layout=$layout kCells=$kCells dims=$dims " +
               "— refusing to mix layouts in one index dir")
-        if (r != RuleCos)
-          // never append cosine-assigned rows into partitions whose
-          // existing assignment rule is unknown/different
+        if (r != ruleFor(layout))
+          // never append rows into partitions whose existing
+          // assignment rule is unknown/different
           throw new IllegalStateException(ruleMismatchMsg(indexDir, r))
       case None =>
         if (listLeaves(indexDir).nonEmpty)
@@ -1293,14 +1567,15 @@ object StreamingAnn {
   private def requireLayout(indexDir: String, expected: String,
       caller: String): Unit =
     readLayout(indexDir) match {
-      case Some((l, _, _, r)) if l == expected && r == RuleCos => ()
+      case Some((l, _, _, r)) if l == expected && r == ruleFor(expected) => ()
       case Some((l, _, _, r)) if l == expected =>
         throw new IllegalStateException(ruleMismatchMsg(indexDir, r))
       case Some((l, k, d, _)) =>
         throw new IllegalStateException(
           s"$caller expects a '$expected' index but $indexDir is stamped " +
             s"layout=$l (kCells=$k, dims=$d); use " +
-            s"${if (l == "sq8") "queryIndexSq" else "queryIndex"}")
+            s"${if (l == "sq8") "queryIndexSq"
+              else if (l == "pq") "queryIndexPq" else "queryIndex"}")
       case None =>
         if (listLeaves(indexDir).nonEmpty)
           throw new IllegalStateException(legacyLayoutMsg(indexDir))

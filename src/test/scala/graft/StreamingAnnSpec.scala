@@ -544,6 +544,96 @@ class StreamingAnnSpec extends SparkSuite {
       .elementType === org.apache.spark.sql.types.ByteType)
   }
 
+  test("PQ index: codes-only leaves, ADC + refined parity with the batch IVFADC, incl. through compaction+vacuum") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-pq")
+    val rows = embRows
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val queries = rows.filter(_._1 < 5).toSeq.toDF("vec_id", "embedding")
+    // pre-train the model + codebooks on the FULL corpus, exactly the
+    // batch operator's chain (kmeansCentroids seeds, residuals against
+    // the assigned cells, pqCodebooksFromQ per subspace) — a
+    // pre-trained artifact is honored by the ingest, so a multi-batch
+    // delivery then encodes under the same frozen state the batch
+    // twin trains, and parity is exact
+    val q = Ann.quantized(emb).select("vec_id", "v", "norm2")
+    val cent = Ann.kmeansCentroids(q, 8, 2)
+    StreamingAnn.saveModel(s"$root/model.txt", cent)
+    val centMap = typedLit(cent.map { case (c, cv, _) => c -> cv }.toMap)
+    val residuals = Ann.kmeansAssign(q, cent)
+      .select(col("vec_id"),
+        zip_with(col("v"), element_at(centMap, col("cluster")),
+          (a, b) => a - b).as("v"))
+    val books = Ann.pqCodebooksFromQ(residuals, Ann.PqK, 2)
+    StreamingAnn.saveBooks(s"$root/books.txt", books)
+    assert(StreamingAnn.loadBooks(s"$root/books.txt").get === books)
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val qy = StreamingAnn.ivfIngestPq(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/books.txt", s"$root/index", s"$root/ckpt")
+    try {
+      (0 until 4).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b).toSeq: _*)
+        qy.processAllAvailable()
+      }
+    } finally qy.stop()
+    // the 21x claim: leaves carry ONLY the four code columns + keys —
+    // no vector payload of any kind
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.columns.toSet ===
+      Set("vec_id", "c0", "c1", "c2", "c3", "cell", "ingest_batch"),
+      idx.schema.treeString)
+    assert(idx.count() === rows.length.toLong)
+    // stamped pq + rule l2; wrong-flavor queries refused both ways
+    assert(StreamingAnn.readLayout(s"$root/index")
+      .map { case (l, _, _, r) => (l, r) } === Some(("pq", "l2")))
+    val exFlavor = intercept[IllegalStateException](
+      StreamingAnn.queryIndex(spark, s"$root/index", s"$root/model.txt",
+        queries, k = 3))
+    assert(exFlavor.getMessage.contains("queryIndexPq"))
+    // retrain REFUSES a codes-only index (residuals can't re-encode
+    // without the primary vectors)
+    val exRetrain = intercept[IllegalStateException](
+      StreamingAnn.retrainIndex(spark, s"$root/index", kCells = 8))
+    assert(exRetrain.getMessage.contains("re-ingest"))
+
+    def snapAdc() = StreamingAnn.queryIndexPq(spark, s"$root/index",
+      s"$root/model.txt", s"$root/books.txt", queries, k = 3, probes = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    def snapRef() = StreamingAnn.queryIndexPqRefined(spark, s"$root/index",
+      s"$root/model.txt", s"$root/books.txt", queries, emb, k = 3,
+      refine = 10, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val wantAdc = Ann.knnIvfPq(emb, numQueries = 5, k = 3, kCells = 8,
+      iterations = 2, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val wantRef = Ann.knnIvfPqRefined(emb, numQueries = 5, k = 3,
+      refine = 10, kCells = 8, iterations = 2, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(snapAdc() === wantAdc)
+    assert(snapRef() === wantRef)
+    // the probed-cell scan is partition-pruned on cell, like ST7/ST8
+    val plan = StreamingAnn.queryIndexPq(spark, s"$root/index",
+      s"$root/model.txt", s"$root/books.txt", queries, k = 3, probes = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.find(_.contains("PartitionFilters"))
+      .exists(_.contains("cell")), plan.take(2500))
+    // parity SURVIVES compaction + eager vacuum: the compactor is
+    // schema-agnostic over the code columns and the election never
+    // changes an elected payload
+    val out = StreamingAnn.compactIndex(spark, s"$root/index", minBatches = 2)
+    assert(out.nonEmpty)
+    assert(snapAdc() === wantAdc)
+    StreamingAnn.vacuumIndex(s"$root/index", grace = 0)
+    assert(StreamingAnn.listLeaves(s"$root/index").map(_._2).distinct.size === 2)
+    assert(snapAdc() === wantAdc)
+    assert(snapRef() === wantRef)
+  }
+
   test("index stats: leaf/row/share per cell, manifest-consistent with queries") {
     val spark0 = spark
     import spark0.implicits._
@@ -879,13 +969,23 @@ class StreamingAnnSpec extends SparkSuite {
     //   GRAFT_MODEL_SEEDS=0,1,2,3,4,5,6,7 sbt "testOnly ... -- -z randomized"
     val seeds = sys.env.getOrElse("GRAFT_MODEL_SEEDS", "42")
       .split(",").toSeq.map(_.trim.toLong)
-    seeds.foreach(runModelCheck)
+    seeds.foreach(runModelCheck(_))
   }
 
-  private def runModelCheck(seed: Long): Unit = {
+  test("randomized model check over a pq-stamped index: same invariant, retrain refused") {
+    // the pq layout shares every piece of index machinery (manifest,
+    // tombstones, vacuum, id reuse, generations) but is stamped
+    // rule=l2 and REFUSES in-place retrain — the op sequence runs
+    // against a pq stamp with the retrain op asserting the refusal
+    val seeds = sys.env.getOrElse("GRAFT_MODEL_SEEDS", "42")
+      .split(",").toSeq.map(_.trim.toLong)
+    seeds.foreach(runModelCheck(_, layout = "pq"))
+  }
+
+  private def runModelCheck(seed: Long, layout: String = "full"): Unit = {
     val spark0 = spark
     import spark0.implicits._
-    val root = tmpDir(s"st-ann-model-$seed")
+    val root = tmpDir(s"st-ann-model-$layout-$seed")
     val dims = 4
     val rnd = new scala.util.Random(seed)
     val NVecs = 12
@@ -912,7 +1012,7 @@ class StreamingAnnSpec extends SparkSuite {
         .parquet(idxRoot()) // the resolved serving generation
       // hand-built index: explicit stamp (compaction refuses unstamped)
       if (!stamped) {
-        StreamingAnn.stampIndexLayout(s"$root/index", "full", 2, dims)
+        StreamingAnn.stampIndexLayout(s"$root/index", layout, 2, dims)
         stamped = true
       }
     }
@@ -1091,6 +1191,15 @@ class StreamingAnnSpec extends SparkSuite {
           batchContents.clear() // replays come from the live lineage only
         case 6 => // a reader plans here; its files must survive
           readerSnapshots += visibleFiles()
+        case 7 if layout == "pq" => // retrain must REFUSE a code index
+          if (perLeaf.nonEmpty && StreamingAnn.listLeaves(idxRoot()).nonEmpty) {
+            val ex = intercept[IllegalStateException](
+              StreamingAnn.retrainIndexImpl(spark, s"$root/index",
+                kCells = 2, iterations = 1, crashPoint = rnd.nextInt(3)))
+            assert(ex.getMessage.contains("re-ingest"), ex.getMessage)
+            // the refusal happens before any write: model unchanged,
+            // every reader snapshot intact (checked below like any op)
+          }
         case 7 => // retrain with a random crash seam (0 = committed)
           // seeds are rank-remapped from whatever ids are visible, so
           // any non-empty index retrains (the old vec<=1 gate is gone)
