@@ -233,6 +233,15 @@ object ScaleStress {
   val QueriesR18: Seq[String] = Seq("a_hybrid_search_ivf", "t_cms_estimate",
     "a_knn_rp", "a_knn_rp_recall", "t_tokenizer_fit")
 
+  /** Round-19 scale-enrolled rows: the rp→IVF composition (probe-
+    * bounded projected-space stage 1 + request-scale rerank), the
+    * escalated filtered IVFADC (count pass + codes-only scan), and
+    * the tokenizer-fit knob twin (same shared BPE projection at a
+    * truncated table).
+    */
+  val QueriesR19: Seq[String] = Seq("a_knn_rp_ivf",
+    "a_knn_ivfpq_filtered_escalated", "t_tokenizer_fit_d50")
+
   /** Locale-independent 2-decimal formatter: every number printed here
     * is machine-parsed (per-rep stderr lines by the calm-window
     * recorder's regex, the JSON line by the artifact writer); a
@@ -395,7 +404,8 @@ object ScaleStress {
     val reps = if (args.length > 2) args(2).toInt else 3
     // optional comma-separated subset: lets the calm-window JVM probe
     // time two signature queries without paying for the whole family
-    val known = Queries ++ QueriesR16b ++ QueriesR17 ++ QueriesR18
+    val known = Queries ++ QueriesR16b ++ QueriesR17 ++ QueriesR18 ++
+      QueriesR19
     val queries =
       if (args.length > 3) known.filter(args(3).split(",").toSet)
       else Queries
