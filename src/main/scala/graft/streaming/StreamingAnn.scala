@@ -553,26 +553,30 @@ object StreamingAnn {
     */
   def ivfIngestPq(emb: DataFrame, modelPath: String, booksPath: String,
       indexDir: String, checkpointDir: String, kCells: Int = 8,
-      pqK: Int = Ann.PqK, iterations: Int = 2): StreamingQuery =
+      pqK: Int = Ann.PqK, iterations: Int = 2,
+      attrs: Seq[String] = Nil): StreamingQuery =
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val root = resolveRoot(indexDir)
         recoverIndex(root)
-        val qb = quantize(batch)
+        // attrs ride the leaves as plain data columns (filtered
+        // search, as ivfIngest); training stays on the bare projection
+        val qb = quantize(batch, attrs)
         if (!qb.isEmpty) {
           val cent = trainOrLoad(modelFor(root, modelPath),
             qb.select("vec_id", "v", "norm2"), kCells, iterations)
           ensureLayout(root, "pq", cent.size, cent.head._2.size)
           val centMap = typedLit(cent.map { case (c, cv, _) => c -> cv }.toMap)
-          // residuals against the frozen coarse cells — materialized
+          // residuals against the frozen coarse cells (payload columns
+          // ride through kmeansAssign's pure projection) — materialized
           // once when they feed codebook training (read 4 subspaces ×
           // (1 + iterations) times), lazily otherwise
           def residuals() =
-            Ann.kmeansAssign(qb.select("vec_id", "v", "norm2"), cent)
-              .select(col("vec_id"), col("cluster").as("cell"),
+            Ann.kmeansAssign(qb, cent)
+              .select(col("vec_id") +: col("cluster").as("cell") +:
                 zip_with(col("v"), element_at(centMap, col("cluster")),
-                  (a, b) => a - b).as("v"))
+                  (a, b) => a - b).as("v") +: attrs.map(col): _*)
           val bPath = booksFor(root, booksPath)
           val books = loadBooks(bPath).getOrElse {
             val res = residuals().localCheckpoint(eager = true)
@@ -591,7 +595,8 @@ object StreamingAnn {
           }
           val diskId = reuseSafeBatchId(root, checkpointDir, batchId)
           Ann.pqEncodedFromQ(residuals(), books)
-            .select("vec_id", "cell", "c0", "c1", "c2", "c3")
+            .select(col("vec_id") +: col("cell") +: col("c0") +:
+              col("c1") +: col("c2") +: col("c3") +: attrs.map(col): _*)
             .withColumn("ingest_batch", lit(diskId))
             .write
             .option("partitionOverwriteMode", "dynamic")
@@ -645,7 +650,43 @@ object StreamingAnn {
     */
   def queryIndexPq(spark: SparkSession, indexDir: String,
       modelPath: String, booksPath: String, queries: DataFrame, k: Int,
-      probes: Int = 2): DataFrame = {
+      probes: Int = 2): DataFrame =
+    queryIndexPqImpl(spark, indexDir, modelPath, booksPath, queries, k,
+      probes, None)
+
+  /** Filtered (attribute-constrained) ADC query — the on-disk form of
+    * [[Ann.knnIvfPqFiltered]]: the predicate references the attribute
+    * columns the ingest carried into the code leaves and applies to
+    * the probed-cell scan BEFORE election and ADC ranking (a parquet
+    * data filter alongside the cell/visibility PartitionFilters),
+    * never a post-filter. Encoding is deterministic per row under the
+    * frozen artifacts, so filter∘encode ≡ encode∘filter and parity
+    * with the batch filtered operator is exact (spec-pinned).
+    */
+  def queryIndexPqFiltered(spark: SparkSession, indexDir: String,
+      modelPath: String, booksPath: String, queries: DataFrame, k: Int,
+      predicate: Column, probes: Int = 2): DataFrame =
+    queryIndexPqImpl(spark, indexDir, modelPath, booksPath, queries, k,
+      probes, Some(predicate))
+
+  /** Probe-escalated filtered ADC query — the on-disk form of
+    * [[Ann.knnIvfPqFilteredEscalated]], completing the escalation
+    * discipline across all THREE on-disk layouts: the shared
+    * layout-agnostic count pass (base-tier cells only, never the code
+    * columns) decides each query's effective depth; dry queries
+    * re-rank at full cell coverage, guaranteeing min(k, matching
+    * pool) rows; satisfied queries return the fixed-probe sets.
+    */
+  def queryIndexPqFilteredEscalated(spark: SparkSession, indexDir: String,
+      modelPath: String, booksPath: String, queries: DataFrame, k: Int,
+      predicate: Column, probes: Int = 2): DataFrame =
+    queryIndexPqImpl(spark, indexDir, modelPath, booksPath, queries, k,
+      probes, Some(predicate), escalate = true)
+
+  private def queryIndexPqImpl(spark: SparkSession, indexDir: String,
+      modelPath: String, booksPath: String, queries: DataFrame, k: Int,
+      probes: Int, predicate: Option[Column],
+      escalate: Boolean = false): DataFrame = {
     import spark.implicits._
     val root = resolveRoot(indexDir)
     requireLayout(root, "pq", "queryIndexPq")
@@ -658,8 +699,16 @@ object StreamingAnn {
         s"no trained codebooks at ${booksFor(root, booksPath)}"))
     val qRows = quantize(queries).collect().map(r =>
       (r.getLong(0), r.getSeq[Long](1)))
-    val probeRows = qRows.flatMap { case (qId, qv) =>
-      rankCellsL2(cent, qv).take(probes).map { case (cId, res) =>
+    // every query's cells ranked to FULL depth once (L2, the pq rule);
+    // per-query effective depth is the base tier, escalated to full
+    // coverage for queries the count pass found dry
+    val ranked = qRows.map { case (qId, qv) => (qId, rankCellsL2(cent, qv)) }
+    val depth: Map[Long, Int] =
+      if (!escalate) ranked.map(r => r._1 -> probes).toMap
+      else escalatedDepths(spark, root, visibility, predicate,
+        ranked.map { case (qId, cells) => (qId, cells.map(_._1)) }, k, probes)
+    val probeRows = ranked.flatMap { case (qId, cells) =>
+      cells.take(depth(qId)).map { case (cId, res) =>
         (qId, cId, adcTable(res, 0, books(0)), adcTable(res, 1, books(1)),
           adcTable(res, 2, books(2)), adcTable(res, 3, books(3)))
       }
@@ -668,7 +717,9 @@ object StreamingAnn {
     val cells = probeRows.map(_._2).distinct
     val idx0 = spark.read.parquet(root)
       .filter(col("cell").isin(cells: _*))
-    val idx = visibility.fold(idx0)(idx0.filter)
+    val idx1 = visibility.fold(idx0)(idx0.filter)
+    // attribute predicate before scoring/election, as queryIndexImpl
+    val idx = predicate.fold(idx1)(idx1.filter)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("est_d"), col("vec_id"))
     newestPerCandidate(idx.join(broadcast(probeDf),

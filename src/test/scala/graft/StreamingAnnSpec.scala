@@ -634,6 +634,84 @@ class StreamingAnnSpec extends SparkSuite {
     assert(snapRef() === wantRef)
   }
 
+  test("filtered PQ index: predicate-pruned and escalated queries equal the batch operators, incl. through compaction") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-pq-filt")
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val rows = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val queries = rows.filter(_._1 < 5).toSeq
+      .map { case (v, e, _) => (v, e) }.toDF("vec_id", "embedding")
+    // pre-trained full-corpus artifacts, exactly the batch chain (the
+    // filtered batch operators train coarse + books on the FULL
+    // corpus — rule 2 of the A14 discipline — so the artifacts match)
+    val q = Ann.quantized(emb).select("vec_id", "v", "norm2")
+    val cent = Ann.kmeansCentroids(q, 8, 2)
+    StreamingAnn.saveModel(s"$root/model.txt", cent)
+    val centMap = typedLit(cent.map { case (c, cv, _) => c -> cv }.toMap)
+    val residuals = Ann.kmeansAssign(q, cent)
+      .select(col("vec_id"),
+        zip_with(col("v"), element_at(centMap, col("cluster")),
+          (a, b) => a - b).as("v"))
+    StreamingAnn.saveBooks(s"$root/books.txt",
+      Ann.pqCodebooksFromQ(residuals, Ann.PqK, 2))
+
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    val qy = StreamingAnn.ivfIngestPq(
+      input.toDS().toDF("vec_id", "embedding", "label"),
+      s"$root/model.txt", s"$root/books.txt", s"$root/index", s"$root/ckpt",
+      attrs = Seq("label"))
+    try {
+      (0 until 4).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b).toSeq: _*)
+        qy.processAllAvailable()
+      }
+    } finally qy.stop()
+
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    // filtered parity: filter∘encode == encode∘filter under the frozen
+    // artifacts, so the stored-code scan equals the batch operator's
+    // re-encode of the filtered source — bit-for-bit
+    val pred = col("label") === 7
+    val wantF = snap(Ann.knnIvfPqFiltered(emb, numQueries = 5, k = 5,
+      pred, probes = 2))
+    assert(snap(StreamingAnn.queryIndexPqFiltered(spark, s"$root/index",
+      s"$root/model.txt", s"$root/books.txt", queries, k = 5, pred,
+      probes = 2)) === wantF)
+    // escalated parity at probes = 1 (escalation genuinely fires)
+    val wantE = snap(Ann.knnIvfPqFilteredEscalated(emb, numQueries = 5,
+      k = 5, pred, probes = 1))
+    def gotE() = snap(StreamingAnn.queryIndexPqFilteredEscalated(spark,
+      s"$root/index", s"$root/model.txt", s"$root/books.txt", queries,
+      k = 5, pred, probes = 1))
+    assert(gotE() === wantE)
+    // forced-dry: a 3-id pool with k = 5 — every query escalates to
+    // full coverage and returns exactly the pool (minus itself), the
+    // same SET as the batch forced-dry construction
+    val ids = Seq(10L, 11L, 12L)
+    val predSmall = col("vec_id").isInCollection(ids)
+    val dry = StreamingAnn.queryIndexPqFilteredEscalated(spark,
+      s"$root/index", s"$root/model.txt", s"$root/books.txt", queries,
+      k = 5, predSmall, probes = 1).collect()
+    val byQ = dry.groupBy(_.getAs[Long]("q_id"))
+    (0L until 5L).foreach { qid =>
+      val pool = ids.count(_ != qid)
+      assert(byQ.get(qid).map(_.length).getOrElse(0) === math.min(5, pool),
+        s"query $qid under-returned")
+    }
+    assert(dry.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      === snap(Ann.knnIvfPqFilteredEscalated(emb, 5, 5, predSmall,
+        probes = 1)).map(t => (t._1, t._3)))
+    // parity survives compaction + eager vacuum
+    assert(StreamingAnn.compactIndex(spark, s"$root/index",
+      minBatches = 2).nonEmpty)
+    StreamingAnn.vacuumIndex(s"$root/index", grace = 0)
+    assert(gotE() === wantE)
+  }
+
   test("index stats: leaf/row/share per cell, manifest-consistent with queries") {
     val spark0 = spark
     import spark0.implicits._
