@@ -82,7 +82,22 @@ object BpeTrainer {
     *     settles ties without comparing new-pair strings;
     *  3. a_j ≠ b_j (self-pairs leave overlap leftovers whose
     *     greedy-pass arithmetic breaks the (x,a)/(b,y) bound — a
-    *     self-pair is taken ALONE, the sequential step).
+    *     self-pair is taken ALONE, the sequential step);
+    *  4. no SPELLING COLLISION: if the concat spelling a_j·b_j equals
+    *     a symbol that may already exist in the vocabulary, merging
+    *     p_j does not mint a fresh symbol — it funnels mass into
+    *     EXISTING pairs (x, a_j b_j)/(a_j b_j, y), whose counts start
+    *     from c_old > 0, so the NB bound (which assumes new pairs
+    *     start from zero) no longer caps them and a boosted pair
+    *     could outrank a later batch member. Because the word table
+    *     starts fully exploded to single characters, every
+    *     multi-character symbol was minted by a merge WE recorded, so
+    *     the driver-side set of all prior concat spellings decides
+    *     collisions exactly (conservatively: a minted spelling may
+    *     since have merged away). A colliding accept is treated like
+    *     a self-pair — accepted (it is still the next sequential
+    *     pick) and the batch cut there, so no later pick depends on
+    *     post-collision counts.
     * Condition 1 needs no rejected-middle reasoning because the batch
     * is a prefix: everything ranked above an accepted pair is itself
     * accepted (and merged), everything below can't outrank.
@@ -125,6 +140,10 @@ object BpeTrainer {
     var lastCkpt = vocab
     val merges = Seq.newBuilder[(Int, String, String)]
     val batchSizes = Seq.newBuilder[Int]
+    // every concat spelling ever minted (across ALL passes): the
+    // exact driver-side oracle for prefix-rule condition 4 — a fresh
+    // concat can only collide with a symbol this training created
+    var minted = Set.empty[String]
     var i = 0
     var dry = false
     var sinceCkpt = 0
@@ -173,18 +192,25 @@ object BpeTrainer {
             var used = Set.empty[String]
             var nbMax = Long.MinValue
             var stop = false
+            var mintedBatch = minted
             cand.foreach { case t @ (a, b, c) =>
               if (!stop) {
                 val selfPair = a == b
                 val first = used.isEmpty
                 if (first) {
                   acc += t; used = Set(a, b); nbMax = nb(a, b)
-                  if (selfPair) stop = true // self-pairs go alone
+                  // self-pairs and spelling collisions go alone: the
+                  // accept is still the sequential pick, but counts
+                  // after it escape the NB bound (condition 3 / 4)
+                  if (selfPair || mintedBatch(a + b)) stop = true
+                  mintedBatch = mintedBatch + (a + b)
                 } else if (selfPair || used(a) || used(b) || c <= nbMax) {
                   stop = true // prefix rule: cut at the first rejection
                 } else {
                   acc += t; used = used + a + b
                   nbMax = math.max(nbMax, nb(a, b))
+                  if (mintedBatch(a + b)) stop = true // condition 4
+                  mintedBatch = mintedBatch + (a + b)
                 }
               }
             }
@@ -197,7 +223,9 @@ object BpeTrainer {
         val applied = batch.foldLeft("ws") { case (e, (a, b, _)) =>
           s"replace($e, ' $a  $b ', ' $a$b ')"
         }
-        batch.foreach { case (a, b, _) => merges += ((i, a, b)); i += 1 }
+        batch.foreach { case (a, b, _) =>
+          merges += ((i, a, b)); minted = minted + (a + b); i += 1
+        }
         vocab = vocab.withColumn("ws", expr(applied))
         sinceCkpt += batch.length
         if (sinceCkpt >= 64) {

@@ -509,7 +509,14 @@ object StreamingAnn {
   }
 
   /** Load persisted codebooks; empty/unparseable yields None (same
-    * poison-free contract as [[loadModel]]).
+    * poison-free contract as [[loadModel]]). A file that PARSES but
+    * does not cover exactly subspaces `0 until PqM` with a non-empty
+    * book each (a truncated or partial write that survived a crash)
+    * is also None: consumers index `books(0..PqM-1)` positionally, so
+    * returning a short/sparse Seq would trade the clean "no trained
+    * codebooks" failure for an IndexOutOfBounds deep in query planning
+    * — and would make [[ivfIngestPq]] skip retraining on a bad
+    * artifact.
     */
   def loadBooks(path: String): Option[Seq[Seq[(Long, Seq[Long], Long)]]] = {
     val p = java.nio.file.Paths.get(path)
@@ -522,7 +529,9 @@ object StreamingAnn {
           val Array(s, c, v, n2) = l.split("\\|")
           (s.toInt, (c.toLong, v.split(",").toSeq.map(_.toLong), n2.toLong))
         }
-        Some(rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)))
+        val bySub = rows.groupBy(_._1)
+        if (bySub.keySet != (0 until Ann.PqM).toSet) None
+        else Some((0 until Ann.PqM).map(s => bySub(s).map(_._2)))
       } catch { case _: MatchError | _: NumberFormatException => None }
     }
   }
@@ -548,8 +557,11 @@ object StreamingAnn {
     * the cell-partitioned index. Same idempotent-partition /
     * owner-recovery / id-reuse contract as [[ivfIngest]];
     * [[compactIndex]]/[[vacuumIndex]] serve this layout unchanged
-    * (schema-agnostic). [[retrainIndex]] REFUSES it by design:
-    * residual codes cannot be re-encoded without the primary vectors.
+    * (schema-agnostic). [[retrainIndex]] REFUSES it by design —
+    * residual codes cannot be re-encoded without the primary vectors;
+    * drift maintenance is [[retrainIndexPq]], the
+    * re-encode-from-primary rebuild under the same generation
+    * machinery.
     */
   def ivfIngestPq(emb: DataFrame, modelPath: String, booksPath: String,
       indexDir: String, checkpointDir: String, kCells: Int = 8,
@@ -1191,8 +1203,8 @@ object StreamingAnn {
       throw new IllegalStateException(
         s"index at $cur is a 'pq' (residual-code) layout: retraining " +
           "needs the primary full-precision vectors, which a code index " +
-          "does not store — re-ingest from the primary store under a new " +
-          "model instead of retraining in place")
+          "does not store — use retrainIndexPq to re-ingest from the " +
+          "primary store under a new model instead of retraining in place")
     val excluded = excludedBatchIds(cur)
     val visibleLeaves = listLeaves(cur).filterNot(l => excluded.contains(l._2))
     if (visibleLeaves.isEmpty)
@@ -1258,6 +1270,127 @@ object StreamingAnn {
     (genN, outId)
   }
 
+  /** Drift maintenance for the `pq` (residual-code) layout — the
+    * re-ingest-from-primary path [[retrainIndex]]'s refusal points
+    * at, under the SAME generation machinery. A code index stores
+    * only residual ADC codes, so a new coarse model cannot re-encode
+    * them in place; what it CAN do is re-encode from the primary
+    * full-precision vector store (`primary`: the same
+    * (vec_id, embedding[, attrs...]) frame the ingest consumed —
+    * the system of record the 21× index is a projection of).
+    *
+    * Mechanics: one visibility-filtered read of the serving
+    * generation elects the visible vec_id set (the survivor rule —
+    * tombstoned/excluded ids never resurrect), those ids join the
+    * primary store (inner: an id the primary has dropped falls out of
+    * the rebuilt index, which is how a primary-side delete propagates
+    * at retrain), and the joined corpus retrains coarse model AND
+    * product codebooks with EXACTLY the batch [[Ann.knnIvfPq]] chain
+    * (quantize → seed-safe Lloyd's coarse → residuals against the
+    * new cells → per-subspace seed-safe codebooks → argmin encode),
+    * so a post-retrain [[queryIndexPq]] is bit-identical to the batch
+    * operator at the new geometry (parity spec). The rebuilt codes
+    * land in `_gen-N/` as ONE generation-encoded leaf with the
+    * generation's own `_model` AND `_pqbooks` (both outrank the
+    * caller's train-once artifacts — model, books, layout stamp, and
+    * data cut over in ONE atomic `_current` rename, same commit point
+    * and crash seams as [[retrainIndex]]).
+    *
+    * Scale: one scan of the code index (ids), one join against the
+    * primary restricted to those ids, `iterations`-scan training, one
+    * rebuild write — the O(N) any rebuild costs; trained state stays
+    * driver/broadcast-scale. `attrs` columns ride from the PRIMARY
+    * frame into the rebuilt leaves (filtered search keeps working
+    * across the cutover).
+    */
+  def retrainIndexPq(spark: SparkSession, indexDir: String,
+      primary: DataFrame, kCells: Int, pqK: Int = Ann.PqK,
+      iterations: Int = 2, attrs: Seq[String] = Nil): Long =
+    retrainIndexPqImpl(spark, indexDir, primary, kCells, pqK, iterations,
+      attrs, crashPoint = 0)._1
+
+  /** Test seam, same contract as [[retrainIndexImpl]]: crashPoint 1 =
+    * stop after the rebuilt data write, 2 = stop after stamp + model +
+    * books (complete but unreferenced), 0 = production (cutover).
+    */
+  private[graft] def retrainIndexPqImpl(spark: SparkSession,
+      indexDir: String, primary: DataFrame, kCells: Int, pqK: Int,
+      iterations: Int, attrs: Seq[String],
+      crashPoint: Int): (Long, Long) = {
+    graft.core.Validation.validate("index-maintenance",
+      graft.core.Validation.knob("kCells", kCells, minV = 1L) ++
+        graft.core.Validation.knob("iterations", iterations, minV = 1L))
+    graft.core.Configs.Pq(pqK).validated
+    val cur = resolveRoot(indexDir)
+    recoverIndex(indexDir) // owner entry: settle any crashed compaction
+    readLayout(cur) match {
+      case None => throw new IllegalStateException(legacyLayoutMsg(cur))
+      case Some(("pq", _, _, r)) if r != ruleFor("pq") =>
+        throw new IllegalStateException(ruleMismatchMsg(cur, r))
+      case Some(("pq", _, _, _)) => ()
+      case Some((l, _, _, _)) =>
+        throw new IllegalStateException(
+          s"index at $cur is a '$l' layout: retrainIndexPq re-encodes " +
+            "residual-code ('pq') indexes from the primary store — use " +
+            "retrainIndex for self-contained layouts")
+    }
+    val excluded = excludedBatchIds(cur)
+    val visibleLeaves = listLeaves(cur).filterNot(l => excluded.contains(l._2))
+    if (visibleLeaves.isEmpty)
+      throw new IllegalStateException(s"nothing to retrain at $cur")
+    // the visible ID SET is the election here: every copy of a vec_id
+    // re-encodes to the same codes under the new artifacts, so
+    // newest-wins tie-breaking among copies is moot — what matters is
+    // that invisible (tombstoned / crashed) ids stay out
+    val idx0 = spark.read.parquet(cur)
+    val ids = visibilityFilter(cur).fold(idx0)(idx0.filter)
+      .select("vec_id").distinct()
+    val corpus = quantize(primary, attrs).join(ids, Seq("vec_id"))
+      .localCheckpoint(eager = true) // read by coarse + book training
+    // EXACTLY the batch knnIvfPq training chain (seed-safe seeding —
+    // identical to the batch trainer whenever ids 0..k-1 are present,
+    // and still full-k on an index keyed at arbitrary ids)
+    val cent = Ann.kmeansCentroidsSeedSafe(
+      corpus.select("vec_id", "v", "norm2"), kCells, iterations)
+    require(cent.nonEmpty, "training produced no centroids " +
+      "(primary store shares no ids with the index?)")
+    val centMap = typedLit(cent.map { case (c, cv, _) => c -> cv }.toMap)
+    val res = Ann.kmeansAssign(corpus, cent)
+      .select(col("vec_id") +: col("cluster").as("cell") +:
+        zip_with(col("v"), element_at(centMap, col("cluster")),
+          (a, b) => a - b).as("v") +: attrs.map(col): _*)
+      .localCheckpoint(eager = true) // 4 subspaces × training reads
+    val books = (0 until Ann.PqM).map { s =>
+      val sv = slice(col("v"), s * Ann.PqSubDims + 1, Ann.PqSubDims)
+      Ann.kmeansCentroidsSeedSafe(
+        res.select(col("vec_id"), sv.as("v"),
+          VecOps.intDot(sv, sv).as("norm2")), pqK, iterations)
+    }
+    val genN = readCurrentGen(indexDir).getOrElse(0L) + 1
+    val genDir = s"$indexDir/_gen-$genN"
+    deleteDir(java.nio.file.Paths.get(genDir)) // a crashed prior attempt
+    // same generation-encoded leaf id rule as retrainIndex: eff = max
+    // effective batch of the consumed view, later deliveries keep
+    // winning elections
+    val outId = -(visibleLeaves.map(l => effOf(l._2)).max + 2) * EffScale
+    Ann.pqEncodedFromQ(res, books)
+      .select(col("vec_id") +: col("cell") +: col("c0") +: col("c1") +:
+        col("c2") +: col("c3") +: attrs.map(col): _*)
+      .withColumn("ingest_batch", lit(outId))
+      .write.mode("overwrite")
+      .partitionBy("cell", "ingest_batch")
+      .parquet(genDir)
+    res.unpersist()
+    corpus.unpersist()
+    if (crashPoint == 1) return (genN, outId)
+    stampIndexLayout(genDir, "pq", cent.size, cent.head._2.size)
+    saveModel(s"$genDir/_model", cent)
+    saveBooks(s"$genDir/_pqbooks", books)
+    if (crashPoint == 2) return (genN, outId)
+    writeCurrentGen(indexDir, genN) // THE atomic cutover
+    (genN, outId)
+  }
+
   /** Codified drift cadence — the retrain analog of
     * [[compactIfNeeded]]: read the index's cell-share distribution
     * (one [[indexStats]] pass over the serving generation) and
@@ -1269,9 +1402,17 @@ object StreamingAnn {
     * so a bound of a few × that is a sound default. Owner-context,
     * like every maintenance pass. Returns the new generation number
     * when a retrain ran.
+    *
+    * The `pq` layout retrains through [[retrainIndexPq]] when
+    * `primary` is supplied (the re-encode-from-primary path — a code
+    * index has no vectors to retrain from); a pq index with no
+    * primary trips [[retrainIndex]]'s loud refusal rather than
+    * silently skipping the drift signal.
     */
   def retrainIfNeeded(spark: SparkSession, indexDir: String,
-      maxShareBp: Long, kCells: Int, iterations: Int = 2): Option[Long] = {
+      maxShareBp: Long, kCells: Int, iterations: Int = 2,
+      primary: Option[DataFrame] = None,
+      pqK: Int = Ann.PqK): Option[Long] = {
     graft.core.Configs.IndexMaintenance(maxShareBp = maxShareBp,
       kCells = kCells).validated
     graft.core.Validation.validate("index-maintenance",
@@ -1281,9 +1422,14 @@ object StreamingAnn {
     if (listLeaves(root).forall(l => excluded.contains(l._2))) return None
     val worst = indexStats(spark, indexDir)
       .agg(max(col("share_bp"))).head().getLong(0)
-    if (worst > maxShareBp)
-      Some(retrainIndex(spark, indexDir, kCells, iterations))
-    else None
+    if (worst > maxShareBp) {
+      val isPq = readLayout(root).exists(_._1 == "pq")
+      Some(primary match {
+        case Some(p) if isPq =>
+          retrainIndexPq(spark, indexDir, p, kCells, pqK, iterations)
+        case _ => retrainIndex(spark, indexDir, kCells, iterations)
+      })
+    } else None
   }
 
   /** Reclaim non-serving generations — the grace-priced owner pass

@@ -312,6 +312,31 @@ class BpeSpec extends SparkSuite {
       s"no pass batched more than one merge (${batSizes.length} passes)")
   }
 
+  test("batched trainMerges: sequential-equal on a run/alternation corpus " +
+      "(spelling-collision guard regression net)") {
+    import graft.operators.BpeTrainer
+    import spark.implicits._
+    // runs mint self-pairs (aa, aaaa, ...) and alternations mint
+    // overlapping spellings (ab/ba/aba/bab) — the corpus family where
+    // an accepted concat is most likely to re-spell an existing
+    // symbol. The prefix rule's condition-4 cut must keep the batched
+    // chain EXACTLY the sequential one here; depth 150 walks well
+    // past the initial alphabet into composite-symbol merges.
+    val docs = (0 until 400).map { i =>
+      val a = "a" * (1 + i % 7)
+      val b = "b" * (1 + i % 3)
+      (i.toLong, s"$a$b$a ${a}c$b ab" * (1 + i % 4))
+    }.toDF("doc_id", "text")
+    val n = 150
+    val (seqDf, seqSizes) = BpeTrainer.trainMergesWithStats(docs, n, batchT = 1)
+    val (batDf, batSizes) = BpeTrainer.trainMergesWithStats(docs, n, batchT = 64)
+    def chain(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(chain(batDf) === chain(seqDf))
+    assert(seqSizes.forall(_ == 1))
+    assert(batSizes.sum === seqSizes.sum)
+  }
+
   test("trainMerges single-pass run semantics: 'aaaaa' trains (a,a) then (aa,aa)") {
     import graft.operators.BpeTrainer
     import spark.implicits._

@@ -82,6 +82,85 @@ class StreamingAnnRetrainSpec extends SparkSuite {
       "a fresh twin did not score cos 1.0 against its original")
   }
 
+  test("ST9 pq retrain: re-encode-from-primary parity with the batch IVFADC at the new geometry") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("st-ann-pq-retrain")
+    val rows = embRows
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val queries = rows.filter(_._1 < 5).toSeq.toDF("vec_id", "embedding")
+    // drifted frozen artifacts: a 30-vector first batch trains both
+    // the coarse model AND the codebooks — NOT the corpus (and not
+    // the geometry) the batch operator uses, so pre-retrain parity
+    // cannot hold
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAnn.ivfIngestPq(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/books.txt", s"$root/index",
+      s"$root/ckpt", kCells = 8, iterations = 2)
+    try {
+      input.addData(rows.filter(_._1 < 30).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(_._1 >= 30).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // drift maintenance for a codes-only index: re-encode from the
+    // primary store at a NEW geometry (12 cells) — elected ids join
+    // the primary, coarse + books retrain, _gen-1 cuts over atomically
+    val gen = StreamingAnn.retrainIndexPq(spark, s"$root/index", emb,
+      kCells = 12, iterations = 2)
+    assert(gen === 1L)
+    // post-retrain ADC queries are bit-identical to the batch IVFADC
+    // trained on the same corpus at the same (new) geometry; the
+    // gen-local _model/_pqbooks outrank the caller's artifact paths
+    val got = snap(StreamingAnn.queryIndexPq(spark, s"$root/index",
+      s"$root/model.txt", s"$root/books.txt", queries, k = 3, probes = 2))
+    val want = snap(Ann.knnIvfPq(emb, numQueries = 5, k = 3, kCells = 12,
+      iterations = 2, probes = 2))
+    assert(got === want)
+    // ingest continues into the new generation under the gen-local
+    // 12-cell artifacts, no restart bookkeeping
+    val extra = rows.take(10).map { case (id, e) => (id + 90000L, e) }
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingAnn.ivfIngestPq(
+      input2.toDS().toDF("vec_id", "embedding"),
+      s"$root/model.txt", s"$root/books.txt", s"$root/index",
+      s"$root/ckpt-post")
+    try { input2.addData(extra.toSeq: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val genRoot = StreamingAnn.resolveRoot(s"$root/index")
+    assert(genRoot.endsWith("_gen-1"))
+    assert(StreamingAnn.listLeaves(genRoot).exists(_._2 >= 0L),
+      "post-retrain delivery did not land in the new generation")
+    // byte-copy twins encode to the SAME codes under the frozen
+    // artifacts: a deep query over the originals must surface them
+    val fq = StreamingAnn.queryIndexPq(spark, s"$root/index",
+      s"$root/model.txt", s"$root/books.txt",
+      rows.take(2).toSeq.toDF("vec_id", "embedding"), k = 8, probes = 12)
+      .collect()
+    assert(fq.exists(_.getLong(2) >= 90000L), "fresh twins not served")
+    // the codified drift cadence drives the SAME path through its pq
+    // arm (share bound 1 bp: any non-degenerate index trips)
+    val gen2 = StreamingAnn.retrainIfNeeded(spark, s"$root/index",
+      maxShareBp = 1L, kCells = 12, primary = Some(emb))
+    assert(gen2 === Some(2L))
+    // re-encode is an INNER join against the primary: the synthetic
+    // 90000+ twins are not primary rows, so the gen-2 rebuild drops
+    // them — a primary-side delete propagates at retrain
+    val fq2 = StreamingAnn.queryIndexPq(spark, s"$root/index",
+      s"$root/model.txt", s"$root/books.txt",
+      rows.take(2).toSeq.toDF("vec_id", "embedding"), k = 8, probes = 12)
+      .collect()
+    assert(!fq2.exists(_.getLong(2) >= 90000L),
+      "a primary-dropped id survived the re-encode rebuild")
+    // without a primary, the drift signal must trip the loud refusal
+    // (never silently skip maintenance)
+    val ex = intercept[IllegalStateException](StreamingAnn.retrainIfNeeded(
+      spark, s"$root/index", maxShareBp = 1L, kCells = 12))
+    assert(ex.getMessage.contains("retrainIndexPq"), ex.getMessage)
+  }
+
   test("drift: concentration collapses the scan bound; retrain at grown kCells restores it") {
     val spark0 = spark
     import spark0.implicits._

@@ -569,6 +569,17 @@ class StreamingAnnSpec extends SparkSuite {
     val books = Ann.pqCodebooksFromQ(residuals, Ann.PqK, 2)
     StreamingAnn.saveBooks(s"$root/books.txt", books)
     assert(StreamingAnn.loadBooks(s"$root/books.txt").get === books)
+    // poison-free contract covers PARTIAL artifacts too: a truncated
+    // file that parses but covers fewer than PqM subspaces must read
+    // as "no trained codebooks" (None → retrain), never a short Seq
+    // that consumers would index out of bounds
+    val full = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/books.txt"))
+    val truncated = full.linesIterator.filter(_.startsWith("0|"))
+      .mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/books_trunc.txt"), truncated)
+    assert(StreamingAnn.loadBooks(s"$root/books_trunc.txt").isEmpty)
 
     val input = MemoryStream[(Long, Seq[Float])]
     val qy = StreamingAnn.ivfIngestPq(
@@ -1050,11 +1061,13 @@ class StreamingAnnSpec extends SparkSuite {
     seeds.foreach(runModelCheck(_))
   }
 
-  test("randomized model check over a pq-stamped index: same invariant, retrain refused") {
+  test("randomized model check over a pq-stamped index: same invariant, real re-encode retrain") {
     // the pq layout shares every piece of index machinery (manifest,
     // tombstones, vacuum, id reuse, generations) but is stamped
-    // rule=l2 and REFUSES in-place retrain — the op sequence runs
-    // against a pq stamp with the retrain op asserting the refusal
+    // rule=l2 and refuses IN-PLACE retrain — the op sequence runs
+    // against real code-schema leaves, and the retrain op asserts the
+    // in-place refusal then exercises the REAL re-encode-from-primary
+    // path (retrainIndexPq) with random crash seams
     val seeds = sys.env.getOrElse("GRAFT_MODEL_SEEDS", "42")
       .split(",").toSeq.map(_.trim.toLong)
     seeds.foreach(runModelCheck(_, layout = "pq"))
@@ -1078,11 +1091,23 @@ class StreamingAnnSpec extends SparkSuite {
     var stamped = false
     // diskId may be a reuse-encoded id (fresh lineage over a consumed
     // raw id); the payload still records the RAW delivering batch —
-    // exactly what the ingest writes
+    // exactly what the ingest writes. The pq mode writes the CODE
+    // leaf schema (c0..c3 + a `pl` attribute column): the machinery
+    // under test is schema-agnostic, and `pl` — which the real
+    // [[StreamingAnn.retrainIndexPq]] carries through from the
+    // primary store as an attr — is what keeps the delivering batch
+    // decodable across a real re-encode rebuild (post-retrain c0..c3
+    // are genuine ADC codes, opaque by design)
     def writeLeaf(diskId: Long, rawB: Long, vecs: Seq[Long]): Unit = {
-      vecs.map(v => (v, payload(v, rawB)))
-        .toDF("vec_id", "v")
-        .withColumn("norm2", graft.functions.VecOps.intDot(col("v"), col("v")))
+      val base =
+        if (layout == "pq")
+          vecs.map(v => (v, v * 1000L, rawB * 1000L, 0L, 0L, rawB * 1000L))
+            .toDF("vec_id", "c0", "c1", "c2", "c3", "pl")
+        else
+          vecs.map(v => (v, payload(v, rawB))).toDF("vec_id", "v")
+            .withColumn("norm2",
+              graft.functions.VecOps.intDot(col("v"), col("v")))
+      base
         .withColumn("cell", col("vec_id") % 2) // fixed 2-cell "model"
         .withColumn("ingest_batch", lit(diskId))
         .write.option("partitionOverwriteMode", "dynamic")
@@ -1104,9 +1129,11 @@ class StreamingAnnSpec extends SparkSuite {
       val vis = StreamingAnn.visibilityFilter(idxRoot())
       val idx0 = spark.read.parquet(idxRoot())
       val idx = vis.fold(idx0)(idx0.filter)
-      val rows = idx.select(col("vec_id"), col("v"),
+      val payloadCol =
+        if (layout == "pq") col("pl") else col("v").getItem(1)
+      val rows = idx.select(col("vec_id"), payloadCol.as("pb"),
           col("ingest_batch").cast("long").as("src_b")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1)(1) / 1000L, r.getLong(2)))
+        .map(r => (r.getLong(0), r.getLong(1) / 1000L, r.getLong(2)))
       rows.groupBy(_._1).map { case (v, copies) =>
         val elected = copies.maxBy { case (_, _, src) =>
           (StreamingAnn.effOf(src), src)
@@ -1269,14 +1296,41 @@ class StreamingAnnSpec extends SparkSuite {
           batchContents.clear() // replays come from the live lineage only
         case 6 => // a reader plans here; its files must survive
           readerSnapshots += visibleFiles()
-        case 7 if layout == "pq" => // retrain must REFUSE a code index
+        case 7 if layout == "pq" => // pq retrain: refusal + real re-encode
           if (perLeaf.nonEmpty && StreamingAnn.listLeaves(idxRoot()).nonEmpty) {
+            // the in-place entry point must still REFUSE a code index
+            // (writes nothing — model unchanged, snapshots intact)
             val ex = intercept[IllegalStateException](
               StreamingAnn.retrainIndexImpl(spark, s"$root/index",
-                kCells = 2, iterations = 1, crashPoint = rnd.nextInt(3)))
+                kCells = 2, iterations = 1, crashPoint = 0))
             assert(ex.getMessage.contains("re-ingest"), ex.getMessage)
-            // the refusal happens before any write: model unchanged,
-            // every reader snapshot intact (checked below like any op)
+            // the REAL maintenance path: re-encode from a primary
+            // store holding the elected view. Embeddings are the
+            // 4-long payload padded to the 64-dim PQ geometry; the
+            // `pl` attr rides through the rebuild, so post-retrain
+            // rows keep decoding to their elected delivering batch
+            val elected = perLeaf.toSeq
+              .flatMap { case (id, m) =>
+                m.map { case (v, pb) => (v, id, pb) } }
+              .groupBy(_._1).map { case (v, copies) =>
+                v -> copies.maxBy { case (_, id, _) =>
+                  (StreamingAnn.effOf(id), id) }._3
+              }
+            val primary = elected.toSeq.map { case (v, b) =>
+              (v, (payload(v, b) ++ Seq.fill(60)(0L)).map(_.toFloat / 1000f),
+                b * 1000L)
+            }.toDF("vec_id", "embedding", "pl")
+            val cp = rnd.nextInt(3) // 0 = cutover, 1..2 = crash seams
+            val (_, outId) = StreamingAnn.retrainIndexPqImpl(spark,
+              s"$root/index", primary, kCells = 2, pqK = 4,
+              iterations = 1, attrs = Seq("pl"), crashPoint = cp)
+            if (cp == 0) {
+              // the new generation holds exactly the elected view
+              // under ONE generation-encoded leaf; nothing deleted
+              perLeaf.clear()
+              perLeaf(outId) = elected
+            }
+            // cp 1/2: an unreferenced build — invisible, model unchanged
           }
         case 7 => // retrain with a random crash seam (0 = committed)
           // seeds are rank-remapped from whatever ids are visible, so
