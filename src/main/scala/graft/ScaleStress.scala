@@ -242,6 +242,12 @@ object ScaleStress {
   val QueriesR19: Seq[String] = Seq("a_knn_rp_ivf",
     "a_knn_ivfpq_filtered_escalated", "t_tokenizer_fit_d50")
 
+  /** Round-20 scale-enrolled rows: the learned quality classifier
+    * (stratum-trained bucket weights + zero-shuffle serving) and its
+    * keeper-election composition over the near-dup clusters.
+    */
+  val QueriesR20: Seq[String] = Seq("t_quality_model", "d_model_keeper")
+
   /** Locale-independent 2-decimal formatter: every number printed here
     * is machine-parsed (per-rep stderr lines by the calm-window
     * recorder's regex, the JSON line by the artifact writer); a
@@ -405,7 +411,7 @@ object ScaleStress {
     // optional comma-separated subset: lets the calm-window JVM probe
     // time two signature queries without paying for the whole family
     val known = Queries ++ QueriesR16b ++ QueriesR17 ++ QueriesR18 ++
-      QueriesR19
+      QueriesR19 ++ QueriesR20
     val queries =
       if (args.length > 3) known.filter(args(3).split(",").toSet)
       else Queries

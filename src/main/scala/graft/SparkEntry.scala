@@ -799,6 +799,16 @@ object SparkEntry {
       TextAnalysis.dsirSelect(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // T21: learned quality classifier (FineWeb-Edu shape) — linear
+    // Naive-Bayes-difference scorer over 1024 hashed n-gram buckets,
+    // trained on the hash-elected stratum (driver weight vector),
+    // served corpus-wide as one zero-shuffle projection
+    "t_quality_model" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.qualityModelScore(docs,
+        TextAnalysis.qualityModelTrain(docs)).orderBy("doc_id")
+    }),
+
     // decontamination: docs with doc_id % 50 == 0 stand in for the
     // held-out benchmark set; flag training docs sharing >= 3 capped
     // shingles with any benchmark doc
@@ -947,6 +957,13 @@ object SparkEntry {
     // its highest-quality member (tie → min doc_id), not its min-id one
     "d_quality_keeper" -> ((s, dir) =>
       Dedup.qualityKeeper(Tables.documents(s, dir), NgramJaccardBp)
+        .orderBy("doc_id")),
+
+    // T21 ∘ D14: keeper election by the LEARNED quality score — the
+    // trained classifier, not the hand rule, decides which near-dup
+    // survives (tie → min doc_id)
+    "d_model_keeper" -> ((s, dir) =>
+      Dedup.modelKeeper(Tables.documents(s, dir), NgramJaccardBp)
         .orderBy("doc_id")),
 
     // P5: leakage-safe split — the split unit is the near-dup cluster,
@@ -1505,6 +1522,63 @@ object SparkEntry {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.b, reach.r FROM reach JOIN e ON reach.doc_id = e.a
+       |)""".stripMargin
+
+  /** T21 learned-quality-model chain (assumes `norm` in scope): the
+    * heuristic labels + hash-split stratum (`lab`), hashed n-gram
+    * bucket counts over the train stratum, the integer
+    * Naive-Bayes-difference weights (HUGEINT numerators — the
+    * dsirWeight widening), and per-doc model scores (`msc`). Shared
+    * by the `t_quality_model` and `d_model_keeper` oracles so the two
+    * cannot drift apart. Does NOT end in a comma.
+    */
+  private lazy val QualityModelCtes =
+    s"""qmm AS (
+       |  SELECT doc_id, t, text,
+       |    len(string_split(t, ' '))::BIGINT AS wc,
+       |    length(replace(t, ' ', ''))::BIGINT AS letters,
+       |    len(list_filter(string_split(t, ' '),
+       |      x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::BIGINT AS sw_hits,
+       |    length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::BIGINT AS alpha_len,
+       |    length(text)::BIGINT AS text_len
+       |  FROM norm
+       |),
+       |lab AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100) < 50
+       |          THEN 1 ELSE 0 END)::BIGINT AS in_train,
+       |    (CASE WHEN (CASE WHEN wc BETWEEN 20 AND 1000 THEN 25 ELSE 0 END
+       |       + CASE WHEN (letters * 10 // wc) BETWEEN 30 AND 100 THEN 25 ELSE 0 END
+       |       + CASE WHEN sw_hits * 100 >= wc * 5 THEN 25 ELSE 0 END
+       |       + CASE WHEN alpha_len * 100 >= text_len * 60 THEN 25 ELSE 0 END) = 100
+       |     THEN 1 ELSE 0 END)::BIGINT AS lbl
+       |  FROM qmm
+       |),
+       |qgrams AS (
+       |  SELECT doc_id, (${sqlH60("gram")} % 1024) AS g
+       |  FROM (
+       |    SELECT doc_id, unnest(list_concat(a,
+       |      list_transform(range(1, len(a)),
+       |        i -> a[i::INT] || '_' || a[(i+1)::INT]))) AS gram
+       |    FROM (SELECT doc_id, string_split(t, ' ') AS a FROM norm)
+       |  )
+       |),
+       |qcnt AS (
+       |  SELECT g, sum(lbl)::BIGINT AS c_pos, sum(1 - lbl)::BIGINT AS c_neg
+       |  FROM qgrams JOIN lab USING (doc_id) WHERE in_train = 1 GROUP BY g
+       |),
+       |qtot AS (SELECT sum(c_pos)::BIGINT AS tot_pos,
+       |                sum(c_neg)::BIGINT AS tot_neg FROM qcnt),
+       |qw AS (
+       |  SELECT u.g,
+       |    ((((coalesce(c.c_pos, 0) + 1)::HUGEINT * 1000000000) // (t.tot_pos + 1024))
+       |     - (((coalesce(c.c_neg, 0) + 1)::HUGEINT * 1000000000) // (t.tot_neg + 1024)))::BIGINT AS w
+       |  FROM (SELECT DISTINCT g FROM qgrams) u
+       |  LEFT JOIN qcnt c ON c.g = u.g, qtot t
+       |),
+       |msc AS (
+       |  SELECT qgrams.doc_id, sum(qw.w)::BIGINT AS m_score
+       |  FROM qgrams JOIN qw ON qw.g = qgrams.g GROUP BY 1
        |)""".stripMargin
 
   private val H20 = "(('0x' || substr(md5(%s),1,15))::BIGINT %% 1048576)"
@@ -3485,6 +3559,35 @@ object SparkEntry {
          |       (CASE WHEN coalesce(sc.score, 0) >= 0 THEN 1 ELSE 0 END)::BIGINT AS kept
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "t_quality_model" ->
+      s"""WITH $NormCte,
+         |$QualityModelCtes
+         |SELECT l.doc_id, l.in_train, l.lbl, m.m_score,
+         |       (CASE WHEN m.m_score >= 0 THEN 1 ELSE 0 END)::BIGINT AS pred
+         |FROM lab l JOIN msc m ON m.doc_id = l.doc_id
+         |ORDER BY l.doc_id""".stripMargin,
+
+    "d_model_keeper" ->
+      s"""WITH RECURSIVE $NormCte, $ShCte,
+         |$ClusterCtes,
+         |$QualityModelCtes,
+         |mlabels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+         |mek AS (
+         |  SELECT l.doc_id, l.cluster_id, m.m_score
+         |  FROM mlabels l JOIN msc m ON m.doc_id = l.doc_id
+         |),
+         |mk AS (
+         |  SELECT cluster_id, doc_id AS keeper_id FROM (
+         |    SELECT cluster_id, doc_id, row_number() OVER (
+         |      PARTITION BY cluster_id ORDER BY m_score DESC, doc_id) AS rn
+         |    FROM mek
+         |  ) WHERE rn = 1
+         |)
+         |SELECT e.doc_id, e.cluster_id, e.m_score, k.keeper_id,
+         |       (CASE WHEN e.doc_id = k.keeper_id THEN 1 ELSE 0 END)::INT AS keep
+         |FROM mek e JOIN mk k ON k.cluster_id = e.cluster_id
+         |ORDER BY e.doc_id""".stripMargin,
 
     "d_contamination" ->
       s"""WITH $NormCte, $ShCte,

@@ -356,6 +356,108 @@ object TextAnalysis {
         (coalesce(col("score"), lit(0L)) >= 0).cast("long").as("kept"))
   }
 
+  /** The hashed n-gram feature array of a document — unigrams +
+    * bigrams of the normalized tokens bucketed into `numBuckets` by
+    * the portable 60-bit hash, kept as a PER-ROW ARRAY (T17's gram
+    * universe without the explode), so consumers can reduce over it
+    * in one codegen pass.
+    */
+  private def gramBuckets(numBuckets: Int): Column = {
+    val a = split(normText(col("text")), " ")
+    val bigrams = zip_with(
+      slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
+      (x, y) => concat(x, lit("_"), y))
+    transform(concat(a, bigrams), g => hexHash60(g) % numBuckets)
+  }
+
+  /** T21: train the learned quality classifier (the FineWeb-Edu
+    * shape — Penedo et al. 2024 score documents with a small learned
+    * classifier and keep the high scorers): a LINEAR scorer over the
+    * T17 hashed n-gram bucket features, trained on a hash-elected
+    * labeled stratum, returned as a dense `numBuckets`-long integer
+    * weight vector — parameter-scale DRIVER state like the k-means
+    * centroids, portable/broadcastable to any serving pass.
+    *
+    * Training is closed-form multinomial Naive Bayes in the engine's
+    * integer-exact surrogate form: per bucket g,
+    *
+    *   w(g) = (c_pos(g)+1)·S div (tot_pos+B) − (c_neg(g)+1)·S div (tot_neg+B)
+    *
+    * — the Laplace-smoothed class-conditional probability DIFFERENCE
+    * (the [[dsirWeight]] rule with the language target swapped for
+    * quality labels; log-free so both engines agree bit-for-bit, and
+    * the keep margin at 0 means "more positive-class-like than
+    * negative"). Labels on the stratum come from the T2 heuristic
+    * gate (`score == 100` — the full-gate documents are the
+    * 'edu-grade' exemplars, ~55/45 at the test scales): weak
+    * supervision in the FineWeb manner, where an upstream signal
+    * labels a stratum and the learned model generalizes it
+    * corpus-wide; production would feed any labeled exemplar frame
+    * the same way. Stratum membership is the T6 deterministic hash
+    * split (doc_id hash % 100 < trainPct) — reproducible under
+    * reshuffling and corpus growth.
+    *
+    * Scale: ONE partial-aggregating groupBy of the stratum's gram
+    * buckets (bucket-scale output, ≤ numBuckets rows collected);
+    * numerators widen through BigInt driver-side (a Long wraps past
+    * c ~ 9.2e9 — certain at web scale), quotients are ≤ S by
+    * construction so the weights are plain Longs. Buckets unseen in
+    * the stratum get the smoothing-only weight, never a silent 0.
+    */
+  def qualityModelTrain(docs: DataFrame, trainPct: Int = 50,
+      numBuckets: Int = 1024): Seq[Long] = {
+    graft.core.Validation.validate("quality-model",
+      graft.core.Validation.knob("trainPct", trainPct.toLong, minV = 1L,
+        maxV = 100L) ++
+        graft.core.Validation.knob("numBuckets", numBuckets.toLong,
+          minV = 2L, maxV = 1048576L))
+    val S = 1000000000L
+    val counts = withQuality(docs)
+      .filter(hexHash60(col("doc_id").cast("string")) % 100 < trainPct)
+      .select((col("score") === 100).cast("long").as("lbl"),
+        explode(gramBuckets(numBuckets)).as("g"))
+      .groupBy("g")
+      .agg(sum(col("lbl")).as("c_pos"),
+        sum(lit(1L) - col("lbl")).as("c_neg"))
+      .collect()
+    val cp = Array.fill(numBuckets)(0L)
+    val cn = Array.fill(numBuckets)(0L)
+    counts.foreach { r =>
+      val g = r.getLong(0).toInt
+      cp(g) = r.getLong(1); cn(g) = r.getLong(2)
+    }
+    val totPos = cp.sum; val totNeg = cn.sum
+    Array.tabulate(numBuckets) { g =>
+      val p = (BigInt(cp(g)) + 1) * S / (totPos + numBuckets)
+      val n = (BigInt(cn(g)) + 1) * S / (totNeg + numBuckets)
+      (p - n).toLong
+    }.toSeq
+  }
+
+  /** T21 serving: score every document under a trained
+    * [[qualityModelTrain]] weight vector — ONE zero-shuffle codegen
+    * projection: score(doc) = Σ_grams w[bucket(gram)] via a per-row
+    * `aggregate` over the gram array (no explode, no shuffle, no
+    * join; the weight vector rides as a literal array), which is what
+    * lets the trained artifact serve 100 TB at scan speed. Output per
+    * doc: stratum membership, the heuristic label (for agreement
+    * audits), the integer model score, and the keep decision
+    * (`m_score >= 0`).
+    */
+  def qualityModelScore(docs: DataFrame, weights: Seq[Long],
+      trainPct: Int = 50): DataFrame = {
+    val wlit = typedLit(weights)
+    withQuality(docs)
+      .select(col("doc_id"),
+        (hexHash60(col("doc_id").cast("string")) % 100 < trainPct)
+          .cast("long").as("in_train"),
+        (col("score") === 100).cast("long").as("lbl"),
+        aggregate(gramBuckets(weights.size), lit(0L),
+          (acc, g) => acc + element_at(wlit, (g + 1).cast("int")))
+          .as("m_score"))
+      .withColumn("pred", (col("m_score") >= 0).cast("long"))
+  }
+
   /** Per-group quota sampling: keep at most `quota` documents per
     * source, elected by content-independent hash order — the
     * per-domain cap every web-scale corpus applies, deterministic

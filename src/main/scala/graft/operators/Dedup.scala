@@ -1156,6 +1156,35 @@ object Dedup {
       .select("doc_id", "cluster_id", "score", "keeper_id", "keep")
   }
 
+  /** D14's keeper election with the LEARNED quality signal (T21)
+    * instead of the heuristic gate: each near-dup cluster keeps its
+    * highest-model-score member (tie → min doc_id) — the
+    * FineWeb-style pipeline composition where a trained classifier,
+    * not a hand rule, decides which duplicate survives. The model
+    * trains once on the corpus's labeled stratum
+    * ([[graft.functions.TextAnalysis.qualityModelTrain]], driver
+    * weights) and scores ride a zero-shuffle projection; the election
+    * is ONE window over cluster partitions (model scores span the
+    * full integer range, so the D14 packed-key trick — bounded
+    * [0,100] scores — does not apply here).
+    */
+  def modelKeeper(docs: DataFrame, minJaccardBp: Long): DataFrame = {
+    val labels = dedupClusters(docs, minJaccardBp).select("doc_id", "cluster_id")
+    val w = graft.functions.TextAnalysis.qualityModelTrain(docs)
+    val sc = graft.functions.TextAnalysis.qualityModelScore(docs, w)
+      .select("doc_id", "m_score")
+    val keyed = labels.join(sc, Seq("doc_id"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("m_score").desc, col("doc_id"))
+    val keepers = keyed.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"))
+    keyed.join(keepers, Seq("cluster_id"))
+      .withColumn("keep", (col("doc_id") === col("keeper_id")).cast("int"))
+      .select("doc_id", "cluster_id", "m_score", "keeper_id", "keep")
+  }
+
   /** Per-source dedup observability — the report a crawl operator
     * reads after any dedup pass (WHICH sources produce the
     * duplicates): per `source` stratum, document count, documents

@@ -131,6 +131,86 @@ class CurationSpec extends SparkSuite {
     assert(rerun === expected)
   }
 
+  test("qualityModel matches a full driver-side recount; held-out beats the majority baseline") {
+    val sw = Set("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def h60(s: String): Long =
+      Portable.jvmHexHash60(s.getBytes("UTF-8"))
+    def norm(text: String): String =
+      text.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+        .replaceAll(" +", " ").trim
+    // independent reimplementation of the whole chain: heuristic
+    // labels, hash-split stratum, hashed unigram+bigram buckets,
+    // BigInt NB-difference weights, per-doc linear scores
+    case class Doc(id: Long, inTrain: Long, lbl: Long, grams: Seq[Int])
+    val ds = rows.map { case (id, text) =>
+      val t = norm(text)
+      val toks = t.split(" ", -1).toSeq
+      val wc = toks.length.toLong
+      val letters = t.replace(" ", "").length.toLong
+      val swHits = toks.count(sw).toLong
+      val alphaLen = text.toLowerCase.replaceAll("[^a-z]", "").length.toLong
+      val textLen = text.length.toLong
+      val score = (if (wc >= 20 && wc <= 1000) 25 else 0) +
+        (if ((letters * 10) / wc >= 30 && (letters * 10) / wc <= 100) 25 else 0) +
+        (if (swHits * 100 >= wc * 5) 25 else 0) +
+        (if (alphaLen * 100 >= textLen * 60) 25 else 0)
+      val grams = (toks ++ toks.zip(toks.tail).map { case (x, y) => s"${x}_$y" })
+        .map(g => (h60(g) % 1024).toInt)
+      Doc(id, if (h60(id.toString) % 100 < 50) 1L else 0L,
+        if (score == 100) 1L else 0L, grams)
+    }
+    val S = 1000000000L
+    val cp = Array.fill(1024)(0L); val cn = Array.fill(1024)(0L)
+    ds.filter(_.inTrain == 1).foreach { d =>
+      d.grams.foreach(g => if (d.lbl == 1) cp(g) += 1 else cn(g) += 1)
+    }
+    val (totP, totN) = (cp.sum, cn.sum)
+    val w = Array.tabulate(1024) { g =>
+      ((BigInt(cp(g)) + 1) * S / (totP + 1024) -
+        (BigInt(cn(g)) + 1) * S / (totN + 1024)).toLong
+    }
+    val expected = ds.map { d =>
+      val sc = d.grams.map(g => w(g)).sum
+      (d.id, d.inTrain, d.lbl, sc, if (sc >= 0) 1L else 0L)
+    }.toSet
+    val trained = TextAnalysis.qualityModelTrain(docs)
+    assert(trained === w.toSeq, "trained weight vector diverges from recount")
+    val got = TextAnalysis.qualityModelScore(docs, trained).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    // the model must LEARN, not memorize a constant: held-out
+    // agreement with the heuristic labels beats the held-out
+    // majority-class baseline
+    val held = ds.filter(_.inTrain == 0)
+    val byId = expected.map(e => e._1 -> e._5).toMap
+    val acc = held.count(d => byId(d.id) == d.lbl).toDouble / held.length
+    val base = math.max(held.count(_.lbl == 1), held.count(_.lbl == 0))
+      .toDouble / held.length
+    info(f"held-out acc $acc%.3f vs majority baseline $base%.3f (n=${held.length})")
+    assert(acc > base, f"model no better than majority: $acc%.3f <= $base%.3f")
+  }
+
+  test("modelKeeper: keeper is the max-model-score member of each cluster (tie min id)") {
+    val mk = graft.operators.Dedup.modelKeeper(docs, 5000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(mk.nonEmpty)
+    // exactly one keeper per cluster; it is the (score desc, id asc)
+    // argmax of the cluster's members
+    mk.groupBy(_._2).foreach { case (cid, members) =>
+      val best = members.minBy { case (id, _, s, _, _) => (-s, id) }
+      val keepers = members.filter(_._5 == 1)
+      assert(keepers.map(_._1).toSeq === Seq(best._1),
+        s"cluster $cid elected ${keepers.map(_._1).toSeq}, want ${best._1}")
+      assert(members.forall(_._4 == best._1))
+    }
+    // and a multi-member cluster exists, so the election is exercised
+    assert(mk.groupBy(_._2).exists(_._2.length > 1))
+  }
+
   test("incrementalDedup: survivors are batch min-reps whose key the corpus lacks") {
     val keyed = docs.select(col("doc_id"),
       Portable.hexHash60(Portable.normText(col("text"))).as("k"),

@@ -31,7 +31,8 @@ PROBE_TIMEOUT = 300          # calm probe ~95 s (+ the untimed warmup pass
                              # would still blow this
 PROBE_DEDUP_MAX = 16.0       # calm warm median ~8-12 s
 PROBE_KMEANS_MAX = 9.0       # calm warm median ~5-7 s
-MAX_SANE_TOTAL = 430.0       # r19: surface grows to 147 gated queries
+MAX_SANE_TOTAL = 460.0       # r20: surface grows to 149 gated queries
+OLD_MAX_SANE_TOTAL_R19 = 430.0  # r19 note kept: the surface was then 147
                              # (+a_hybrid_search_ivf ~3 s calm — lexical
                              # leg + trained-IVF leg both already amortized
                              # by the centroid memo; +t_cms_estimate ~1 s:
