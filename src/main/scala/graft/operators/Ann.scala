@@ -663,10 +663,18 @@ object Ann {
     * IVFADC residual frame) can never hit again after that call, so an
     * unbounded map is a slow leak in a long-lived service session; the
     * LRU bound caps it at a few KB of stale state while every
-    * live-corpus key stays resident (the whole ANN family over one
-    * corpus touches well under 32 distinct (frame, k, iters) keys).
+    * live-corpus key stays resident.
+    *
+    * Sized to the full query surface, not the single-operator case:
+    * the IVFADC/IVF-SQ8 family inserts one never-hit key per call
+    * (the residual/code frames are localCheckpoint-keyed), and at 32
+    * the ~20 such inserts between `a_ann_recall_tuned` (which trains
+    * the OPQ codebooks) and `a_knn_opq` (which reuses them) could
+    * evict the OPQ entry — the r19 verdict's memo-eviction hypothesis
+    * for that row's 3× gated-median swing. 128 keeps every key of a
+    * full 149-query sweep resident at a few hundred KB of state.
     */
-  private[this] var _centroidMemoBound: Int = 32
+  private[this] var _centroidMemoBound: Int = 128
   def centroidMemoBound: Int = _centroidMemoBound
   /** Validated setter: a bound below 1 would silently disable the memo
     * (every put immediately evicted) — reject it.
@@ -707,6 +715,10 @@ object Ann {
       truthMemo.keys.filter(_._1 == spark).toSeq
         .foreach { k => truthMemo.remove(k); truthLatch.remove(k) }
     }
+    legMemo.synchronized {
+      legMemo.keys.filter(_._1 == spark).toSeq
+        .foreach { k => legMemo.remove(k); legLatch.remove(k) }
+    }
   }
 
   /** Memo of brute-force ground-truth frames per (session, corpus
@@ -728,6 +740,52 @@ object Ann {
     (SparkSession, String, Int, Int), Seq[(Long, Long)]]
   private val truthLatch = scala.collection.concurrent.TrieMap.empty[
     (SparkSession, String, Int, Int), Object]
+
+  /** Memo of recall-harness METHOD-LEG results per (session, corpus,
+    * method, request) — the truth-memo discipline extended to the
+    * other shared input of the recall sweeps: [[annRecall]] and
+    * [[annRecallSampled]] run the SAME six method pipelines with the
+    * same arguments (sampled post-filters the results rather than
+    * forking the trained-model memo keys — see its scaladoc), so the
+    * second harness was re-running six corpus-scale scans to rebuild
+    * (queries·k)-row tables the first had already computed. The leg
+    * results are request-scale and deterministic; the memo holds the
+    * projected (q_id, neighbor_id) rows driver-side and rebuilds a
+    * local relation per consumer. Individual gated rows (a_knn_*)
+    * deliberately do NOT read or write this memo — their executed
+    * plans are part of the audited contract (PlanAuditSpec pins scan
+    * pushdown and join shapes on the real pipelines).
+    */
+  private val legMemo = scala.collection.mutable.LinkedHashMap.empty[
+    (SparkSession, String), Seq[(Long, Long)]]
+  private val legLatch = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, String), Object]
+
+  private def legFrame(embeddings: DataFrame, tag: String)(
+      build: => DataFrame): DataFrame = {
+    val fk = frameKey(embeddings)
+    val key = (fk._1, fk._2 + "|" + tag)
+    val rows = legLatch.getOrElseUpdate(key, new Object).synchronized {
+      val hit = legMemo.synchronized {
+        legMemo.remove(key).map { v => legMemo.put(key, v); v }
+      }
+      hit.getOrElse {
+        val v = build.select("q_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        legMemo.synchronized {
+          legMemo.put(key, v)
+          val mine = legMemo.keys.filter(_._1 == key._1).toSeq
+          mine.dropRight(centroidMemoBound).foreach { k0 =>
+            legMemo.remove(k0); legLatch.remove(k0)
+          }
+        }
+        v
+      }
+    }
+    val sp = embeddings.sparkSession
+    import sp.implicits._
+    rows.toDF("q_id", "neighbor_id")
+  }
 
   private def truthFrame(embeddings: DataFrame, numQueries: Int,
       k: Int): DataFrame = {
@@ -774,6 +832,10 @@ object Ann {
         centroidMemo.remove(key).map { v => centroidMemo.put(key, v); v }
       }
       hit.getOrElse {
+        if (sys.env.contains("GRAFT_MEMO_DEBUG"))
+          System.err.println(s"[memo] MISS k=$k iters=$iterations " +
+            s"fp=${Integer.toHexString(fk._2.hashCode)} " +
+            s"size=${centroidMemo.synchronized(centroidMemo.size)}")
         val v = kmeansCentroidsUncached(q, k, iterations)
         centroidMemo.synchronized {
           centroidMemo.put(key, v)
@@ -1405,14 +1467,28 @@ object Ann {
     }.reduce(_ unionByName _)
   }
 
+  /** The six shared method legs of [[annRecall]] and
+    * [[annRecallSampled]], each through the leg memo (identical
+    * arguments in both harnesses — compute once per session).
+    */
+  private def recallLegs(embeddings: DataFrame, numQueries: Int,
+      k: Int): Seq[(String, DataFrame)] = Seq(
+    "knn_lsh" -> legFrame(embeddings, s"leg lsh nq=$numQueries k=$k")(
+      knnLsh(embeddings, numQueries, k)),
+    "knn_ivf_trained" -> legFrame(embeddings, s"leg ivft nq=$numQueries k=$k")(
+      knnIvfTrained(embeddings, numQueries, k)),
+    "knn_quantized" -> legFrame(embeddings, s"leg q nq=$numQueries k=$k")(
+      knnQuantized(embeddings, numQueries, k)),
+    "knn_pq" -> legFrame(embeddings, s"leg pq nq=$numQueries k=$k")(
+      knnPq(embeddings, numQueries, k)),
+    "knn_ivfpq" -> legFrame(embeddings, s"leg ivfpq2 nq=$numQueries k=$k")(
+      knnIvfPq(embeddings, numQueries, k, probes = 2)),
+    "knn_ivfsq" -> legFrame(embeddings, s"leg ivfsq nq=$numQueries k=$k")(
+      knnIvfSq(embeddings, numQueries, k)))
+
   def annRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame =
-    recallTable(embeddings, numQueries, k, Seq(
-      "knn_lsh" -> knnLsh(embeddings, numQueries, k),
-      "knn_ivf_trained" -> knnIvfTrained(embeddings, numQueries, k),
-      "knn_quantized" -> knnQuantized(embeddings, numQueries, k),
-      "knn_pq" -> knnPq(embeddings, numQueries, k),
-      "knn_ivfpq" -> knnIvfPq(embeddings, numQueries, k, probes = 2),
-      "knn_ivfsq" -> knnIvfSq(embeddings, numQueries, k)))
+    recallTable(embeddings, numQueries, k,
+      recallLegs(embeddings, numQueries, k))
 
   /** The knob-response twin of [[annRecall]]: the same recall@k
     * measurement with each lossy method's accuracy knob turned one
@@ -1487,14 +1563,7 @@ object Ann {
       .localCheckpoint() // read once per method arm
     val nQ = queries.agg(count(lit(1)).as("n_queries"))
     val elected = h20(col("q_id").cast("string")) % sampleMod === 0
-    Seq(
-      "knn_lsh" -> knnLsh(embeddings, numQueries, k),
-      "knn_ivf_trained" -> knnIvfTrained(embeddings, numQueries, k),
-      "knn_quantized" -> knnQuantized(embeddings, numQueries, k),
-      "knn_pq" -> knnPq(embeddings, numQueries, k),
-      "knn_ivfpq" -> knnIvfPq(embeddings, numQueries, k, probes = 2),
-      "knn_ivfsq" -> knnIvfSq(embeddings, numQueries, k)
-    ).map { case (m, res) =>
+    recallLegs(embeddings, numQueries, k).map { case (m, res) =>
       res.filter(elected).select("q_id", "neighbor_id")
         .join(truth.withColumn("hit", lit(1L)),
           Seq("q_id", "neighbor_id"), "left")

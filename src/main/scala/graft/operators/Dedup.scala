@@ -187,7 +187,7 @@ object Dedup {
     * Shared with the ANN trained-model memo ([[graft.operators.Ann]]),
     * so both registries collide — or don't — identically.
     */
-  private[operators] def corpusKey(docs: DataFrame): (SparkSession, String) = {
+  private[graft] def corpusKey(docs: DataFrame): (SparkSession, String) = {
     // ANALYZED, not logical: a bare `spark.read.parquet(dir)` logical
     // plan in Spark 4 is an UnresolvedDataSource whose text names
     // neither the path nor the files — logical-plan keys would collide
@@ -222,6 +222,10 @@ object Dedup {
     shCache.releaseSession(spark)
     pairCache.releaseSession(spark)
     containCache.releaseSession(spark)
+    clusterCache.releaseSession(spark)
+    sigCache.releaseSession(spark)
+    graft.functions.TextAnalysis.releaseQualityModels(spark)
+    Analytics.releaseProfileCaches(spark)
   }
 
   /** Default blast-radius bound for [[ngramJaccard]]'s exhaustive pair
@@ -263,46 +267,61 @@ object Dedup {
         minV = 1L, maxV = 10000L) ++
         graft.core.Validation.knob("maxCandidatePairs", maxCandidatePairs,
           minV = 1L))
-    val sh = cappedShingleHashes(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val df_ = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id")
-    // one exchange: both windows hash-partition by doc_id
-    val prefix = sh.join(df_, "h")
-      .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
-      .withColumn("n_sh", count(lit(1)).over(byDoc))
-      .filter(col("rn") <= col("n_sh")
-        - expr(s"((${2 * minJaccardBp - 1} * n_sh + 19999) div 20000)") + 1)
-      .select("doc_id", "h", "n_sh")
-    // Fail-fast guard on the PREFIX fanout, in decimal (LongType would
-    // wrap silently under non-ANSI semantics, and the guard must fail
-    // CLOSED). Past the bound the candidate volume is genuinely
-    // pair-graph-sized-quadratic (e.g. a corpus of near-identical
-    // docs) and minhashLsh's banding is the right tool.
-    val est = prefix.groupBy("h").agg(count(lit(1)).as("pdf"))
-      .agg(coalesce(sum(col("pdf").cast("decimal(38,0)") * col("pdf")),
-        lit(java.math.BigDecimal.ZERO)).as("p"))
-      .head.getDecimal(0)
-    require(est.compareTo(java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
-      s"ngramJaccard: estimated prefix-candidate fanout sum(prefix_df^2)=$est " +
-        s"exceeds $maxCandidatePairs; use minhashLsh (d_minhash_lsh) — " +
-        "same pairs, bounded candidates")
-    val a = prefix.as("a"); val b = prefix.as("b")
-    // size filter: J ≥ t_eff forces min(|x|,|y|) ≥ t_eff·max(|x|,|y|)
-    val cands = a.join(b,
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
-          && col("a.n_sh") * 20000 >= col("b.n_sh") * (2 * minJaccardBp - 1)
-          && col("b.n_sh") * 20000 >= col("a.n_sh") * (2 * minJaccardBp - 1))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val inter = cands
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id")
-        && col("sa.h") === col("sb.h"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    jaccardFilter(inter, sizes, minJaccardBp)
+    // Result + prefix cached per (session, corpus, threshold) with the
+    // CONTAINMENT build's discipline (it was already doing this): the
+    // prefix window pipeline — two doc_id windows over the full shingle
+    // table, the expensive half of the query — was otherwise evaluated
+    // up to three times per call (the eager fanout guard plus both
+    // sides of the candidate self-join when exchange reuse misses).
+    val ck = corpusKey(docs)
+    pairCache.getOrElseUpdate((ck._1, ck._2 + "|ppjoin", minJaccardBp))({
+      val sh = cappedShingleHashes(docs)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val df_ = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+      // one exchange: both windows hash-partition by doc_id
+      val prefix = sh.join(df_, "h")
+        .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
+        .withColumn("n_sh", count(lit(1)).over(byDoc))
+        .filter(col("rn") <= col("n_sh")
+          - expr(s"((${2 * minJaccardBp - 1} * n_sh + 19999) div 20000)") + 1)
+        .select("doc_id", "h", "n_sh")
+        .cache()
+      try {
+        // Fail-fast guard on the PREFIX fanout, in decimal (LongType
+        // would wrap silently under non-ANSI semantics, and the guard
+        // must fail CLOSED). Past the bound the candidate volume is
+        // genuinely pair-graph-sized-quadratic (e.g. a corpus of
+        // near-identical docs) and minhashLsh's banding is the right
+        // tool.
+        val est = prefix.groupBy("h").agg(count(lit(1)).as("pdf"))
+          .agg(coalesce(sum(col("pdf").cast("decimal(38,0)") * col("pdf")),
+            lit(java.math.BigDecimal.ZERO)).as("p"))
+          .head.getDecimal(0)
+        require(est.compareTo(java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
+          s"ngramJaccard: estimated prefix-candidate fanout sum(prefix_df^2)=$est " +
+            s"exceeds $maxCandidatePairs; use minhashLsh (d_minhash_lsh) — " +
+            "same pairs, bounded candidates")
+        val a = prefix.as("a"); val b = prefix.as("b")
+        // size filter: J ≥ t_eff forces min(|x|,|y|) ≥ t_eff·max(|x|,|y|)
+        val cands = a.join(b,
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
+              && col("a.n_sh") * 20000 >= col("b.n_sh") * (2 * minJaccardBp - 1)
+              && col("b.n_sh") * 20000 >= col("a.n_sh") * (2 * minJaccardBp - 1))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val inter = cands
+          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id")
+            && col("sa.h") === col("sb.h"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("inter"))
+        val result = jaccardFilter(inter, sizes, minJaccardBp).cache()
+        result.count() // materialize before the prefix unpersists
+        result
+      } finally prefix.unpersist()
+    })
   }
 
   /** The exhaustive Σdf² twin of [[ngramJaccard]]: every pair sharing
@@ -472,6 +491,25 @@ object Dedup {
     else mhs.foldLeft("0")((acc, m) =>
       s"(($acc) * 1048583 + $m) % 2147483647")
 
+  /** Session-cached [[minhashSignatures]] for the BATCH operators
+    * that share one corpus: the production-geometry signature pass
+    * (128 LCG min-aggregates over the shingle table) was computed
+    * once by the bucket-balance report and AGAIN by the prod pair
+    * pipeline. Registry discipline identical to the shingle cache;
+    * streaming ingest keeps calling the uncached form (per-batch
+    * frames would only churn the registry).
+    */
+  def minhashSignaturesCached(sh: DataFrame,
+      numHashes: Int = MinHashK): DataFrame = {
+    val ck = corpusKey(sh)
+    sigCache.getOrElseUpdate((ck._1, ck._2 + s"|sig k=$numHashes", 0L))({
+      minhashSignatures(sh, numHashes).cache()
+    })
+  }
+
+  /** Cached signature table per (session, corpus shingles, K). */
+  private val sigCache = new LruTableCache[(SparkSession, String, Long)]
+
   /** Banded minhash signatures: wide (mh0..mh{b·r−1}) → long (doc_id,
     * band, band_key); band `b` spans rows mh(b·r)..mh(b·r+r−1). The
     * default geometry's key arithmetic is the durable-index contract
@@ -519,7 +557,7 @@ object Dedup {
   def bucketBalance(docs: DataFrame, bands: Int = ProdBands,
       rows: Int = ProdRows): DataFrame = {
     val sh = cappedShingleHashes(docs)
-    val banded = bandedSignatures(minhashSignatures(sh, bands * rows),
+    val banded = bandedSignatures(minhashSignaturesCached(sh, bands * rows),
       bands, rows)
     banded.groupBy("band", "band_key").agg(count(lit(1)).as("n"))
       .groupBy("band")
@@ -548,7 +586,7 @@ object Dedup {
     val key = (ck._1, ck._2 + s"|lsh b=$bands r=$rows", minJaccardBp)
     pairCache.getOrElseUpdate(key)({
       val sh = cappedShingleHashes(docs)
-      val cands = lshCandidates(minhashSignatures(sh, bands * rows),
+      val cands = lshCandidates(minhashSignaturesCached(sh, bands * rows),
         bands, rows)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val inter = cands
@@ -655,6 +693,29 @@ object Dedup {
     */
   def dedupClusters(docs: DataFrame, minJaccardBp: Long,
       maxIters: Int = 20): DataFrame = {
+    // Cache the cluster-label table per (session, corpus, threshold):
+    // the verified pairs are already cached, but the CC loop itself
+    // (edge materialization + a count-gated round per graph-diameter
+    // step, each an eager driver-side action) re-ran for EVERY
+    // consumer — clusters, the per-source report, both keeper
+    // elections, the leakage-safe split, the lineage audit. Labels are
+    // (doc_id, cluster_id, keep) — corpus-rows-scale but three fixed
+    // columns, far smaller than the cached shingle table — and the
+    // loop is deterministic, so memoizing is invisible to results
+    // (guide §2.4: don't recompute what a prior identical pass
+    // already shuffled).
+    val ck = corpusKey(docs)
+    clusterCache.getOrElseUpdate(
+      (ck._1, ck._2 + s"|cc iters=$maxIters", minJaccardBp))({
+      dedupClustersUncached(docs, minJaccardBp, maxIters).cache()
+    })
+  }
+
+  /** Cached cluster-label table per (session, corpus, threshold). */
+  private val clusterCache = new LruTableCache[(SparkSession, String, Long)]
+
+  private def dedupClustersUncached(docs: DataFrame, minJaccardBp: Long,
+      maxIters: Int): DataFrame = {
     def dbg[A](name: String)(f: => A): A =
       if (sys.env.contains("GRAFT_CC_DEBUG")) {
         val t0 = System.nanoTime(); val r = f

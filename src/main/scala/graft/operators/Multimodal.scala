@@ -182,9 +182,10 @@ object Multimodal {
     * (image/audio/video) — the documents table stands in for a
     * mixed-modality corpus.
     */
-  def features(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
+  def features(spark: SparkSession, docs: DataFrame,
+      only: Option[String] = None): Dataset[MediaMeta] = {
     import spark.implicits._
-    val media = landed(spark, docs)
+    val media = landed(spark, docs, only)
     // Batched decode: one codec "session" per partition (a real
     // decoder inits its native library once per task, not per row).
     media.mapPartitions { batch =>
@@ -214,8 +215,7 @@ object Multimodal {
   def resized(spark: SparkSession, docs: DataFrame,
       factor: Int = 2): Dataset[MediaMeta] = {
     import spark.implicits._
-    landed(spark, docs)
-      .filter(col("media_type") === "image")
+    landed(spark, docs, Some("image"))
       .mapPartitions { batch =>
         batch.map { f =>
           val img = ImageIO.read(new ByteArrayInputStream(f.payload))
@@ -246,8 +246,7 @@ object Multimodal {
   def resampledAudio(spark: SparkSession, docs: DataFrame,
       factor: Int = 2): Dataset[MediaMeta] = {
     import spark.implicits._
-    landed(spark, docs)
-      .filter(col("media_type") === "audio")
+    landed(spark, docs, Some("audio"))
       .mapPartitions { batch =>
         batch.map { f =>
           val ais = AudioSystem.getAudioInputStream(
@@ -294,8 +293,7 @@ object Multimodal {
   def frameSamples(spark: SparkSession, docs: DataFrame,
       stride: Int = 2): DataFrame = {
     import spark.implicits._
-    landed(spark, docs)
-      .filter(col("media_type") === "video")
+    landed(spark, docs, Some("video"))
       .mapPartitions { batch =>
         batch.flatMap { f =>
           val buf = java.nio.ByteBuffer.wrap(f.payload)
@@ -320,16 +318,27 @@ object Multimodal {
   /** The media table as it lands: every payload is a REAL container
     * (PNG / RIFF WAVE / GVID frame pack) synthesized per doc in a
     * batched pass.
+    *
+    * `only` prunes to one modality BEFORE the synthesis/codec
+    * `mapPartitions`: media_type derives relationally from `source`,
+    * but a `.filter` placed after the opaque object pass cannot be
+    * pushed through it by Catalyst, so the single-modality consumers
+    * (resize, audio resample, frame sampling, image/video dedup) were
+    * synthesizing all three modalities and discarding two thirds —
+    * including the costly PNG/frame-pack encodes (guide §2.3/§4:
+    * filter before the opaque operator, not after).
     */
-  def landed(spark: SparkSession, docs: DataFrame): Dataset[MediaFile] = {
+  def landed(spark: SparkSession, docs: DataFrame,
+      only: Option[String] = None): Dataset[MediaFile] = {
     import spark.implicits._
-    docs.select(
+    val typed = docs.select(
         col("doc_id"),
         element_at(split(col("source"), "src"), 2).cast("int").as("src_num"),
         col("n_chars"))
       .withColumn("media_type",
         element_at(lit(Array("image", "audio", "video")), col("src_num") % 3 + 1))
       .select(col("doc_id"), col("media_type"), col("n_chars"))
+    only.fold(typed)(mt => typed.filter(col("media_type") === mt))
       .as[(Long, String, Long)]
       .mapPartitions { batch =>
         batch.map { case (id, mt, nChars) =>
@@ -532,15 +541,20 @@ object Multimodal {
       .withColumn("band_key",
         expr("shiftright(phash, 8 * band_id) % 256"))
     val xs = bands.as("x"); val ys = bands.as("y")
+    // Hamming verify BEFORE the dedup exchange: bit_count is a codegen
+    // projection evaluated as rows stream out of the band join, so
+    // filtering first means the distinct() shuffles only the verified
+    // near pairs (two longs each) instead of every band collision with
+    // both hashes in tow (guide §2.3 — shuffle fewer bytes). A pair
+    // colliding in several bands passes or fails identically in each,
+    // so filter-then-distinct is the same set as distinct-then-filter.
     val pairs = xs.join(ys,
         col("x.band_id") === col("y.band_id")
           && col("x.band_key") === col("y.band_key")
           && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .filter(expr(s"bit_count(x.phash ^ y.phash) <= $tau"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct() // a pair can collide in several bands
-      .filter(expr(s"bit_count(ha ^ hb) <= $tau"))
-      .select("a", "b")
     val nbr = pairs.select(col("a").as("doc_id"), col("b").as("nbr"))
       .unionByName(pairs.select(col("b").as("doc_id"), col("a").as("nbr")))
       .groupBy("doc_id")
@@ -570,8 +584,7 @@ object Multimodal {
     * map (≤4096 rows by construction) joins back as a broadcast.
     */
   def imageDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val imgs = features(spark, docs)
-      .filter(col("media_type") === "image").toDF()
+    val imgs = features(spark, docs, Some("image")).toDF()
       .withColumn("phash", expr(
         "(pixel_rgb div 262144) * 64 + ((width - 1) div 8) * 8 + ((height - 1) div 8)"))
     val buckets = imgs.groupBy("phash")
@@ -595,8 +608,7 @@ object Multimodal {
     * partial-agg `groupBy` on a ≤384-value key, broadcast keeper map.
     */
   def videoDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val vids = features(spark, docs)
-      .filter(col("media_type") === "video").toDF()
+    val vids = features(spark, docs, Some("video")).toDF()
       .withColumn("phash", expr(
         "(pixel_rgb div 1048576) * 64 + ((width - 1) div 8) * 16 " +
           "+ ((height - 1) div 8) * 2 + ((frames - 2) div 4)"))

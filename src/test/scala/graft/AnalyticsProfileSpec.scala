@@ -103,19 +103,29 @@ class AnalyticsProfileSpec extends SparkSuite {
 
   test("columnProfile: two parallel hash-agg passes, no sort-agg funnel") {
     val df = graft.sources.Tables.lineitem(spark, sf)
+    // The distinct pass (r20: memoized per corpus and joined back as a
+    // |cols|-row local relation — the truth-memo discipline) is
+    // audited on its own plan: the multi-distinct rewrite would
+    // Expand the scan #cols× and funnel the distinct aggregation
+    // through one wide sort aggregate (measured 10× slower); the
+    // unpivoted form has NO Expand and stays in hash aggregation.
+    val nd = Analytics.exactDistinctsPlan(df, df.columns.toSeq)
+      .queryExecution.executedPlan.toString
+    assert(nd.split("FileScan").length - 1 === 1, nd.take(2500))
+    assert(!nd.contains("Expand"), nd.take(2500))
+    assert(nd.contains("HashAggregate"), nd.take(2500))
+    // the served profile itself: ONE corpus scan (the basic pass —
+    // never a scan per column), the distinct counts joined in as a
+    // broadcast local relation. (The basic pass's KEYLESS
+    // SortAggregate is fine — min(string) has no mutable hash buffer,
+    // and with no grouping key it is a streaming per-partition fold,
+    // not a sort.)
     val p = Analytics.columnProfile(df)
       .queryExecution.executedPlan.toString
-    // two scans (basic + distinct pass) — never a scan per column
-    assert(p.split("FileScan").length - 1 === 2, p.take(2500))
-    // the multi-distinct rewrite would Expand the scan #cols× and
-    // funnel the distinct aggregation through one wide sort aggregate
-    // (measured 10× slower); the two-pass form has NO Expand and its
-    // distinct pass stays in hash aggregation. (The basic pass's
-    // KEYLESS SortAggregate is fine — min(string) has no mutable hash
-    // buffer, and with no grouping key it is a streaming per-partition
-    // fold, not a sort.)
+    assert(p.split("FileScan").length - 1 === 1, p.take(2500))
     assert(!p.contains("Expand"), p.take(2500))
-    assert(p.contains("HashAggregate"), p.take(2500))
+    assert(p.contains("LocalTableScan") || p.contains("BroadcastHashJoin"),
+      p.take(2500))
   }
 
   test("audit gates: measured flags are green, and every field but the flag is exact") {
