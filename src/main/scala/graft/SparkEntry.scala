@@ -37,7 +37,7 @@ object SparkEntry {
     MessageFraming.messages(Tables.events(s, dir))
 
   private def countSegments(s: SparkSession, dir: String): DataFrame =
-    SegmentRoller.byCount(msgs(s, dir), SegMaxMessages)
+    SegmentRoller.byCountCached(msgs(s, dir), SegMaxMessages)
 
   private def presentSegments(s: SparkSession, dir: String): DataFrame =
     countSegments(s, dir).filter(col("seg_seq") % DropSegMod =!= DropSegRem)

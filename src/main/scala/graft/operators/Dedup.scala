@@ -226,6 +226,8 @@ object Dedup {
     sigCache.releaseSession(spark)
     graft.functions.TextAnalysis.releaseQualityModels(spark)
     Analytics.releaseProfileCaches(spark)
+    SegmentRoller.releaseSegmentCaches(spark)
+    HybridSearch.releaseLexLegs(spark)
   }
 
   /** Default blast-radius bound for [[ngramJaccard]]'s exhaustive pair

@@ -66,17 +66,12 @@ object HybridSearch {
       Ann.knnIvfTrained(embeddings, numQueries, topN,
         kCells, iterations, probes))
 
-  /** Shared lexical leg + RRF fusion over a pluggable vector leg
-    * (any (q_id, rnk, neighbor_id, …) top-N ranking).
+  /** The lexical top-N PASS as a plan (package-visible so the plan
+    * audits pin its shape: query tokens broadcast into the corpus
+    * token join — an equi BroadcastHashJoin, never a cartesian).
     */
-  private def fuse(docs: DataFrame, numQueries: Int, k: Int, topN: Int,
-      rrfK: Int, vecLeg: DataFrame): DataFrame = {
-    graft.core.Configs.AnnRequest(numQueries, k).validated
-    graft.core.Validation.validate("hybrid",
-      graft.core.Validation.knob("topN", topN, minV = 1L) ++
-        graft.core.Validation.knob("rrfK", rrfK, minV = 1L))
-
-    // ---- lexical leg: idf-weighted distinct-token overlap ----------
+  private[graft] def lexLegPlan(docs: DataFrame, numQueries: Int,
+      topN: Int): DataFrame = {
     val tokSet = TextAnalysis.tokens(docs).distinct() // (doc_id, tok)
     val df_ = tokSet.groupBy("tok").agg(count(lit(1)).as("df"))
     val wTok = tokSet.join(df_, Seq("tok"))
@@ -88,14 +83,76 @@ object HybridSearch {
       .select(col("doc_id").as("q_id"), col("tok"))
     val lexW = Window.partitionBy("q_id")
       .orderBy(col("lex_score").desc, col("doc_id"))
-    val lex = wTok.join(broadcast(qTok),
-        Seq("tok"))
+    wTok.join(broadcast(qTok), Seq("tok"))
       .filter(col("doc_id") =!= col("q_id"))
       .groupBy("q_id", "doc_id")
       .agg(sum("w").as("lex_score"))
       .withColumn("lex_rank", row_number().over(lexW))
       .filter(col("lex_rank") <= topN)
       .select("q_id", "doc_id", "lex_rank")
+  }
+
+  /** The lexical top-N ranking, memoized per (session, corpus,
+    * request) — see the note at the call site in [[fuse]].
+    */
+  private def lexLeg(docs: DataFrame, numQueries: Int,
+      topN: Int): DataFrame = {
+    val ck = Dedup.corpusKey(docs)
+    val key = (ck._1, ck._2 + s"|lexleg nq=$numQueries topN=$topN")
+    val rows = lexLatch.getOrElseUpdate(key, new Object).synchronized {
+      val hit = lexMemo.synchronized {
+        lexMemo.remove(key).map { v => lexMemo.put(key, v); v }
+      }
+      hit.getOrElse {
+        val v = lexLegPlan(docs, numQueries, topN)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toSeq
+        lexMemo.synchronized {
+          lexMemo.put(key, v)
+          val mine = lexMemo.keys.filter(_._1 == key._1).toSeq
+          mine.dropRight(32).foreach { k0 =>
+            lexMemo.remove(k0); lexLatch.remove(k0)
+          }
+        }
+        v
+      }
+    }
+    val sp = docs.sparkSession
+    import sp.implicits._
+    rows.toDF("q_id", "doc_id", "lex_rank")
+  }
+
+  private val lexMemo = scala.collection.mutable.LinkedHashMap.empty[
+    (org.apache.spark.sql.SparkSession, String), Seq[(Long, Long, Int)]]
+  private val lexLatch = scala.collection.concurrent.TrieMap.empty[
+    (org.apache.spark.sql.SparkSession, String), Object]
+
+  /** Drop the memoized lexical legs for `spark` (wired into
+    * [[Dedup.releaseShingleCaches]]).
+    */
+  def releaseLexLegs(spark: org.apache.spark.sql.SparkSession): Unit =
+    lexMemo.synchronized {
+      lexMemo.keys.filter(_._1 == spark).toSeq
+        .foreach { k => lexMemo.remove(k); lexLatch.remove(k) }
+    }
+
+  /** Shared lexical leg + RRF fusion over a pluggable vector leg
+    * (any (q_id, rnk, neighbor_id, …) top-N ranking).
+    */
+  private def fuse(docs: DataFrame, numQueries: Int, k: Int, topN: Int,
+      rrfK: Int, vecLeg: DataFrame): DataFrame = {
+    graft.core.Configs.AnnRequest(numQueries, k).validated
+    graft.core.Validation.validate("hybrid",
+      graft.core.Validation.knob("topN", topN, minV = 1L) ++
+        graft.core.Validation.knob("rrfK", rrfK, minV = 1L))
+
+    // ---- lexical leg: idf-weighted distinct-token overlap ----------
+    // Memoized per (session, corpus, numQueries, topN): the brute and
+    // trained-IVF hybrid forms share an IDENTICAL lexical leg (only
+    // the vector leg differs), and each was re-running the corpus
+    // token-set + df aggregation + rank window. The leg's result is
+    // (numQueries · topN) rows — request-scale, the truth-memo shape.
+    val lex = lexLeg(docs, numQueries, topN)
 
     // ---- vector leg: caller-supplied top-N ranking (brute force or
     // trained IVF — RRF consumes ranks, not scores) ------------------

@@ -71,6 +71,34 @@ object SegmentRoller {
       .withColumn("level", lit(0))
   }
 
+  /** Session-cached [[byCount]] for the batch query surface: a dozen
+    * replicator queries (checkpoints, gap/lost-range detection,
+    * compaction planning, replay, reconcile, metrics) all derive from
+    * the SAME count-rolled segment table, and each re-ran the message
+    * frame's per-partition rank window to rebuild it. The segment
+    * table is corpus/maxMessages rows (metadata-scale relative to the
+    * stream) and the rolling is deterministic, so the dedup-registry
+    * discipline applies unchanged. Streaming paths keep calling
+    * [[byCount]] directly.
+    */
+  def byCountCached(messages: DataFrame, maxMessages: Int): DataFrame = {
+    val ck = Dedup.corpusKey(messages)
+    segCache.getOrElseUpdate(
+      (ck._1, ck._2 + s"|segcount $maxMessages", 0L))({
+      byCount(messages, maxMessages).cache()
+    })
+  }
+
+  /** Cached count-rolled segment tables per (session, stream, size). */
+  private val segCache = new Dedup.LruTableCache[
+    (org.apache.spark.sql.SparkSession, String, Long)]
+
+  /** Unpersist the cached segment tables for `spark` (wired into
+    * [[Dedup.releaseShingleCaches]]).
+    */
+  def releaseSegmentCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    segCache.releaseSession(spark)
+
   /** Age-based rolling: event-time buckets per partition
     * (the MaxSegmentAge path — a segment never spans more than one
     * bucket of `age`). Declarative: date_trunc keeps codegen.

