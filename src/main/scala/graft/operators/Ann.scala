@@ -1470,25 +1470,49 @@ object Ann {
   /** The six shared method legs of [[annRecall]] and
     * [[annRecallSampled]], each through the leg memo (identical
     * arguments in both harnesses — compute once per session).
+    *
+    * Legs are INDEPENDENT jobs, so on a memo miss they are submitted
+    * from a small driver thread pool (guide §2.6 — overlap independent
+    * jobs): a sequential collect per leg would leave most cores idle
+    * in each leg's single-partition tail, where the old one-action
+    * 7-arm union overlapped its arm stages for free. The brute-force
+    * truth warms its own memo in the same batch. Latched memos make
+    * concurrent same-key work compute-once; distinct keys never block.
     */
   private def recallLegs(embeddings: DataFrame, numQueries: Int,
-      k: Int): Seq[(String, DataFrame)] = Seq(
-    "knn_lsh" -> legFrame(embeddings, s"leg lsh nq=$numQueries k=$k")(
-      knnLsh(embeddings, numQueries, k)),
-    "knn_ivf_trained" -> legFrame(embeddings, s"leg ivft nq=$numQueries k=$k")(
-      knnIvfTrained(embeddings, numQueries, k)),
-    "knn_quantized" -> legFrame(embeddings, s"leg q nq=$numQueries k=$k")(
-      knnQuantized(embeddings, numQueries, k)),
-    "knn_pq" -> legFrame(embeddings, s"leg pq nq=$numQueries k=$k")(
-      knnPq(embeddings, numQueries, k)),
-    "knn_ivfpq" -> legFrame(embeddings, s"leg ivfpq2 nq=$numQueries k=$k")(
-      knnIvfPq(embeddings, numQueries, k, probes = 2)),
-    "knn_ivfsq" -> legFrame(embeddings, s"leg ivfsq nq=$numQueries k=$k")(
-      knnIvfSq(embeddings, numQueries, k)))
+      k: Int): Seq[(String, DataFrame)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val defs: Seq[(String, () => DataFrame)] = Seq(
+      "knn_lsh" -> (() => legFrame(embeddings, s"leg lsh nq=$numQueries k=$k")(
+        knnLsh(embeddings, numQueries, k))),
+      "knn_ivf_trained" -> (() => legFrame(embeddings, s"leg ivft nq=$numQueries k=$k")(
+        knnIvfTrained(embeddings, numQueries, k))),
+      "knn_quantized" -> (() => legFrame(embeddings, s"leg q nq=$numQueries k=$k")(
+        knnQuantized(embeddings, numQueries, k))),
+      "knn_pq" -> (() => legFrame(embeddings, s"leg pq nq=$numQueries k=$k")(
+        knnPq(embeddings, numQueries, k))),
+      "knn_ivfpq" -> (() => legFrame(embeddings, s"leg ivfpq2 nq=$numQueries k=$k")(
+        knnIvfPq(embeddings, numQueries, k, probes = 2))),
+      "knn_ivfsq" -> (() => legFrame(embeddings, s"leg ivfsq nq=$numQueries k=$k")(
+        knnIvfSq(embeddings, numQueries, k))))
+    val futs = defs.map { case (n, f) => (n, Future(f())) }
+    futs.map { case (n, fut) => (n, Await.result(fut, Duration.Inf)) }
+  }
 
-  def annRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame =
-    recallTable(embeddings, numQueries, k,
-      recallLegs(embeddings, numQueries, k))
+  def annRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    // warm the exact-truth memo concurrently with the legs (one more
+    // independent job for the same §2.6 overlap; memoized — the
+    // recallTable call below reads it back instantly)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val truthF = Future(truthFrame(embeddings, numQueries, k))
+    val legs = recallLegs(embeddings, numQueries, k)
+    Await.result(truthF, Duration.Inf)
+    recallTable(embeddings, numQueries, k, legs)
+  }
 
   /** The knob-response twin of [[annRecall]]: the same recall@k
     * measurement with each lossy method's accuracy knob turned one
