@@ -45,7 +45,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    graft.operators.Dedup.releaseShingleCaches(spark)
+    graft.operators.Dedup.releaseAllCaches(spark)
     graft.operators.Ann.releaseTrainedModels(spark)
     spark.stop()
   }

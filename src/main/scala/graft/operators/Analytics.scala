@@ -411,11 +411,12 @@ object Analytics {
     *    combine — the funnel moves one row per partition, metadata;
     *    min(string) makes this a keyless SortAggregate, which with no
     *    grouping key is a streaming fold, not a sort);
-    *  - exact distincts for ALL columns together: unpivot to
-    *    (col_name, value-as-string) via `stack`, then a two-level
-    *    hash aggregate — `groupBy(col_name, v)` partial-aggregates
-    *    map-side, so hot values collapse before the exchange, and the
-    *    final count per column is #cols rows. Memoized per corpus
+    *  - exact distincts: one two-level hash aggregate PER COLUMN
+    *    (pruned single-column scan, map-side partial dedup so hot
+    *    values collapse before the exchange), the per-column jobs
+    *    submitted as overlapped driver jobs (guide §2.6 — total scan
+    *    I/O equals the old single `stack`-unpivot pass, but the small
+    *    jobs back-fill each other's idle cores). Memoized per corpus
     *    ([[exactDistincts]]) and joined back as a |cols|-row local
     *    relation, so the profile and its approx-audit twin share one
     *    distinct pass per session.
@@ -467,41 +468,50 @@ object Analytics {
     */
   private def bq(c: String): String = "`" + c.replace("`", "``") + "`"
 
-  /** The profiler's exact-distinct PASS as a plan (package-visible so
-    * the plan audit pins its shape): unpivot to (col_name, string
-    * image) via `stack`, two-level hash aggregate — never the
+  /** ONE column's exact-distinct count as a plan (package-visible so
+    * the plan audit pins its shape): a single pruned-column scan,
+    * string image, two-level hash aggregate — never the
     * multi-distinct Expand rewrite (see [[columnProfile]]'s scaladoc).
     */
-  private[graft] def exactDistinctsPlan(df: DataFrame,
-      cs: Seq[String]): DataFrame = {
-    val pairs = df.select(
-        stack((lit(cs.size) +: cs.flatMap(c =>
-          Seq(lit(c), col(bq(c)).cast("string")))): _*))
-      .toDF("col_name", "v")
-    pairs.filter(col("v").isNotNull)
-      .select("col_name", "v").distinct()
-      .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
-  }
+  private[graft] def exactDistinctColumnPlan(df: DataFrame,
+      c: String): DataFrame =
+    df.select(col(bq(c)).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .distinct()
+      .agg(count(lit(1)).as("n_distinct"))
 
-  /** [[exactDistinctsPlan]] memoized per (session, corpus, column
-    * list) — the truth-memo discipline applied to the profiler: the
-    * unpivot+distinct pass is the profiler's one cardinality-scale
-    * shuffle, and the exact profile and its approx-audit twin each
-    * ran the IDENTICAL subtree over the same table. The memoized
-    * value is |cols| rows, parameter-scale, held driver-side and
-    * rebuilt as a local relation per consumer; the pass is
-    * deterministic, so memoizing is invisible to results.
+  /** Per-column exact distincts, memoized per (session, corpus,
+    * column list) — the truth-memo discipline applied to the
+    * profiler: the distinct pass is the profiler's one
+    * cardinality-scale shuffle, and the exact profile and its
+    * approx-audit twin each ran the IDENTICAL subtree over the same
+    * table. The memoized value is |cols| rows, parameter-scale, held
+    * driver-side and rebuilt as a local relation per consumer; the
+    * pass is deterministic, so memoizing is invisible to results.
+    *
+    * On a miss the per-column counts run as OVERLAPPED driver jobs
+    * (guide §2.6), one per column, replacing the r20 single
+    * `stack`-unpivot job: each job scans exactly one pruned parquet
+    * column (total I/O equal to the one wide scan) and its small
+    * distinct shuffle back-fills cores the siblings' input-split
+    * counts and straggler tails leave idle; the string image and the
+    * counts are identical to the unpivoted form by construction.
     */
   private def exactDistincts(df: DataFrame, cs: Seq[String]): DataFrame = {
     val ck = Dedup.corpusKey(df)
-    val key = (ck._1, ck._2 + "|nd " + cs.mkString(","))
+    // length-prefixed encoding: a plain mkString(",") collided
+    // Seq("a,b") with Seq("a","b") (and any comma-bearing name)
+    val key = (ck._1, ck._2 + "|nd " +
+      cs.map(c => s"${c.length}:$c").mkString(","))
     val rows = ndLatch.getOrElseUpdate(key, new Object).synchronized {
       val hit = ndMemo.synchronized {
         ndMemo.remove(key).map { v => ndMemo.put(key, v); v }
       }
       hit.getOrElse {
-        val v = exactDistinctsPlan(df, cs).collect()
-          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        val v = graft.core.Overlap.overlapped(cs.map { c =>
+          c -> (() => exactDistinctColumnPlan(df, c)
+            .collect()(0).getLong(0))
+        }).map { case (c, n) => (c, n) }
         ndMemo.synchronized {
           ndMemo.put(key, v)
           val mine = ndMemo.keys.filter(_._1 == key._1).toSeq
@@ -523,7 +533,7 @@ object Analytics {
     (SparkSession, String), Object]
 
   /** Drop the memoized exact-distinct tables for `spark` (wired into
-    * [[Dedup.releaseShingleCaches]]).
+    * [[Dedup.releaseAllCaches]]).
     */
   def releaseProfileCaches(spark: SparkSession): Unit =
     ndMemo.synchronized {

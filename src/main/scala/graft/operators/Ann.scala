@@ -1479,12 +1479,14 @@ object Ann {
     * truth warms its own memo in the same batch. Latched memos make
     * concurrent same-key work compute-once; distinct keys never block.
     */
-  private def recallLegs(embeddings: DataFrame, numQueries: Int,
-      k: Int): Seq[(String, DataFrame)] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val defs: Seq[(String, () => DataFrame)] = Seq(
+  /** Independent named tasks as overlapped driver jobs on a dedicated
+    * bounded pool — see [[graft.core.Overlap]] (guide §2.6).
+    */
+  private def overlapped[A](tasks: Seq[(String, () => A)]): Seq[(String, A)] =
+    graft.core.Overlap.overlapped(tasks)
+
+  private def recallLegDefs(embeddings: DataFrame, numQueries: Int,
+      k: Int): Seq[(String, () => DataFrame)] = Seq(
       "knn_lsh" -> (() => legFrame(embeddings, s"leg lsh nq=$numQueries k=$k")(
         knnLsh(embeddings, numQueries, k))),
       "knn_ivf_trained" -> (() => legFrame(embeddings, s"leg ivft nq=$numQueries k=$k")(
@@ -1497,21 +1499,19 @@ object Ann {
         knnIvfPq(embeddings, numQueries, k, probes = 2))),
       "knn_ivfsq" -> (() => legFrame(embeddings, s"leg ivfsq nq=$numQueries k=$k")(
         knnIvfSq(embeddings, numQueries, k))))
-    val futs = defs.map { case (n, f) => (n, Future(f())) }
-    futs.map { case (n, fut) => (n, Await.result(fut, Duration.Inf)) }
-  }
+
+  private def recallLegs(embeddings: DataFrame, numQueries: Int,
+      k: Int): Seq[(String, DataFrame)] =
+    overlapped(recallLegDefs(embeddings, numQueries, k))
 
   def annRecall(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
     // warm the exact-truth memo concurrently with the legs (one more
     // independent job for the same §2.6 overlap; memoized — the
     // recallTable call below reads it back instantly)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val truthF = Future(truthFrame(embeddings, numQueries, k))
-    val legs = recallLegs(embeddings, numQueries, k)
-    Await.result(truthF, Duration.Inf)
-    recallTable(embeddings, numQueries, k, legs)
+    val legs = overlapped(
+      ("truth" -> (() => truthFrame(embeddings, numQueries, k))) +:
+        recallLegDefs(embeddings, numQueries, k))
+    recallTable(embeddings, numQueries, k, legs.tail)
   }
 
   /** The knob-response twin of [[annRecall]]: the same recall@k
@@ -1530,19 +1530,37 @@ object Ann {
     * code bits ↔ bytes per vector, refine ↔ shortlist vectors fetched).
     */
   def annRecallTuned(embeddings: DataFrame, numQueries: Int,
-      k: Int): DataFrame =
-    recallTable(embeddings, numQueries, k, Seq(
-      "knn_lsh_4planes" -> knnLsh(embeddings, numQueries, k, planes = 4),
-      "knn_ivf_probe2" -> knnIvfTrained(embeddings, numQueries, k, probes = 2),
-      "knn_pq_4bit" -> knnPq(embeddings, numQueries, k, pqK = 16),
+      k: Int): DataFrame = {
+    // The 8 knob legs are unique variants (nothing to share beyond
+    // the trained-state/truth memos they already use), but they are
+    // INDEPENDENT — so they run as overlapped driver jobs through the
+    // leg memo, exactly the [[recallLegs]] discipline (guide §2.6):
+    // a sequential build ran each leg's training collects and its
+    // single-partition ranking tail with the other 31 cores idle.
+    // Each leg's own executed plan (trained scans, probe bounds) is
+    // unchanged — only the submission overlaps.
+    def leg(tag: String)(b: => DataFrame): () => DataFrame =
+      () => legFrame(embeddings, s"leg $tag nq=$numQueries k=$k")(b)
+    val legs = overlapped(Seq(
+      "truth" -> (() => truthFrame(embeddings, numQueries, k)),
+      "knn_lsh_4planes" -> leg("lsh4")(
+        knnLsh(embeddings, numQueries, k, planes = 4)),
+      "knn_ivf_probe2" -> leg("ivft2")(
+        knnIvfTrained(embeddings, numQueries, k, probes = 2)),
+      "knn_pq_4bit" -> leg("pq16")(
+        knnPq(embeddings, numQueries, k, pqK = 16)),
       // the OPQ verdict row: PQ in the variance-balanced permuted
       // space, read against knn_pq/knn_pq_4bit (BASELINE §ANN quality)
-      "knn_pq_opq" -> knnPqOpq(embeddings, numQueries, k),
-      "knn_ivfpq_p4_4bit" ->
-        knnIvfPq(embeddings, numQueries, k, pqK = 16, probes = 4),
-      "knn_pq_rerank" -> knnPqRefined(embeddings, numQueries, k),
-      "knn_ivfpq_rerank" -> knnIvfPqRefined(embeddings, numQueries, k),
-      "knn_ivfsq_p4" -> knnIvfSq(embeddings, numQueries, k, probes = 4)))
+      "knn_pq_opq" -> leg("pqopq")(knnPqOpq(embeddings, numQueries, k)),
+      "knn_ivfpq_p4_4bit" -> leg("ivfpq16p4")(
+        knnIvfPq(embeddings, numQueries, k, pqK = 16, probes = 4)),
+      "knn_pq_rerank" -> leg("pqrr")(knnPqRefined(embeddings, numQueries, k)),
+      "knn_ivfpq_rerank" -> leg("ivfpqrr")(
+        knnIvfPqRefined(embeddings, numQueries, k)),
+      "knn_ivfsq_p4" -> leg("ivfsq4")(
+        knnIvfSq(embeddings, numQueries, k, probes = 4))))
+    recallTable(embeddings, numQueries, k, legs.tail)
+  }
 
   /** SAMPLED-truth recall — the measurement-harness scale path: the
     * exact ground truth is the recall table's only corpus×queries

@@ -113,24 +113,56 @@ object Dedup {
     */
   @volatile var cacheBound: Int = 4
 
+  /** BYTE budget per session for each registry, alongside the entry
+    * bound: entries can be corpus-scale (cluster labels are O(docs)
+    * rows, signature tables O(docs·K)), so a count-only LRU of cached
+    * tables is an executor-storage cliff at 100 TB no matter how small
+    * the count (guide §5 — cached data competes with execution
+    * memory). Inserts evict least-recently-used entries while the
+    * session's MEASURED cached bytes (InMemoryRelation stats after
+    * materialization — builds materialize before returning, so these
+    * are actual bytes, not planner estimates) exceed the budget; the
+    * just-inserted entry is never evicted (a budget smaller than one
+    * table degrades to cache-nothing-extra, not to thrash). Local
+    * default sized far above anything the bench corpus produces;
+    * production deployments size it to executor storage.
+    */
+  @volatile var cacheBytesBound: Long = 8L << 30
+
+  /** Measured bytes of a cached, materialized frame: the
+    * InMemoryRelation's post-materialization stats (actual bytes).
+    * 0 when the lookup fails or the plan has no cached relation —
+    * byte-eviction then simply doesn't fire for that entry.
+    */
+  private def cachedPlanBytes(df: DataFrame): Long =
+    try {
+      val b = df.queryExecution.withCachedData.collect {
+        case im: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          im.computeStats().sizeInBytes
+      }.sum
+      b.min(BigInt(Long.MaxValue)).toLong
+    } catch { case _: Throwable => 0L }
+
   /** LRU registry of session-cached tables: key component 0 is the
-    * owning SparkSession; inserts past [[cacheBound]] entries for that
-    * session unpersist and drop its least-recently-used entry, and
-    * lookups refresh recency. The build (a corpus-scale Spark job) runs
-    * OUTSIDE the registry monitor under a per-key latch: two sessions
-    * filling caches for different corpora build concurrently, while
-    * same-key callers wait on the one in-flight build instead of
-    * duplicating it (a failed build releases its latch, so a waiter
-    * retries the fill rather than caching the failure).
+    * owning SparkSession; inserts past [[cacheBound]] entries or
+    * [[cacheBytesBound]] measured bytes for that session unpersist and
+    * drop its least-recently-used entries, and lookups refresh
+    * recency. The build (a corpus-scale Spark job) runs OUTSIDE the
+    * registry monitor under a per-key latch: two sessions filling
+    * caches for different corpora build concurrently, while same-key
+    * callers wait on the one in-flight build instead of duplicating it
+    * (a failed build releases its latch, so a waiter retries the fill
+    * rather than caching the failure).
     */
   private[graft] final class LruTableCache[K <: Product] {
-    private val m = scala.collection.mutable.LinkedHashMap.empty[K, DataFrame]
+    private val m =
+      scala.collection.mutable.LinkedHashMap.empty[K, (DataFrame, Long)]
     private val building = scala.collection.concurrent
       .TrieMap.empty[K, java.util.concurrent.CountDownLatch]
     @annotation.tailrec
     def getOrElseUpdate(key: K)(build: => DataFrame): DataFrame = {
       val hit = synchronized {
-        m.remove(key).map { df => m.put(key, df); df } // re-insert = most recent
+        m.remove(key).map { e => m.put(key, e); e._1 } // re-insert = most recent
       }
       hit match {
         case Some(df) => df
@@ -145,7 +177,7 @@ object Dedup {
               // miss and the claim must not be rebuilt (and its cached
               // table must not be silently overwritten = leaked)
               val done = synchronized {
-                m.remove(key).map { df => m.put(key, df); df }
+                m.remove(key).map { e => m.put(key, e); e._1 }
               }
               done match {
                 case Some(df) =>
@@ -154,13 +186,24 @@ object Dedup {
                   val built =
                     try Some(build)
                     finally { building.remove(key); latch.countDown() }
+                  val df = built.get
+                  val bytes = cachedPlanBytes(df) // measured outside the lock
                   synchronized {
-                    val df = built.get
-                    m.put(key, df)
-                    val mine = m.keys
-                      .filter(_.productElement(0) == key.productElement(0)).toSeq
-                    mine.dropRight(cacheBound)
-                      .foreach(k => m.remove(k).foreach(_.unpersist()))
+                    m.put(key, (df, bytes))
+                    def mine = m.toSeq
+                      .filter(_._1.productElement(0) == key.productElement(0))
+                    // entry bound, oldest first — never the new entry
+                    mine.dropRight(cacheBound).foreach { case (k0, (d0, _)) =>
+                      m.remove(k0); d0.unpersist()
+                    }
+                    // byte budget, oldest first — never the new entry
+                    var resident = mine
+                    while (resident.size > 1 &&
+                        resident.map(_._2._2).sum > cacheBytesBound) {
+                      val (k0, (d0, _)) = resident.head
+                      m.remove(k0); d0.unpersist()
+                      resident = mine
+                    }
                     df
                   }
               }
@@ -169,12 +212,42 @@ object Dedup {
     }
     def releaseSession(session: SparkSession): Unit = synchronized {
       m.keys.filter(_.productElement(0) == session).toSeq
-        .foreach(k => m.remove(k).foreach(_.unpersist()))
+        .foreach(k => m.remove(k).foreach(_._1.unpersist()))
     }
   }
 
   /** Cached capped shingle table per (session, corpus plan). */
   private val shCache = new LruTableCache[(SparkSession, String)]
+
+  /** Cached RANKED shingle table per (session, corpus): each
+    * (doc_id, h) with its shingle's global df, the doc's rarest-first
+    * rank `rn` (df asc, h tie-break) and the doc's shingle count
+    * `n_sh`. This is the threshold-INDEPENDENT half of the PPJoin
+    * prefix builds — the two doc_id windows over the full capped
+    * shingle table, the expensive half of BOTH [[ngramJaccard]] and
+    * [[containmentPairs]] — which each previously rebuilt it per
+    * (query, threshold). Consumers derive their prefix with their own
+    * threshold filter, a codegen projection over the cached rows.
+    */
+  private val rankCache = new LruTableCache[(SparkSession, String)]
+
+  private def rankedShingles(docs: DataFrame): DataFrame = {
+    val ck = corpusKey(docs)
+    rankCache.getOrElseUpdate((ck._1, ck._2 + "|rank"))({
+      val sh = cappedShingleHashes(docs)
+      val df_ = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+      // one exchange: both windows hash-partition by doc_id
+      val r = sh.join(df_, "h")
+        .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
+        .withColumn("n_sh", count(lit(1)).over(byDoc))
+        .select("doc_id", "h", "df", "rn", "n_sh")
+        .cache()
+      r.count()
+      r
+    })
+  }
 
   /** Cache key for a corpus: the canonicalized plan text plus a
     * fingerprint of any relation whose IDENTITY the plan text elides —
@@ -207,23 +280,49 @@ object Dedup {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            // listing INCLUDING per-file length + modification time
+            // (still metadata-only — the FileIndex already holds the
+            // statuses): files rewritten in place with identical names
+            // and total size must key a FRESH entry, not serve the
+            // stale memo for the session's lifetime. Falls back to the
+            // path-only listing if a FileIndex implementation throws.
+            val files =
+              try fs.location.listFiles(Nil, Nil).iterator
+                .flatMap(_.files)
+                .map(f => f.getPath.toString + "@" + f.getLen +
+                  "@" + f.getModificationTime)
+                .toArray.sorted
+              catch { case _: Throwable => fs.location.inputFiles.sorted }
             "F" + scala.util.hashing.MurmurHash3
-              .arrayHash(fs.location.inputFiles.sorted) + ":" + fs.sizeInBytes
+              .arrayHash(files) + ":" + fs.sizeInBytes
           case other => "X" + other.getClass.getName
         }
     }
     (docs.sparkSession, plan.toString + fp.mkString("[", ",", "]"))
   }
 
-  /** Unpersist every shingle and pair table cached for `spark` (call
-    * when the dedup queries of a session are done).
+  /** Unpersist ONLY the dedup-state tables cached for `spark`
+    * (shingle, pair, containment, cluster-label and signature
+    * registries) — e.g. between dedup phases of a live session. For
+    * end-of-session teardown use [[releaseAllCaches]]. (r20 had this
+    * name releasing every other operator's registry too; callers that
+    * meant dedup-only were silently evicting unrelated hot caches.)
     */
   def releaseShingleCaches(spark: SparkSession): Unit = {
     shCache.releaseSession(spark)
+    rankCache.releaseSession(spark)
     pairCache.releaseSession(spark)
     containCache.releaseSession(spark)
     clusterCache.releaseSession(spark)
     sigCache.releaseSession(spark)
+  }
+
+  /** Session-wide teardown: the dedup registries plus every other
+    * operator registry that follows this cache discipline (quality
+    * models, profile memos, segment tables, hybrid lexical legs).
+    */
+  def releaseAllCaches(spark: SparkSession): Unit = {
+    releaseShingleCaches(spark)
     graft.functions.TextAnalysis.releaseQualityModels(spark)
     Analytics.releaseProfileCaches(spark)
     SegmentRoller.releaseSegmentCaches(spark)
@@ -269,60 +368,59 @@ object Dedup {
         minV = 1L, maxV = 10000L) ++
         graft.core.Validation.knob("maxCandidatePairs", maxCandidatePairs,
           minV = 1L))
-    // Result + prefix cached per (session, corpus, threshold) with the
-    // CONTAINMENT build's discipline (it was already doing this): the
-    // prefix window pipeline — two doc_id windows over the full shingle
-    // table, the expensive half of the query — was otherwise evaluated
-    // up to three times per call (the eager fanout guard plus both
-    // sides of the candidate self-join when exchange reuse misses).
+    // Result cached per (session, corpus, threshold); the prefix is a
+    // threshold filter over the SHARED ranked-shingle table
+    // ([[rankedShingles]], cached per corpus), so the window pipeline
+    // — the expensive half of the query — runs once per corpus for
+    // this operator AND [[containmentPairs]] together.
+    // maxCandidatePairs is part of the key: the fanout guard runs
+    // inside the build, so a cache hit skips it — without the cap in
+    // the key, a permissive call would populate the entry and a later
+    // stricter-cap call would silently receive pairs where its
+    // documented fail-CLOSED contract promises a throw.
     val ck = corpusKey(docs)
-    pairCache.getOrElseUpdate((ck._1, ck._2 + "|ppjoin", minJaccardBp))({
+    pairCache.getOrElseUpdate(
+      (ck._1, ck._2 + s"|ppjoin|cap=$maxCandidatePairs", minJaccardBp))({
       val sh = cappedShingleHashes(docs)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val df_ = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      val byDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id")
-      // one exchange: both windows hash-partition by doc_id
-      val prefix = sh.join(df_, "h")
-        .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
-        .withColumn("n_sh", count(lit(1)).over(byDoc))
+      // prefix = a threshold filter over the SHARED ranked table
+      // ([[rankedShingles]], cached per corpus): the window pipeline
+      // no longer runs per (query, threshold)
+      val prefix = rankedShingles(docs)
         .filter(col("rn") <= col("n_sh")
           - expr(s"((${2 * minJaccardBp - 1} * n_sh + 19999) div 20000)") + 1)
         .select("doc_id", "h", "n_sh")
-        .cache()
-      try {
-        // Fail-fast guard on the PREFIX fanout, in decimal (LongType
-        // would wrap silently under non-ANSI semantics, and the guard
-        // must fail CLOSED). Past the bound the candidate volume is
-        // genuinely pair-graph-sized-quadratic (e.g. a corpus of
-        // near-identical docs) and minhashLsh's banding is the right
-        // tool.
-        val est = prefix.groupBy("h").agg(count(lit(1)).as("pdf"))
-          .agg(coalesce(sum(col("pdf").cast("decimal(38,0)") * col("pdf")),
-            lit(java.math.BigDecimal.ZERO)).as("p"))
-          .head.getDecimal(0)
-        require(est.compareTo(java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
-          s"ngramJaccard: estimated prefix-candidate fanout sum(prefix_df^2)=$est " +
-            s"exceeds $maxCandidatePairs; use minhashLsh (d_minhash_lsh) — " +
-            "same pairs, bounded candidates")
-        val a = prefix.as("a"); val b = prefix.as("b")
-        // size filter: J ≥ t_eff forces min(|x|,|y|) ≥ t_eff·max(|x|,|y|)
-        val cands = a.join(b,
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
-              && col("a.n_sh") * 20000 >= col("b.n_sh") * (2 * minJaccardBp - 1)
-              && col("b.n_sh") * 20000 >= col("a.n_sh") * (2 * minJaccardBp - 1))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        val inter = cands
-          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id")
-            && col("sa.h") === col("sb.h"))
-          .groupBy("doc_a", "doc_b")
-          .agg(count(lit(1)).as("inter"))
-        val result = jaccardFilter(inter, sizes, minJaccardBp).cache()
-        result.count() // materialize before the prefix unpersists
-        result
-      } finally prefix.unpersist()
+      // Fail-fast guard on the PREFIX fanout, in decimal (LongType
+      // would wrap silently under non-ANSI semantics, and the guard
+      // must fail CLOSED). Past the bound the candidate volume is
+      // genuinely pair-graph-sized-quadratic (e.g. a corpus of
+      // near-identical docs) and minhashLsh's banding is the right
+      // tool.
+      val est = prefix.groupBy("h").agg(count(lit(1)).as("pdf"))
+        .agg(coalesce(sum(col("pdf").cast("decimal(38,0)") * col("pdf")),
+          lit(java.math.BigDecimal.ZERO)).as("p"))
+        .head.getDecimal(0)
+      require(est.compareTo(java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
+        s"ngramJaccard: estimated prefix-candidate fanout sum(prefix_df^2)=$est " +
+          s"exceeds $maxCandidatePairs; use minhashLsh (d_minhash_lsh) — " +
+          "same pairs, bounded candidates")
+      val a = prefix.as("a"); val b = prefix.as("b")
+      // size filter: J ≥ t_eff forces min(|x|,|y|) ≥ t_eff·max(|x|,|y|)
+      val cands = a.join(b,
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
+            && col("a.n_sh") * 20000 >= col("b.n_sh") * (2 * minJaccardBp - 1)
+            && col("b.n_sh") * 20000 >= col("a.n_sh") * (2 * minJaccardBp - 1))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter = cands
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id")
+          && col("sa.h") === col("sb.h"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"))
+      val result = jaccardFilter(inter, sizes, minJaccardBp).cache()
+      result.count()
+      result
     })
   }
 
@@ -375,55 +473,49 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, minContainBp: Long,
       maxCandidatePairs: Long = MaxNgramCandidatePairs): DataFrame = {
+    // cap in the key for the same fail-CLOSED reason as [[ngramJaccard]]
     val ck = corpusKey(docs)
-    containCache.getOrElseUpdate((ck._1, ck._2, minContainBp))({
+    containCache.getOrElseUpdate(
+      (ck._1, ck._2 + s"|cap=$maxCandidatePairs", minContainBp))({
       val sh = cappedShingleHashes(docs)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val df_ = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      val byDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id")
-      // persist the prefix for the BUILD's duration only: the guard
-      // aggregation below and the candidate join both read it, and the
-      // window pipeline (two doc_id windows over the full shingle
-      // table) is the expensive half of the whole query
-      val prefix = sh.join(df_, "h")
-        .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
-        .withColumn("n_sh", count(lit(1)).over(byDoc))
+      // prefix = a threshold filter over the SHARED ranked table
+      // ([[rankedShingles]], cached per corpus — the same rows the
+      // Jaccard build filters at ITS threshold); df rides along so the
+      // fanout estimate needs no extra join
+      val prefix = rankedShingles(docs)
         .filter(col("rn") <= col("n_sh")
           - expr(s"((${2 * minContainBp - 1} * n_sh + 19999) div 20000)") + 1)
-        .select(col("doc_id").as("doc_src"), col("h"))
+        .select(col("doc_id").as("doc_src"), col("h"), col("df"))
+      val est = prefix.groupBy("h")
+        .agg(count(lit(1)).as("pdf"), max("df").as("df"))
+        .agg(coalesce(sum(col("pdf").cast("decimal(38,0)") * col("df")),
+          lit(java.math.BigDecimal.ZERO)).as("p"))
+        .head.getDecimal(0)
+      require(est.compareTo(java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
+        s"containmentPairs: estimated candidate fanout sum(prefix_df*df)=$est " +
+          s"exceeds $maxCandidatePairs; for symmetric near-dups use " +
+          "minhashLsh (d_minhash_lsh) — bounded candidates")
+      val cands = prefix
+        .join(sh.select(col("doc_id").as("doc_dst"), col("h")), Seq("h"))
+        .filter(col("doc_src") =!= col("doc_dst"))
+        .select("doc_src", "doc_dst").distinct()
+      val inter = cands
+        .join(sh.as("sa"), col("doc_src") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_dst") === col("sb.doc_id")
+          && col("sa.h") === col("sb.h"))
+        .groupBy("doc_src", "doc_dst")
+        .agg(count(lit(1)).as("inter"))
+      val result = inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_src")
+          .withColumnRenamed("n_sh", "n_src"), Seq("doc_src"))
+        .withColumn("contain_bp",
+          round(col("inter") * 10000.0 / col("n_src"), 0).cast("long"))
+        .filter(col("contain_bp") >= minContainBp)
+        .select("doc_src", "doc_dst", "inter", "n_src", "contain_bp")
         .cache()
-      try {
-        val est = prefix.groupBy("h").agg(count(lit(1)).as("pdf"))
-          .join(df_, Seq("h"))
-          .agg(coalesce(sum(col("pdf").cast("decimal(38,0)") * col("df")),
-            lit(java.math.BigDecimal.ZERO)).as("p"))
-          .head.getDecimal(0)
-        require(est.compareTo(java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
-          s"containmentPairs: estimated candidate fanout sum(prefix_df*df)=$est " +
-            s"exceeds $maxCandidatePairs; for symmetric near-dups use " +
-            "minhashLsh (d_minhash_lsh) — bounded candidates")
-        val cands = prefix
-          .join(sh.select(col("doc_id").as("doc_dst"), col("h")), Seq("h"))
-          .filter(col("doc_src") =!= col("doc_dst"))
-          .select("doc_src", "doc_dst").distinct()
-        val inter = cands
-          .join(sh.as("sa"), col("doc_src") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("doc_dst") === col("sb.doc_id")
-            && col("sa.h") === col("sb.h"))
-          .groupBy("doc_src", "doc_dst")
-          .agg(count(lit(1)).as("inter"))
-        val result = inter
-          .join(sizes.withColumnRenamed("doc_id", "doc_src")
-            .withColumnRenamed("n_sh", "n_src"), Seq("doc_src"))
-          .withColumn("contain_bp",
-            round(col("inter") * 10000.0 / col("n_src"), 0).cast("long"))
-          .filter(col("contain_bp") >= minContainBp)
-          .select("doc_src", "doc_dst", "inter", "n_src", "contain_bp")
-          .cache()
-        result.count() // materialize before the prefix unpersists
-        result
-      } finally prefix.unpersist()
+      result.count()
+      result
     })
   }
 

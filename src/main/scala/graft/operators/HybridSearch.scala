@@ -128,7 +128,7 @@ object HybridSearch {
     (org.apache.spark.sql.SparkSession, String), Object]
 
   /** Drop the memoized lexical legs for `spark` (wired into
-    * [[Dedup.releaseShingleCaches]]).
+    * [[Dedup.releaseAllCaches]]).
     */
   def releaseLexLegs(spark: org.apache.spark.sql.SparkSession): Unit =
     lexMemo.synchronized {

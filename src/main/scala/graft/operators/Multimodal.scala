@@ -338,7 +338,23 @@ object Multimodal {
       .withColumn("media_type",
         element_at(lit(Array("image", "audio", "video")), col("src_num") % 3 + 1))
       .select(col("doc_id"), col("media_type"), col("n_chars"))
-    only.fold(typed)(mt => typed.filter(col("media_type") === mt))
+    val base = only.fold(typed)(mt => typed.filter(col("media_type") === mt))
+    // The synthesis/codec pass is CPU-bound per ROW (ms-scale codec
+    // work), but scan splitting is BYTE-based (openCostInBytes floors
+    // the split size at 4 MB), so a small metadata file plans a
+    // near-SERIAL codec pass no matter how many cores exist. When the
+    // scan under-splits, re-balance the METADATA rows — doc_id,
+    // media_type, n_chars; the payload is born inside the pass, so no
+    // heavy bytes ever move (guide §8: decide placement on small
+    // rows) — across the core count, deterministic hash placement by
+    // the unique doc_id. Scale-adaptive, not a local[32] constant: at
+    // cluster scale the scan already has >= defaultParallelism splits
+    // and this branch is a no-op.
+    val n = spark.sparkContext.defaultParallelism
+    val balanced =
+      if (base.rdd.getNumPartitions < n) base.repartition(n, col("doc_id"))
+      else base
+    balanced
       .as[(Long, String, Long)]
       .mapPartitions { batch =>
         batch.map { case (id, mt, nChars) =>
@@ -477,7 +493,14 @@ object Multimodal {
     */
   def landedPhotos(spark: SparkSession, docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { batch =>
+    // same core-count balance as [[landed]]: the synthesis + ImageIO
+    // work is ms-per-row CPU, the input is one id column
+    val ids = docs.select(col("doc_id"))
+    val n = spark.sparkContext.defaultParallelism
+    val balanced =
+      if (ids.rdd.getNumPartitions < n) ids.repartition(n, col("doc_id"))
+      else ids
+    balanced.as[Long].mapPartitions { batch =>
       batch.map { id =>
         val gray = photoGray(id)
         val typ = if (id % 2 == 1) BufferedImage.TYPE_3BYTE_BGR
@@ -523,6 +546,15 @@ object Multimodal {
     import spark.implicits._
     graft.core.Validation.validate("image-dedup-phash",
       graft.core.Validation.knob("tau", tau.toLong, minV = 0L, maxV = 63L))
+    // Decode + hash ONCE, then materialize: the hash table is consumed
+    // by the x side of the band join, the y side, and the final keeper
+    // join-back, and Spark has no subtree reuse for MapPartitions, so
+    // the un-materialized form ran the ImageIO decode pass FIVE times
+    // per query (the r20 plans show five MapPartitions decode legs).
+    // localCheckpoint pins (doc_id, phash) — 16 bytes/doc, O(docs)
+    // executor storage, negligible next to one decode pass — so every
+    // consumer reads the materialized rows (guide §8: decide with
+    // small rows; never re-derive them from the heavy payloads).
     val hashed = landedPhotos(spark, docs).mapPartitions { batch =>
       batch.map { case (id, payload) =>
         val img = ImageIO.read(new ByteArrayInputStream(payload))
@@ -535,19 +567,18 @@ object Multimodal {
         }
         (id, phash63(gray))
       }
-    }.toDF("doc_id", "phash")
+    }.toDF("doc_id", "phash").localCheckpoint()
     val bands = hashed.select(col("doc_id"), col("phash"),
         explode(expr("sequence(0, 7)")).as("band_id"))
       .withColumn("band_key",
         expr("shiftright(phash, 8 * band_id) % 256"))
     val xs = bands.as("x"); val ys = bands.as("y")
-    // Hamming verify BEFORE the dedup exchange: bit_count is a codegen
-    // projection evaluated as rows stream out of the band join, so
-    // filtering first means the distinct() shuffles only the verified
-    // near pairs (two longs each) instead of every band collision with
-    // both hashes in tow (guide §2.3 — shuffle fewer bytes). A pair
-    // colliding in several bands passes or fails identically in each,
-    // so filter-then-distinct is the same set as distinct-then-filter.
+    // Hamming verify before the dedup exchange. (Honesty note: r20
+    // claimed moving the filter below the distinct cut shuffle bytes,
+    // but the committed plans show Catalyst already produced the
+    // identical plan from the distinct-then-filter form — the filter
+    // pushes through the aggregate on its grouping columns either way.
+    // The form is kept because it states the executed plan directly.)
     val pairs = xs.join(ys,
         col("x.band_id") === col("y.band_id")
           && col("x.band_key") === col("y.band_key")
@@ -555,8 +586,14 @@ object Multimodal {
       .filter(expr(s"bit_count(x.phash ^ y.phash) <= $tau"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct() // a pair can collide in several bands
-    val nbr = pairs.select(col("a").as("doc_id"), col("b").as("nbr"))
-      .unionByName(pairs.select(col("b").as("doc_id"), col("a").as("nbr")))
+    // Symmetrize with ONE pass: unionByName(pairs, pairs.swapped)
+    // re-evaluated the whole band join + distinct per union arm (no
+    // subtree reuse); exploding each verified pair into its two
+    // directions keeps the join + distinct in the plan exactly once.
+    val nbr = pairs.select(explode(array(
+        struct(col("a").as("doc_id"), col("b").as("nbr")),
+        struct(col("b").as("doc_id"), col("a").as("nbr")))).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.nbr").as("nbr"))
       .groupBy("doc_id")
       .agg(min("nbr").as("min_nbr"), count(lit(1)).as("n_near"))
     hashed.join(nbr, Seq("doc_id"), "left")
@@ -584,9 +621,16 @@ object Multimodal {
     * map (≤4096 rows by construction) joins back as a broadcast.
     */
   def imageDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // Materialize the decoded keys once: `imgs` feeds both the bucket
+    // aggregate and the probe side of the join, and without the
+    // checkpoint each consumer re-ran the whole PNG decode pass
+    // (2x codec work per query; MapPartitions subtrees are never
+    // reused). (doc_id, phash) is 16 bytes/doc.
     val imgs = features(spark, docs, Some("image")).toDF()
       .withColumn("phash", expr(
         "(pixel_rgb div 262144) * 64 + ((width - 1) div 8) * 8 + ((height - 1) div 8)"))
+      .select("doc_id", "phash")
+      .localCheckpoint()
     val buckets = imgs.groupBy("phash")
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_bucket"))
     imgs.join(broadcast(buckets), Seq("phash"))
@@ -608,10 +652,16 @@ object Multimodal {
     * partial-agg `groupBy` on a ≤384-value key, broadcast keeper map.
     */
   def videoDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // Same single-decode materialization as [[imageDedup]]: both the
+    // bucket aggregate and the probe side read the checkpointed
+    // (doc_id, phash) rows instead of re-running the frame-pack
+    // decode pass.
     val vids = features(spark, docs, Some("video")).toDF()
       .withColumn("phash", expr(
         "(pixel_rgb div 1048576) * 64 + ((width - 1) div 8) * 16 " +
           "+ ((height - 1) div 8) * 2 + ((frames - 2) div 4)"))
+      .select("doc_id", "phash")
+      .localCheckpoint()
     val buckets = vids.groupBy("phash")
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_bucket"))
     vids.join(broadcast(buckets), Seq("phash"))

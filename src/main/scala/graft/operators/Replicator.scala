@@ -94,7 +94,7 @@ object SegmentRoller {
     (org.apache.spark.sql.SparkSession, String, Long)]
 
   /** Unpersist the cached segment tables for `spark` (wired into
-    * [[Dedup.releaseShingleCaches]]).
+    * [[Dedup.releaseAllCaches]]).
     */
   def releaseSegmentCaches(spark: org.apache.spark.sql.SparkSession): Unit =
     segCache.releaseSession(spark)

@@ -110,14 +110,16 @@ object TimeSeries {
 
   /** Time-bucket resampling: per (user, hour) OHLC-style aggregates —
     * first/last value (by event order), min/max, count. First/last are
-    * deterministic: `min/max(struct(event_id, value))` orders by the
-    * globally-unique event_id first, so open/close are the values at
-    * the group's least/greatest event — identical to the previous
-    * two-row_number form but in ONE partial-aggregating hash
-    * aggregate: no window sort, and hot (user, hour) groups collapse
-    * map-side before the exchange (guide §2.3 — the r20 rewrite; the
-    * old shape paid Exchange + Sort + two row_number passes for what
-    * is an aggregation).
+    * deterministic: `min_by/max_by(value_cents, event_id)` pick the
+    * value at the group's least/greatest globally-unique event_id —
+    * identical to the old two-row_number form, but in ONE
+    * partial-aggregating aggregate. min_by/max_by keep every buffer
+    * slot an atomic long, so the plan is a true HashAggregate with no
+    * sort anywhere (the r20 `min/max(struct(...))` form computed the
+    * same thing but a struct-typed buffer forces SortAggregate plus a
+    * map-side Sort — the r20 after-plan showed exactly that); hot
+    * (user, hour) groups still collapse map-side before the exchange
+    * (guide §2.3).
     */
   def resampleHourly(events: DataFrame): DataFrame = {
     val hour = date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00")
@@ -128,10 +130,8 @@ object TimeSeries {
       .groupBy("user_id", "hour")
       .agg(
         count(lit(1)).as("n_events"),
-        min(struct(col("event_id"), col("value_cents")))
-          .getField("value_cents").as("open_cents"),
-        max(struct(col("event_id"), col("value_cents")))
-          .getField("value_cents").as("close_cents"),
+        min_by(col("value_cents"), col("event_id")).as("open_cents"),
+        max_by(col("value_cents"), col("event_id")).as("close_cents"),
         min("value_cents").as("low_cents"),
         max("value_cents").as("high_cents"))
   }

@@ -45,7 +45,7 @@ object PlanDumpAll {
         System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
       }
     }
-    graft.operators.Dedup.releaseShingleCaches(spark)
+    graft.operators.Dedup.releaseAllCaches(spark)
     graft.operators.Ann.releaseTrainedModels(spark)
     spark.stop()
   }

@@ -104,16 +104,19 @@ class AnalyticsProfileSpec extends SparkSuite {
   test("columnProfile: two parallel hash-agg passes, no sort-agg funnel") {
     val df = graft.sources.Tables.lineitem(spark, sf)
     // The distinct pass (r20: memoized per corpus and joined back as a
-    // |cols|-row local relation — the truth-memo discipline) is
-    // audited on its own plan: the multi-distinct rewrite would
-    // Expand the scan #cols× and funnel the distinct aggregation
-    // through one wide sort aggregate (measured 10× slower); the
-    // unpivoted form has NO Expand and stays in hash aggregation.
-    val nd = Analytics.exactDistinctsPlan(df, df.columns.toSeq)
+    // |cols|-row local relation — the truth-memo discipline; r21: one
+    // overlapped job per column instead of the single stack-unpivot
+    // job) is audited on its per-column plan: the multi-distinct
+    // rewrite would Expand the scan #cols× and funnel the distinct
+    // aggregation through one wide sort aggregate (measured 10×
+    // slower); the per-column form has NO Expand, stays in hash
+    // aggregation, and scans ONLY its own pruned column.
+    val nd = Analytics.exactDistinctColumnPlan(df, "l_shipdate")
       .queryExecution.executedPlan.toString
     assert(nd.split("FileScan").length - 1 === 1, nd.take(2500))
     assert(!nd.contains("Expand"), nd.take(2500))
     assert(nd.contains("HashAggregate"), nd.take(2500))
+    assert(nd.contains("ReadSchema: struct<l_shipdate"), nd.take(2500))
     // the served profile itself: ONE corpus scan (the basic pass —
     // never a scan per column), the distinct counts joined in as a
     // broadcast local relation. (The basic pass's KEYLESS

@@ -687,6 +687,32 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("dedup cache registry: byte budget evicts LRU entries, never the newest") {
+    import spark.implicits._
+    val oldBytes = Dedup.cacheBytesBound
+    // 1 byte: any measured cached table exceeds it, so inserting B
+    // must evict A (older) while B itself survives — a budget smaller
+    // than one table degrades to cache-nothing-extra, not to thrash
+    Dedup.cacheBytesBound = 1L
+    try {
+      val corpusA = Seq((1L, "alpha beta gamma delta first"),
+        (2L, "alpha beta gamma delta second")).toDF("doc_id", "text")
+      val corpusB = Seq((1L, "epsilon zeta eta theta first"),
+        (2L, "epsilon zeta eta theta second")).toDF("doc_id", "text")
+      val a = Dedup.cappedShingleHashes(corpusA)
+      assert(a.storageLevel.useMemory)
+      val b = Dedup.cappedShingleHashes(corpusB)
+      // byte budget evicted AND unpersisted the older entry...
+      assert(!a.storageLevel.useMemory)
+      // ...but never the just-inserted one (count bound is 4 here, so
+      // this eviction came from the BYTE budget alone)
+      assert(b.storageLevel.useMemory)
+    } finally {
+      Dedup.cacheBytesBound = oldBytes
+      Dedup.releaseShingleCaches(spark)
+    }
+  }
+
   test("dedup cache registry: different-key builds run concurrently, same-key builds once") {
     import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
     import spark.implicits._
@@ -841,6 +867,15 @@ class DedupAnnSpec extends SparkSuite {
       Dedup.ngramJaccard(hot, 5000L, maxCandidatePairs = 100L)
     }
     assert(e.getMessage.contains("minhashLsh"))
+    // the guard stays fail-CLOSED across the session result cache: a
+    // permissive (default-cap) call populates the memo, and a later
+    // stricter-cap call must STILL throw instead of silently serving
+    // the cached pairs — the cap is part of the cache key
+    assert(Dedup.ngramJaccard(hot, 5000L).count() > 0)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(hot, 5000L, maxCandidatePairs = 100L)
+    }
+    assert(e2.getMessage.contains("minhashLsh"))
     // the default bound leaves the gated corpus untouched
     assert(Dedup.ngramJaccard(docs, 5000L).count() > 0)
   }
