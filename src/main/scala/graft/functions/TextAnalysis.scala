@@ -321,7 +321,11 @@ object TextAnalysis {
     val bigrams = zip_with(
       slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
       (x, y) => concat(x, lit("_"), y))
-    val grams = docs.select(col("doc_id"),
+    // the gram explode + per-gram md5 below is the operator's
+    // dominant CPU cost — balance it across cores when the doc scan
+    // under-splits (Dedup.cpuBalanced: no-op at cluster scale)
+    val grams = graft.operators.Dedup.cpuBalanced(docs)
+      .select(col("doc_id"),
         (col("lang") === targetLang).cast("long").as("is_tgt"),
         explode(concat(a, bigrams)).as("gram"))
       .select(col("doc_id"), col("is_tgt"),
@@ -455,7 +459,11 @@ object TextAnalysis {
   private def qualityModelTrainUncached(docs: DataFrame, trainPct: Int,
       numBuckets: Int): Seq[Long] = {
     val S = 1000000000L
-    val counts = withQuality(docs)
+    // per-gram hashing over the train stratum is the trainer's CPU
+    // cost — balance when the scan under-splits (memo key upstream is
+    // computed from the UNbalanced docs, so consumers sharing the
+    // memo never fork)
+    val counts = withQuality(graft.operators.Dedup.cpuBalanced(docs))
       .filter(hexHash60(col("doc_id").cast("string")) % 100 < trainPct)
       .select((col("score") === 100).cast("long").as("lbl"),
         explode(gramBuckets(numBuckets)).as("g"))

@@ -57,6 +57,21 @@ object Dedup {
         (1103515245L * (i + 64L) + 12345L) % 1048576L)
     }
 
+  /** `df` hash-rebalanced across cores when its scan under-splits:
+    * byte-based split sizing (`openCostInBytes` floors tiny files at
+    * one split) leaves CPU-heavy per-row work — shingle explodes,
+    * per-gram hashing — near-serial on a small file no matter how
+    * many cores exist (guide §2.5: repartition immediately after the
+    * read when the input under-splits). Deterministic hash placement
+    * by the unique doc_id; scale-adaptive, not a local[32] constant —
+    * at cluster scale the scan already has >= defaultParallelism
+    * splits and this is a no-op. Results are partitioning-invariant.
+    */
+  private[graft] def cpuBalanced(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n, col("doc_id")) else df
+  }
+
   /** Exact dedup: group identical content by md5; keep the lowest id. */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text").cast("binary")).as("content_hash"))
@@ -83,7 +98,11 @@ object Dedup {
     val key = corpusKey(docs)
     shCache.getOrElseUpdate(key)({
       val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
-      val sh = shingleTable(docs)
+      // the shingle explode + per-shingle md5 is the CPU-heavy map
+      // side of the whole dedup family — balance it across cores when
+      // the doc scan under-splits (one extra metadata-scale exchange
+      // inside this once-per-session cached build)
+      val sh = shingleTable(cpuBalanced(docs))
         .select(col("doc_id"), hexHash60(col("s")).as("h")).cache()
       val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
         .crossJoin(nDocs)

@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every encode/decode with a
+  // TEMP FILE (FileCacheImageInput/OutputStream); for these
+  // in-memory byte-array payloads the disk round-trip is pure
+  // overhead serially and a same-directory file-churn contention
+  // point across parallel codec tasks. The in-memory stream cache
+  // produces byte-identical codec output.
+  ImageIO.setUseCache(false)
+
   /** A media record as it would land from an object store. */
   case class MediaFile(doc_id: Long, media_type: String, payload: Array[Byte],
       n_chars: Long)
@@ -350,9 +358,21 @@ object Multimodal {
     // the unique doc_id. Scale-adaptive, not a local[32] constant: at
     // cluster scale the scan already has >= defaultParallelism splits
     // and this branch is a no-op.
+    //
+    // ONLY the ImageIO-backed modalities re-balance: javax.sound's
+    // provider registry serializes concurrent container probing
+    // (JDK13Services.getProviders is synchronized, and every
+    // AudioSystem.getAudioInputStream/write takes it), so a parallel
+    // audio pass trades serial compute for a lock convoy — measured
+    // 1.7x SLOWER at 32 tasks (bench/ab_r21_audio_probe.json), while
+    // ImageIO's plugin registry is per-thread and the image/video
+    // rows measured 0.5-0.8x. Audio (and the mixed-modality pass,
+    // which is one-third audio) keeps the scan's layout.
     val n = spark.sparkContext.defaultParallelism
+    val parallelSafe = only.exists(mt => mt == "image" || mt == "video")
     val balanced =
-      if (base.rdd.getNumPartitions < n) base.repartition(n, col("doc_id"))
+      if (parallelSafe && base.rdd.getNumPartitions < n)
+        base.repartition(n, col("doc_id"))
       else base
     balanced
       .as[(Long, String, Long)]
