@@ -138,9 +138,9 @@ object Dedup {
     * tables is an executor-storage cliff at 100 TB no matter how small
     * the count (guide §5 — cached data competes with execution
     * memory). Inserts evict least-recently-used entries while the
-    * session's MEASURED cached bytes (InMemoryRelation stats after
-    * materialization — builds materialize before returning, so these
-    * are actual bytes, not planner estimates) exceed the budget; the
+    * session's MEASURED cached size (materialized row count × schema
+    * width — builds materialize before returning, so this is a
+    * counted size, not a planner estimate) exceeds the budget; the
     * just-inserted entry is never evicted (a budget smaller than one
     * table degrades to cache-nothing-extra, not to thrash). Local
     * default sized far above anything the bench corpus produces;
@@ -148,18 +148,19 @@ object Dedup {
     */
   @volatile var cacheBytesBound: Long = 8L << 30
 
-  /** Measured bytes of a cached, materialized frame: the
-    * InMemoryRelation's post-materialization stats (actual bytes).
-    * 0 when the lookup fails or the plan has no cached relation —
-    * byte-eviction then simply doesn't fire for that entry.
+  /** Measured size of a cached, materialized frame: row count (cheap
+    * — builds reads the cache the registry just filled) × the
+    * schema's default row width. Deterministic and
+    * estimation-garbage-free, unlike planner sizeInBytes; the
+    * InMemoryRelation byte accumulator was tried first but reads 0
+    * on this Spark build even with buffers loaded, and eviction
+    * needs honest relative magnitude, not exact bytes. 0 on failure
+    * — byte-eviction then simply doesn't fire for that entry.
     */
   private def cachedPlanBytes(df: DataFrame): Long =
     try {
-      val b = df.queryExecution.withCachedData.collect {
-        case im: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-          im.computeStats().sizeInBytes
-      }.sum
-      b.min(BigInt(Long.MaxValue)).toLong
+      val width = df.schema.map(_.dataType.defaultSize).sum.max(1)
+      df.count() * width
     } catch { case _: Throwable => 0L }
 
   /** LRU registry of session-cached tables: key component 0 is the

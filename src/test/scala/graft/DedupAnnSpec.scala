@@ -695,10 +695,15 @@ class DedupAnnSpec extends SparkSuite {
     // than one table degrades to cache-nothing-extra, not to thrash
     Dedup.cacheBytesBound = 1L
     try {
-      val corpusA = Seq((1L, "alpha beta gamma delta first"),
-        (2L, "alpha beta gamma delta second")).toDF("doc_id", "text")
-      val corpusB = Seq((1L, "epsilon zeta eta theta first"),
-        (2L, "epsilon zeta eta theta second")).toDF("doc_id", "text")
+      // >= 20 docs each: the df cap (df*20 <= n_docs) keeps NOTHING
+      // from a tiny corpus, and an empty cached table measures (and
+      // should measure) zero bytes — the budget needs real rows
+      val corpusA = (0L until 21L)
+        .map(i => i -> (s"a${i}a a${i}b a${i}c a${i}d a${i}e " * 4))
+        .toDF("doc_id", "text")
+      val corpusB = (0L until 21L)
+        .map(i => i -> (s"b${i}a b${i}b b${i}c b${i}d b${i}e " * 4))
+        .toDF("doc_id", "text")
       val a = Dedup.cappedShingleHashes(corpusA)
       assert(a.storageLevel.useMemory)
       val b = Dedup.cappedShingleHashes(corpusB)
