@@ -22,11 +22,20 @@ package graft.core
   * concurrent job is labelled independently in the UI.
   */
 object Overlap {
+  /** Jobs in flight at once. Guide §2.6: "2-3 jobs in flight is
+    * plenty: enough to fill the tail, not so many that they fight for
+    * executors" — measured here too: the profiler's 11 column jobs
+    * fully concurrent at 10x data and 32 cores oversubscribed the
+    * host (33.9 s vs 7.2 s at 8 cores); excess tasks queue on the
+    * bounded pool and back-fill as slots free.
+    */
+  val MaxInFlight = 4
+
   def overlapped[A](tasks: Seq[(String, () => A)]): Seq[(String, A)] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(tasks.size, 1))
+      math.max(math.min(tasks.size, MaxInFlight), 1))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try Await.result(
       Future.sequence(tasks.map { case (n, f) => Future((n, f())) }),

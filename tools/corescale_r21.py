@@ -59,10 +59,13 @@ def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/bench/corescale_r21.json"
     rows = sys.argv[2] if len(sys.argv) > 2 else ROWS
     passes = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    acc = {32: [], 8: []}
+    cpu_pair = [int(x) for x in (sys.argv[4].split(",") if len(sys.argv) > 4
+                                 else ["32", "8"])]
+    hi, lo = cpu_pair[0], cpu_pair[1]
+    acc = {hi: [], lo: []}
     canaries = []
     for i in range(passes):
-        for cpus in (32, 8):
+        for cpus in (hi, lo):
             canaries.append(wait_calm())
             d = run(cpus, rows)
             acc[cpus].append(d)
@@ -70,23 +73,23 @@ def main():
                   f"{d['scaled_total']}", flush=True)
     def med(cpus, key, q):
         return statistics.median(d[key][q] for d in acc[cpus])
-    qs = list(acc[32][0]["scaled_sec"].keys())
+    qs = list(acc[hi][0]["scaled_sec"].keys())
     table = {}
     for q in qs:
-        s32 = med(32, "scaled_sec", q)
-        s8 = med(8, "scaled_sec", q)
-        table[q] = {"c32_10x_sec": s32, "c8_10x_sec": s8,
-                    "c8_over_c32": round(s8 / s32, 3) if s32 else None,
-                    "c32_1x_sec": med(32, "base_sec", q),
-                    "c8_1x_sec": med(8, "base_sec", q)}
+        shi = med(hi, "scaled_sec", q)
+        slo = med(lo, "scaled_sec", q)
+        table[q] = {f"c{hi}_10x_sec": shi, f"c{lo}_10x_sec": slo,
+                    f"c{lo}_over_c{hi}": round(slo / shi, 3) if shi else None,
+                    f"c{hi}_1x_sec": med(hi, "base_sec", q),
+                    f"c{lo}_1x_sec": med(lo, "base_sec", q)}
     doc = {"factor": FACTOR, "reps": REPS, "passes": passes,
-           "canaries": canaries, "queries": table,
+           "cpus": [hi, lo], "canaries": canaries, "queries": table,
            "raw": {str(k): v for k, v in acc.items()}}
     with open(out, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     for q, r in table.items():
-        print(f"{q:28s} 10x c32 {r['c32_10x_sec']:7.2f}  c8 "
-              f"{r['c8_10x_sec']:7.2f}  ratio {r['c8_over_c32']}")
+        print(f"{q:28s} 10x c{hi} {r[f'c{hi}_10x_sec']:7.2f}  c{lo} "
+              f"{r[f'c{lo}_10x_sec']:7.2f}  ratio {r[f'c{lo}_over_c{hi}']}")
     print(f"[corescale] wrote {out}")
 
 
